@@ -1,0 +1,146 @@
+"""Text-analysis column functions for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, fingerprinting.
+
+All pure Spark column expressions (JVM-side, whole-stage codegen) — designed
+so the same logic is expressible in ANSI SQL for DuckDB-oracle checks.
+Counting idiom: ``length(s) - length(regexp_replace(s, pat, ''))`` stays
+portable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/marker heuristic.
+# Chosen to be disjoint, lowercase, and regex-safe.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ein", "mit"],
+    "fr": ["le", "la", "les", "est", "une", "dans", "pour", "que"],
+    "es": ["el", "los", "las", "una", "por", "con", "para", "del"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"]
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase, trim, collapse internal whitespace — canonical dedup form."""
+    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank -> 0."""
+    t = F.trim(F.coalesce(text, F.lit("")))
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def char_count(text: Column, pattern: str) -> Column:
+    """Number of chars matching regex class `pattern` (single-char class)."""
+    s = F.coalesce(text, F.lit(""))
+    return F.length(s) - F.length(F.regexp_replace(s, pattern, ""))
+
+
+def words(text: Column) -> Column:
+    """Lowercase alphanumeric word array (punctuation-stripped)."""
+    s = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), r"[^a-z0-9]+", " ")
+    )
+    return F.when(s == "", F.array().cast("array<string>")).otherwise(
+        F.split(s, " ")
+    )
+
+
+def word_occurrences(text: Column, word: str) -> Column:
+    """Occurrences of `word` as a whole lowercase word.
+
+    Expressed as a lambda filter over the word array — portable to DuckDB as
+    ``len(list_filter(words, x -> x = 'the'))``.
+    """
+    return F.size(F.filter(words(text), lambda x: x == F.lit(word)))
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword / digit ratio features.
+
+    Ratios are rounded to 6 decimals so Spark and the SQL oracle hash
+    identically on float output.
+    """
+    s = F.coalesce(text, F.lit(""))
+    n = F.length(s)
+    n_nonzero = F.when(n == 0, F.lit(1)).otherwise(n)
+    tokens = token_count(s)
+    tokens_nz = F.when(tokens == 0, F.lit(1)).otherwise(tokens)
+    punct = char_count(s, r"[!-/:-@\[-`{-~]")
+    digits = char_count(s, r"[0-9]")
+    upper = char_count(s, r"[A-Z]")
+    stop_hits: Column = F.lit(0)
+    for w in STOPWORDS_EN:
+        stop_hits = stop_hits + word_occurrences(s, w)
+    return {
+        "n_chars": n,
+        "n_tokens": tokens,
+        "mean_token_len": F.round(n.cast("double") / tokens_nz, 6),
+        "punct_ratio": F.round(punct.cast("double") / n_nonzero, 6),
+        "digit_ratio": F.round(digits.cast("double") / n_nonzero, 6),
+        "upper_ratio": F.round(upper.cast("double") / n_nonzero, 6),
+        "stopword_ratio": F.round(stop_hits.cast("double") / tokens_nz, 6),
+    }
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-word hit count per language (the lang-ID signal)."""
+    out: dict[str, Column] = {}
+    for lang, words in LANG_MARKERS.items():
+        score: Column = F.lit(0)
+        for w in words:
+            score = score + word_occurrences(text, w)
+        out[f"score_{lang}"] = score.cast("long")
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by marker score; ties broken by language name order;
+    'und' (undetermined) when all scores are 0."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score: Column = F.lit(0).cast("long")
+    # iterate in reverse-sorted order so earlier names win ties with >=
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        s = scores[f"score_{lang}"]
+        take = s >= best_score
+        strict = s > 0
+        best_lang = F.when(take & strict, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    Portable across Spark and DuckDB (both emit lowercase hex)."""
+    return F.md5(normalize_text(text))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingle array over normalized text (distinct, sorted —
+    deterministic input for MinHash)."""
+    words = F.split(normalize_text(text), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), n - k)
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")
+    )
+    return F.when(n >= k, F.array_sort(F.array_distinct(grams))).otherwise(
+        F.when(n > 0, F.array(F.array_join(words, " "))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def shingle_hash(shingle: Column) -> Column:
+    """Portable 32-bit-ish shingle hash: first 8 hex chars of md5 -> bigint.
+    Identical in DuckDB: ('0x' || substr(md5(s),1,8))::BIGINT.
+    """
+    return F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long")
