@@ -1,0 +1,67 @@
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count() forces the full plan; results
+are not collected to the driver).  Timings are per-query wall clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: one per operator family; keep stable across rounds
+HEADLINE = [
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "j1_interval_overlap",
+    "j4_dedup_upsert_ids",
+    "zygosity_snv",
+    "a5_alleles_per_position",
+    "w6_first_match_wins",
+    "dedup_exact",
+    "ann_cosine_topk",
+    "events_hourly_rollup",
+]
+
+
+def main() -> None:
+    from variant_load_pipeline_spark import queries as Q
+    from variant_load_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="vlp-bench")
+    reg = Q.registry()
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in reg:
+            continue
+        df = reg[name].spark_fn(spark, SF_DIR)
+        t0 = time.time()
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

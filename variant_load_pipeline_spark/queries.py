@@ -1,0 +1,956 @@
+"""Query registry: every SURVEY.md §2 operator exposed as a (spark_fn,
+oracle_sql) pair over the driver's test tables.
+
+Each entry is a named query: ``spark(spark, sf_dir) -> DataFrame`` and an
+equivalent ANSI-SQL string DuckDB runs on the same parquet (views: region
+nation customer supplier part orders lineitem events documents embeddings).
+The driver hash-compares both sides at sf0.01 — so every column is aliased
+identically on both sides, aggregate ints are cast to BIGINT, doubles are
+rounded to 6 decimals, and timestamps are rendered as strings.
+
+Where a query synthesizes variant-domain columns (ref/var alleles, read
+counts, chromosomes) from the star schema, the SAME deterministic derivation
+is written in both dialects; the point is to exercise the operator kernels
+(zygosity, interval join, dedup-upsert, ...) under oracle checking.
+
+Scale notes (the 100 TB stance, verified via .explain on each):
+* dimension sides of joins are broadcast (genes/intervals, lookup maps);
+* window functions partition on the natural key — no global sorts;
+* aggregations are partial (map-side) by construction — no distinct-heavy
+  plans; `two-level` count-distincts avoided;
+* every scan projects only needed columns (check ReadSchema) and pushes
+  filters (check PushedFilters).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .functions import scalar, text
+from .functions import zygosity as Z
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; read nanos as long (runtime conf) and convert to a microsecond
+    timestamp.  Session TZ pinned UTC so rendering matches DuckDB's naive ts.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+@dataclass
+class Query:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = Query(name, fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, Query]:
+    return dict(_REGISTRY)
+
+
+# ===========================================================================
+# Synthesized variant-domain derivations, shared Spark/SQL.
+#
+# chrom: 1..20,X,Y from l_orderkey; pos from l_partkey; ACGT counts from
+# numeric columns; gender from suppkey. Same formulas verbatim in SQL.
+# ===========================================================================
+_BASES = ["A", "C", "G", "T"]
+
+
+def _variant_cols(li: DataFrame) -> DataFrame:
+    base = F.array(*[F.lit(b) for b in _BASES])
+    chrom_idx = (F.col("l_orderkey") % 22).cast("int")
+    chrom = (
+        F.when(chrom_idx == 20, F.lit("X"))
+        .when(chrom_idx == 21, F.lit("Y"))
+        .otherwise((chrom_idx + 1).cast("string"))
+    )
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lnum"),
+        chrom.alias("chrom"),
+        ((F.col("l_partkey") * 1487) % 3000000).alias("pos"),
+        F.element_at(base, ((F.col("l_partkey") % 4) + 1).cast("int")).alias("ref"),
+        F.element_at(base, ((F.col("l_suppkey") % 4) + 1).cast("int")).alias("var"),
+        # FLOOR before casting: Spark double->int casts truncate while DuckDB
+        # rounds, so an explicit floor keeps both engines identical
+        (F.floor("l_quantity").cast("int") % 60).alias("cnt_a"),
+        (F.floor("l_extendedprice").cast("int") % 50).alias("cnt_c"),
+        (F.col("l_linenumber") * 3).alias("cnt_g"),
+        ((F.col("l_suppkey") % 40)).cast("int").alias("cnt_t"),
+        F.when((F.col("l_suppkey") % 3) == 0, F.lit("M"))
+        .when((F.col("l_suppkey") % 3) == 1, F.lit("F"))
+        .otherwise(F.lit("P"))
+        .alias("gender"),
+    )
+
+
+_VARIANT_SQL = """
+    SELECT
+        l_orderkey AS okey,
+        l_linenumber AS lnum,
+        CASE WHEN l_orderkey % 22 = 20 THEN 'X'
+             WHEN l_orderkey % 22 = 21 THEN 'Y'
+             ELSE CAST(l_orderkey % 22 + 1 AS VARCHAR) END AS chrom,
+        (l_partkey * 1487) % 3000000 AS pos,
+        ['A','C','G','T'][CAST(l_partkey % 4 + 1 AS INT)] AS ref,
+        ['A','C','G','T'][CAST(l_suppkey % 4 + 1 AS INT)] AS var,
+        CAST(FLOOR(l_quantity) AS INT) % 60 AS cnt_a,
+        CAST(FLOOR(l_extendedprice) AS INT) % 50 AS cnt_c,
+        l_linenumber * 3 AS cnt_g,
+        CAST(l_suppkey % 40 AS INT) AS cnt_t,
+        CASE WHEN l_suppkey % 3 = 0 THEN 'M'
+             WHEN l_suppkey % 3 = 1 THEN 'F' ELSE 'P' END AS gender
+    FROM lineitem
+"""
+
+# gene intervals synthesized from part; small table -> broadcast side
+def _gene_cols(part: DataFrame) -> DataFrame:
+    chrom_idx = (F.col("p_partkey") % 22).cast("int")
+    chrom = (
+        F.when(chrom_idx == 20, F.lit("X"))
+        .when(chrom_idx == 21, F.lit("Y"))
+        .otherwise((chrom_idx + 1).cast("string"))
+    )
+    start = (F.col("p_partkey") * 2111) % 3000000
+    return part.select(
+        F.col("p_partkey").alias("gene_id"),
+        chrom.alias("chrom"),
+        start.alias("gstart"),
+        (start + (F.col("p_size") * 997) % 80000 + 200).alias("gstop"),
+    )
+
+
+_GENE_SQL = """
+    SELECT
+        p_partkey AS gene_id,
+        CASE WHEN p_partkey % 22 = 20 THEN 'X'
+             WHEN p_partkey % 22 = 21 THEN 'Y'
+             ELSE CAST(p_partkey % 22 + 1 AS VARCHAR) END AS chrom,
+        (p_partkey * 2111) % 3000000 AS gstart,
+        (p_partkey * 2111) % 3000000 + (p_size * 997) % 80000 + 200 AS gstop
+    FROM part
+"""
+
+
+# ===========================================================================
+# Core analytics (A1-A3, J3/J14-style chained joins, sorts)
+# ===========================================================================
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(l_quantity), 6) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(l_extendedprice), 6) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(AVG(l_quantity), 6) AS DOUBLE) AS avg_qty,
+           CAST(ROUND(AVG(l_discount), 6) AS DOUBLE) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: partial aggregation, pushed filter (A1/A7 analog)",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n_name,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5-style 6-way chained equi join (J14 analog); dims broadcast",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "a2_counts_two_granularities",
+    """
+    SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    doc="A2: counts at multiple granularities via CUBE (grouping sets)",
+)
+def a2_counts_two_granularities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ===========================================================================
+# Interval joins (J1/J2) — the genomic range-join kernel
+# ===========================================================================
+@register(
+    "j1_interval_overlap",
+    f"""
+    WITH v AS ({_VARIANT_SQL}), g AS ({_GENE_SQL})
+    SELECT g.gene_id, CAST(COUNT(*) AS BIGINT) AS n_variants
+    FROM v JOIN g ON v.chrom = g.chrom
+       AND v.pos <= g.gstop AND v.pos + 1 >= g.gstart
+    GROUP BY g.gene_id
+    """,
+    doc="J1: variant-interval x gene-interval overlap join; gene side broadcast",
+)
+def j1_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _variant_cols(load(spark, sf_dir, "lineitem"))
+    g = _gene_cols(load(spark, sf_dir, "part"))
+    joined = v.join(
+        F.broadcast(g),
+        (v.chrom == g.chrom)
+        & (v.pos <= g.gstop)
+        & (v.pos + 1 >= g.gstart),
+    )
+    return joined.groupBy("gene_id").agg(F.count(F.lit(1)).alias("n_variants"))
+
+
+@register(
+    "j2_genic_status",
+    f"""
+    WITH v AS ({_VARIANT_SQL}), g AS ({_GENE_SQL})
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT CASE WHEN EXISTS (
+            SELECT 1 FROM g WHERE g.chrom = v.chrom
+              AND v.pos BETWEEN g.gstart AND g.gstop
+        ) THEN 'GENIC' ELSE 'INTERGENIC' END AS status
+        FROM v
+    ) GROUP BY status
+    """,
+    doc="J2: point-in-interval genic status via left semi probe (GeneCache analog)",
+)
+def j2_genic_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _variant_cols(load(spark, sf_dir, "lineitem"))
+    g = _gene_cols(load(spark, sf_dir, "part"))
+    hit = (
+        v.join(
+            F.broadcast(g),
+            (v.chrom == g.chrom) & (v.pos >= g.gstart) & (v.pos <= g.gstop),
+            "left_semi",
+        )
+        .select(F.lit("GENIC").alias("status"))
+    )
+    miss = (
+        v.join(
+            F.broadcast(g),
+            (v.chrom == g.chrom) & (v.pos >= g.gstart) & (v.pos <= g.gstop),
+            "left_anti",
+        )
+        .select(F.lit("INTERGENIC").alias("status"))
+    )
+    return hit.unionByName(miss).groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ===========================================================================
+# Dedup / upsert joins (J4, J9, W5, W6, J16, J18)
+# ===========================================================================
+@register(
+    "j4_dedup_upsert_ids",
+    f"""
+    WITH v AS ({_VARIANT_SQL}),
+    incoming AS (
+        SELECT DISTINCT chrom, pos, ref, var FROM v
+    ),
+    existing AS (
+        SELECT chrom, pos, ref, var,
+               1000000 + ROW_NUMBER() OVER (ORDER BY chrom, pos, ref, var) AS rgd_id
+        FROM incoming WHERE pos % 5 = 0
+    ),
+    matched AS (
+        SELECT i.chrom, i.pos, i.ref, i.var, e.rgd_id AS existing_id
+        FROM incoming i LEFT JOIN existing e
+          ON i.chrom = e.chrom AND i.pos = e.pos
+         AND UPPER(i.ref) = UPPER(e.ref) AND UPPER(i.var) = UPPER(e.var)
+    )
+    SELECT chrom, pos, ref, var,
+           CAST(COALESCE(existing_id,
+                2000000 + ROW_NUMBER() OVER (
+                    PARTITION BY (existing_id IS NULL)
+                    ORDER BY chrom, pos, ref, var)) AS BIGINT) AS rgd_id,
+           CASE WHEN existing_id IS NULL THEN 'new' ELSE 'reused' END AS id_source
+    FROM matched
+    """,
+    doc="J4: 6-key case-insensitive dedup-upsert with deterministic id allocation "
+    "(replaces the Oracle sequence, VariantLoad3.java:519-562)",
+)
+def j4_dedup_upsert_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _variant_cols(load(spark, sf_dir, "lineitem"))
+    incoming = v.select("chrom", "pos", "ref", "var").distinct()
+    existing = (
+        incoming.filter(F.col("pos") % 5 == 0)
+        .withColumn(
+            "rgd_id",
+            F.lit(1000000)
+            + F.row_number().over(
+                W.partitionBy().orderBy("chrom", "pos", "ref", "var")
+            ),
+        )
+    )
+    e = existing.select(
+        F.col("chrom").alias("e_chrom"),
+        F.col("pos").alias("e_pos"),
+        F.col("ref").alias("e_ref"),
+        F.col("var").alias("e_var"),
+        F.col("rgd_id").alias("existing_id"),
+    )
+    matched = incoming.join(
+        e,
+        (F.col("chrom") == F.col("e_chrom"))
+        & (F.col("pos") == F.col("e_pos"))
+        & (F.upper(F.col("ref")) == F.upper(F.col("e_ref")))
+        & (F.upper(F.col("var")) == F.upper(F.col("e_var"))),
+        "left",
+    ).select("chrom", "pos", "ref", "var", "existing_id")
+    new_ids = F.lit(2000000) + F.row_number().over(
+        W.partitionBy(F.col("existing_id").isNull()).orderBy(
+            "chrom", "pos", "ref", "var"
+        )
+    )
+    return matched.select(
+        "chrom",
+        "pos",
+        "ref",
+        "var",
+        F.coalesce(F.col("existing_id"), new_ids).cast("long").alias("rgd_id"),
+        F.when(F.col("existing_id").isNull(), F.lit("new"))
+        .otherwise(F.lit("reused"))
+        .alias("id_source"),
+    )
+
+
+@register(
+    "j9_anti_join_pairs",
+    """
+    SELECT CAST(l_orderkey AS BIGINT) AS okey, CAST(l_partkey AS BIGINT) AS pkey
+    FROM lineitem
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_orderkey = l_orderkey AND o_orderkey % 7 = 0
+    )
+    """,
+    doc="J9/K4: anti join drops already-present pairs (NOT EXISTS -> left_anti)",
+)
+def j9_anti_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    return li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    )
+
+
+@register(
+    "w6_first_match_wins",
+    """
+    SELECT okey, lnum, pkey FROM (
+        SELECT l_orderkey AS okey, l_linenumber AS lnum, l_partkey AS pkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+               ) AS rn
+        FROM lineitem
+    ) WHERE rn = 1
+    """,
+    doc="W6/J11: first-match-wins via row_number over a deterministic order "
+    "(dbSNP rsId lookup semantics, CommonFormat2Writer.java:150-153)",
+)
+def w6_first_match_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_linenumber").alias("lnum"),
+            F.col("l_partkey").alias("pkey"),
+        )
+    )
+
+
+@register(
+    "j16_consume_first_match",
+    """
+    WITH a AS (
+        SELECT l_orderkey AS okey, l_partkey AS pkey,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber, l_partkey) AS rn
+        FROM lineitem WHERE l_linestatus = 'F'
+    ), b AS (
+        SELECT l_orderkey AS okey, l_suppkey AS skey,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber, l_suppkey) AS rn
+        FROM lineitem WHERE l_linestatus = 'O'
+    )
+    SELECT a.okey AS okey, a.pkey AS pkey, b.skey AS skey, CAST(a.rn AS BIGINT) AS pair_rank
+    FROM a JOIN b ON a.okey = b.okey AND a.rn = b.rn
+    """,
+    doc="J16: consume-first-match pairing — rank-n matches rank-n "
+    "(PolyphenLoader.java:321-343 semantics, no mutable pool)",
+)
+def j16_consume_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    a = (
+        li.filter(F.col("l_linestatus") == "F")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+            ),
+        )
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_partkey").alias("pkey"),
+            "rn",
+        )
+    )
+    b = (
+        li.filter(F.col("l_linestatus") == "O")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_suppkey")
+            ),
+        )
+        .select(
+            F.col("l_orderkey").alias("b_okey"),
+            F.col("l_suppkey").alias("skey"),
+            F.col("rn").alias("b_rn"),
+        )
+    )
+    return a.join(
+        b, (a.okey == b.b_okey) & (a.rn == b.b_rn)
+    ).select("okey", "pkey", "skey", F.col("rn").cast("long").alias("pair_rank"))
+
+
+@register(
+    "j18_union_semi_active",
+    """
+    WITH unioned AS (
+        SELECT o_orderkey AS okey, o_custkey AS ckey, 'primary' AS src
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey AS okey, o_custkey AS ckey, 'ext' AS src
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS n
+    FROM unioned
+    WHERE EXISTS (SELECT 1 FROM customer
+                  WHERE c_custkey = ckey AND c_acctbal > 0)
+    GROUP BY src
+    """,
+    doc="J18: UNION ALL of variant ∪ variant_ext + ACTIVE semi join",
+)
+def j18_union_semi_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    u = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_custkey").alias("ckey"),
+            F.lit("primary").alias("src"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 2 == 1).select(
+                F.col("o_orderkey").alias("okey"),
+                F.col("o_custkey").alias("ckey"),
+                F.lit("ext").alias("src"),
+            )
+        )
+    )
+    return (
+        u.join(c, u.ckey == c.c_custkey, "left_semi")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "w5_dedup_deterministic",
+    """
+    SELECT okey, pkey, lnum FROM (
+        SELECT l_orderkey AS okey, l_partkey AS pkey, l_linenumber AS lnum,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey
+                                  ORDER BY l_linenumber DESC) AS rn
+        FROM lineitem
+    ) WHERE rn = 1
+    """,
+    doc="W5: within-batch dedup with deterministic survivor "
+    "(VariantTranscriptBatch TreeSet desc-order semantics)",
+)
+def w5_dedup_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey", "l_partkey").orderBy(F.col("l_linenumber").desc())
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_partkey").alias("pkey"),
+            F.col("l_linenumber").alias("lnum"),
+        )
+    )
+
+
+# ===========================================================================
+# Window aggregation (A5/W4) & explode (E1/E2)
+# ===========================================================================
+@register(
+    "a5_alleles_per_position",
+    f"""
+    WITH v AS ({_VARIANT_SQL})
+    SELECT okey, lnum, chrom, pos,
+           CAST(COUNT(*) OVER (PARTITION BY chrom, pos) AS BIGINT) AS num_alleles,
+           CASE WHEN MAX(CASE WHEN ref = var THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY chrom, pos) = 1
+                THEN 'Y' ELSE 'N' END AS any_ref_allele
+    FROM v
+    """,
+    doc="A5/W4: per-position allele window count + ref-seen flag "
+    "(NumAllelesFixUp without manual sorted-stream state)",
+)
+def a5_alleles_per_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _variant_cols(load(spark, sf_dir, "lineitem"))
+    w = W.partitionBy("chrom", "pos")
+    return v.select(
+        "okey",
+        "lnum",
+        "chrom",
+        "pos",
+        F.count(F.lit(1)).over(w).alias("num_alleles"),
+        F.when(
+            F.max(F.when(F.col("ref") == F.col("var"), 1).otherwise(0)).over(w) == 1,
+            F.lit("Y"),
+        )
+        .otherwise(F.lit("N"))
+        .alias("any_ref_allele"),
+    )
+
+
+@register(
+    "e2_explode_alleles",
+    """
+    SELECT p_partkey AS pkey, UNNEST(string_split(p_name, ' ')) AS token
+    FROM part
+    """,
+    doc="E1/E2: comma/space-packed multi-values exploded to rows",
+)
+def e2_explode_alleles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("pkey"),
+        F.explode(F.split(F.col("p_name"), " ")).alias("token"),
+    )
+
+
+# ===========================================================================
+# Variant-domain scalar derivations under oracle (C1-C4, C12, C14, C15)
+# ===========================================================================
+@register(
+    "c_scalar_derivations",
+    f"""
+    WITH v AS ({_VARIANT_SQL})
+    SELECT okey, lnum, chrom, pos, ref, var,
+           CASE WHEN ref = '' THEN 'insertion'
+                WHEN var = '' THEN 'deletion' ELSE 'snv' END AS vtype,
+           CAST(pos + 1 AS BIGINT) AS end_pos,
+           CAST(CASE WHEN cnt_a + cnt_c + cnt_g + cnt_t > 0
+                THEN (100 * cnt_a + (cnt_a + cnt_c + cnt_g + cnt_t) // 2)
+                     // (cnt_a + cnt_c + cnt_g + cnt_t)
+                ELSE 0 END AS INT) AS quality,
+           reverse(translate(upper(ref || var), 'ACGT', 'TGCA')) AS revcomp,
+           CASE WHEN ref = var THEN 'synonymous' ELSE 'nonsynonymous' END AS syn,
+           CASE WHEN abs(length(ref) - length(var)) % 3 <> 0
+                THEN 'T' ELSE 'F' END AS fshift
+    FROM v
+    """,
+    doc="C1/C2/C3/C12/C14/C15 scalar chain under oracle checking",
+)
+def c_scalar_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _variant_cols(load(spark, sf_dir, "lineitem"))
+    total = (
+        F.col("cnt_a") + F.col("cnt_c") + F.col("cnt_g") + F.col("cnt_t")
+    )
+    return v.select(
+        "okey",
+        "lnum",
+        "chrom",
+        "pos",
+        "ref",
+        "var",
+        scalar.variant_type(F.col("ref"), F.col("var")).alias("vtype"),
+        scalar.end_pos(
+            F.col("pos"),
+            F.col("ref"),
+            scalar.variant_type(F.col("ref"), F.col("var")),
+        )
+        .cast("long")
+        .alias("end_pos"),
+        scalar.quality_score(F.col("cnt_a"), total).alias("quality"),
+        scalar.reverse_complement(F.concat(F.col("ref"), F.col("var"))).alias(
+            "revcomp"
+        ),
+        scalar.syn_status(F.col("ref"), F.col("var")).alias("syn"),
+        scalar.frameshift(F.col("ref"), F.col("var")).alias("fshift"),
+    )
+
+
+# ===========================================================================
+# Zygosity under oracle (C10)
+# ===========================================================================
+_ZYG_PCT = """
+    CASE var WHEN 'A' THEN ((cnt_a * 100)::DOUBLE / total::DOUBLE)::FLOAT
+             WHEN 'C' THEN ((cnt_c * 100)::DOUBLE / total::DOUBLE)::FLOAT
+             WHEN 'G' THEN ((cnt_g * 100)::DOUBLE / total::DOUBLE)::FLOAT
+             WHEN 'T' THEN ((cnt_t * 100)::DOUBLE / total::DOUBLE)::FLOAT
+             ELSE 0.0::FLOAT END
+"""
+
+_PAR_SQL = """
+    ((chrom = 'X' AND ((pos BETWEEN 1 AND 2709520)
+                    OR (pos BETWEEN 154584238 AND 154913754)))
+     OR (chrom = 'Y' AND ((pos BETWEEN 1 AND 2709520)
+                       OR (pos BETWEEN 57443438 AND 57772954))))
+"""
+
+@register(
+    "zygosity_snv",
+    f"""
+    WITH v0 AS ({_VARIANT_SQL}),
+    v AS (
+        SELECT *, cnt_a + cnt_c + cnt_g + cnt_t AS total FROM v0
+        WHERE cnt_a + cnt_c + cnt_g + cnt_t > 0
+    ),
+    p AS (
+        SELECT okey, lnum, chrom, pos, ref, var, gender,
+               cnt_a, cnt_c, cnt_g, cnt_t, total,
+               {_ZYG_PCT} AS pct,
+               CASE ref WHEN 'A' THEN ((cnt_a * 100)::DOUBLE / total::DOUBLE)::FLOAT
+                        WHEN 'C' THEN ((cnt_c * 100)::DOUBLE / total::DOUBLE)::FLOAT
+                        WHEN 'G' THEN ((cnt_g * 100)::DOUBLE / total::DOUBLE)::FLOAT
+                        WHEN 'T' THEN ((cnt_t * 100)::DOUBLE / total::DOUBLE)::FLOAT
+                        ELSE 0.0::FLOAT END AS ref_pct,
+               CASE var WHEN 'A' THEN cnt_a WHEN 'C' THEN cnt_c
+                        WHEN 'G' THEN cnt_g WHEN 'T' THEN cnt_t
+                        ELSE 0 END AS score,
+               {_PAR_SQL} AS par
+        FROM v
+    )
+    SELECT okey, lnum, chrom, pos, ref, var,
+           CASE WHEN gender IN ('M','P') AND chrom IN ('X','Y') AND NOT par THEN
+                CASE WHEN pct = 100 THEN 'hemizygous'
+                     WHEN pct >= 85 THEN 'probably hemizygous'
+                     ELSE 'possibly hemizygous' END
+           ELSE CASE WHEN pct = 100 THEN 'homozygous'
+                     WHEN pct >= 85 THEN 'possibly homozygous'
+                     ELSE 'heterozygous' END
+           END AS zygosity_status,
+           CAST(FLOOR(pct::DOUBLE + 0.5) AS INT) AS zygosity_percent_read,
+           CASE WHEN pct <= 15 THEN 'Y' ELSE 'N' END AS zygosity_poss_error,
+           CASE WHEN ref_pct > 0 THEN 'Y' ELSE 'N' END AS zygosity_ref_allele,
+           CAST((CASE WHEN ((cnt_a*100)::DOUBLE/total::DOUBLE)::FLOAT > 0 THEN 1 ELSE 0 END
+              + CASE WHEN ((cnt_c*100)::DOUBLE/total::DOUBLE)::FLOAT > 0 THEN 1 ELSE 0 END
+              + CASE WHEN ((cnt_g*100)::DOUBLE/total::DOUBLE)::FLOAT > 0 THEN 1 ELSE 0 END
+              + CASE WHEN ((cnt_t*100)::DOUBLE/total::DOUBLE)::FLOAT > 0 THEN 1 ELSE 0 END)
+             AS INT) AS zygosity_num_allele,
+           CASE WHEN gender IN ('M','P') AND chrom IN ('X','Y') AND par
+                THEN 'Y' ELSE 'N' END AS zygosity_in_pseudo,
+           CAST(score AS INT) AS score
+    FROM p WHERE score > 0
+    """,
+    doc="C10: the full SNV zygosity suite under DuckDB-oracle checking "
+    "(float32 pct, PAR build 36, zero-called filter F8)",
+)
+def zygosity_snv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _variant_cols(load(spark, sf_dir, "lineitem"))
+    v = v.filter(
+        (F.col("cnt_a") + F.col("cnt_c") + F.col("cnt_g") + F.col("cnt_t")) > 0
+    )
+    cols = Z.snv_zygosity_columns(
+        F.col("cnt_a"),
+        F.col("cnt_c"),
+        F.col("cnt_g"),
+        F.col("cnt_t"),
+        F.col("ref"),
+        F.col("var"),
+        F.col("chrom"),
+        F.col("pos"),
+        F.col("gender"),
+    )
+    out = v.select(
+        "okey",
+        "lnum",
+        "chrom",
+        "pos",
+        "ref",
+        "var",
+        *[c.alias(k) for k, c in cols.items() if k != "score"],
+        cols["score"].cast("int").alias("score"),
+    )
+    return out.filter(F.col("score") > 0)
+
+
+# ===========================================================================
+# Text analysis / dedup over documents (training-data ops)
+# ===========================================================================
+@register(
+    "dedup_exact",
+    """
+    SELECT fp,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM (
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    )
+    GROUP BY fp
+    """,
+    doc="Exact dedup: hash-groupBy on normalized-text fingerprint; "
+    "min-id canonical survivor",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("doc_id"), text.fingerprint(F.col("text")).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "text_quality",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT)
+               AS n_tokens,
+           CAST(ROUND(length(text)::DOUBLE / GREATEST(
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1),
+                6) AS DOUBLE) AS mean_token_len,
+           CAST(ROUND((length(text) - length(regexp_replace(text,
+                '[!-/:-@\\[-`{{-~]', '', 'g')))::DOUBLE
+                / GREATEST(length(text), 1), 6) AS DOUBLE) AS punct_ratio,
+           CAST(ROUND((length(text) - length(regexp_replace(text,
+                '[0-9]', '', 'g')))::DOUBLE
+                / GREATEST(length(text), 1), 6) AS DOUBLE) AS digit_ratio
+    FROM documents
+    """.replace("{{", "{").replace("}}", "}"),
+    doc="Text quality scoring: length/token/punct/digit features (JVM-only exprs)",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    q = text.quality_columns(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        q["n_tokens"].cast("int").alias("n_tokens"),
+        q["mean_token_len"].alias("mean_token_len"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["digit_ratio"].alias("digit_ratio"),
+    )
+
+
+@register(
+    "token_count_total",
+    """
+    SELECT lang,
+           CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT)
+               AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+    doc="Token counting rollup per language partition",
+)
+def token_count_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(text.token_count(F.col("text"))).cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ===========================================================================
+# Similarity search over embeddings
+# ===========================================================================
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        WHERE vec_id % 50 = 0
+    ),
+    sims AS (
+        SELECT q.qid, e.vec_id AS nid,
+               ROUND(list_cosine_similarity(q.qv, e.embedding)::DOUBLE, 6) AS sim
+        FROM q CROSS JOIN embeddings e
+        WHERE q.qid <> e.vec_id
+    )
+    SELECT qid, nid, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, nid) AS rk
+        FROM sims
+    ) WHERE rk <= 5
+    """,
+    doc="Brute-force cosine top-k over embeddings: the exact baseline ANN path "
+    "(query side broadcast; JVM-side float math via F.aggregate/zip_with)",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    joined = F.broadcast(q).crossJoin(
+        e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    ).filter(F.col("qid") != F.col("nid"))
+
+    def dot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    sims = joined.select(
+        "qid",
+        "nid",
+        F.round(
+            dot(F.col("qv"), F.col("nv"))
+            / (norm(F.col("qv")) * norm(F.col("nv"))),
+            6,
+        ).alias("sim"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "nid", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# ===========================================================================
+# Events (streaming-shaped batch analytics)
+# ===========================================================================
+@register(
+    "events_hourly_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(value), 6) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Windowed event rollup (batch twin of the Structured Streaming path)",
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
