@@ -1,0 +1,220 @@
+"""Operator tests: binned-vs-broadcast interval join equivalence, dedup
+family behavior, upsert id semantics, ordered-window operators."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from variant_load_pipeline_spark.operators import dedup, similarity, upsert, windows
+from variant_load_pipeline_spark.operators.interval_join import (
+    interval_overlap_join,
+    point_in_interval_join,
+)
+
+
+def _random_intervals(seed, n, max_pos=1_000_000, max_span=120_000):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        chrom = str(rng.randint(1, 3))
+        start = rng.randint(1, max_pos)
+        rows.append((i, chrom, start, start + rng.randint(0, max_span)))
+    return rows
+
+
+def test_binned_equals_broadcast_interval_join(spark):
+    # property: the binned strategy returns exactly the same pair set as the
+    # naive broadcast non-equi join, incl. bin-boundary-straddling intervals
+    pts = [(i, str(random.Random(i).randint(1, 3)), (i * 9973) % 1_000_000)
+           for i in range(500)]
+    # force some exact boundary positions
+    pts += [(1000, "1", 100_000), (1001, "1", 99_999), (1002, "1", 200_000)]
+    p = spark.createDataFrame(pts, ["pid", "chrom", "pos"])
+    g = spark.createDataFrame(
+        _random_intervals(42, 80) + [(900, "1", 99_500, 100_500)],
+        ["gid", "gchrom", "gstart", "gstop"],
+    )
+    kw = dict(
+        point_chrom="chrom", point_pos="pos",
+        ivl_chrom="gchrom", ivl_start="gstart", ivl_end="gstop",
+    )
+    binned = point_in_interval_join(p, g, strategy="binned", **kw).select(
+        "pid", "gid"
+    )
+    bcast = point_in_interval_join(p, g, strategy="broadcast", **kw).select(
+        "pid", "gid"
+    )
+    assert binned.exceptAll(bcast).count() == 0
+    assert bcast.exceptAll(binned).count() == 0
+    assert binned.count() == bcast.count() > 0
+
+
+def test_binned_interval_interval_join(spark):
+    # left spans <= bin_size stay exact thanks to the -1 bin padding
+    left = spark.createDataFrame(
+        [(1, "1", 99_990, 100_010), (2, "1", 150_000, 150_001), (3, "2", 5, 10)],
+        ["lid", "chrom", "lstart", "lend"],
+    )
+    right = spark.createDataFrame(
+        [(10, "1", 100_000, 100_200), (11, "1", 1, 50), (12, "2", 8, 9)],
+        ["rid", "rchrom", "rstart", "rend"],
+    )
+    out = interval_overlap_join(
+        left, right,
+        p_chrom="chrom", p_start="lstart", p_end="lend",
+        i_chrom="rchrom", i_start="rstart", i_end="rend",
+        strategy="binned",
+    ).select("lid", "rid").collect()
+    assert sorted((r["lid"], r["rid"]) for r in out) == [(1, 10), (3, 12)]
+
+
+def test_exact_dedup_groups(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello  World"),
+            (2, "hello world"),       # same after normalization
+            (3, "something else"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup.exact_dedup(docs).collect()
+    groups = {r["canonical_doc_id"]: r["n_copies"] for r in out}
+    assert groups == {1: 2, 3: 1}
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "a completely different document about spark partitioning"),
+        ],
+        ["doc_id", "text"],
+    )
+    sig = dedup.minhash_signatures(docs, n_hashes=8).collect()
+    by_id = {r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(8)) for r in sig}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("runs", "walks")
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, "unrelated text about query optimizers in spark")],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, n_hashes=16, bands=8)
+    verified = dedup.ngram_jaccard_pairs(docs, pairs, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in verified} == {(1, 2)}
+
+
+def test_simhash_close_for_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " now"), (3, "totally different words entirely here")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    d12 = bin(out[1] ^ out[2]).count("1")
+    d13 = bin(out[1] ^ out[3]).count("1")
+    assert d12 < d13
+
+
+def test_dedup_upsert_reuses_and_allocates(spark):
+    existing = spark.createDataFrame(
+        [(100, 5, 6, "1", "A", "snv", "g")],
+        ["rgd_id", "start_pos", "end_pos", "chromosome", "ref_nuc",
+         "variant_type", "var_nuc"],
+    )
+    incoming = spark.createDataFrame(
+        [
+            (5, 6, "1", "a", "snv", "G"),   # case-insensitive match -> reuse 100
+            (7, 8, "1", "A", "snv", "T"),   # new
+            (9, 10, "2", "C", "snv", "T"),  # new
+        ],
+        ["start_pos", "end_pos", "chromosome", "ref_nuc", "variant_type",
+         "var_nuc"],
+    )
+    out = upsert.dedup_upsert(incoming, existing).collect()
+    by_key = {(r["start_pos"], r["chromosome"]): r for r in out}
+    assert by_key[(5, "1")]["rgd_id"] == 100
+    assert by_key[(5, "1")]["id_source"] == "reused"
+    new_ids = {by_key[(7, "1")]["rgd_id"], by_key[(9, "2")]["rgd_id"]}
+    assert new_ids == {101, 102}  # offset = max(existing)+1, deterministic order
+
+
+def test_insert_if_not_exists(spark):
+    existing = spark.createDataFrame([(1,), (2,)], ["k"])
+    incoming = spark.createDataFrame([(1, "x"), (3, "y")], ["k", "v"])
+    out = upsert.insert_if_not_exists(incoming, existing, ["k"]).collect()
+    assert [(r["k"], r["v"]) for r in out] == [(3, "y")]
+
+
+def test_merge_update(spark):
+    target = spark.createDataFrame([(1, "old"), (2, "keep")], ["k", "v"])
+    updates = spark.createDataFrame([(1, "new")], ["k", "v"])
+    out = {r["k"]: r["v"] for r in upsert.merge_update(target, updates, ["k"], ["v"]).collect()}
+    assert out == {1: "new", 2: "keep"}
+
+
+def test_first_match_wins_and_keep_last(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (2, 5, "c")], ["k", "o", "v"]
+    )
+    first = {r["k"]: r["v"] for r in windows.first_match_wins(df, ["k"], ["o"]).collect()}
+    last = {r["k"]: r["v"] for r in windows.keep_last(df, ["k"], ["o"]).collect()}
+    assert first == {1: "a", 2: "c"}
+    assert last == {1: "b", 2: "c"}
+
+
+def test_consume_first_match_join(spark):
+    left = spark.createDataFrame(
+        [("k1", 1, "L1"), ("k1", 2, "L2"), ("k2", 1, "L3")], ["k", "o", "lv"]
+    )
+    right = spark.createDataFrame(
+        [("k1", 10, "R1"), ("k1", 20, "R2")], ["k", "o2", "rv"]
+    )
+    out = windows.consume_first_match_join(
+        left, right, ["k"], ["o"], ["o2"]
+    ).select("lv", "rv").collect()
+    assert sorted((r["lv"], r["rv"]) for r in out) == [("L1", "R1"), ("L2", "R2")]
+
+
+def test_cosine_topk_exact(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7]), (4, [-1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame([(1, [1.0, 0.0])], ["qid", "qv"])
+    out = similarity.cosine_topk(corpus, queries, k=2).collect()
+    assert [(r["nid"], r["rk"]) for r in sorted(out, key=lambda r: r["rk"])] == [
+        (3, 1),
+        (2, 2),
+    ]
+
+
+def test_lsh_topk_recall(spark):
+    # LSH with enough tables should recover most of the exact top-1
+    rng = random.Random(3)
+    corpus_rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(100)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(r[0], r[1]) for r in corpus_rows[:5]], ["qid", "qv"]
+    )
+    exact = {
+        (r["qid"], r["nid"])
+        for r in similarity.cosine_topk(corpus, queries, k=1).collect()
+    }
+    approx = {
+        (r["qid"], r["nid"])
+        for r in similarity.lsh_topk(
+            corpus, queries, dim=8, k=3, n_planes=4, n_tables=6
+        ).collect()
+    }
+    hits = sum(1 for pair in exact if pair in approx)
+    assert hits >= 3  # recall >= 60% on this easy instance

@@ -1,0 +1,185 @@
+"""Large-scale deduplication operators: exact, MinHash+LSH, SimHash,
+n-gram Jaccard — the training-data-pipeline dedup family, plus the
+reference's 6-key variant dedup (J4) which lives in operators/upsert.py.
+
+Design for 100 TB: every stage is a groupBy/join on a bounded key (hash,
+band, bucket) — no cross joins, no driver-side state.  Hash functions are
+engine-portable (md5-derived) so DuckDB oracles can replay them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, shingle_hash, shingles
+
+# MinHash universal-hash parameters: h_i(x) = (a_i*(x mod P) + b_i) mod P.
+# P is the 31-bit Mersenne prime and a/b < 2^31 so every intermediate stays
+# below 2^62 — no 64-bit overflow under Spark ANSI mode, and the identical
+# BIGINT arithmetic is replayable in DuckDB oracles.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def _perm_params(n_hashes: int) -> list[tuple[int, int]]:
+    params = []
+    a, b = 0x9E3779B1, 0x85EBCA77
+    for _ in range(n_hashes):
+        a = (a * 0xC2B2AE3D + 0x27D4EB2F) % MINHASH_PRIME
+        b = (b * 0x165667B1 + 0x9E3779B9) % MINHASH_PRIME
+        params.append((a | 1, b))
+    return params
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups on the normalized-text fingerprint; canonical
+    survivor = min id (deterministic)."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_" + id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature as ``sig_0..sig_{n-1}`` columns.
+
+    All JVM-side: shingles -> portable 32-bit hash -> per-permutation
+    array_min.  Documents with no shingles get NULL signatures.
+    """
+    params = _perm_params(n_hashes)
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
+    ).withColumn("hashes", F.transform(F.col("sh"), shingle_hash))
+
+    def perm(a: int, b: int):
+        return lambda h: ((h % MINHASH_PRIME) * a + b) % MINHASH_PRIME
+
+    cols = [
+        F.array_min(F.transform(F.col("hashes"), perm(a, b))).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return sh.select(F.col(id_col), *cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding: equal band-signature
+    in any band -> candidate.  Returns distinct (id_a, id_b) with id_a < id_b.
+
+    The scale path: candidates come from a self-join on (band_idx,
+    band_hash) — a hash-partitioned equi join, never a cross join.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.col(f"sig_{i}").cast("string")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("_", *parts)).alias("band_hash"),
+            )
+        )
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    b_ = banded.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    return (
+        a.join(b_, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard similarity.
+
+    Jaccard via array ops on the two shingle sets (joined in, not recomputed
+    pairwise): |A∩B| / |A∪B|, rounded to 6 dp for engine parity.
+    """
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        joined.select(
+            "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """32-bit SimHash over word features: bit b of the hash contributes +1/-1
+    per word; sign of the sum gives the output bit.  JVM-side only.
+    """
+    w = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+        ).alias("word"),
+    ).withColumn("h", shingle_hash(F.col("word")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = w.groupBy(id_col).agg(*bit_sums)
+    out: Column = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            0
+        )
+    return agg.select(F.col(id_col), out.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column, bits: int = 32) -> Column:
+    """Popcount of XOR via bit_count (Spark >= 3.3)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — exact brute-force baseline: broadcast the query set,
+  JVM-side dot products (zip_with/aggregate), row_number top-k.  Correct at
+  any scale where |queries| is broadcastable; cost O(|queries| x |corpus|).
+* ``lsh_topk`` — the scale path: random-hyperplane LSH bucketing; candidates
+  share a bucket in any of ``n_tables`` tables, then exact re-rank.  Recall
+  < 1.0 by construction; the oracle checks the exact path, the LSH path is
+  property-tested (recall vs brute force).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query; ties broken by neighbor id.
+    Similarity rounded before ranking so rankings are engine-stable."""
+    joined = F.broadcast(queries).crossJoin(
+        corpus.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")
+        )
+    ).filter(F.col(qid_col) != F.col("nid"))
+    sims = joined.select(
+        qid_col,
+        "nid",
+        F.round(cosine(F.col(qvec_col), F.col("nv")), round_dp).alias("sim"),
+    )
+    w = W.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG; no numpy needed
+    on executors)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            v.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id for one LSH table."""
+    bucket: Column = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(float(x)) for x in p]))
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+) -> DataFrame:
+    """Approximate top-k: bucket corpus+queries per table, equi-join on
+    (table, bucket), exact cosine re-rank of candidates."""
+    tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=7 + 31 * t)
+        tables.append(
+            (t, lambda v, p=planes: lsh_bucket(v, p))
+        )
+    c_buckets = None
+    q_buckets = None
+    for t, fn in tables:
+        cb = corpus.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("nv"),
+            F.lit(t).alias("tbl"),
+            fn(F.col(vec_col)).alias("bucket"),
+        )
+        qb = queries.select(
+            F.col(qid_col),
+            F.col(qvec_col),
+            F.lit(t).alias("tbl"),
+            fn(F.col(qvec_col)).alias("bucket"),
+        )
+        c_buckets = cb if c_buckets is None else c_buckets.unionByName(cb)
+        q_buckets = qb if q_buckets is None else q_buckets.unionByName(qb)
+    cand = (
+        q_buckets.join(c_buckets, ["tbl", "bucket"])
+        .filter(F.col(qid_col) != F.col("nid"))
+        .select(qid_col, qvec_col, "nid", "nv")
+        .distinct()
+    )
+    sims = cand.select(
+        qid_col,
+        "nid",
+        F.round(cosine(F.col(qvec_col), F.col("nv")), 6).alias("sim"),
+    )
+    w = W.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col("nid"))
+    return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -282,13 +282,22 @@ def a2_counts_two_granularities(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="J1: variant-interval x gene-interval overlap join; gene side broadcast",
 )
 def j1_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _variant_cols(load(spark, sf_dir, "lineitem"))
-    g = _gene_cols(load(spark, sf_dir, "part"))
-    joined = v.join(
-        F.broadcast(g),
-        (v.chrom == g.chrom)
-        & (v.pos <= g.gstop)
-        & (v.pos + 1 >= g.gstart),
+    from .operators.interval_join import interval_overlap_join
+
+    v = _variant_cols(load(spark, sf_dir, "lineitem")).withColumn(
+        "vend", F.col("pos") + 1
+    )
+    g = _gene_cols(load(spark, sf_dir, "part")).withColumnRenamed("chrom", "gchrom")
+    joined = interval_overlap_join(
+        v,
+        g,
+        p_chrom="chrom",
+        p_start="pos",
+        p_end="vend",
+        i_chrom="gchrom",
+        i_start="gstart",
+        i_end="gstop",
+        strategy="binned",
     )
     return joined.groupBy("gene_id").agg(F.count(F.lit(1)).alias("n_variants"))
 
@@ -308,23 +317,23 @@ def j1_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="J2: point-in-interval genic status via left semi probe (GeneCache analog)",
 )
 def j2_genic_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.interval_join import point_in_interval_join
+
     v = _variant_cols(load(spark, sf_dir, "lineitem"))
-    g = _gene_cols(load(spark, sf_dir, "part"))
-    hit = (
-        v.join(
-            F.broadcast(g),
-            (v.chrom == g.chrom) & (v.pos >= g.gstart) & (v.pos <= g.gstop),
-            "left_semi",
-        )
-        .select(F.lit("GENIC").alias("status"))
+    g = _gene_cols(load(spark, sf_dir, "part")).withColumnRenamed("chrom", "gchrom")
+    kw = dict(
+        point_chrom="chrom",
+        point_pos="pos",
+        ivl_chrom="gchrom",
+        ivl_start="gstart",
+        ivl_end="gstop",
+        strategy="binned",
     )
-    miss = (
-        v.join(
-            F.broadcast(g),
-            (v.chrom == g.chrom) & (v.pos >= g.gstart) & (v.pos <= g.gstop),
-            "left_anti",
-        )
-        .select(F.lit("INTERGENIC").alias("status"))
+    hit = point_in_interval_join(v, g, how="left_semi", **kw).select(
+        F.lit("GENIC").alias("status")
+    )
+    miss = point_in_interval_join(v, g, how="left_anti", **kw).select(
+        F.lit("INTERGENIC").alias("status")
     )
     return hit.unionByName(miss).groupBy("status").agg(F.count(F.lit(1)).alias("n"))
 
@@ -954,3 +963,134 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("total_value"),
         )
     )
+
+
+# ===========================================================================
+# MinHash / LSH / SimHash dedup under oracle (training-data dedup family)
+# ===========================================================================
+from .operators import dedup as _dedup  # noqa: E402
+
+_NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_SHINGLES_SQL = f"""
+    CASE WHEN len(string_split({_NORM_SQL}, ' ')) >= 3
+         THEN list_sort(list_distinct(list_transform(
+              range(0, len(string_split({_NORM_SQL}, ' ')) - 2),
+              i -> array_to_string((string_split({_NORM_SQL}, ' '))[i+1:i+3], ' '))))
+         ELSE [array_to_string(string_split({_NORM_SQL}, ' '), ' ')] END
+"""
+_HASHES_SQL = f"""
+    list_transform({_SHINGLES_SQL},
+                   s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT))
+"""
+
+
+def _minhash_sig_sql(n_hashes: int) -> str:
+    p = _dedup.MINHASH_PRIME
+    sig_exprs = ",\n".join(
+        f"CAST(list_min(list_transform(hashes, "
+        f"h -> ((h % {p}) * {a} + {b}) % {p})) AS BIGINT) AS sig_{i}"
+        for i, (a, b) in enumerate(_dedup._perm_params(n_hashes))
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {_HASHES_SQL} AS hashes FROM documents
+    )
+    SELECT doc_id, {sig_exprs} FROM sh
+    """
+
+
+@register(
+    "minhash_signatures",
+    _minhash_sig_sql(16),
+    doc="MinHash(16) signatures over 3-word shingles; portable md5-derived "
+    "hashes so the oracle replays the permutations exactly",
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_signatures
+
+    d = load(spark, sf_dir, "documents")
+    out = minhash_signatures(d, n_hashes=16)
+    return out.select(
+        "doc_id", *[F.col(f"sig_{i}").cast("long").alias(f"sig_{i}") for i in range(16)]
+    )
+
+
+def _near_dup_sql(n_hashes: int = 16, bands: int = 4, threshold: float = 0.6) -> str:
+    rows = n_hashes // bands
+    band_selects = "\n UNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('_', "
+        + ", ".join(f"CAST(sig_{i} AS VARCHAR)" for i in range(b * rows, (b + 1) * rows))
+        + ")) AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sig AS ({_minhash_sig_sql(n_hashes)}),
+    banded AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        WHERE a.doc_id < b.doc_id
+    ),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
+    SELECT id_a, id_b,
+           CAST(ROUND(CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+                THEN len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                     / len(list_distinct(list_concat(sa.sh, sb.sh)))
+                ELSE 0 END, 6) AS DOUBLE) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    WHERE CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+          THEN len(list_intersect(sa.sh, sb.sh))::DOUBLE
+               / len(list_distinct(list_concat(sa.sh, sb.sh)))
+          ELSE 0 END >= {threshold}
+    """
+
+
+@register(
+    "near_dup_pairs",
+    _near_dup_sql(),
+    doc="MinHash-LSH banding (16 hashes, 4 bands) -> candidate pairs -> "
+    "exact shingle-Jaccard verification at 0.6",
+)
+def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, n_hashes=16, bands=4)
+    return ngram_jaccard_pairs(d, pairs, threshold=0.6)
+
+
+_SIMHASH_BITSUM_SQL = ",\n".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(32)
+)
+_SIMHASH_RECON_SQL = " + ".join(
+    f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+    for b in range(32)
+)
+
+
+@register(
+    "simhash_docs",
+    f"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS word
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) AS h
+        FROM w
+    ),
+    bits AS (SELECT doc_id, {_SIMHASH_BITSUM_SQL} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_RECON_SQL} AS BIGINT) AS simhash FROM bits
+    """,
+    doc="32-bit SimHash per document over distinct words (portable bit math)",
+)
+def simhash_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash
+
+    d = load(spark, sf_dir, "documents")
+    return simhash(d).select("doc_id", F.col("simhash").cast("long").alias("simhash"))
