@@ -1,0 +1,164 @@
+"""End-to-end plan tests: VCF -> CF2 conversion and CF2 -> variant tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from variant_load_pipeline_spark.plans import convert, load
+from variant_load_pipeline_spark.sources import cf2
+
+VCF = [
+    "##fileformat=VCFv4.1",
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2",
+    # simple snv: S1 het (20 ref/10 alt), S2 hom-ref (skipped)
+    "chr1\t100\trs10\tA\tG\t50\tPASS\t.\tGT:AD:DP\t0/1:20,10:30\t0/0:30,0:30",
+    # multi-allelic -> skipped entirely
+    "chr1\t150\t.\tC\tT,G\t99\tPASS\t.\tGT:AD:DP\t1/2:0,5,5:10\t0/1:5,5,0:10",
+    # insertion A -> AT (padding adjust: pos 201, ref '', var 'T', pad A)
+    "chr2\t200\t.\tA\tAT\t99\tPASS\t.\tGT:AD:DP\t1/1:0,9:9\t./.:.:.",
+    # invalid chromosome -> dropped
+    "chrUn\t300\t.\tG\tC\t99\tPASS\t.\tGT:AD:DP\t1/1:0,5:5\t1/1:0,5:5",
+    # AD dotted -> zero counts
+    "chr3\t400\t.\tT\tC\t99\tPASS\t.\tGT:AD:DP\t1/1:.:12\t0/0:.:12",
+    # RGDID id parse
+    "chr3\t500\tRGDID:8650299;NM_1:c.1A>G\tA\tG\t9\tPASS\t.\tGT:AD:DP\t0/1:3,4:7\t0/0:7,0:7",
+]
+
+
+def _write_vcf(tmp_path):
+    p = tmp_path / "in.vcf"
+    p.write_text("\n".join(VCF) + "\n")
+    return str(p)
+
+
+def test_convert_vcf_to_cf2(spark, tmp_path):
+    out = convert.convert_vcf_to_cf2(spark, _write_vcf(tmp_path))
+    rows = out.collect()
+    by_key = {(r["strain"], r["chr"], r["position"]): r for r in rows}
+
+    # S2 rows at pos 100 dropped (0/0); S1 kept
+    assert ("S2", "1", 100) not in by_key
+    r = by_key[("S1", "1", 100)]
+    assert (r["ref_nuc"], r["var_nuc"]) == ("A", "G")
+    assert (r["count_a"], r["count_g"]) == (20, 10)
+    assert r["allele_depth"] == 10 and r["read_depth"] == 30
+    assert r["total_depth"] == 30 and r["allele_count"] == 1
+    assert r["rs_id"] == "rs10"
+
+    # multi-allelic line gone
+    assert not any(pos == 150 for (_, _, pos) in by_key)
+
+    # insertion adjusted: pos 201, ref '', var 'T', padding 'A'; indel rows
+    # carry no ACGT counts
+    ins = by_key[("S1", "2", 201)]
+    assert (ins["ref_nuc"], ins["var_nuc"], ins["padding_base"]) == ("", "T", "A")
+    assert ins["count_a"] == 0 and ins["allele_depth"] == 9
+    assert ("S2", "2", 201) not in by_key  # ./. dropped
+
+    # chrUn dropped
+    assert not any(chrom == "Un" for (_, chrom, _) in by_key)
+
+    # AD dotted -> zeros
+    dot = by_key[("S1", "3", 400)]
+    assert dot["count_t"] == 0 and dot["read_depth"] == 0
+    assert dot["total_depth"] == 12
+
+    # RGDID parse
+    rg = by_key[("S1", "3", 500)]
+    assert rg["rgd_id"] == 8650299
+    assert rg["hgvs_name"] == "NM_1:c.1A>G"
+
+
+def test_convert_dbsnp_backfill(spark, tmp_path):
+    db_snp = spark.createDataFrame(
+        [(400, 1, "src", "3", "C", "rs_db1", "snp"),
+         (400, 1, "src", "3", "C", "rs_db0", "snp")],
+        ["position", "map_key", "source", "chromosome", "allele",
+         "snp_name", "snp_class"],
+    )
+    out = convert.convert_vcf_to_cf2(spark, _write_vcf(tmp_path), db_snp=db_snp)
+    r = [x for x in out.collect() if x["position"] == 400][0]
+    assert r["rs_id"] == "rs_db0"  # deterministic first match (min snp_name)
+    # explicit rsId NOT overwritten
+    r100 = [x for x in out.collect() if x["position"] == 100][0]
+    assert r100["rs_id"] == "rs10"
+
+
+def test_cf2_roundtrip_and_load(spark, tmp_path):
+    cf2_df = convert.convert_vcf_to_cf2(spark, _write_vcf(tmp_path))
+    out_dir = str(tmp_path / "cf2_out")
+    cf2.write_cf2(cf2_df.filter(F.col("strain") == "S1").drop("strain"), out_dir)
+    back = cf2.read_cf2(spark, out_dir)
+    assert back.count() == cf2_df.filter(F.col("strain") == "S1").count()
+
+    genes = spark.createDataFrame(
+        [(7, "1", 50, 120, 1, "ACTIVE"), (8, "3", 450, 550, 1, "ACTIVE")],
+        ["gene_rgd_id", "chromosome", "start_pos", "stop_pos", "map_key",
+         "object_status"],
+    )
+    sample = load.SampleInfo(sample_id=42, gender="F", map_key=1, source="t")
+    tables = load.run_load(back, sample, genes)
+    ann = tables["_annotated"].collect()
+    by_pos = {r["start_pos"]: r for r in ann}
+
+    # pos 100 snv: pct var G = 10/30 -> heterozygous, quality (100*30+15)//30
+    r = by_pos[100]
+    assert r["variant_type"] == "snv" and r["end_pos"] == 101
+    assert r["zygosity_status"] == "heterozygous"
+    assert r["zygosity_percent_read"] == 33
+    assert r["quality_score"] == 100
+    assert r["genic_status"] == "GENIC"
+
+    # pos 201 insertion: end_pos == start; AD 9/9 -> homozygous
+    r = by_pos[201]
+    assert r["variant_type"] == "insertion" and r["end_pos"] == 201
+    assert r["zygosity_status"] == "homozygous"
+    assert r["genic_status"] == "INTERGENIC"
+
+    # pos 400: all counts 0 -> score 0 -> dropped (badVariants)
+    assert 400 not in by_pos
+
+    # pos 500 in gene 8
+    assert by_pos[500]["genic_status"] == "GENIC"
+
+    # three output tables share the id space
+    v = tables["variant"].collect()
+    md = {r["rgd_id"]: r for r in tables["variant_map_data"].collect()}
+    sd = {r["rgd_id"]: r for r in tables["variant_sample_detail"].collect()}
+    assert len(v) == len(md) == len(sd) == 3
+    for row in v:
+        assert row["rgd_id"] in md and row["rgd_id"] in sd
+    ins_id = [r["rgd_id"] for r in v if r["variant_type"] == "insertion"][0]
+    assert md[ins_id]["padding_base"] == "A"
+    assert sd[ins_id]["var_freq"] == 9
+
+
+def test_load_upsert_against_existing(spark, tmp_path):
+    cf2_df = convert.convert_vcf_to_cf2(spark, _write_vcf(tmp_path)).filter(
+        F.col("strain") == "S1"
+    ).drop("strain")
+    genes = spark.createDataFrame(
+        [(7, "9", 1, 2, 1, "ACTIVE")],
+        ["gene_rgd_id", "chromosome", "start_pos", "stop_pos", "map_key",
+         "object_status"],
+    )
+    existing = spark.createDataFrame(
+        [(5000, 100, 101, "1", "a", "snv", "g")],
+        ["rgd_id", "start_pos", "end_pos", "chromosome", "ref_nuc",
+         "variant_type", "var_nuc"],
+    )
+    sample = load.SampleInfo(sample_id=42, gender="F", map_key=1)
+    tables = load.run_load(cf2_df, sample, genes, existing=existing)
+    ann = {r["start_pos"]: r for r in tables["_annotated"].collect()}
+    assert ann[100]["rgd_id"] == 5000 and ann[100]["id_source"] == "reused"
+    assert all(r["id_source"] == "new" for p, r in ann.items() if p != 100)
+
+
+def test_genotype_counts(spark, tmp_path):
+    # surviving lines: pos 100, 201, 400, 500 (150 multi-allelic, 300 chrUn)
+    out = convert.genotype_counts(spark, _write_vcf(tmp_path)).collect()
+    counts = {(r["strain"], r["genotype"]): r["count"] for r in out}
+    assert counts[("S1", "0/1")] == 2  # pos 100, 500
+    assert counts[("S1", "1/1")] == 2  # pos 201, 400
+    assert counts[("S2", "0/0")] == 3  # pos 100, 400, 500
+    assert counts[("S2", "./.")] == 1  # pos 201

@@ -1,0 +1,252 @@
+"""The VariantLoad3 pipeline (SURVEY.md §3.2): CF2 -> variant tables.
+
+One declarative DataFrame plan replaces the reference's line loop + heap
+accumulation + JDBC batches (VariantLoad3.java:178-589):
+
+    read_cf2 -> allele validation (F4) -> derive type/end/quality (C1-C4)
+    -> zygosity columns (C10/C11) -> zero-called filter (F8)
+    -> genic status via binned interval join (J1/J2)
+    -> dedup-upsert ids against the existing store (J4)
+    -> project VARIANT / VARIANT_MAP_DATA / VARIANT_SAMPLE_DETAIL
+
+Scale: the only shuffles are the id-allocation window and the (broadcast or
+binned) gene join; everything else is narrow.  Partition the store by
+(map_key, chromosome) on write so per-assembly loads prune.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import scalar
+from ..functions import zygosity as Z
+from ..operators.interval_join import point_in_interval_join
+from ..operators.upsert import dedup_upsert
+
+
+@dataclass
+class SampleInfo:
+    """SAMPLE row driving the load (LoadRn6Rn7Samples.java:252-259)."""
+
+    sample_id: int
+    gender: str  # 'M'|'F'|'U'|'P'
+    map_key: int
+    source: str = ""
+
+
+def derive_variants(
+    cf2: DataFrame,
+    sample: SampleInfo,
+    chr_filter: str | None = None,
+    par_build: str = "36",
+) -> DataFrame:
+    """CF2 rows -> annotated variant rows (before genic status / ids).
+
+    Column parity with VariantLoad3.processLine (:222-365): isSnv when both
+    alleles non-empty; invalid snv alleles dropped; quality from AD/DP
+    integer formula; indel vs snv zygosity paths; score==0 rows dropped
+    (badVariants).
+    """
+    df = cf2
+    if chr_filter is not None:
+        df = df.filter(F.col("chr") == chr_filter)  # F3 -> partition pruning
+
+    is_snv = (F.col("ref_nuc") != "") & (F.col("var_nuc") != "")
+    df = df.withColumn("is_snv", is_snv).filter(
+        ~F.col("is_snv")
+        | (
+            scalar.is_valid_nuc(F.col("ref_nuc"))
+            & scalar.is_valid_nuc(F.col("var_nuc"))
+        )
+    )
+
+    vtype = scalar.variant_type(F.col("ref_nuc"), F.col("var_nuc"))
+    df = (
+        df.withColumn("variant_type", vtype)
+        .withColumn(
+            "total_depth_eff",
+            scalar.total_depth_default(
+                F.col("total_depth"),
+                F.col("variant_type"),
+                F.col("count_a"),
+                F.col("count_c"),
+                F.col("count_g"),
+                F.col("count_t"),
+                F.col("read_depth"),
+            ),
+        )
+        .withColumn(
+            "quality_score",
+            scalar.quality_score(F.col("read_depth"), F.col("total_depth_eff")),
+        )
+        .withColumn(
+            "end_pos",
+            scalar.end_pos(
+                F.col("position"), F.col("ref_nuc"), F.col("variant_type")
+            ),
+        )
+    )
+
+    gender = F.lit(sample.gender)
+    snv = Z.snv_zygosity_columns(
+        F.col("count_a"),
+        F.col("count_c"),
+        F.col("count_g"),
+        F.col("count_t"),
+        F.col("ref_nuc"),
+        F.col("var_nuc"),
+        F.col("chr"),
+        F.col("position"),
+        gender,
+        par_build,
+    )
+    indel = Z.indel_zygosity_columns(
+        F.col("allele_depth"),
+        F.col("read_depth"),
+        F.col("ref_nuc"),
+        F.col("count_a"),
+        F.col("count_c"),
+        F.col("count_g"),
+        F.col("count_t"),
+        F.col("chr"),
+        F.col("position"),
+        gender,
+        par_build,
+    )
+    zyg_cols = {}
+    for k in snv:
+        zyg_cols[k] = F.when(F.col("is_snv"), snv[k]).otherwise(indel[k])
+    df = df.select("*", *[c.alias(k) for k, c in zyg_cols.items()])
+
+    # F8: zero-called filter (VariantLoad3.java:338-346)
+    df = df.filter(F.col("score") > 0)
+
+    return df.withColumn("sample_id", F.lit(sample.sample_id)).withColumn(
+        "map_key", F.lit(sample.map_key)
+    )
+
+
+def attach_genic_status(
+    variants: DataFrame, genes: DataFrame, strategy: str = "binned"
+) -> DataFrame:
+    """J2: point-in-interval probe against ACTIVE gene intervals ->
+    GENIC/INTERGENIC (VariantLoad3.java:682-692 via GeneCache)."""
+    g = genes
+    if "object_status" in g.columns:
+        g = g.filter(F.col("object_status") == "ACTIVE")
+    g = g.select(
+        F.col("chromosome").alias("g_chrom"),
+        F.col("start_pos").alias("g_start"),
+        F.col("stop_pos").alias("g_stop"),
+    )
+    kw = dict(
+        point_chrom="chr",
+        point_pos="position",
+        ivl_chrom="g_chrom",
+        ivl_start="g_start",
+        ivl_end="g_stop",
+        strategy=strategy,
+    )
+    hit = point_in_interval_join(variants, g, how="left_semi", **kw).withColumn(
+        "genic_status", F.lit("GENIC")
+    )
+    miss = point_in_interval_join(variants, g, how="left_anti", **kw).withColumn(
+        "genic_status", F.lit("INTERGENIC")
+    )
+    return hit.unionByName(miss)
+
+
+def assign_ids(variants: DataFrame, existing: DataFrame | None) -> DataFrame:
+    """J4: 6-key case-insensitive match against the store; reuse or allocate
+    deterministic ids (VariantLoad3.java:519-562)."""
+    v = variants.withColumnRenamed("chr", "chromosome").withColumnRenamed(
+        "position", "start_pos"
+    )
+    if existing is None or len(existing.take(1)) == 0:
+        from pyspark.sql.window import Window as W
+
+        return v.withColumn(
+            "rgd_id",
+            F.row_number()
+            .over(
+                W.partitionBy().orderBy(
+                    "chromosome", "start_pos", "ref_nuc", "var_nuc", "sample_id"
+                )
+            )
+            .cast("long"),
+        ).withColumn("id_source", F.lit("new"))
+    return dedup_upsert(v, existing)
+
+
+def variant_tables(
+    annotated: DataFrame, sample: SampleInfo, species_type_key: int = 3
+) -> dict[str, DataFrame]:
+    """Project the three output tables (VariantProcessingBase.java:225-258)."""
+    variant = annotated.select(
+        "rgd_id",
+        "ref_nuc",
+        "variant_type",
+        "var_nuc",
+        "rs_id",
+        F.lit(None).cast("string").alias("clinvar_id"),
+        F.lit(species_type_key).alias("species_type_key"),
+    ).dropDuplicates(["rgd_id"])
+    map_data = annotated.select(
+        "rgd_id",
+        "chromosome",
+        "start_pos",
+        "end_pos",
+        F.when(F.col("variant_type") != "snv", F.col("padding_base"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("padding_base"),
+        "genic_status",
+        "map_key",
+    ).dropDuplicates(["rgd_id", "map_key", "chromosome", "start_pos"])
+    sample_detail = annotated.select(
+        "rgd_id",
+        F.lit(sample.source).alias("source"),
+        "sample_id",
+        F.col("total_depth_eff").alias("total_depth"),
+        F.col("allele_depth").alias("var_freq"),
+        "zygosity_status",
+        "zygosity_percent_read",
+        "zygosity_poss_error",
+        "zygosity_ref_allele",
+        "zygosity_num_allele",
+        "zygosity_in_pseudo",
+        "quality_score",
+    ).dropDuplicates(["rgd_id", "sample_id"])
+    return {
+        "variant": variant,
+        "variant_map_data": map_data,
+        "variant_sample_detail": sample_detail,
+    }
+
+
+def run_load(
+    cf2: DataFrame,
+    sample: SampleInfo,
+    genes: DataFrame,
+    existing: DataFrame | None = None,
+    chr_filter: str | None = None,
+) -> dict[str, DataFrame]:
+    """End-to-end VariantLoad3: returns the three variant tables plus the
+    annotated row set under key '_annotated' (for tests/counters)."""
+    v = derive_variants(cf2, sample, chr_filter)
+    v = attach_genic_status(v, genes)
+    v = assign_ids(v, existing)
+    out = variant_tables(v, sample)
+    out["_annotated"] = v
+    return out
+
+
+def load_counters(annotated: DataFrame) -> DataFrame:
+    """A7: dbSnp vs novel counts (rs_id present or not), per sample."""
+    return annotated.groupBy("sample_id").agg(
+        F.sum(F.when(F.col("rs_id") != "", 1).otherwise(0)).alias("dbsnp_rows"),
+        F.sum(F.when(F.col("rs_id") == "", 1).otherwise(0)).alias("novel_rows"),
+        F.count(F.lit(1)).alias("rows_loaded"),
+    )

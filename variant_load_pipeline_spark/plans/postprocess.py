@@ -1,0 +1,396 @@
+"""The VariantPostProcessing pipeline (SURVEY.md §3.3, §2.9): variants x
+gene model -> VARIANT_TRANSCRIPT consequence rows.
+
+Relational skeleton (all Catalyst-planned):
+    variants -> point-in-gene probe (binned interval join, J1/J2)
+             -> x transcripts of the gene (broadcast, J6)
+             -> + per-transcript feature array (sorted, W3) and exon count (J8)
+             -> mapInPandas kernel (the one genuinely imperative step)
+             -> dropDuplicates (W5) -> anti-join existing (J9)
+
+The kernel is a pure-Python function (`annotate_pair`) replicating
+VariantPostProcessing.java:225-660 EXACTLY, including its quirks:
+
+* features iterate in (object_name, start, stop) order, so 3UTRS/5UTRS
+  precede EXONS (load-bearing: TranscriptFeatureCache.java:29);
+* nearSpliceSite: +-10 bp of exon start (skipped for the first exon seen)
+  or exon stop (skipped when all exons seen == total), tested as
+  (start-10 <= varStart && start+10 >= varStop) (:337-358);
+* LOCATION_NAME comma-append algebra with EXON at most once, ',INTRON'
+  when not in any exon, ',NON-CODING' for non-coding transcripts (:256-291);
+* strand '-' swaps 3'/5' UTRs BEFORE trimming (:405-412);
+* handleUTRs mutates exon bounds in place; fully-covered exons get
+  start=stop=-1 (:626-668);
+* relative position uses the strict test start <= varStart && stop > varStop
+  (:432) and adds varStart-(start-1) for the hit exon;
+* deletion length comes from len(var_nuc) (1 when NULL) — NOT len(ref) —
+  bug-compat with :472-478;
+* '-' strand: relPos = len-relPos+1, then reverse-complement (output
+  uppercase) (:502-518);
+* refDna/varDna truncated to %3==0 INDEPENDENTLY; TRIPLET_ERROR='T' when
+  refDna needed truncation; relPos<1 after truncation -> location-only row
+  (:520-552);
+* AA pos = 1+(relPos-1)/3; out-of-range -> location-only row; syn_status
+  incl. 'X'->unassignable; frameshift from truncated length delta (:576-624).
+
+FASTA access: a driver-broadcast {chromosome: sequence} dict (rat-scale);
+the 100 TB path swaps in sources.fasta.chunked_fasta + a bucketed join
+feeding the kernel per-chunk substrings — same kernel signature.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.translate import translate_dna_py
+from ..operators.interval_join import point_in_interval_join
+
+_COMPLEMENT = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N",
+               "a": "T", "c": "G", "g": "C", "t": "A", "n": "N",
+               "?": "?", ".": "."}
+
+
+def _revcomp(dna: str) -> str:
+    return "".join(_COMPLEMENT[c] for c in reversed(dna))
+
+
+def annotate_pair(
+    var_start: int,
+    var_stop: int,
+    ref_nuc: str | None,
+    var_nuc: str | None,
+    features: list[tuple[str, int, int, str]],
+    total_exon_count: int,
+    is_non_coding: str,
+    chr_seq: str,
+) -> dict[str, Any]:
+    """Annotate one (variant, transcript) pair.
+
+    ``features`` is the (object_name, start, stop, strand) list sorted by
+    (object_name, start, stop).  ``chr_seq`` is the chromosome sequence
+    (1-based positions index into it).  Returns a dict of the
+    VARIANT_TRANSCRIPT columns (full or location-only row).
+    """
+    strand = None
+    three_utr: list[int] | None = None
+    five_utr: list[int] | None = None
+    exons: list[list[int]] = []
+    location: str | None = None
+    in_exon = False
+    near_splice = "F"
+
+    # --- processFeatures (:310-396) ---
+    for obj, start, stop, f_strand in features:
+        strand = f_strand
+        if obj == "3UTRS":
+            three_utr = [start, stop]
+        if obj == "5UTRS":
+            five_utr = [start, stop]
+        if obj == "EXONS":
+            exons.append([start, stop])
+            if len(exons) != 1 and (start - 10 <= var_start) and (start + 10 >= var_stop):
+                near_splice = "T"
+            if len(exons) != total_exon_count and (stop - 10 <= var_start) and (
+                stop + 10 >= var_stop
+            ):
+                near_splice = "T"
+        if start <= var_start and stop >= var_stop:
+            if obj in ("3UTRS", "5UTRS"):
+                location = obj if location is None else location + "," + obj
+            if obj == "EXONS" and not in_exon:
+                location = "EXON" if location is None else location + ",EXON"
+                in_exon = True
+
+    if not in_exon:
+        location = "INTRON" if location is None else location + ",INTRON"
+
+    base = {
+        "location_name": location,
+        "near_splice_site": near_splice,
+        "ref_aa": None,
+        "var_aa": None,
+        "syn_status": None,
+        "full_ref_aa_pos": None,
+        "full_ref_nuc_pos": None,
+        "triplet_error": None,
+        "frameshift": None,
+        "full_ref_aa_seq": None,
+    }
+
+    if not in_exon or is_non_coding == "Y":
+        if is_non_coding == "Y":
+            base["location_name"] = (
+                "NON-CODING" if location is None else location + ",NON-CODING"
+            )
+        return base
+
+    # --- processTranscript (:402-574) ---
+    if strand == "-":
+        three_utr, five_utr = five_utr, three_utr
+
+    # handleUTRs (:626-668) — in-place trimming against (possibly swapped) UTRs
+    for f in exons:
+        if three_utr is not None:
+            if f[1] < three_utr[0]:
+                pass
+            elif f[0] < three_utr[0]:
+                f[1] = three_utr[0] - 1
+            else:
+                f[0] = -1
+                f[1] = -1
+        if five_utr is not None:
+            if f[0] > five_utr[1]:
+                pass
+            elif f[1] > five_utr[1]:
+                f[0] = five_utr[1] + 1
+            else:
+                f[0] = -1
+                f[1] = -1
+
+    # relative position (:421-449)
+    rel_pos = 0
+    found = False
+    for start, stop in exons:
+        if start != -1:
+            if start <= var_start and stop > var_stop:
+                rel_pos += var_start - (start - 1)
+                found = True
+                break
+            rel_pos += (stop - start) + 1
+    if not found:
+        return base  # exon-UTR region: location-only row
+
+    # splice DNA from kept exons (1-based inclusive substrings)
+    chunks = [chr_seq[start - 1 : stop] for start, stop in exons if start != -1]
+    ref_dna = "".join(chunks).lower()
+    var_dna = ref_dna
+
+    # apply the variant (:472-492) — deletion length quirk preserved
+    if var_nuc is None or var_nuc == "" or "-" in (var_nuc or ""):
+        del_len = 1 if not var_nuc else len(var_nuc)
+        var_dna = var_dna[: rel_pos - 1] + var_dna[rel_pos - 1 + del_len :]
+    elif ref_nuc is None or ref_nuc == "" or "-" in ref_nuc:
+        var_dna = var_dna[: rel_pos - 1] + var_nuc + var_dna[rel_pos - 1 :]
+    elif len(ref_nuc) == 1 and len(var_nuc) > 1:
+        var_dna = var_dna[:rel_pos] + var_nuc[1:] + var_dna[rel_pos:]
+    elif len(ref_nuc) != 1 or len(var_nuc) != 1:
+        del_len = var_stop - var_start
+        var_dna = (
+            var_dna[: rel_pos - 1] + var_nuc + var_dna[rel_pos - 1 + del_len :]
+        )
+    else:
+        var_dna = var_dna[: rel_pos - 1] + var_nuc + var_dna[rel_pos:]
+
+    # '-' strand flip (:502-518)
+    if strand == "-":
+        rel_pos = len(ref_dna) - rel_pos + 1
+        ref_dna = _revcomp(ref_dna)
+        var_dna = _revcomp(var_dna)
+
+    # triplet truncation (:520-542)
+    triplet_error = "F"
+    if len(ref_dna) % 3 != 0:
+        triplet_error = "T"
+        ref_dna = ref_dna[: len(ref_dna) - (len(ref_dna) % 3)]
+    if len(var_dna) % 3 != 0:
+        var_dna = var_dna[: len(var_dna) - (len(var_dna) % 3)]
+
+    if rel_pos < 1:
+        return base  # SKIPPED -> location-only row
+
+    # handleTranslatedProtein (:576-624)
+    ref_aa_seq = translate_dna_py(ref_dna)
+    var_aa_seq = translate_dna_py(var_dna)
+    pos = 1 + (rel_pos - 1) // 3
+    if not (0 < pos <= len(ref_aa_seq) and pos <= len(var_aa_seq)):
+        return base
+    l_ref = ref_aa_seq[pos - 1]
+    l_var = var_aa_seq[pos - 1]
+    syn = "synonymous" if l_ref == l_var else "nonsynonymous"
+    if l_ref == "X" or l_var == "X":
+        syn = "unassignable"
+    frameshift = "T" if abs(len(ref_dna) - len(var_dna)) % 3 != 0 else "F"
+    out = dict(base)
+    out.update(
+        {
+            "ref_aa": l_ref,
+            "var_aa": l_var,
+            "syn_status": syn,
+            "full_ref_aa_pos": pos,
+            "full_ref_nuc_pos": rel_pos,
+            "triplet_error": triplet_error,
+            "frameshift": frameshift,
+            "full_ref_aa_seq": ref_aa_seq,
+        }
+    )
+    return out
+
+
+_OUT_FIELDS = [
+    ("variant_rgd_id", T.LongType()),
+    ("transcript_rgd_id", T.LongType()),
+    ("ref_aa", T.StringType()),
+    ("var_aa", T.StringType()),
+    ("syn_status", T.StringType()),
+    ("location_name", T.StringType()),
+    ("near_splice_site", T.StringType()),
+    ("full_ref_aa_pos", T.IntegerType()),
+    ("full_ref_nuc_pos", T.IntegerType()),
+    ("triplet_error", T.StringType()),
+    ("frameshift", T.StringType()),
+    ("map_key", T.IntegerType()),
+    ("full_ref_aa_seq", T.StringType()),
+]
+VT_OUT_SCHEMA = T.StructType([T.StructField(n, t) for n, t in _OUT_FIELDS])
+
+
+def annotate_variants(
+    variants: DataFrame,
+    genes: DataFrame,
+    transcripts: DataFrame,
+    features: DataFrame,
+    fasta: DataFrame,
+    existing_vt: DataFrame | None = None,
+    map_key: int | None = None,
+) -> DataFrame:
+    """Full VariantPostProcessing plan -> VARIANT_TRANSCRIPT rows.
+
+    variants: (rgd_id, chromosome, start_pos, end_pos, ref_nuc, var_nuc)
+    genes:    GENES_SCHEMA; transcripts: TRANSCRIPTS_SCHEMA;
+    features: TRANSCRIPT_FEATURES_SCHEMA; fasta: (chromosome, seq).
+    """
+    spark = variants.sparkSession
+
+    v = variants.select(
+        F.col("rgd_id").alias("variant_rgd_id"),
+        F.col("chromosome").alias("v_chrom"),
+        F.col("start_pos").alias("var_start"),
+        F.col("end_pos").alias("var_stop"),
+        "ref_nuc",
+        "var_nuc",
+    ).filter(
+        F.col("var_nuc").isNull() | ~F.col("var_nuc").contains(",")  # F5
+    )
+
+    g = genes
+    if "object_status" in g.columns:
+        g = g.filter(F.col("object_status") == "ACTIVE")
+    g = g.select(
+        F.col("gene_rgd_id"),
+        F.col("chromosome").alias("g_chrom"),
+        F.col("start_pos").alias("g_start"),
+        F.col("stop_pos").alias("g_stop"),
+    )
+
+    # gene probe by variant START position only (GeneCache.getGeneRgdIds)
+    pairs = point_in_interval_join(
+        v,
+        g,
+        point_chrom="v_chrom",
+        point_pos="var_start",
+        ivl_chrom="g_chrom",
+        ivl_start="g_start",
+        ivl_end="g_stop",
+        strategy="binned",
+    ).select(
+        "variant_rgd_id", "v_chrom", "var_start", "var_stop", "ref_nuc",
+        "var_nuc", "gene_rgd_id",
+    )
+
+    tr = transcripts.select(
+        "transcript_rgd_id", "gene_rgd_id", "is_non_coding_ind"
+    )
+    pairs = pairs.join(F.broadcast(tr), "gene_rgd_id")
+
+    # per-transcript sorted feature array (W3 order) + exon count (J8);
+    # features are per (transcript, chromosome, map_key) in the reference —
+    # group on transcript + chromosome so cross-chromosome transcripts keep
+    # their per-chromosome feature sets
+    feat = features
+    if map_key is not None and "map_key" in feat.columns:
+        feat = feat.filter(F.col("map_key") == map_key)
+    grouped = (
+        feat.groupBy("transcript_rgd_id", F.col("chromosome").alias("f_chrom"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("object_name", "start_pos", "stop_pos", "strand")
+                )
+            ).alias("features"),
+            F.sum(
+                F.when(F.col("object_name") == "EXONS", 1).otherwise(0)
+            ).cast("int").alias("total_exon_count"),
+        )
+    )
+    pairs = pairs.join(
+        F.broadcast(grouped),
+        (pairs.transcript_rgd_id == grouped.transcript_rgd_id)
+        & (pairs.v_chrom == grouped.f_chrom),
+    ).drop(grouped.transcript_rgd_id).drop("f_chrom")
+
+    fasta_map = {
+        r["chromosome"]: r["seq"] for r in fasta.select("chromosome", "seq").collect()
+    }
+    bc = spark.sparkContext.broadcast(fasta_map)
+    mk = map_key
+
+    def run(iterator):
+        import pandas as pd
+
+        seqs = bc.value
+        for pdf in iterator:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                chr_seq = seqs.get(r.v_chrom, "")
+                feats = [
+                    (f["object_name"], f["start_pos"], f["stop_pos"], f["strand"])
+                    for f in r.features
+                ]
+                res = annotate_pair(
+                    int(r.var_start),
+                    int(r.var_stop),
+                    r.ref_nuc,
+                    r.var_nuc,
+                    feats,
+                    int(r.total_exon_count),
+                    r.is_non_coding_ind or "N",
+                    chr_seq,
+                )
+                rows.append(
+                    {
+                        "variant_rgd_id": r.variant_rgd_id,
+                        "transcript_rgd_id": r.transcript_rgd_id,
+                        "map_key": mk,
+                        **res,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[n for n, _ in _OUT_FIELDS]
+            ) if rows else pd.DataFrame(columns=[n for n, _ in _OUT_FIELDS])
+
+    out = pairs.mapInPandas(run, schema=VT_OUT_SCHEMA)
+
+    # W5: one row per (variant, transcript), deterministic survivor
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("variant_rgd_id", "transcript_rgd_id").orderBy(
+        F.col("location_name").asc_nulls_last()
+    )
+    out = (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    # J9: drop pairs already in the store
+    if existing_vt is not None:
+        out = out.join(
+            existing_vt.select("variant_rgd_id", "transcript_rgd_id"),
+            ["variant_rgd_id", "transcript_rgd_id"],
+            "left_anti",
+        )
+    return out
