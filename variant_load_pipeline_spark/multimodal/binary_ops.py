@@ -1,0 +1,143 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns + typed metadata structs; the heavy
+decode/feature steps run as Arrow-batched pandas iterators (``mapInPandas``)
+so each executor processes whole record batches without per-row Python
+overhead.  The actual codec work is STUBBED (no image/audio libs in this
+container): ``decode_image`` raises unless given the deterministic fake
+codec, and the fake covers schema/partitioning/batch-shape testing.
+
+Design notes for 100 TB media:
+* store media in parquet binary columns (or pointers to object storage) and
+  ALWAYS carry (media_type, byte_len, content_hash) columns so planning,
+  dedup, and skew handling never need to touch bytes;
+* repartition by byte-size budget, not row count, before decode stages
+  (``repartition_by_bytes``);
+* decode outputs are fixed-schema structs so downstream stays columnar.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),  # 'image'|'audio'|'video'
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("byte_len", T.IntegerType()),
+        T.StructField("content_hash", T.StringType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Attach byte_len + content_hash (cheap, JVM-side) — the columns every
+    downstream stage should predicate on instead of the bytes."""
+    return df.withColumn(
+        "byte_len", F.length(F.col(payload_col)).cast("int")
+    ).withColumn("content_hash", F.md5(F.col(payload_col)))
+
+
+def exact_media_dedup(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Byte-exact dedup on content_hash; canonical survivor = min id."""
+    return df.groupBy("content_hash").agg(
+        F.min(id_col).alias("canonical_" + id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def fake_decode_image(payload: bytes) -> dict:
+    """Deterministic fake decoder: derives a plausible (width, height,
+    channels, mean) from the bytes so the Spark plumbing is fully testable
+    without codec libraries."""
+    n = len(payload)
+    width = 1 + (n % 64)
+    height = 1 + ((n // 64) % 64)
+    mean = (sum(payload[:256]) / min(n, 256)) if n else 0.0
+    return {
+        "width": width,
+        "height": height,
+        "n_channels": 3,
+        "mean_intensity": round(mean, 6),
+    }
+
+
+def decode_images(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    codec: str = "fake",
+) -> DataFrame:
+    """Decode/feature-extract images via mapInPandas (Arrow batches).
+
+    ``codec='fake'`` uses the deterministic stub; any real codec name raises
+    NotImplementedError until the corresponding library is provisioned.
+    """
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec '{codec}' requires an image library not present in this "
+            "environment; the Spark plumbing (schema, batching, partitioning) "
+            "is exercised with codec='fake'"
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                feats = fake_decode_image(bytes(getattr(r, payload_col) or b""))
+                rows.append({"media_id": getattr(r, id_col), **feats})
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def repartition_by_bytes(
+    df: DataFrame, target_bytes_per_partition: int = 128 * 1024 * 1024
+) -> DataFrame:
+    """Size decode partitions by payload bytes, not row count — media rows
+    vary by orders of magnitude and row-count partitioning guarantees skew."""
+    total = df.agg(F.sum("byte_len")).collect()[0][0] or 0
+    n = max(1, int(total / target_bytes_per_partition))
+    return df.repartition(n)
+
+
+def frame_sample_plan(
+    df: DataFrame, every_nth: int = 30, id_col: str = "media_id"
+) -> DataFrame:
+    """Video frame-sampling PLAN: emits (media_id, frame_idx) rows for the
+    frames a decoder would extract — the row-multiplication side of frame
+    sampling is real Spark; the pixel decode stays behind ``decode_images``.
+    Frame count is derived from byte_len via the fake codec's density."""
+    n_frames = F.greatest(
+        F.lit(1), (F.col("byte_len") / F.lit(1000)).cast("int")
+    )
+    return df.select(
+        id_col,
+        F.explode(
+            F.sequence(
+                F.lit(0), n_frames - 1, F.lit(every_nth)
+            )
+        ).alias("frame_idx"),
+    )

