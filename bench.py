@@ -27,8 +27,11 @@ HEADLINE = [
     "a5_alleles_per_position",
     "w6_first_match_wins",
     "dedup_exact",
+    "near_dup_pairs",
     "ann_cosine_topk",
+    "c13_translate",
     "events_hourly_rollup",
+    "events_sessionize",
 ]
 
 

@@ -1094,3 +1094,300 @@ def simhash_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return simhash(d).select("doc_id", F.col("simhash").cast("long").alias("simhash"))
+
+
+# ===========================================================================
+# Wave 3: rollups, translation oracle, lang-id, sessionization, S7 windows
+# ===========================================================================
+@register(
+    "a3_rollup_counts",
+    f"""
+    WITH v AS ({_VARIANT_SQL})
+    SELECT COALESCE(chrom, 'ALL') AS chrom, CAST(COUNT(*) AS BIGINT) AS n
+    FROM v GROUP BY ROLLUP (chrom)
+    """,
+    doc="A3: per-chromosome counts + grand total via ROLLUP",
+)
+def a3_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _variant_cols(load(spark, sf_dir, "lineitem"))
+    return v.rollup("chrom").agg(F.count(F.lit(1)).alias("n")).select(
+        F.coalesce(F.col("chrom"), F.lit("ALL")).alias("chrom"), "n"
+    )
+
+
+def _translate_case_sql() -> str:
+    """Codon->AA as SQL generated from the SAME table the Spark expression
+    uses — a translation oracle with zero hand-maintained cases."""
+    from .functions import translate as TR
+
+    duo = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in TR._TWO_BASE.items()
+    )
+    tri = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in TR._THREE_BASE.items()
+    )
+    return f"""
+        array_to_string(list_transform(range(0, length(dna) // 3), i ->
+            CASE substr(dna, i*3+1, 2) {duo}
+                 ELSE CASE substr(dna, i*3+1, 3) {tri} ELSE 'X' END
+            END), '')
+    """
+
+
+@register(
+    "c13_translate",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               upper(substr(regexp_replace(md5(text), '[^acgt]', '', 'g'), 1, 24))
+                   AS dna
+        FROM documents
+    )
+    SELECT doc_id, dna,
+           COALESCE({_translate_case_sql()}, '') AS protein
+    FROM d
+    """,
+    doc="C13: JVM-side codon translation vs a generated SQL oracle over "
+    "md5-derived DNA (both sides share one codon table)",
+)
+def c13_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.translate import translate_dna
+
+    d = load(spark, sf_dir, "documents")
+    dna = F.upper(
+        F.substring(F.regexp_replace(F.md5(F.col("text")), "[^acgt]", ""), 1, 24)
+    )
+    return d.select(
+        "doc_id", dna.alias("dna"), translate_dna(dna).alias("protein")
+    )
+
+
+def _lang_id_sql() -> str:
+    from .functions.text import LANG_MARKERS
+
+    score_exprs = {}
+    for lang, wordlist in LANG_MARKERS.items():
+        parts = " + ".join(
+            f"len(list_filter(w, x -> x = '{wd}'))" for wd in wordlist
+        )
+        score_exprs[lang] = f"CAST({parts} AS BIGINT)"
+    # argmax with ties to earlier language name, 'und' when all zero
+    langs = sorted(LANG_MARKERS)
+    best = "'und'"
+    for lang in langs:
+        others = [score_exprs[o] for o in langs if o < lang]
+        cond_ge = " AND ".join(
+            [f"{score_exprs[lang]} > {o}" for o in others]
+            + [
+                f"{score_exprs[lang]} >= {score_exprs[o]}"
+                for o in langs
+                if o > lang
+            ]
+        ) or "TRUE"
+        best = (
+            f"CASE WHEN {score_exprs[lang]} > 0 AND ({cond_ge}) "
+            f"THEN '{lang}' ELSE {best} END"
+        )
+    cols = ", ".join(f"{score_exprs[l]} AS score_{l}" for l in langs)
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+                    THEN [] 
+                    ELSE string_split(trim(regexp_replace(lower(text),
+                         '[^a-z0-9]+', ' ', 'g')), ' ') END AS w
+        FROM documents
+    )
+    SELECT doc_id, {cols}, {best} AS lang_pred FROM d
+    """
+
+
+@register(
+    "lang_id_scores",
+    _lang_id_sql(),
+    doc="Language-ID by marker-word scoring with deterministic argmax "
+    "(both sides share the marker table)",
+)
+def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    scores = text.lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[scores[f"score_{l}"].alias(f"score_{l}") for l in sorted(text.LANG_MARKERS)],
+        text.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH e AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                         OR LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM e
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(value), 6) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="W4-style gap sessionization: lag + running sum of session breaks "
+    "(30-minute gap), the windowed form of the sorted-stream flush loop",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    df = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            W.partitionBy("user_id").orderBy("ts").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    )
+    return df.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+@register(
+    "s7_running_state_scan",
+    """
+    WITH ranked AS (
+        SELECT l_orderkey AS okey, l_linenumber AS lnum, l_partkey, l_suppkey,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber, l_partkey, l_suppkey)
+                   AS rn
+        FROM lineitem
+    ),
+    lines AS (
+        SELECT okey, lnum, rn,
+               CASE WHEN rn = 1 THEN l_partkey END AS decl_start,
+               CASE WHEN rn = 1 THEN 1 + l_suppkey % 3 END AS decl_step
+        FROM ranked
+    ),
+    filled AS (
+        SELECT okey, lnum, rn,
+               LAST_VALUE(decl_start IGNORE NULLS) OVER
+                   (PARTITION BY okey ORDER BY rn
+                    ROWS UNBOUNDED PRECEDING) AS start,
+               LAST_VALUE(decl_step IGNORE NULLS) OVER
+                   (PARTITION BY okey ORDER BY rn
+                    ROWS UNBOUNDED PRECEDING) AS step
+        FROM lines
+    )
+    SELECT okey, lnum, CAST(start + step * (rn - 1) AS BIGINT) AS position
+    FROM filled
+    """,
+    doc="S7: wiggle-style running-state reconstruction — the first row per "
+    "group (deterministic rank) is the declaration setting (start, step); "
+    "positions via last-non-null window + rank, no sorted-stream loop",
+)
+def s7_running_state_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    wr = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    ranked = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lnum"),
+        "l_partkey",
+        "l_suppkey",
+        F.row_number().over(wr).alias("rn"),
+    )
+    decl_start = F.when(F.col("rn") == 1, F.col("l_partkey"))
+    decl_step = F.when(F.col("rn") == 1, 1 + F.col("l_suppkey") % 3)
+    wf = W.partitionBy("okey").orderBy("rn").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return ranked.select(
+        "okey",
+        "lnum",
+        (
+            F.last(decl_start, ignorenulls=True).over(wf)
+            + F.last(decl_step, ignorenulls=True).over(wf) * (F.col("rn") - 1)
+        ).cast("long").alias("position"),
+    )
+
+
+@register(
+    "j5_null_tolerant_dedup",
+    """
+    WITH o AS (
+        SELECT o_orderkey AS okey, o_custkey AS ckey,
+               NULLIF(o_orderstatus, 'O') AS status,
+               NULLIF(o_orderpriority, '3-MEDIUM') AS prio
+        FROM orders
+    )
+    SELECT status, prio,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(okey) AS BIGINT) AS first_okey
+    FROM o GROUP BY status, prio
+    """,
+    doc="J5: null-tolerant (eqNullSafe-style) grouping/dedup — NULL keys "
+    "form their own groups exactly as the ClinVar dedup treats null alleles",
+)
+def j5_null_tolerant_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("o_orderkey").alias("okey"),
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status"),
+            F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("prio"),
+        )
+        .groupBy("status", "prio")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("okey").alias("first_okey"),
+        )
+    )
+
+
+@register(
+    "c21_vcf_render",
+    f"""
+    WITH v AS ({_VARIANT_SQL})
+    SELECT okey, lnum,
+           chrom || chr(9) || CAST(pos AS VARCHAR) || chr(9) || '.' || chr(9)
+                 || ref || chr(9) || var || chr(9) || '.' || chr(9) || '.'
+                 || chr(9) || 'DP=' || CAST(cnt_a + cnt_c + cnt_g + cnt_t AS VARCHAR)
+               AS vcf_line
+    FROM v
+    """,
+    doc="C21/K2: VCF data-line rendering as tab-joined string build",
+)
+def c21_vcf_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _variant_cols(load(spark, sf_dir, "lineitem"))
+    dp = F.col("cnt_a") + F.col("cnt_c") + F.col("cnt_g") + F.col("cnt_t")
+    return v.select(
+        "okey",
+        "lnum",
+        F.concat_ws(
+            "\t",
+            F.col("chrom"),
+            F.col("pos").cast("string"),
+            F.lit("."),
+            F.col("ref"),
+            F.col("var"),
+            F.lit("."),
+            F.lit("."),
+            F.concat(F.lit("DP="), dp.cast("string")),
+        ).alias("vcf_line"),
+    )
