@@ -1391,3 +1391,7 @@ def c21_vcf_render(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("DP="), dp.cast("string")),
         ).alias("vcf_line"),
     )
+
+
+# Wave-4 registrations (must come last: shares this module registry)
+from . import queries_ext  # noqa: E402,F401
