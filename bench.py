@@ -32,6 +32,10 @@ HEADLINE = [
     "c13_translate",
     "events_hourly_rollup",
     "events_sessionize",
+    "j6_j8_transcript_features",
+    "emb_near_dup_cosine",
+    "ann_ivf_topk",
+    "doc_fingerprint_rolling",
 ]
 
 

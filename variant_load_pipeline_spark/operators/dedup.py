@@ -183,3 +183,80 @@ def simhash(
 def hamming_distance(a: Column, b: Column, bits: int = 32) -> Column:
     """Popcount of XOR via bit_count (Spark >= 3.3)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Fused MinHash-LSH near-dup pipeline: shingle ONCE, persist the
+    (id, shingles, hashes) table, then derive signatures, band candidates,
+    and exact-Jaccard verification from it.
+
+    The unfused path (minhash_signatures + minhash_lsh_pairs +
+    ngram_jaccard_pairs) re-shingles the corpus three times because Spark
+    does not share common subplans across join branches; at 100 TB the
+    shingle scan IS the dominant cost, so the fused form persists it —
+    spill-safe (MEMORY_AND_DISK) and ~3x less work.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    params = _perm_params(n_hashes)
+    rows_per_band = n_hashes // bands
+    sh = (
+        df.select(
+            F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
+        )
+        .withColumn("hashes", F.transform(F.col("sh"), shingle_hash))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def perm(a: int, b: int):
+        return lambda h: ((h % MINHASH_PRIME) * a + b) % MINHASH_PRIME
+
+    sig = sh.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(F.col("hashes"), perm(a, b))).alias(f"sig_{i}")
+            for i, (a, b) in enumerate(params)
+        ],
+    )
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.col(f"sig_{i}").cast("string")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("_", *parts)).alias("band_hash"),
+            )
+        )
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    cand = (
+        banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+        .join(
+            banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b_ = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = cand.join(a, "id_a").join(b_, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return joined.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)

@@ -44,6 +44,7 @@ def point_in_interval_join(
     how: str = "inner",
     strategy: str = "binned",
     bin_size: int = DEFAULT_BIN,
+    broadcast_intervals: bool = True,
 ) -> DataFrame:
     """Join each point to every interval containing it.
 
@@ -62,6 +63,7 @@ def point_in_interval_join(
         how=how,
         strategy=strategy,
         bin_size=bin_size,
+        broadcast_intervals=broadcast_intervals,
     ).drop("__p_end")
 
 
@@ -77,6 +79,7 @@ def interval_overlap_join(
     how: str = "inner",
     strategy: str = "binned",
     bin_size: int = DEFAULT_BIN,
+    broadcast_intervals: bool = True,
 ) -> DataFrame:
     """Generic [start,end] x [start,end] overlap join.
 
@@ -116,6 +119,13 @@ def interval_overlap_join(
             )
         ),
     )
+    # gene-model-sized interval sets stay broadcastable even after the
+    # bin explode (|intervals| * span/bin rows); at that size the equi join
+    # on (chrom, bin) becomes a BroadcastHashJoin and the big point side is
+    # never shuffled.  Callers with huge interval sets pass False and get a
+    # shuffle hash join on the same equi key — the plan that scales both ways.
+    if broadcast_intervals:
+        rb = F.broadcast(rb)
     cond = (
         (lb[p_chrom] == rb[i_chrom])
         & (lb["__bin"] == rb["__bin"])

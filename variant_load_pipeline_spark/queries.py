@@ -1055,11 +1055,10 @@ def _near_dup_sql(n_hashes: int = 16, bands: int = 4, threshold: float = 0.6) ->
     "exact shingle-Jaccard verification at 0.6",
 )
 def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from .operators.dedup import near_dup_pairs
 
     d = load(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, n_hashes=16, bands=4)
-    return ngram_jaccard_pairs(d, pairs, threshold=0.6)
+    return near_dup_pairs(d, n_hashes=16, bands=4, threshold=0.6)
 
 
 _SIMHASH_BITSUM_SQL = ",\n".join(

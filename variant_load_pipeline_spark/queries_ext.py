@@ -914,3 +914,421 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("vec_id", "label", "cos_sim", F.col("rk").cast("long").alias("rk"))
     )
+
+
+# ===========================================================================
+# C5: VCF left-anchored indel -> CF2 stripped encoding (padding base)
+# ===========================================================================
+@register(
+    "c5_indel_padding",
+    f"""
+    WITH v AS ({_VARIANT_SQL}),
+    raw AS (
+        SELECT okey, lnum, pos,
+               CASE lnum % 3 WHEN 0 THEN ref
+                    WHEN 1 THEN ref ELSE ref || var || 'C' END AS vref,
+               CASE lnum % 3 WHEN 0 THEN var
+                    WHEN 1 THEN ref || var || 'A' ELSE ref END AS valt
+        FROM v
+    )
+    SELECT okey, lnum, vref, valt,
+           CASE WHEN length(vref) = 1 AND length(valt) = 1 THEN pos
+                ELSE pos + 1 END AS out_pos,
+           CASE WHEN length(vref) = 1 AND length(valt) = 1 THEN vref
+                WHEN length(vref) < length(valt) THEN ''
+                ELSE substr(vref, 2) END AS out_ref,
+           CASE WHEN length(vref) = 1 AND length(valt) = 1 THEN valt
+                WHEN length(vref) < length(valt) THEN substr(valt, 2)
+                ELSE '' END AS out_var,
+           CASE WHEN length(vref) = 1 AND length(valt) = 1 THEN NULL
+                ELSE substr(vref, 1, 1) END AS padding_base,
+           CASE WHEN length(vref) = 1 AND length(valt) = 1 THEN 'snv'
+                WHEN length(vref) < length(valt) THEN 'insertion'
+                ELSE 'deletion' END AS vtype
+    FROM raw
+    """,
+    doc="C5: indel padding adjust (CommonFormat2Line.java:54-90): VCF "
+    "left-anchored alleles stripped to CF2 form — shared first base becomes "
+    "padding_base, pos+1, insertion keeps ref='', deletion keeps var=''",
+)
+def c5_indel_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _variant_cols(load(spark, sf_dir, "lineitem"))
+    raw = v.select(
+        "okey",
+        "lnum",
+        "pos",
+        F.when(F.col("lnum") % 3 == 2, F.concat("ref", "var", F.lit("C")))
+        .otherwise(F.col("ref"))
+        .alias("vref"),
+        F.when(F.col("lnum") % 3 == 0, F.col("var"))
+        .when(F.col("lnum") % 3 == 1, F.concat("ref", "var", F.lit("A")))
+        .otherwise(F.col("ref"))
+        .alias("valt"),
+    )
+    is_snv = (F.length("vref") == 1) & (F.length("valt") == 1)
+    is_ins = F.length("vref") < F.length("valt")
+    return raw.select(
+        "okey",
+        "lnum",
+        "vref",
+        "valt",
+        F.when(is_snv, F.col("pos")).otherwise(F.col("pos") + 1).alias("out_pos"),
+        F.when(is_snv, F.col("vref"))
+        .when(is_ins, F.lit(""))
+        .otherwise(F.expr("substr(vref, 2)"))
+        .alias("out_ref"),
+        F.when(is_snv, F.col("valt"))
+        .when(is_ins, F.expr("substr(valt, 2)"))
+        .otherwise(F.lit(""))
+        .alias("out_var"),
+        F.when(is_snv, F.lit(None).cast("string"))
+        .otherwise(F.substring("vref", 1, 1))
+        .alias("padding_base"),
+        F.when(is_snv, F.lit("snv"))
+        .when(is_ins, F.lit("insertion"))
+        .otherwise(F.lit("deletion"))
+        .alias("vtype"),
+    )
+
+
+# ===========================================================================
+# C6/C7/C8 + E2: allele-count, AD-vector matching, ACGT pivot
+# ===========================================================================
+@register(
+    "c6_c7_c8_allele_accounting",
+    f"""
+    WITH v AS ({_VARIANT_SQL}),
+    b AS (
+        SELECT okey, lnum, ref,
+               ref || ',' ||
+               (CASE WHEN var = ref
+                     THEN ['A','C','G','T'][CAST((lnum + 1) % 4 + 1 AS INT)]
+                     ELSE var END) AS alleles,
+               CAST(cnt_a AS VARCHAR) || ',' || CAST(cnt_c AS VARCHAR)
+                   || ',' || CAST(cnt_g AS VARCHAR) AS ad
+        FROM v
+    ),
+    e AS (
+        SELECT okey, lnum, ref, alleles, ad,
+               CAST(len(string_split(alleles, ',')) - 1 AS INT) AS allele_count,
+               unnest(generate_series(2, len(string_split(alleles, ',')))) AS idx
+        FROM b
+    )
+    SELECT okey, lnum, ref,
+           string_split(alleles, ',')[idx] AS allele,
+           allele_count,
+           CAST(string_split(ad, ',')[idx] AS BIGINT) AS read_count,
+           CAST(CASE WHEN list_position(string_split(alleles, ','), 'A') IS NOT NULL
+                     AND list_position(string_split(alleles, ','), 'A') > 0
+                THEN string_split(ad, ',')[list_position(string_split(alleles, ','), 'A')]::BIGINT
+                ELSE 0 END AS BIGINT) AS count_a,
+           CAST(CASE WHEN list_position(string_split(alleles, ','), 'T') IS NOT NULL
+                     AND list_position(string_split(alleles, ','), 'T') > 0
+                THEN string_split(ad, ',')[list_position(string_split(alleles, ','), 'T')]::BIGINT
+                ELSE 0 END AS BIGINT) AS count_t
+    FROM e
+    """,
+    doc="C6/C7/C8 + E2: allele_count = |alts| "
+    "(VcfToCommonFormat2Converter.java:320-327), per-allele AD matched by "
+    "position in [ref]+alts (:277-318), ACGT literal-allele pivot (:294-297) "
+    "— array ops + posexplode, zero Python",
+)
+def c6_c7_c8_allele_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _variant_cols(load(spark, sf_dir, "lineitem"))
+    base = F.array(*[F.lit(c) for c in "ACGT"])
+    alt = F.when(
+        F.col("var") == F.col("ref"),
+        F.element_at(base, ((F.col("lnum") + 1) % 4 + 1).cast("int")),
+    ).otherwise(F.col("var"))
+    b = v.select(
+        "okey",
+        "lnum",
+        "ref",
+        F.concat_ws(",", F.col("ref"), alt).alias("alleles"),
+        F.concat_ws(
+            ",",
+            F.col("cnt_a").cast("string"),
+            F.col("cnt_c").cast("string"),
+            F.col("cnt_g").cast("string"),
+        ).alias("ad"),
+    )
+    arr = F.split(F.col("alleles"), ",")
+    ads = F.split(F.col("ad"), ",")
+
+    def literal_count(b_: str) -> Column:
+        p = F.array_position(arr, b_)
+        return (
+            F.when(p > 0, F.element_at(ads, p.cast("int")).cast("long"))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    e = b.select(
+        "okey",
+        "lnum",
+        "ref",
+        "alleles",
+        "ad",
+        (F.size(arr) - 1).cast("int").alias("allele_count"),
+        F.posexplode(F.slice(arr, 2, 100)).alias("p", "allele"),
+        literal_count("A").alias("count_a"),
+        literal_count("T").alias("count_t"),
+    )
+    return e.select(
+        "okey",
+        "lnum",
+        "ref",
+        "allele",
+        "allele_count",
+        F.element_at(F.split(F.col("ad"), ","), (F.col("p") + 2).cast("int"))
+        .cast("long")
+        .alias("read_count"),
+        "count_a",
+        "count_t",
+    )
+
+
+# ===========================================================================
+# C11: indel zygosity (AD/readDepth path)
+# ===========================================================================
+@register(
+    "c11_indel_zygosity",
+    f"""
+    WITH v AS ({_VARIANT_SQL}),
+    b AS (
+        SELECT okey, lnum, ref, cnt_a, cnt_c, cnt_g, cnt_t,
+               cnt_a + cnt_c + 1 AS allele_depth,
+               cnt_a + cnt_c + cnt_g + cnt_t + 2 AS read_depth
+        FROM v
+    ),
+    p AS (
+        SELECT okey, lnum, ref, cnt_a, cnt_c, cnt_g, cnt_t,
+               ((allele_depth * 100)::DOUBLE / read_depth::DOUBLE)::FLOAT AS pct
+        FROM b
+    )
+    SELECT okey, lnum,
+           CAST(FLOOR(pct::DOUBLE + 0.5) AS INT) AS zygosity_percent_read,
+           CASE WHEN pct = 100 THEN 'homozygous'
+                WHEN pct >= 85 THEN 'possibly homozygous'
+                ELSE 'heterozygous' END AS zygosity_status,
+           CASE WHEN (CASE ref WHEN 'A' THEN cnt_a WHEN 'C' THEN cnt_c
+                               WHEN 'G' THEN cnt_g ELSE cnt_t END) > 0
+                THEN 'Y' ELSE 'N' END AS zygosity_ref_allele
+    FROM p
+    """,
+    doc="C11: indel zygosity (VariantLoad3.java:320-342): pct = "
+    "round(100*AD/readDepth) with float math + f2i(x+0.5) truncation, "
+    "ref-allele flag from the ACGT count of the ref base",
+)
+def c11_indel_zygosity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _variant_cols(load(spark, sf_dir, "lineitem"))
+    allele_depth = F.col("cnt_a") + F.col("cnt_c") + 1
+    read_depth = (
+        F.col("cnt_a") + F.col("cnt_c") + F.col("cnt_g") + F.col("cnt_t") + 2
+    )
+    pct = (
+        (allele_depth * 100).cast("double") / read_depth.cast("double")
+    ).cast("float")
+    ref_reads = (
+        F.when(F.col("ref") == "A", F.col("cnt_a"))
+        .when(F.col("ref") == "C", F.col("cnt_c"))
+        .when(F.col("ref") == "G", F.col("cnt_g"))
+        .otherwise(F.col("cnt_t"))
+    )
+    return v.select(
+        "okey",
+        "lnum",
+        F.floor(pct.cast("double") + 0.5).cast("int").alias(
+            "zygosity_percent_read"
+        ),
+        F.when(pct == 100, F.lit("homozygous"))
+        .when(pct >= 85, F.lit("possibly homozygous"))
+        .otherwise(F.lit("heterozygous"))
+        .alias("zygosity_status"),
+        F.when(ref_reads > 0, F.lit("Y")).otherwise(F.lit("N")).alias(
+            "zygosity_ref_allele"
+        ),
+    )
+
+
+# ===========================================================================
+# J12/J13: dbSNP allele-match + SnpEff 5-key variant match
+# ===========================================================================
+@register(
+    "j12_j13_dbsnp_allele_match",
+    f"""
+    WITH v AS ({_VARIANT_SQL}),
+    dbsnp AS (
+        SELECT CASE WHEN p_partkey % 22 = 20 THEN 'X'
+                    WHEN p_partkey % 22 = 21 THEN 'Y'
+                    ELSE CAST(p_partkey % 22 + 1 AS VARCHAR) END AS schrom,
+               (p_partkey * 1487) % 3000000 AS spos,
+               ['A','C','G','T'][CAST(p_partkey % 4 + 1 AS INT)] || '/' ||
+               ['A','C','G','T'][CAST((p_partkey + 2) % 4 + 1 AS INT)] AS allele,
+               CASE WHEN p_partkey % 3 = 0 THEN 'snp' ELSE 'indel' END
+                   AS snp_class,
+               'rs' || CAST(p_partkey AS VARCHAR) AS snp_name
+        FROM part
+    )
+    SELECT v.okey, v.lnum, d.snp_name
+    FROM v JOIN dbsnp d
+      ON v.chrom = d.schrom AND v.pos = d.spos
+    WHERE d.snp_class = 'snp' AND substr(d.allele, 1, 1) = v.var
+    """,
+    doc="J12/J13: dbSNP allele match — equi join on (chromosome, position) "
+    "plus snp_class='snp' and first-allele-char equality "
+    "(AbstractVariantDataMapper.java:138-163, 323-355; SnpEffLoader 5-key "
+    "match :117-128) — broadcast lookup side, filters pushed into the join",
+)
+def j12_j13_dbsnp_allele_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _variant_cols(load(spark, sf_dir, "lineitem"))
+    p = load(spark, sf_dir, "part")
+    base = F.array(*[F.lit(c) for c in "ACGT"])
+    chrom_idx = (F.col("p_partkey") % 22).cast("int")
+    dbsnp = p.select(
+        F.when(chrom_idx == 20, F.lit("X"))
+        .when(chrom_idx == 21, F.lit("Y"))
+        .otherwise((chrom_idx + 1).cast("string"))
+        .alias("schrom"),
+        ((F.col("p_partkey") * 1487) % 3000000).alias("spos"),
+        F.concat(
+            F.element_at(base, (F.col("p_partkey") % 4 + 1).cast("int")),
+            F.lit("/"),
+            F.element_at(base, ((F.col("p_partkey") + 2) % 4 + 1).cast("int")),
+        ).alias("allele"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("snp"))
+        .otherwise(F.lit("indel"))
+        .alias("snp_class"),
+        F.concat(F.lit("rs"), F.col("p_partkey").cast("string")).alias(
+            "snp_name"
+        ),
+    ).filter(F.col("snp_class") == "snp")
+    return (
+        v.join(
+            F.broadcast(dbsnp),
+            (v.chrom == dbsnp.schrom) & (v.pos == dbsnp.spos),
+        )
+        .filter(F.substring("allele", 1, 1) == F.col("var"))
+        .select("okey", "lnum", "snp_name")
+    )
+
+
+# ===========================================================================
+# E1: wide sample columns -> long (strain, genotype) rows via stack
+# ===========================================================================
+@register(
+    "e1_stack_strains",
+    f"""
+    WITH v AS ({_VARIANT_SQL}),
+    wide AS (
+        SELECT okey, lnum,
+               CASE cnt_a % 3 WHEN 0 THEN '0/1' WHEN 1 THEN '1/1'
+                    ELSE './.' END AS s_bn,
+               CASE cnt_c % 3 WHEN 0 THEN '0/1' WHEN 1 THEN '1/1'
+                    ELSE './.' END AS s_shr,
+               CASE cnt_g % 3 WHEN 0 THEN '0/1' WHEN 1 THEN '1/1'
+                    ELSE './.' END AS s_f344
+        FROM v
+    )
+    SELECT okey, lnum, strain, gt FROM (
+        SELECT okey, lnum, 'BN' AS strain, s_bn AS gt FROM wide
+        UNION ALL
+        SELECT okey, lnum, 'SHR' AS strain, s_shr AS gt FROM wide
+        UNION ALL
+        SELECT okey, lnum, 'F344' AS strain, s_f344 AS gt FROM wide
+    )
+    """,
+    doc="E1: per-strain explode of VCF sample columns "
+    "(VcfToCommonFormat2Converter.java:218-222) — stack() turns the wide "
+    "sample block into (strain, genotype) rows in one pass, no re-scan per "
+    "strain (the SQL oracle's UNION ALL form would scan 3x)",
+)
+def e1_stack_strains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _variant_cols(load(spark, sf_dir, "lineitem"))
+
+    def gt(c: str) -> Column:
+        return (
+            F.when(F.col(c) % 3 == 0, F.lit("0/1"))
+            .when(F.col(c) % 3 == 1, F.lit("1/1"))
+            .otherwise(F.lit("./."))
+        )
+
+    wide = v.select(
+        "okey",
+        "lnum",
+        gt("cnt_a").alias("s_bn"),
+        gt("cnt_c").alias("s_shr"),
+        gt("cnt_g").alias("s_f344"),
+    )
+    return wide.select(
+        "okey",
+        "lnum",
+        F.expr(
+            "stack(3, 'BN', s_bn, 'SHR', s_shr, 'F344', s_f344) AS (strain, gt)"
+        ),
+    )
+
+
+# ===========================================================================
+# F4-F7 + A6: the filter chain, then DISTINCT chromosomes
+# ===========================================================================
+@register(
+    "f_filter_chain_distinct_chr",
+    f"""
+    WITH v AS ({_VARIANT_SQL}),
+    g AS (
+        SELECT v.*,
+               CASE lnum % 5 WHEN 0 THEN './.' WHEN 1 THEN '0/0'
+                    WHEN 2 THEN '0/1' WHEN 3 THEN '1/1' ELSE '0' END AS gt,
+               CASE WHEN cnt_t % 7 = 0 THEN var || ',' ||
+                    ['A','C','G','T'][CAST((cnt_t + 1) % 4 + 1 AS INT)]
+                    ELSE var END AS alt,
+               CASE WHEN cnt_g % 11 = 0 THEN 'Q' ELSE ref END AS refx
+        FROM v
+    )
+    SELECT chrom, CAST(COUNT(*) AS BIGINT) AS n_pass
+    FROM g
+    WHERE gt NOT IN ('./.', '.', '0/0', '0')
+      AND alt NOT LIKE '%,%'
+      AND regexp_full_match(refx, '[ACGTN-]*')
+      AND alt <> refx
+    GROUP BY chrom
+    """,
+    doc="F4/F5/F6/F7 + A6: allele-alphabet predicate "
+    "(VariantLoad3.java:368-376), multi-allelic skip, genotype-present "
+    "filter (VcfToCommonFormat2Converter.java:377-391), same-as-ref skip, "
+    "then per-chromosome counts — the full admission filter chain, one scan",
+)
+def f_filter_chain_distinct_chr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _variant_cols(load(spark, sf_dir, "lineitem"))
+    base = F.array(*[F.lit(c) for c in "ACGT"])
+    g = v.select(
+        "chrom",
+        F.when(F.col("lnum") % 5 == 0, F.lit("./."))
+        .when(F.col("lnum") % 5 == 1, F.lit("0/0"))
+        .when(F.col("lnum") % 5 == 2, F.lit("0/1"))
+        .when(F.col("lnum") % 5 == 3, F.lit("1/1"))
+        .otherwise(F.lit("0"))
+        .alias("gt"),
+        F.when(
+            F.col("cnt_t") % 7 == 0,
+            F.concat(
+                F.col("var"),
+                F.lit(","),
+                F.element_at(base, ((F.col("cnt_t") + 1) % 4 + 1).cast("int")),
+            ),
+        )
+        .otherwise(F.col("var"))
+        .alias("alt"),
+        F.when(F.col("cnt_g") % 11 == 0, F.lit("Q"))
+        .otherwise(F.col("ref"))
+        .alias("refx"),
+    )
+    return (
+        g.filter(~F.col("gt").isin("./.", ".", "0/0", "0"))
+        .filter(~F.col("alt").contains(","))
+        .filter(F.col("refx").rlike("^[ACGTN-]*$"))
+        .filter(F.col("alt") != F.col("refx"))
+        .groupBy("chrom")
+        .agg(F.count(F.lit(1)).alias("n_pass"))
+    )
