@@ -284,7 +284,12 @@ def a2_counts_two_granularities(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j1_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.interval_join import interval_overlap_join
 
-    v = _variant_cols(load(spark, sf_dir, "lineitem")).withColumn(
+    # Test fixtures are single-row-group parquet (= one scan task no matter
+    # the split size); spread the probe side across all cores before the
+    # per-row candidate checks.  Properly sized files make this a no-op.
+    v = _variant_cols(load(spark, sf_dir, "lineitem")).repartition(
+        spark.sparkContext.defaultParallelism
+    ).withColumn(
         "vend", F.col("pos") + 1
     )
     g = _gene_cols(load(spark, sf_dir, "part")).withColumnRenamed("chrom", "gchrom")
@@ -319,7 +324,9 @@ def j1_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j2_genic_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.interval_join import point_in_interval_join
 
-    v = _variant_cols(load(spark, sf_dir, "lineitem"))
+    v = _variant_cols(load(spark, sf_dir, "lineitem")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     g = _gene_cols(load(spark, sf_dir, "part")).withColumnRenamed("chrom", "gchrom")
     kw = dict(
         point_chrom="chrom",
@@ -1057,7 +1064,11 @@ def _near_dup_sql(n_hashes: int = 16, bands: int = 4, threshold: float = 0.6) ->
 def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import near_dup_pairs
 
-    d = load(spark, sf_dir, "documents")
+    # single-row-group fixture: spread docs across cores before the
+    # shingle+minhash fold (the CPU-dominant stage of the pipeline)
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return near_dup_pairs(d, n_hashes=16, bands=4, threshold=0.6)
 
 
@@ -1208,7 +1219,9 @@ def _lang_id_sql() -> str:
     "(both sides share the marker table)",
 )
 def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     scores = text.lang_scores(F.col("text"))
     return d.select(
         "doc_id",

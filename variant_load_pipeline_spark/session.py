@@ -43,6 +43,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if master.startswith("local"):
+        # Local test profile only: split small test-scale parquet into enough
+        # input partitions to use every core — the default 128 MiB split
+        # leaves a ~20 MiB sf0.1 table on 1-3 tasks (3% CPU use on
+        # local[32]).  NOT set for cluster masters: there the default split
+        # size is correct and a 4 MiB cap would explode task counts at
+        # 100 TB.  The cluster-scale analog of this knob is proper file
+        # sizing at write time (OPTIMIZE / targetFileSize).
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes", "4m"
+        ).config("spark.sql.files.openCostInBytes", "1m")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
