@@ -96,3 +96,26 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     }
     assert got == exp
     q.stop()
+
+
+def test_stateful_running_totals_matches_batch(spark, tmp_path):
+    df = _mk_events(spark)
+    src = str(tmp_path / "events_parquet3")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = ev.running_totals_stateful(stream)
+    q = ev.run_stream_to_memory(out, "stateful_test", output_mode="update")
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            "select * from stateful_test"
+        ).collect()  # availableNow => one update per user
+    }
+    exp = {
+        r["user_id"]: (r["n"], round(r["total"], 6))
+        for r in df.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == exp
+    q.stop()

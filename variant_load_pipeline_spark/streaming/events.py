@@ -113,3 +113,57 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+def running_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, total_value), state carried across micro-batches.
+
+    This is the escape hatch for operators Spark's built-in streaming
+    aggregations can't express (reference-style accumulating QC counters,
+    online dedup registries, ...): an Arrow-batched python kernel with an
+    engine-managed per-key state store.  Built-ins stay the first choice —
+    this exists to prove the custom-stateful path end-to-end.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
