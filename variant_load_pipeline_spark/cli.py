@@ -1,0 +1,331 @@
+"""CLI mirroring the reference's ``Manager`` tool dispatch
+(reference: Manager.java:30-84 — ``--tool <Name>`` selects one of 17 tools).
+
+Every reference tool maps to a subcommand with the same name; inputs/outputs
+are files (VCF/CF2/wiggle/TSV) and parquet tables instead of Oracle.  Each
+handler is a thin adapter over the plans/sources/operators modules — the CLI
+adds no logic of its own.
+
+    python -m variant_load_pipeline_spark --tool VcfConverter2 \
+        --vcf in.vcf.gz --out out_cf2/
+    python -m variant_load_pipeline_spark --tool VariantLoad3 \
+        --cf2 out_cf2/ --sample-id 7 --gender M --map-key 372 \
+        --genes genes.parquet --out tables/
+"""
+
+from __future__ import annotations
+
+import argparse
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOOLS: dict[str, Callable] = {}
+
+
+def tool(name: str):
+    def deco(fn):
+        TOOLS[name] = fn
+        return fn
+
+    return deco
+
+
+def _read(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+# -- export family (ClinVar2Vcf.java, DbSnp2Vcf.java, GwasCat2Vcf.java) -----
+def _export_variants_vcf(spark, args) -> None:
+    from .plans.export import export_vcf
+
+    export_vcf(_read(spark, args.variants), args.out, compress=args.gzip)
+
+
+for _name in ("ClinVar2Vcf", "DbSnp2Vcf", "GwasCat2Vcf"):
+    TOOLS[_name] = _export_variants_vcf
+
+
+@tool("Txt2Vcf")
+def _txt2vcf(spark, args) -> None:
+    """Txt2Vcf.java:38-157: per-chr TSV with comma-embedded positions
+    ('1,079' -> 1079, readPos :225-234) -> sorted VCF."""
+    from .plans.export import export_vcf
+
+    df = (
+        spark.read.option("header", "true").option("sep", "\t").csv(args.txt)
+    ).select(
+        "chromosome",
+        F.regexp_replace("position", "[^0-9]", "").cast("long").alias("position"),
+        "id",
+        "ref",
+        "alt",
+        F.col("depth").cast("long").alias("depth"),
+    )
+    export_vcf(df, args.out, compress=args.gzip)
+
+
+@tool("VcfConverter2")
+def _vcf_converter2(spark, args) -> None:
+    """VcfToCommonFormat2Converter.java: multi-sample VCF -> per-strain CF2."""
+    from .plans.convert import convert_vcf_to_cf2
+    from .sources.cf2 import write_cf2
+
+    cf2 = convert_vcf_to_cf2(
+        spark,
+        args.vcf,
+        process_missing_addp=args.addp,
+        process_variants_same_as_ref=args.same_as_ref,
+    )
+    write_cf2(cf2, args.out, partition_by="strain", compress=args.gzip)
+
+
+@tool("Vcf8ColConverter")
+def _vcf8col_converter(spark, args) -> None:
+    """Vcf8ColToCommonFormat2Converter.java:20-28,154-257: 8-col VCF with
+    INFO DP/AC -> one CF2 row per alt allele (+ imputed ref-depth row when
+    the ref allele is absent and DP - sum(AC) > 0, :175-200)."""
+    from .functions import scalar
+    from .sources.cf2 import write_cf2
+    from .sources.vcf import read_vcf8col
+
+    df = read_vcf8col(spark, args.vcf)
+    df = df.withColumn(
+        "chr", scalar.normalize_chromosome(F.col("chrom"))
+    ).filter(F.col("chr").isNotNull() & (F.length("chr") <= 2))
+    alts = F.split(F.col("alt"), ",")
+    acs = F.split(F.col("info_map")["AC"], ",")
+    dp = F.col("info_map")["DP"].cast("long")
+    exploded = df.select(
+        "chr",
+        F.col("pos").alias("position"),
+        F.col("ref").alias("ref_nuc"),
+        dp.alias("total_depth"),
+        F.posexplode(alts).alias("ai", "var_nuc"),
+        acs.alias("acs"),
+    ).select(
+        "chr",
+        "position",
+        "ref_nuc",
+        "var_nuc",
+        "total_depth",
+        F.try_element_at(F.col("acs"), F.col("ai") + 1)
+        .cast("long")
+        .alias("allele_depth"),
+    )
+    ref_depth = df.select(
+        "chr",
+        F.col("pos").alias("position"),
+        F.col("ref").alias("ref_nuc"),
+        F.col("ref").alias("var_nuc"),
+        dp.alias("total_depth"),
+        (
+            dp
+            - F.aggregate(
+                F.transform(acs, lambda x: x.cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+        ).alias("allele_depth"),
+    ).filter(
+        ~F.array_contains(F.split(F.col("var_nuc"), ","), F.col("ref_nuc"))
+        | (F.col("allele_depth") > 0)
+    ).filter(F.col("allele_depth") > 0)
+    write_cf2(exploded.unionByName(ref_depth), args.out, compress=args.gzip)
+
+
+@tool("VariantLoad3")
+def _variant_load3(spark, args) -> None:
+    """VariantLoad3.java: CF2 -> VARIANT / VARIANT_MAP_DATA /
+    VARIANT_SAMPLE_DETAIL parquet tables."""
+    from .plans.load import SampleInfo, run_load
+    from .sources.cf2 import read_cf2
+
+    cf2 = read_cf2(spark, args.cf2)
+    sample = SampleInfo(
+        sample_id=args.sample_id, gender=args.gender, map_key=args.map_key
+    )
+    existing = _read(spark, args.existing) if args.existing else None
+    tables = run_load(
+        cf2,
+        sample,
+        _read(spark, args.genes),
+        existing=existing,
+        chr_filter=args.chr,
+    )
+    for name, df in tables.items():
+        if name.startswith("_"):
+            continue
+        df.write.mode("overwrite").parquet(f"{args.out}/{name}")
+
+
+# VariantRatLoaderFromDb = the same load plan driven from an existing variant
+# table (J5 null-tolerant dedup happens inside assign_ids' upsert join)
+TOOLS["VariantRatLoaderFromDb"] = TOOLS["VariantLoad3"]
+
+
+@tool("VariantPostProcessing")
+def _variant_post_processing(spark, args) -> None:
+    """VariantPostProcessing.java: variants x gene model -> VARIANT_TRANSCRIPT."""
+    from .plans.postprocess import annotate_variants
+
+    vt = annotate_variants(
+        _read(spark, args.variants),
+        _read(spark, args.genes),
+        _read(spark, args.transcripts),
+        _read(spark, args.features),
+        _read(spark, args.fasta),
+        existing_vt=_read(spark, args.existing_vt) if args.existing_vt else None,
+        map_key=args.map_key,
+    )
+    vt.write.mode("overwrite").parquet(args.out)
+
+
+@tool("SnpEffLoader")
+def _snpeff_loader(spark, args) -> None:
+    """SnpEffLoader.java: SnpEff-annotated VCF -> SNP_EFF parquet."""
+    from .sources.snpeff import match_variants, read_snpeff_vcf
+
+    ann = read_snpeff_vcf(spark, args.snpeff_vcf)
+    out = match_variants(
+        ann, _read(spark, args.variants), sample_id=args.sample_id
+    )
+    out.write.mode("overwrite").parquet(args.out)
+
+
+@tool("ConservationScoreLoader")
+def _conservation_loader(spark, args) -> None:
+    """ConservationScoreLoader.java: fixedStep wiggle -> (chr, position,
+    score) parquet, 50k-batch inserts replaced by a bulk columnar write."""
+    from .sources.wiggle import read_wiggle
+
+    read_wiggle(spark, args.wiggle).write.mode("overwrite").parquet(args.out)
+
+
+@tool("Polyphen")
+def _polyphen(spark, args) -> None:
+    """Polyphen.java:243-299: missense rows -> PolyPhen-2 input
+    (acc pos aa1 aa2) + protein flank columns."""
+    from .sources.polyphen import write_polyphen_input
+
+    write_polyphen_input(_read(spark, args.missense), args.out)
+
+
+TOOLS["Polyphen2"] = TOOLS["Polyphen"]
+
+
+@tool("PolyphenLoader")
+def _polyphen_loader(spark, args) -> None:
+    """PolyphenLoader.java: 55-col results + .info sidecar ->
+    consume-first-match pairing (J16) -> POLYPHEN parquet."""
+    from .sources.polyphen import (
+        pair_results_with_info,
+        read_polyphen_info,
+        read_polyphen_results,
+    )
+
+    paired = pair_results_with_info(
+        read_polyphen_results(spark, args.results),
+        read_polyphen_info(spark, args.info),
+    )
+    paired.write.mode("overwrite").parquet(args.out)
+
+
+@tool("UpdateVariantStatus")
+def _update_variant_status(spark, args) -> None:
+    """UpdateVariantStatus.java:50-65: batched UPDATE as MERGE WHEN MATCHED."""
+    from .operators.upsert import merge_update
+
+    out = merge_update(
+        _read(spark, args.target),
+        _read(spark, args.updates),
+        keys=args.keys.split(","),
+        set_cols=args.set.split(","),
+    )
+    out.write.mode("overwrite").parquet(args.out)
+
+
+def _fixup_report(df: DataFrame, stored: str, recomputed_col) -> DataFrame:
+    """fixup/*.java pattern: re-derive a column, count up-to-date vs fixed."""
+    flag = F.when(F.col(stored) == recomputed_col, "up_to_date").otherwise(
+        "fixed"
+    )
+    return df.groupBy(flag.alias("status")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@tool("VariantTypeFixUp")
+def _variant_type_fixup(spark, args) -> None:
+    """fixup/VariantTypeFixUp.java:48-72."""
+    from .functions import scalar
+
+    df = _read(spark, args.variants)
+    report = _fixup_report(
+        df,
+        "variant_type",
+        scalar.variant_type(F.col("ref_nuc"), F.col("var_nuc")),
+    )
+    report.write.mode("overwrite").parquet(args.out)
+
+
+@tool("FrameShiftFixUp")
+def _frameshift_fixup(spark, args) -> None:
+    """fixup/FrameShiftFixUp.java:55-78."""
+    from .functions import scalar
+
+    df = _read(spark, args.variants)
+    report = _fixup_report(
+        df, "frameshift", scalar.frameshift(F.col("ref_nuc"), F.col("var_nuc"))
+    )
+    report.write.mode("overwrite").parquet(args.out)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="variant_load_pipeline_spark",
+        description="PySpark-native variant pipeline (Manager.java tool parity)",
+    )
+    p.add_argument("--tool", required=True, choices=sorted(TOOLS))
+    p.add_argument("--vcf")
+    p.add_argument("--txt")
+    p.add_argument("--cf2")
+    p.add_argument("--variants")
+    p.add_argument("--missense")
+    p.add_argument("--snpeff-vcf", dest="snpeff_vcf")
+    p.add_argument("--wiggle")
+    p.add_argument("--results")
+    p.add_argument("--info")
+    p.add_argument("--genes")
+    p.add_argument("--transcripts")
+    p.add_argument("--features")
+    p.add_argument("--fasta")
+    p.add_argument("--existing")
+    p.add_argument("--existing-vt", dest="existing_vt")
+    p.add_argument("--target")
+    p.add_argument("--updates")
+    p.add_argument("--keys")
+    p.add_argument("--set")
+    p.add_argument("--out", required=True)
+    p.add_argument("--sample-id", dest="sample_id", type=int)
+    p.add_argument("--gender", default="U")
+    p.add_argument("--map-key", dest="map_key", type=int, default=0)
+    p.add_argument("--chr")
+    p.add_argument("--gzip", action="store_true")
+    p.add_argument("--addp", action="store_true")
+    p.add_argument(
+        "--same-as-ref", dest="same_as_ref", action="store_true"
+    )
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    if spark is None:
+        from .session import get_spark
+
+        spark = get_spark(app_name=f"vlp-{args.tool}")
+    TOOLS[args.tool](spark, args)
+
+
+if __name__ == "__main__":
+    main()
