@@ -144,3 +144,21 @@ def shingle_hash(shingle: Column) -> Column:
     Identical in DuckDB: ('0x' || substr(md5(s),1,8))::BIGINT.
     """
     return F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long")
+
+
+# GPT-2-ish pretokenizer classes, restricted to a regex dialect shared by
+# Java (Spark) and RE2 (DuckDB): letter runs, digit runs, single
+# non-alphanumeric marks.  No lookarounds, so counts replay identically in
+# the SQL oracle.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Subword-ish tokens: letter runs / digit runs / punctuation marks."""
+    return F.regexp_extract_all(
+        F.lower(F.coalesce(text, F.lit(""))), F.lit(BPE_ISH_PATTERN), 0
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text))

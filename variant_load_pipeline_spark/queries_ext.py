@@ -1343,3 +1343,35 @@ def f_filter_chain_distinct_chr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("chrom")
         .agg(F.count(F.lit(1)).alias("n_pass"))
     )
+
+
+# ===========================================================================
+# Training-data op: token counting — whitespace AND BPE-ish regex classes
+# ===========================================================================
+@register(
+    "bpe_token_counts",
+    f"""
+    SELECT lang,
+           CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+               AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS bpe_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+    doc="Token counting two ways: whitespace tokens and GPT-2-ish regex "
+    "classes (letter runs / digit runs / marks) — the pretokenizer-level "
+    "count used for data budgeting; all JVM-side regexp_extract_all",
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import text as T
+
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(T.token_count(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.sum(T.bpe_ish_token_count(F.col("text")))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

@@ -7,10 +7,14 @@ Only the 'chr' prefix is stripped (substring, not normalize); data lines
 under a contig whose name is >2 chars are counted but skipped — and STILL
 advance the position counter.
 
-Spark restatement: zipWithIndex for global line order, last-non-null window
-to attach each data line to its declaration, then
+Spark restatement: zipWithIndex for global line order; the declaration
+table (one row per ``fixedStep`` header — thousands of rows for a whole
+genome) is broadcast with each declaration's [idx, next-declaration idx)
+line range, data lines equi-range-join to their governing declaration, then
 ``pos = start + step * (rank within declaration group)`` — running state
-becomes a window expression; no sorted-stream loop.
+becomes a broadcast join + partitioned window.  No global single-partition
+window anywhere: the only global ordering touches the tiny declaration
+table, so the scan stays fully parallel at 100 TB.
 """
 
 from __future__ import annotations
@@ -26,35 +30,33 @@ def read_wiggle(spark: SparkSession, path: str) -> DataFrame:
     df = spark.createDataFrame(rdd, ["line", "idx"])
 
     is_decl = F.col("line").startswith("fixedStep")
-    decl = df.withColumn(
-        "__decl_idx", F.when(is_decl, F.col("idx"))
-    ).withColumn(
-        "__chrom_raw",
-        F.when(is_decl, F.regexp_extract("line", r"chrom=(\S+)", 1)),
-    ).withColumn(
-        "__start", F.when(is_decl, F.regexp_extract("line", r"start=(\d+)", 1).cast("long"))
-    ).withColumn(
-        "__step",
-        F.when(
-            is_decl,
+    # declaration table: one row per fixedStep header.  Tiny even for a
+    # whole-genome file, so the global lead() ordering below is fine — it
+    # never touches the data lines.
+    wd_decl = W.orderBy("decl_idx")
+    decl = (
+        df.filter(is_decl)
+        .select(
+            F.col("idx").alias("decl_idx"),
+            F.regexp_extract("line", r"chrom=(\S+)", 1).alias("chrom_raw"),
+            F.regexp_extract("line", r"start=(\d+)", 1)
+            .cast("long")
+            .alias("start"),
             F.coalesce(
-                F.nullif(F.regexp_extract("line", r"step=(\d+)", 1), F.lit("")).cast(
-                    "long"
-                ),
+                F.nullif(F.regexp_extract("line", r"step=(\d+)", 1), F.lit(""))
+                .cast("long"),
                 F.lit(1),
-            ),
-        ),
+            ).alias("step"),
+        )
+        .withColumn("next_idx", F.lead("decl_idx").over(wd_decl))
     )
 
-    w = W.orderBy("idx").rowsBetween(W.unboundedPreceding, W.currentRow)
-    filled = decl.select(
-        "line",
-        "idx",
-        F.last("__decl_idx", ignorenulls=True).over(w).alias("decl_idx"),
-        F.last("__chrom_raw", ignorenulls=True).over(w).alias("chrom_raw"),
-        F.last("__start", ignorenulls=True).over(w).alias("start"),
-        F.last("__step", ignorenulls=True).over(w).alias("step"),
-    ).filter(~is_decl & (F.trim("line") != "") & F.col("decl_idx").isNotNull())
+    data = df.filter(~is_decl & (F.trim("line") != ""))
+    filled = data.join(
+        F.broadcast(decl),
+        (data.idx > decl.decl_idx)
+        & (decl.next_idx.isNull() | (data.idx < decl.next_idx)),
+    ).select("line", "idx", "decl_idx", "chrom_raw", "start", "step")
 
     wd = W.partitionBy("decl_idx").orderBy("idx")
     out = filled.withColumn(
