@@ -64,19 +64,25 @@ def dedup_upsert(
         c = l.eqNullSafe(r)
         cond = c if cond is None else (cond & c)
 
-    matched = incoming.join(e, cond, "left")
-    new_id = F.lit(id_offset) + F.row_number().over(
-        W.partitionBy(F.col("__existing_id").isNull()).orderBy(*keys)
-    ) - F.lit(1)
-    out = matched.withColumn(
-        id_col,
-        F.coalesce(F.col("__existing_id"), new_id).cast("long"),
-    ).withColumn(
-        "id_source",
-        F.when(F.col("__existing_id").isNull(), F.lit("new")).otherwise(
-            F.lit("reused")
-        ),
+    from .windows import bucketed_row_number
+
+    matched = incoming.join(e, cond, "left").persist()
+    reused = matched.filter(F.col("__existing_id").isNotNull()).withColumn(
+        id_col, F.col("__existing_id").cast("long")
+    ).withColumn("id_source", F.lit("reused"))
+    # new ids: deterministic chromosome-major rank — the per-chromosome
+    # row_number + tiny cumulative-offset table replaces a global sort
+    # (allocation order is (chromosome, *keys); ids stay arbitrary-but-
+    # deterministic, correctness always compares natural keys)
+    fresh = bucketed_row_number(
+        matched.filter(F.col("__existing_id").isNull()),
+        order_keys=keys,
+        bucket="chromosome",
     )
+    fresh = fresh.withColumn(
+        id_col, (F.lit(id_offset) + F.col("__rank") - 1).cast("long")
+    ).withColumn("id_source", F.lit("new")).drop("__rank")
+    out = reused.unionByName(fresh)
     return out.drop("__existing_id", *[f"__e_{k}" for k in keys])
 
 

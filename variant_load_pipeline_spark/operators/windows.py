@@ -57,3 +57,36 @@ def consume_first_match_join(
     l = left.withColumn("__rank", F.row_number().over(lw))
     r = right.withColumn("__rank", F.row_number().over(rw))
     return l.join(r, keys + ["__rank"]).drop("__rank")
+
+
+def bucketed_row_number(
+    df: DataFrame,
+    order_keys: list[str],
+    bucket: str,
+    out_col: str = "__rank",
+) -> DataFrame:
+    """Deterministic 1-based global rank by ``(bucket, *order_keys)`` without
+    a single-partition sort.
+
+    Two-phase: row_number within each bucket partition, plus cumulative
+    bucket offsets computed on the bucket-count table (|buckets| rows — the
+    only thing that ever passes through a non-partitioned window).  Ranks
+    equal a global ``row_number over (orderBy(bucket, *order_keys))`` but the
+    data-sized sort is hash-partitioned on the bucket — the id-allocation
+    plan that survives 100 TB (reference analog: the Oracle sequence at
+    VariantLoad3.java:550; determinism note in SURVEY.md §7.4).
+    """
+    wn = W.partitionBy(bucket).orderBy(*order_keys)
+    ranked = df.withColumn("__rn", F.row_number().over(wn))
+    wo = W.orderBy(bucket).rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        df.groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__off", F.coalesce(F.sum("__cnt").over(wo), F.lit(0)))
+        .drop("__cnt")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), bucket)
+        .withColumn(out_col, (F.col("__off") + F.col("__rn")).cast("long"))
+        .drop("__rn", "__off")
+    )

@@ -166,18 +166,19 @@ def assign_ids(variants: DataFrame, existing: DataFrame | None) -> DataFrame:
         "position", "start_pos"
     )
     if existing is None or len(existing.take(1)) == 0:
-        from pyspark.sql.window import Window as W
+        from ..operators.windows import bucketed_row_number
 
-        return v.withColumn(
-            "rgd_id",
-            F.row_number()
-            .over(
-                W.partitionBy().orderBy(
-                    "chromosome", "start_pos", "ref_nuc", "var_nuc", "sample_id"
-                )
-            )
-            .cast("long"),
-        ).withColumn("id_source", F.lit("new"))
+        # chromosome-major deterministic ids, no single-partition sort
+        out = bucketed_row_number(
+            v,
+            order_keys=["start_pos", "ref_nuc", "var_nuc", "sample_id"],
+            bucket="chromosome",
+        )
+        return (
+            out.withColumn("rgd_id", F.col("__rank"))
+            .drop("__rank")
+            .withColumn("id_source", F.lit("new"))
+        )
     return dedup_upsert(v, existing)
 
 

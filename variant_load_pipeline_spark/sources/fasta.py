@@ -37,18 +37,31 @@ def read_fasta(
     concatenated in line order.
     """
     df = _lines_with_index(spark, path)
-    header = F.when(
-        F.col("line").startswith(">"),
-        F.regexp_extract(F.col("line"), r">\s*(\S+)", 1),
+    # header table (one row per '>' line — per-chromosome, tiny): broadcast
+    # each header's [idx, next header idx) line range and equi-range-join the
+    # sequence lines to it.  The only ordering window touches the header
+    # table; sequence lines never funnel through a single partition.
+    wh = W.orderBy("hidx")
+    headers = (
+        df.filter(F.col("line").startswith(">"))
+        .select(
+            F.col("idx").alias("hidx"),
+            F.regexp_extract(F.col("line"), r">\s*(\S+)", 1).alias(
+                "chromosome"
+            ),
+        )
+        .withColumn("next_hidx", F.lead("hidx").over(wh))
     )
-    w = W.orderBy("idx").rowsBetween(W.unboundedPreceding, W.currentRow)
-    with_chr = df.withColumn("__h", header).withColumn(
-        "chromosome", F.last("__h", ignorenulls=True).over(w)
+    body = df.filter(
+        ~F.col("line").startswith(">") & (F.trim(F.col("line")) != "")
+    )
+    with_chr = body.join(
+        F.broadcast(headers),
+        (body.idx > headers.hidx)
+        & (headers.next_hidx.isNull() | (body.idx < headers.next_hidx)),
     )
     seqs = (
-        with_chr.filter(
-            ~F.col("line").startswith(">") & (F.trim(F.col("line")) != "")
-        )
+        with_chr
         .groupBy("chromosome")
         .agg(
             F.concat_ws(
