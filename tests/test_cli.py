@@ -90,3 +90,121 @@ def test_cli_variant_type_fixup(spark, tmp_path):
     )
     got = {r["status"]: r["n"] for r in spark.read.parquet(out).collect()}
     assert got == {"up_to_date": 2, "fixed": 1}
+
+
+VCF_E2E = """##fileformat=VCFv4.1
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tBN
+chr1\t100\trs10\tT\tG\t50\tPASS\t.\tGT:AD:DP\t0/1:20,10:30
+chr1\t40\t.\tA\tC\t99\tPASS\t.\tGT:AD:DP\t1/1:0,9:9
+"""
+
+
+def test_cli_full_pipeline_convert_load_annotate(spark, tmp_path):
+    """The reference's 3-stage workflow driven purely through the CLI:
+    VcfConverter2 -> VariantLoad3 -> VariantPostProcessing."""
+    from variant_load_pipeline_spark.schemas import (
+        GENES_SCHEMA,
+        TRANSCRIPT_FEATURES_SCHEMA,
+        TRANSCRIPTS_SCHEMA,
+    )
+
+    vcf = tmp_path / "in.vcf"
+    vcf.write_text(VCF_E2E)
+    cf2_dir = str(tmp_path / "cf2")
+    main(["--tool", "VcfConverter2", "--vcf", str(vcf), "--out", cf2_dir], spark)
+
+    genes = str(tmp_path / "genes")
+    spark.createDataFrame(
+        [(7001, "1", 50, 200, 372, "ACTIVE")], GENES_SCHEMA
+    ).write.parquet(genes)
+    tables = str(tmp_path / "tables")
+    main(
+        [
+            "--tool", "VariantLoad3",
+            "--cf2", f"{cf2_dir}/strain=BN",
+            "--sample-id", "7", "--gender", "M", "--map-key", "372",
+            "--genes", genes, "--out", tables,
+        ],
+        spark,
+    )
+    variant = spark.read.parquet(f"{tables}/variant")
+    vmd = spark.read.parquet(f"{tables}/variant_map_data")
+    assert variant.count() == 2
+    by_pos = {r["start_pos"]: r for r in vmd.collect()}
+    assert by_pos[100]["genic_status"] == "GENIC"      # inside gene 50-200
+    assert by_pos[40]["genic_status"] == "INTERGENIC"  # outside
+
+    # gene model for annotation: one '+' transcript, exon 90-110 on chr1
+    variants_in = str(tmp_path / "variants_joined")
+    variant.join(vmd, "rgd_id").select(
+        "rgd_id", "chromosome", "start_pos", "end_pos", "ref_nuc", "var_nuc"
+    ).write.parquet(variants_in)
+    transcripts = str(tmp_path / "transcripts")
+    spark.createDataFrame(
+        [(9001, 7001, "N", "NM_1", "NP_1")], TRANSCRIPTS_SCHEMA
+    ).write.parquet(transcripts)
+    features = str(tmp_path / "features")
+    spark.createDataFrame(
+        [(9001, "EXONS", "+", "1", 90, 110, 372)], TRANSCRIPT_FEATURES_SCHEMA
+    ).write.parquet(features)
+    fasta = str(tmp_path / "fasta")
+    spark.createDataFrame(
+        [("1", "ACGT" * 60)], "chromosome string, seq string"
+    ).write.parquet(fasta)
+
+    vt_out = str(tmp_path / "vt")
+    main(
+        [
+            "--tool", "VariantPostProcessing",
+            "--variants", variants_in, "--genes", genes,
+            "--transcripts", transcripts, "--features", features,
+            "--fasta", fasta, "--map-key", "372", "--out", vt_out,
+        ],
+        spark,
+    )
+    vt = spark.read.parquet(vt_out).collect()
+    # only the genic variant (pos 100, inside exon 90-110) gets a row
+    assert len(vt) == 1
+    row = vt[0]
+    assert "EXON" in row["location_name"]
+    assert row["ref_aa"] is not None and row["var_aa"] is not None
+
+
+def test_cli_update_variant_status(spark, tmp_path):
+    target = str(tmp_path / "target")
+    updates = str(tmp_path / "updates")
+    out = str(tmp_path / "updated")
+    spark.createDataFrame(
+        [(1, "N"), (2, "N")], "rgd_id long, zygosity_poss_error string"
+    ).write.parquet(target)
+    spark.createDataFrame(
+        [(2, "Y")], "rgd_id long, zygosity_poss_error string"
+    ).write.parquet(updates)
+    main(
+        [
+            "--tool", "UpdateVariantStatus",
+            "--target", target, "--updates", updates,
+            "--keys", "rgd_id", "--set", "zygosity_poss_error",
+            "--out", out,
+        ],
+        spark,
+    )
+    got = {
+        r["rgd_id"]: r["zygosity_poss_error"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {1: "N", 2: "Y"}
+
+
+def test_cli_vcf8col_converter(spark, tmp_path):
+    vcf = tmp_path / "in8.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.1\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "chr1\t100\t.\tA\tG,T\t99\tPASS\tEND=100;DP=20;AC=9,7\n"
+    )
+    out = str(tmp_path / "cf28")
+    main(["--tool", "Vcf8ColConverter", "--vcf", str(vcf), "--out", out], spark)
+    rows = spark.read.option("sep", "\t").csv(out).collect()
+    # 2 alt-allele rows + imputed ref row (20 - 16 = 4 > 0)
+    assert len(rows) == 3
