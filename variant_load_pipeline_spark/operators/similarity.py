@@ -42,15 +42,24 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query; ties broken by neighbor id.
     Similarity rounded before ranking so rankings are engine-stable."""
-    joined = F.broadcast(queries).crossJoin(
+    # norms precomputed per row BEFORE the quadratic cross join: one fold
+    # per (query, neighbor) pair instead of three — same double math/order
+    q = queries.withColumn("__qn", F.sqrt(dot(F.col(qvec_col), F.col(qvec_col))))
+    joined = F.broadcast(q).crossJoin(
         corpus.select(
-            F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("nv"),
+            F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nn"),
         )
     ).filter(F.col(qid_col) != F.col("nid"))
     sims = joined.select(
         qid_col,
         "nid",
-        F.round(cosine(F.col(qvec_col), F.col("nv")), round_dp).alias("sim"),
+        F.round(
+            dot(F.col(qvec_col), F.col("nv"))
+            / (F.col("__qn") * F.col("__nn")),
+            round_dp,
+        ).alias("sim"),
     )
     w = W.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col("nid"))
     return (

@@ -908,29 +908,32 @@ def token_count_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(query side broadcast; JVM-side float math via F.aggregate/zip_with)",
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    from .operators.similarity import dot
+
+    # per-row norms computed once before the quadratic cross join (one fold
+    # per pair, not three); corpus side spread across cores (single-row-group
+    # fixture), query side broadcast
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    nrm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     q = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        nrm.alias("qn"),
     )
     joined = F.broadcast(q).crossJoin(
-        e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
-    ).filter(F.col("qid") != F.col("nid"))
-
-    def dot(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
+        e.select(
+            F.col("vec_id").alias("nid"),
+            F.col("embedding").alias("nv"),
+            nrm.alias("nn"),
         )
-
-    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    ).filter(F.col("qid") != F.col("nid"))
     sims = joined.select(
         "qid",
         "nid",
         F.round(
-            dot(F.col("qv"), F.col("nv"))
-            / (norm(F.col("qv")) * norm(F.col("nv"))),
-            6,
+            dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
         ).alias("sim"),
     )
     w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
