@@ -405,30 +405,20 @@ def j4_dedup_upsert_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.upper(F.col("var")) == F.upper(F.col("e_var"))),
         "left",
     ).select("chrom", "pos", "ref", "var", "existing_id")
-    # new ids via per-chromosome rank + tiny cumulative offsets: identical
-    # to the oracle's global ROW_NUMBER (chrom is its leading sort key) but
-    # without a single-partition sort — the allocation that survives 100x.
-    # matched feeds both branches; persist so the join runs once.
-    from .operators.windows import bucketed_row_number
-
-    matched = matched.persist()
-    reused = (
-        matched.filter(F.col("existing_id").isNotNull())
-        .withColumn("rgd_id", F.col("existing_id").cast("long"))
-        .withColumn("id_source", F.lit("reused"))
+    new_ids = F.lit(2000000) + F.row_number().over(
+        W.partitionBy(F.col("existing_id").isNull()).orderBy(
+            "chrom", "pos", "ref", "var"
+        )
     )
-    fresh = bucketed_row_number(
-        matched.filter(F.col("existing_id").isNull()),
-        order_keys=["pos", "ref", "var"],
-        bucket="chrom",
-    )
-    fresh = (
-        fresh.withColumn("rgd_id", (F.lit(2000000) + F.col("__rank")).cast("long"))
-        .drop("__rank")
-        .withColumn("id_source", F.lit("new"))
-    )
-    return reused.unionByName(fresh).select(
-        "chrom", "pos", "ref", "var", "rgd_id", "id_source"
+    return matched.select(
+        "chrom",
+        "pos",
+        "ref",
+        "var",
+        F.coalesce(F.col("existing_id"), new_ids).cast("long").alias("rgd_id"),
+        F.when(F.col("existing_id").isNull(), F.lit("new"))
+        .otherwise(F.lit("reused"))
+        .alias("id_source"),
     )
 
 
