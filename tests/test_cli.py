@@ -208,3 +208,53 @@ def test_cli_vcf8col_converter(spark, tmp_path):
     rows = spark.read.option("sep", "\t").csv(out).collect()
     # 2 alt-allele rows + imputed ref row (20 - 16 = 4 > 0)
     assert len(rows) == 3
+
+
+def test_cli_genic_status_fixup(spark, tmp_path):
+    from variant_load_pipeline_spark.schemas import GENES_SCHEMA
+
+    genes = str(tmp_path / "genes_f")
+    spark.createDataFrame(
+        [(7001, "1", 50, 200, 372, "ACTIVE")], GENES_SCHEMA
+    ).write.parquet(genes)
+    variants = str(tmp_path / "variants_f")
+    spark.createDataFrame(
+        [
+            (1, "1", 100, "GENIC"),        # inside 50-200: up to date
+            (2, "1", 300, "GENIC"),        # outside: fixed
+            (3, "2", 100, "INTERGENIC"),   # other chromosome: up to date
+        ],
+        "rgd_id long, chromosome string, start_pos long, genic_status string",
+    ).write.parquet(variants)
+    out = str(tmp_path / "genic_report")
+    main(
+        [
+            "--tool", "GenicStatusFixUp",
+            "--variants", variants, "--genes", genes, "--out", out,
+        ],
+        spark,
+    )
+    got = {r["status"]: r["n"] for r in spark.read.parquet(out).collect()}
+    assert got == {"up_to_date": 2, "fixed": 1}
+
+
+def test_cli_num_alleles_fixup(spark, tmp_path):
+    variants = str(tmp_path / "variants_na")
+    spark.createDataFrame(
+        [
+            # two rows at one position, one saw the ref -> n = 2 + 1 = 3
+            (1, 7, "1", 100, "Y", 3),
+            (2, 7, "1", 100, "N", 3),
+            # lone row, no ref seen -> n = 1 (stored 2 -> fixed)
+            (3, 7, "1", 200, "N", 2),
+        ],
+        "rgd_id long, sample_id int, chromosome string, start_pos long, "
+        "zygosity_ref_allele string, zygosity_num_allele int",
+    ).write.parquet(variants)
+    out = str(tmp_path / "na_report")
+    main(
+        ["--tool", "NumAllelesFixUp", "--variants", variants, "--out", out],
+        spark,
+    )
+    got = {r["status"]: r["n"] for r in spark.read.parquet(out).collect()}
+    assert got == {"up_to_date": 2, "fixed": 1}

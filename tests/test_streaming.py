@@ -119,3 +119,14 @@ def test_stateful_running_totals_matches_batch(spark, tmp_path):
     }
     assert got == exp
     q.stop()
+
+
+def test_zygosity_style_running_ratio_batch(spark):
+    df = _mk_events(spark)
+    out = ev.zygosity_style_running_ratio(df).collect()
+    # shares within one (window, user) sum to ~100 (integer rounding)
+    by_wu = {}
+    for r in out:
+        by_wu.setdefault((r["window_start"], r["user_id"]), []).append(r["pct"])
+    for pcts in by_wu.values():
+        assert 98 <= sum(pcts) <= 102

@@ -329,3 +329,81 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> No
 
 if __name__ == "__main__":
     main()
+
+
+@tool("GenicStatusFixUp")
+def _genic_status_fixup(spark, args) -> None:
+    """fixup/GenicStatusFixUp.java:60-109: re-derive GENIC/INTERGENIC from
+    the gene model and report up-to-date vs fixed counts."""
+    from .operators.interval_join import point_in_interval_join
+
+    df = _read(spark, args.variants)
+    genes = _read(spark, args.genes)
+    if "object_status" in genes.columns:
+        genes = genes.filter(F.col("object_status") == "ACTIVE")
+    g = genes.select(
+        F.col("chromosome").alias("g_chrom"),
+        F.col("start_pos").alias("g_start"),
+        F.col("stop_pos").alias("g_stop"),
+    )
+    kw = dict(
+        point_chrom="chromosome",
+        point_pos="start_pos",
+        ivl_chrom="g_chrom",
+        ivl_start="g_start",
+        ivl_end="g_stop",
+        strategy="binned",
+    )
+    genic = point_in_interval_join(df, g, how="left_semi", **kw).withColumn(
+        "recomputed", F.lit("GENIC")
+    )
+    inter = point_in_interval_join(df, g, how="left_anti", **kw).withColumn(
+        "recomputed", F.lit("INTERGENIC")
+    )
+    both = genic.unionByName(inter)
+    report = _fixup_report(both, "genic_status", F.col("recomputed"))
+    report.write.mode("overwrite").parquet(args.out)
+
+
+@tool("NumAllelesFixUp")
+def _num_alleles_fixup(spark, args) -> None:
+    """fixup/NumAllelesFixUp.java:41-102: rows sharing (sample_id,
+    chromosome, start_pos) form one position group; n = row count (+1 if any
+    row saw the ref allele) -> ZYGOSITY_NUM_ALLELE."""
+    from pyspark.sql.window import Window as W
+
+    df = _read(spark, args.variants)
+    w = W.partitionBy("sample_id", "chromosome", "start_pos")
+    recomputed = (
+        F.count(F.lit(1)).over(w)
+        + F.max(
+            F.when(F.col("zygosity_ref_allele") == "Y", 1).otherwise(0)
+        ).over(w)
+    ).cast("int")
+    report = _fixup_report(
+        df.withColumn("__re", recomputed), "zygosity_num_allele", F.col("__re")
+    )
+    report.write.mode("overwrite").parquet(args.out)
+
+
+@tool("ZygosityPercReadFixUp")
+def _zygosity_perc_read_fixup(spark, args) -> None:
+    """fixup/ZygosityPercReadFixUp.java:57-138: recompute percent-read =
+    f2i(100*var_freq/total_group_depth + 0.5) over the position group."""
+    from pyspark.sql.window import Window as W
+
+    df = _read(spark, args.variants)
+    w = W.partitionBy("sample_id", "chromosome", "start_pos")
+    total = F.sum("var_freq").over(w)
+    pct = (
+        (F.col("var_freq") * 100).cast("double") / total.cast("double")
+    ).cast("float")
+    recomputed = F.when(total > 0, F.floor(pct.cast("double") + 0.5)).otherwise(
+        F.lit(0)
+    ).cast("int")
+    report = _fixup_report(
+        df.withColumn("__re", recomputed),
+        "zygosity_percent_read",
+        F.col("__re"),
+    )
+    report.write.mode("overwrite").parquet(args.out)

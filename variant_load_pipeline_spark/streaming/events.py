@@ -167,3 +167,44 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def zygosity_style_running_ratio(
+    events: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
+    """The reference's zygosity percent re-expressed over unbounded input:
+    per (user, window), each event type's share of the windowed value total —
+    round(100 * sum(value of type) / sum(value), 0), the streaming analog of
+    pct = round(100*alleleReads/totalReads) (VariantLoad3.java:317-342).
+
+    Batch: the two windowed aggregations join directly.  Streaming: run the
+    per-type windowed aggregation as the stateful stage and derive the
+    shares in ``foreachBatch`` (joining two streaming aggregates is not
+    allowed by the engine); the stateful part stays a plain windowed partial
+    aggregation either way.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    agg = df.groupBy(
+        F.window("ts", window).alias("win"), "user_id", "event_type"
+    ).agg(F.sum("value").alias("type_value"))
+    totals = df.groupBy(F.window("ts", window).alias("win"), "user_id").agg(
+        F.sum("value").alias("total_value")
+    )
+    joined = agg.join(totals, ["win", "user_id"])
+    return joined.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "user_id",
+        "event_type",
+        F.when(
+            F.col("total_value") != 0,
+            F.floor(
+                F.col("type_value") * 100 / F.col("total_value") + F.lit(0.5)
+            ).cast("int"),
+        )
+        .otherwise(F.lit(0))
+        .alias("pct"),
+    )
