@@ -177,3 +177,41 @@ def test_annotate_variants_plan(spark):
     assert by_vid[101]["location_name"] == "EXON"
     assert by_vid[102]["location_name"] == "INTRON"
     assert by_vid[102]["ref_aa"] is None
+
+
+def test_annotate_variants_chunked_matches_broadcast(spark):
+    """fasta_strategy='chunked' (bucketed sequence table, rebased kernel)
+    produces identical rows to the broadcast path — chunk size forced small
+    so transcripts genuinely span multiple chunks."""
+    variants = spark.createDataFrame(
+        [(101, "1", 10, 11, "C", "A"), (102, "1", 7, 8, "G", "A")],
+        ["rgd_id", "chromosome", "start_pos", "end_pos", "ref_nuc", "var_nuc"],
+    )
+    genes = spark.createDataFrame(
+        [(7, "1", 1, 20, 1, "ACTIVE")],
+        ["gene_rgd_id", "chromosome", "start_pos", "stop_pos", "map_key",
+         "object_status"],
+    )
+    transcripts = spark.createDataFrame(
+        [(70, 7, "N", "NM_1", "NP_1")],
+        ["transcript_rgd_id", "gene_rgd_id", "is_non_coding_ind", "acc_id",
+         "protein_acc_id"],
+    )
+    features = spark.createDataFrame(
+        [(70, "EXONS", "+", "1", 1, 6, 1), (70, "EXONS", "+", "1", 9, 14, 1)],
+        ["transcript_rgd_id", "object_name", "strand", "chromosome",
+         "start_pos", "stop_pos", "map_key"],
+    )
+    fasta = spark.createDataFrame([("1", SEQ)], ["chromosome", "seq"])
+
+    def rows(strategy, chunk):
+        out = annotate_variants(
+            variants, genes, transcripts, features, fasta, map_key=1,
+            fasta_strategy=strategy, chunk_size=chunk,
+        ).collect()
+        return sorted(
+            (tuple(r[c] for c in out[0].asDict()) for r in out)
+        ) if out else []
+
+    assert rows("chunked", 5) == rows("broadcast", 5)
+    assert rows("chunked", 4) == rows("broadcast", 1_000_000)

@@ -256,12 +256,24 @@ def annotate_variants(
     fasta: DataFrame,
     existing_vt: DataFrame | None = None,
     map_key: int | None = None,
+    fasta_strategy: str = "broadcast",
+    chunk_size: int = 1_000_000,
 ) -> DataFrame:
     """Full VariantPostProcessing plan -> VARIANT_TRANSCRIPT rows.
 
     variants: (rgd_id, chromosome, start_pos, end_pos, ref_nuc, var_nuc)
     genes:    GENES_SCHEMA; transcripts: TRANSCRIPTS_SCHEMA;
     features: TRANSCRIPT_FEATURES_SCHEMA; fasta: (chromosome, seq).
+
+    ``fasta_strategy``:
+    * ``broadcast`` — per-chromosome sequence strings broadcast whole
+      (ChrFastaFile mmap analog; fine while the genome fits executor memory).
+    * ``chunked`` — THE 100 TB PATH (SURVEY §7.4): the genome becomes a
+      (chromosome, bucket, chunk_start, seq) table of ``chunk_size`` pieces;
+      each transcript range-joins only the chunks its feature span covers,
+      variants are grouped per transcript (sequence shipped once per
+      transcript, not per pair), and the kernel runs on the rebased local
+      sequence.  No driver collect, no whole-genome broadcast.
     """
     spark = variants.sparkSession
 
@@ -332,11 +344,15 @@ def annotate_variants(
         & (pairs.v_chrom == grouped.f_chrom),
     ).drop(grouped.transcript_rgd_id).drop("f_chrom")
 
+    mk = map_key
+    if fasta_strategy == "chunked":
+        out = _annotate_chunked(pairs, fasta, chunk_size, mk)
+        return _dedup_and_finish(out, existing_vt)
+
     fasta_map = {
         r["chromosome"]: r["seq"] for r in fasta.select("chromosome", "seq").collect()
     }
     bc = spark.sparkContext.broadcast(fasta_map)
-    mk = map_key
 
     def run(iterator):
         import pandas as pd
@@ -377,6 +393,16 @@ def annotate_variants(
     # W5: one row per (variant, transcript), deterministic survivor
     from pyspark.sql.window import Window as W
 
+    return _dedup_and_finish(out, existing_vt)
+
+
+def _dedup_and_finish(
+    out: DataFrame, existing_vt: DataFrame | None
+) -> DataFrame:
+    """Shared tail: W5 in-batch dedup (deterministic survivor) + J9
+    anti-join against already-stored (variant, transcript) pairs."""
+    from pyspark.sql.window import Window as W
+
     w = W.partitionBy("variant_rgd_id", "transcript_rgd_id").orderBy(
         F.col("location_name").asc_nulls_last()
     )
@@ -385,8 +411,6 @@ def annotate_variants(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-
-    # J9: drop pairs already in the store
     if existing_vt is not None:
         out = out.join(
             existing_vt.select("variant_rgd_id", "transcript_rgd_id"),
@@ -394,3 +418,124 @@ def annotate_variants(
             "left_anti",
         )
     return out
+
+
+def _annotate_chunked(
+    pairs: DataFrame, fasta: DataFrame, chunk_size: int, mk: int | None
+) -> DataFrame:
+    """Chunked-FASTA kernel dispatch: transcripts pull only the sequence
+    chunks their feature span covers; variants ride in per-transcript
+    arrays so each local sequence is shuffled once per transcript."""
+    from ..sources.fasta import chunked_fasta
+
+    chunks = chunked_fasta(fasta, chunk_size).select(
+        F.col("chromosome").alias("c_chrom"),
+        F.col("bucket").alias("b_bucket"),
+        "chunk_start",
+        F.col("seq").alias("cseq"),
+    )
+    starts = F.transform("features", lambda f: f["start_pos"])
+    stops = F.transform("features", lambda f: f["stop_pos"])
+    tx = (
+        pairs.select(
+            F.col("transcript_rgd_id").alias("t_tid"),
+            F.col("v_chrom").alias("t_chrom"),
+            "features",
+            "total_exon_count",
+        )
+        .dropDuplicates(["t_tid", "t_chrom"])
+        .withColumn("t_lo", F.array_min(starts))
+        .withColumn("t_hi", F.array_max(stops))
+        .withColumn(
+            "b_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("t_lo") - 1) / chunk_size),
+                    F.floor((F.col("t_hi") - 1) / chunk_size),
+                ).cast("array<int>")
+            ),
+        )
+    )
+    seq_tbl = (
+        tx.join(
+            chunks,
+            (tx.t_chrom == chunks.c_chrom) & (tx.b_bucket == chunks.b_bucket),
+        )
+        .groupBy("t_tid", "t_chrom")
+        .agg(
+            F.first("features").alias("features"),
+            F.first("total_exon_count").alias("total_exon_count"),
+            F.min("chunk_start").alias("seq_offset"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_start", "cseq"))
+                    ),
+                    lambda st: st["cseq"],
+                ),
+                "",
+            ).alias("local_seq"),
+        )
+    )
+    pv = (
+        pairs.drop("features", "total_exon_count")
+        .groupBy("transcript_rgd_id", "v_chrom", "is_non_coding_ind")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    "variant_rgd_id",
+                    "var_start",
+                    "var_stop",
+                    "ref_nuc",
+                    "var_nuc",
+                )
+            ).alias("vars")
+        )
+    )
+    joined = pv.join(
+        seq_tbl,
+        (pv.transcript_rgd_id == seq_tbl.t_tid) & (pv.v_chrom == seq_tbl.t_chrom),
+    ).drop("t_tid", "t_chrom")
+
+    cols = [n for n, _ in _OUT_FIELDS]
+
+    def run(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                shift = int(r.seq_offset) - 1
+                feats = [
+                    (
+                        f["object_name"],
+                        f["start_pos"] - shift,
+                        f["stop_pos"] - shift,
+                        f["strand"],
+                    )
+                    for f in r.features
+                ]
+                for vr in r.vars:
+                    res = annotate_pair(
+                        int(vr["var_start"]) - shift,
+                        int(vr["var_stop"]) - shift,
+                        vr["ref_nuc"],
+                        vr["var_nuc"],
+                        feats,
+                        int(r.total_exon_count),
+                        r.is_non_coding_ind or "N",
+                        r.local_seq,
+                    )
+                    rows.append(
+                        {
+                            "variant_rgd_id": vr["variant_rgd_id"],
+                            "transcript_rgd_id": r.transcript_rgd_id,
+                            "map_key": mk,
+                            **res,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                columns=cols
+            )
+
+    return joined.mapInPandas(run, schema=VT_OUT_SCHEMA)
