@@ -178,6 +178,7 @@ def _variant_post_processing(spark, args) -> None:
         _read(spark, args.fasta),
         existing_vt=_read(spark, args.existing_vt) if args.existing_vt else None,
         map_key=args.map_key,
+        fasta_strategy=args.fasta_strategy,
     )
     vt.write.mode("overwrite").parquet(args.out)
 
@@ -310,6 +311,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gender", default="U")
     p.add_argument("--map-key", dest="map_key", type=int, default=0)
     p.add_argument("--chr")
+    p.add_argument(
+        "--fasta-strategy",
+        dest="fasta_strategy",
+        choices=["broadcast", "chunked"],
+        default="broadcast",
+    )
     p.add_argument("--gzip", action="store_true")
     p.add_argument("--addp", action="store_true")
     p.add_argument(

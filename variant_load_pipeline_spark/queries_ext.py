@@ -1375,3 +1375,37 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bpe_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+# ===========================================================================
+# J19: sequence-store content dedup — sha2 hash replaces seq_key allocation
+# ===========================================================================
+@register(
+    "j19_seq_store_dedup",
+    """
+    WITH s AS (
+        SELECT doc_id, sha256(upper(text)) AS seq_hash FROM documents
+    )
+    SELECT seq_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS seq_key,
+           CAST(COUNT(*) AS BIGINT) AS n_refs
+    FROM s GROUP BY seq_hash
+    """,
+    doc="J19: sequence-store content dedup "
+    "(VariantPostProcessing.java:873-931): stored-vs-computed sequence "
+    "match becomes a sha2(upper(seq)) content key; seq_key = deterministic "
+    "min-id survivor, reference counting via groupBy — no per-row store "
+    "probe, one shuffle on the hash",
+)
+def j19_seq_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id", F.sha2(F.upper(F.col("text")), 256).alias("seq_hash")
+        )
+        .groupBy("seq_hash")
+        .agg(
+            F.min("doc_id").alias("seq_key"),
+            F.count(F.lit(1)).alias("n_refs"),
+        )
+    )
