@@ -258,3 +258,47 @@ def test_cli_num_alleles_fixup(spark, tmp_path):
     )
     got = {r["status"]: r["n"] for r in spark.read.parquet(out).collect()}
     assert got == {"up_to_date": 2, "fixed": 1}
+
+
+def test_cli_polyphen_full_chain(spark, tmp_path):
+    import glob as _glob
+
+    variants = str(tmp_path / "pp_variants")
+    spark.createDataFrame(
+        [(1, "A", "G")], "rgd_id long, ref_nuc string, var_nuc string"
+    ).write.parquet(variants)
+    vmd = str(tmp_path / "pp_vmd")
+    spark.createDataFrame(
+        [(1, "1", 100)], "rgd_id long, chromosome string, start_pos long"
+    ).write.parquet(vmd)
+    vts = str(tmp_path / "pp_vts")
+    spark.createDataFrame(
+        [(1, 70, "T", "K", 4)],
+        "variant_rgd_id long, transcript_rgd_id long, ref_aa string, "
+        "var_aa string, full_ref_aa_pos int",
+    ).write.parquet(vts)
+    transcripts = str(tmp_path / "pp_tr")
+    spark.createDataFrame(
+        [(70, 7, "NP_1")],
+        "transcript_rgd_id long, gene_rgd_id long, protein_acc_id string",
+    ).write.parquet(transcripts)
+    features = str(tmp_path / "pp_feat")
+    spark.createDataFrame(
+        [(70, "EXONS", "+", "1", 50, 180, 1)],
+        ["transcript_rgd_id", "object_name", "strand", "chromosome",
+         "start_pos", "stop_pos", "map_key"],
+    ).write.parquet(features)
+    out = str(tmp_path / "pp_input")
+    main(
+        [
+            "--tool", "Polyphen",
+            "--variants", variants, "--vmd", vmd,
+            "--variant-transcripts", vts, "--transcripts", transcripts,
+            "--features", features, "--out", out,
+        ],
+        spark,
+    )
+    lines = []
+    for part in _glob.glob(f"{out}/part-*"):
+        lines += open(part).read().splitlines()
+    assert lines == ["NP_1 4 T K"]

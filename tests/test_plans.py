@@ -162,3 +162,51 @@ def test_genotype_counts(spark, tmp_path):
     assert counts[("S1", "1/1")] == 2  # pos 201, 400
     assert counts[("S2", "0/0")] == 3  # pos 100, 400, 500
     assert counts[("S2", "./.")] == 1  # pos 201
+
+
+def test_polyphen_input_chain(spark):
+    """Polyphen tool chain: missense selection, strand attach, flank QC."""
+    from variant_load_pipeline_spark.plans.polyphen import build_polyphen_input
+
+    variants = spark.createDataFrame(
+        [
+            (1, "A", "G"),   # missense candidate
+            (2, "A", "G"),   # vt row is synonymous -> dropped
+            (3, "AC", "G"),  # multi-base ref -> dropped (F9)
+        ],
+        "rgd_id long, ref_nuc string, var_nuc string",
+    )
+    vmd = spark.createDataFrame(
+        [(1, "1", 100), (2, "1", 150), (3, "1", 200)],
+        "rgd_id long, chromosome string, start_pos long",
+    )
+    vts = spark.createDataFrame(
+        [
+            (1, 70, "T", "K", 4),
+            (2, 70, "T", "T", 9),   # ref_aa == var_aa -> dropped
+        ],
+        "variant_rgd_id long, transcript_rgd_id long, ref_aa string, "
+        "var_aa string, full_ref_aa_pos int",
+    )
+    transcripts = spark.createDataFrame(
+        [(70, 7, "NP_1")],
+        "transcript_rgd_id long, gene_rgd_id long, protein_acc_id string",
+    )
+    features = spark.createDataFrame(
+        [(70, "EXONS", "-", "1", 50, 180, 1)],
+        ["transcript_rgd_id", "object_name", "strand", "chromosome",
+         "start_pos", "stop_pos", "map_key"],
+    )
+    prot = spark.createDataFrame(
+        [("NP_1", "MGDTKLSWE*")], "protein_acc_id string, seq string"
+    )
+    out = build_polyphen_input(
+        variants, vmd, vts, transcripts, features, prot
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["variant_id"] == 1 and r["strand"] == "-"
+    # seq 'MGDTKLSWE' (trailing * stripped), pos 4 -> left 'MGD', right 'KLSWE'
+    assert r["left_flank"] == "MGD"
+    assert r["right_flank"] == "KLSWE"
+    assert r["flank_match"] == "Y"  # residue 4 is 'T' == ref_aa

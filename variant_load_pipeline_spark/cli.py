@@ -206,14 +206,38 @@ def _conservation_loader(spark, args) -> None:
 
 @tool("Polyphen")
 def _polyphen(spark, args) -> None:
-    """Polyphen.java:243-299: missense rows -> PolyPhen-2 input
-    (acc pos aa1 aa2) + protein flank columns."""
+    """Polyphen.java:144-341: either run the full missense -> strand ->
+    flank-QC chain (when the table args are given) or take prebuilt
+    missense rows (--missense), then write 'acc pos aa1 aa2' input."""
     from .sources.polyphen import write_polyphen_input
 
-    write_polyphen_input(_read(spark, args.missense), args.out)
+    if args.missense:
+        rows = _read(spark, args.missense)
+    else:
+        from .plans.polyphen import build_polyphen_input
+
+        rows = build_polyphen_input(
+            _read(spark, args.variants),
+            _read(spark, args.vmd),
+            _read(spark, args.variant_transcripts),
+            _read(spark, args.transcripts),
+            _read(spark, args.features),
+            protein_seqs=(
+                _read(spark, args.protein_seqs) if args.protein_seqs else None
+            ),
+        )
+    write_polyphen_input(rows, args.out)
 
 
 TOOLS["Polyphen2"] = TOOLS["Polyphen"]
+
+
+@tool("PolyphenFasta")
+def _polyphen_fasta(spark, args) -> None:
+    """Polyphen.java:357-372: protein sequences -> 70-char-wrapped FASTA."""
+    from .sources.fasta import write_fasta
+
+    write_fasta(_read(spark, args.variants), args.out)
 
 
 @tool("PolyphenLoader")
@@ -300,6 +324,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--transcripts")
     p.add_argument("--features")
     p.add_argument("--fasta")
+    p.add_argument("--vmd")
+    p.add_argument("--variant-transcripts", dest="variant_transcripts")
+    p.add_argument("--protein-seqs", dest="protein_seqs")
     p.add_argument("--existing")
     p.add_argument("--existing-vt", dest="existing_vt")
     p.add_argument("--target")
