@@ -77,6 +77,7 @@ def _vcf_converter2(spark, args) -> None:
         args.vcf,
         process_missing_addp=args.addp,
         process_variants_same_as_ref=args.same_as_ref,
+        db_snp=_read(spark, args.dbsnp) if args.dbsnp else None,
     )
     write_cf2(cf2, args.out, partition_by="strain", compress=args.gzip)
 
@@ -324,6 +325,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--transcripts")
     p.add_argument("--features")
     p.add_argument("--fasta")
+    p.add_argument("--dbsnp")
     p.add_argument("--vmd")
     p.add_argument("--variant-transcripts", dest="variant_transcripts")
     p.add_argument("--protein-seqs", dest="protein_seqs")
