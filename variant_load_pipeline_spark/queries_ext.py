@@ -1409,3 +1409,118 @@ def j19_seq_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_refs"),
         )
     )
+
+
+# ===========================================================================
+# Analytic widening: top-k with deterministic LIMIT, filter-agg, HAVING
+# (no reference analog — SURVEY §2.6 notes the reference has no LIMIT/top-k;
+# these close that capability gap for engine-switchers)
+# ===========================================================================
+@register(
+    "q3_shipping_priority_topk",
+    """
+    SELECT okey, revenue, rk FROM (
+        SELECT l_orderkey AS okey,
+               CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS DOUBLE)
+                   AS revenue,
+               CAST(ROW_NUMBER() OVER (ORDER BY
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) DESC,
+                   l_orderkey) AS BIGINT) AS rk
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < DATE '1995-03-15'
+          AND l_shipdate > DATE '1995-03-15'
+        GROUP BY l_orderkey
+    ) WHERE rk <= 10
+    """,
+    doc="TPC-H Q3-style top-k: 3-way join, partial agg, deterministic "
+    "top-10 (revenue desc, key tiebreak) via rank — distributed TakeOrdered, "
+    "no global sort materialization",
+)
+def q3_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+    )
+    w = W.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select(F.col("l_orderkey").alias("okey"), "revenue", "rk")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(ROUND(SUM(l_extendedprice * l_discount), 6) AS DOUBLE)
+               AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    doc="TPC-H Q6-style filter-aggregate: every predicate pushed to the "
+    "scan, single partial+final agg, zero shuffle of data rows",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders_having",
+    """
+    SELECT o_orderkey AS okey,
+           CAST(ROUND(SUM(l_quantity), 6) AS DOUBLE) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey
+    HAVING SUM(l_quantity) > 150
+    """,
+    doc="TPC-H Q18-style HAVING: post-aggregation filter — Catalyst keeps "
+    "the aggregate partial and applies the predicate after the final merge",
+)
+def q18_large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum("l_quantity").alias("__tq"))
+        .filter(F.col("__tq") > 150)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.round(F.col("__tq"), 6).alias("total_qty"),
+        )
+    )
