@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 VARIANT_6KEY = [
     "start_pos",
