@@ -5,8 +5,10 @@ driver-side python used inside the applyInPandas kernel.
 
 from __future__ import annotations
 
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
 
 from variant_load_pipeline_spark.functions import translate as TR
 from variant_load_pipeline_spark.plans.postprocess import _revcomp, annotate_pair
@@ -108,3 +110,101 @@ def test_annotate_pair_non_coding_rows_have_no_aa(case):
     )
     assert "NON-CODING" in (out["location_name"] or "")
     assert out["ref_aa"] is None and out["var_aa"] is None
+
+
+# ---------------------------------------------------------------------------
+# Spark-backed equivalence properties (randomized, fixed seed via hypothesis)
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def _spark():
+    from variant_load_pipeline_spark.session import get_spark
+
+    return get_spark()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["1", "2"]),
+            st.integers(0, 500_000),
+            st.integers(0, 200_000),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(
+        st.tuples(st.sampled_from(["1", "2"]), st.integers(0, 600_000)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_binned_interval_join_equals_broadcast(_spark, intervals, points):
+    """The binned equi-join strategy returns EXACTLY the pairs the plain
+    broadcast range join returns, for random interval/point sets spanning
+    multiple bins (bin size 100k, intervals up to 200k long)."""
+    from variant_load_pipeline_spark.operators.interval_join import (
+        point_in_interval_join,
+    )
+
+    ivl = _spark.createDataFrame(
+        [(c, s, s + ln) for c, s, ln in intervals],
+        "ichrom string, gstart long, gstop long",
+    ).withColumn("ivl_id", F.monotonically_increasing_id())
+    pts = _spark.createDataFrame(points, "chrom string, pos long")
+
+    def pairs(strategy):
+        out = point_in_interval_join(
+            pts,
+            ivl,
+            point_chrom="chrom",
+            point_pos="pos",
+            ivl_chrom="ichrom",
+            ivl_start="gstart",
+            ivl_end="gstop",
+            strategy=strategy,
+        )
+        return sorted(
+            (r["chrom"], r["pos"], r["gstart"], r["gstop"])
+            for r in out.collect()
+        )
+
+    assert pairs("binned") == pairs("broadcast")
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["1", "2", "X"]), st.integers(0, 1000)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bucketed_row_number_equals_global(_spark, rows):
+    """bucketed_row_number ranks == global row_number over (bucket, keys)."""
+    from pyspark.sql.window import Window as W2
+
+    from variant_load_pipeline_spark.operators.windows import (
+        bucketed_row_number,
+    )
+
+    df = _spark.createDataFrame(rows, "chrom string, pos long")
+    got = sorted(
+        (r["chrom"], r["pos"], r["__rank"])
+        for r in bucketed_row_number(
+            df, order_keys=["pos"], bucket="chrom"
+        ).collect()
+    )
+    w = W2.orderBy("chrom", "pos")
+    exp = sorted(
+        (r["chrom"], r["pos"], r["rk"])
+        for r in df.withColumn(
+            "rk", F.row_number().over(w).cast("long")
+        ).collect()
+    )
+    assert got == exp

@@ -251,3 +251,24 @@ def test_polyphen_results_and_pairing(spark, tmp_path):
     by_pred = {r["prediction"]: r["variant_id"] for r in paired}
     assert by_pred == {"benign": 101, "damaging": 102}
     assert all(r["protein_status"] == "100 PERC MATCH" for r in paired)
+
+
+def test_cf2_gzip_transparent(spark, tmp_path):
+    """S1: gzip-compressed CF2 reads identically to plain text
+    (VariantLoad3.java:193-198 gzip branch)."""
+    import gzip as _gzip
+
+    from variant_load_pipeline_spark.sources import cf2 as cf2_src
+
+    line = "\t".join(
+        ["1", "100", "A", "G", "rs1", "20", "0", "0", "10", "30",
+         "hgvs1", "8650299", "10", "1", "30", ""]
+    )
+    plain = tmp_path / "v.cf2"
+    plain.write_text(line + "\n")
+    gz = tmp_path / "v.cf2.gz"
+    with _gzip.open(gz, "wt") as fh:
+        fh.write(line + "\n")
+    a = cf2_src.read_cf2(spark, str(plain)).collect()
+    b = cf2_src.read_cf2(spark, str(gz)).collect()
+    assert a == b and len(a) == 1
