@@ -238,3 +238,22 @@ def test_salted_join_matches_plain_join(spark):
         for r in left.join(right, ["chrom"]).collect()
     )
     assert got == exp and len(got) == 51
+
+
+def test_cosine_topk_pandas_matches_expression(spark):
+    from variant_load_pipeline_spark.operators import similarity as sim
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    a = {
+        (r["qid"], r["rk"]): r["nid"]
+        for r in sim.cosine_topk(e, q, k=5).collect()
+    }
+    b = {
+        (r["qid"], r["rk"]): r["nid"]
+        for r in sim.cosine_topk_pandas(e, q, k=5).collect()
+    }
+    assert a == b

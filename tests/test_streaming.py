@@ -130,3 +130,19 @@ def test_zygosity_style_running_ratio_batch(spark):
         by_wu.setdefault((r["window_start"], r["user_id"]), []).append(r["pct"])
     for pcts in by_wu.values():
         assert 98 <= sum(pcts) <= 102
+
+
+def test_dedup_stream_matches_batch(spark, tmp_path):
+    df = _mk_events(spark)
+    dup = df.unionByName(df.limit(4))  # re-deliver 4 events
+    src = str(tmp_path / "events_dup")
+    dup.write.parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = ev.dedup_stream(stream, keys=["event_id"])
+    q = ev.run_stream_to_memory(out, "dedup_test", output_mode="append")
+    got = sorted(
+        r["event_id"] for r in spark.sql("select * from dedup_test").collect()
+    )
+    exp = sorted(r["event_id"] for r in df.collect())
+    assert got == exp
+    q.stop()

@@ -208,3 +208,24 @@ def zygosity_style_running_ratio(
         .otherwise(F.lit(0))
         .alias("pct"),
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first event per key wins, duplicate arrivals
+    within the watermark horizon are dropped, and key state is pruned once
+    the watermark passes — the unbounded-input form of the J4/W5 dedup
+    family (a training-data ingest pipeline's online dedup stage).
+
+    Batch frames take the plain dropDuplicates path so the same call tests
+    both ways.
+    """
+    keys = keys or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
