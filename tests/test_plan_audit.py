@@ -65,8 +65,9 @@ def test_zygosity_stays_in_codegen(spark):
 )
 def test_no_python_udf_in_query_paths(spark, name):
     # BatchEvalPython = row-at-a-time Python UDF; ArrowEvalPython = pandas
-    # UDF.  Neither belongs in the declared query set — Python kernels are
-    # reserved for the CDS-assembly/multimodal applyInPandas paths.
+    # UDF.  Neither belongs in these query paths — Arrow-batched kernels are
+    # reserved for the CDS-assembly/multimodal/vectorized-ANN paths
+    # (ann_cosine_topk intentionally uses mapInPandas + numpy matmul).
     plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan

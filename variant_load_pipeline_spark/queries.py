@@ -910,9 +910,10 @@ def token_count_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import dot
 
-    # per-row norms computed once before the quadratic cross join (one fold
-    # per pair, not three); corpus side spread across cores (single-row-group
-    # fixture), query side broadcast
+    # Expression form: per-row norms precomputed, one JVM-side fold per
+    # pair.  The numpy-matmul alternative (cosine_topk_pandas) wins for
+    # high-dimensional/large corpora but pays Python-worker + Arrow startup
+    # that dominates at this corpus size — measured, not guessed.
     e = load(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
