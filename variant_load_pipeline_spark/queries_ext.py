@@ -1524,3 +1524,63 @@ def q18_large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("__tq"), 6).alias("total_qty"),
         )
     )
+
+
+# ===========================================================================
+# Window frames + exact percentiles (coverage beyond the reference's
+# running-state loops: sliding frames and distribution statistics)
+# ===========================================================================
+@register(
+    "events_moving_avg",
+    """
+    SELECT user_id, event_id,
+           CAST(ROUND(AVG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS DOUBLE)
+               AS mavg3
+    FROM events
+    """,
+    doc="Sliding-frame window: 3-event moving average per user ordered by "
+    "time — the frame form of the reference's running-state loops (W4), "
+    "partitioned on the natural key",
+)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("mavg3"),
+    )
+
+
+@register(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           CAST(ROUND(quantile_cont(value, 0.25), 6) AS DOUBLE) AS p25,
+           CAST(ROUND(quantile_cont(value, 0.5), 6) AS DOUBLE) AS p50,
+           CAST(ROUND(quantile_cont(value, 0.75), 6) AS DOUBLE) AS p75,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (JVM-side `percentile`, "
+    "not approx) — distribution stats the reference computes nowhere but "
+    "every data-quality pipeline needs",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
