@@ -1584,3 +1584,69 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ===========================================================================
+# Set operations (capability beyond the reference: INTERSECT / EXCEPT)
+# ===========================================================================
+@register(
+    "set_ops_intersect_except",
+    """
+    WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+               WHERE o_orderstatus = 'O'),
+    b AS (SELECT DISTINCT o_custkey AS k FROM orders
+          WHERE o_orderpriority = '1-URGENT'),
+    i AS (SELECT k FROM a INTERSECT SELECT k FROM b),
+    x AS (SELECT k FROM a EXCEPT SELECT k FROM b)
+    SELECT 'intersect' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM i
+    UNION ALL
+    SELECT 'except' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM x
+    """,
+    doc="INTERSECT / EXCEPT (the reference has UNION ALL only — SURVEY "
+    "§2.7); Catalyst plans both as hash semi/anti joins",
+)
+def set_ops_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    i = a.intersect(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect").alias("op"), "n"
+    )
+    x = a.exceptAll(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except").alias("op"), "n"
+    )
+    return i.unionByName(x)
+
+
+# ===========================================================================
+# Sketch aggregates (rows-only check: approximate results have no exact
+# SQL oracle — the driver records the weaker row-count check by design)
+# ===========================================================================
+@register(
+    "sketch_distinct_users",
+    None,
+    doc="HyperLogLog++ approximate distinct (rsd 2%) next to the exact "
+    "count and the observed relative error — self-validating sketch row; "
+    "no DuckDB oracle (approx algorithms differ across engines)",
+)
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import load_events
+
+    ev = load_events(spark, sf_dir)
+    agg = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "approx_users",
+        "exact_users",
+        F.round(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users"),
+            6,
+        ).alias("rel_error"),
+    )
