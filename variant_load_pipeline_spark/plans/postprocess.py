@@ -67,6 +67,7 @@ def annotate_pair(
     total_exon_count: int,
     is_non_coding: str,
     chr_seq: str,
+    prep: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     """Annotate one (variant, transcript) pair.
 
@@ -128,7 +129,38 @@ def annotate_pair(
             )
         return base
 
-    # --- processTranscript (:402-574) ---
+    # --- processTranscript (:402-574) --- via the cacheable prep + the
+    # per-variant step (identical algebra, split so kernels can memoize the
+    # variant-independent work per transcript — the Spark analog of the
+    # reference's per-gene dnaCache, VariantPostProcessing.java:1286-1307)
+    if prep is None:
+        prep = prepare_transcript(features, chr_seq)
+    return _annotate_with_prep(
+        base, prep, var_start, var_stop, ref_nuc, var_nuc
+    )
+
+
+def prepare_transcript(
+    features: list[tuple[str, int, int, str]], chr_seq: str
+) -> dict[str, Any]:
+    """Variant-independent transcript work, computed once per transcript:
+    UTR swap/trim (:405-412, :626-668), exon splice + reference DNA fetch,
+    strand normalization, triplet truncation, and the FULL reference-protein
+    translation.  Everything here is reused verbatim by every variant on
+    the transcript."""
+    strand = None
+    three_utr: list[int] | None = None
+    five_utr: list[int] | None = None
+    exons: list[list[int]] = []
+    for obj, start, stop, f_strand in features:
+        strand = f_strand
+        if obj == "3UTRS":
+            three_utr = [start, stop]
+        if obj == "5UTRS":
+            five_utr = [start, stop]
+        if obj == "EXONS":
+            exons.append([start, stop])
+
     if strand == "-":
         three_utr, five_utr = five_utr, three_utr
 
@@ -151,6 +183,37 @@ def annotate_pair(
                 f[0] = -1
                 f[1] = -1
 
+    chunks = [chr_seq[start - 1 : stop] for start, stop in exons if start != -1]
+    ref_dna_raw = "".join(chunks).lower()
+    pre_len = len(ref_dna_raw)
+    ref_stranded = _revcomp(ref_dna_raw) if strand == "-" else ref_dna_raw
+    triplet_error = "F"
+    ref_trunc = ref_stranded
+    if len(ref_trunc) % 3 != 0:
+        triplet_error = "T"
+        ref_trunc = ref_trunc[: len(ref_trunc) - (len(ref_trunc) % 3)]
+    return {
+        "strand": strand,
+        "exons": exons,
+        "ref_dna_raw": ref_dna_raw,
+        "pre_len": pre_len,
+        "ref_trunc_len": len(ref_trunc),
+        "triplet_error": triplet_error,
+        "ref_aa_seq": translate_dna_py(ref_trunc),
+    }
+
+
+def _annotate_with_prep(
+    base: dict[str, Any],
+    prep: dict[str, Any],
+    var_start: int,
+    var_stop: int,
+    ref_nuc: str | None,
+    var_nuc: str | None,
+) -> dict[str, Any]:
+    exons = prep["exons"]
+    strand = prep["strand"]
+
     # relative position (:421-449)
     rel_pos = 0
     found = False
@@ -164,10 +227,7 @@ def annotate_pair(
     if not found:
         return base  # exon-UTR region: location-only row
 
-    # splice DNA from kept exons (1-based inclusive substrings)
-    chunks = [chr_seq[start - 1 : stop] for start, stop in exons if start != -1]
-    ref_dna = "".join(chunks).lower()
-    var_dna = ref_dna
+    var_dna = prep["ref_dna_raw"]
 
     # apply the variant (:472-492) — deletion length quirk preserved
     if var_nuc is None or var_nuc == "" or "-" in (var_nuc or ""):
@@ -185,35 +245,34 @@ def annotate_pair(
     else:
         var_dna = var_dna[: rel_pos - 1] + var_nuc + var_dna[rel_pos:]
 
-    # '-' strand flip (:502-518)
+    # '-' strand flip (:502-518) — rel_pos flips on the PRE-truncation length
     if strand == "-":
-        rel_pos = len(ref_dna) - rel_pos + 1
-        ref_dna = _revcomp(ref_dna)
+        rel_pos = prep["pre_len"] - rel_pos + 1
         var_dna = _revcomp(var_dna)
 
-    # triplet truncation (:520-542)
-    triplet_error = "F"
-    if len(ref_dna) % 3 != 0:
-        triplet_error = "T"
-        ref_dna = ref_dna[: len(ref_dna) - (len(ref_dna) % 3)]
+    # triplet truncation (:520-542); the ref side is cached in prep
     if len(var_dna) % 3 != 0:
         var_dna = var_dna[: len(var_dna) - (len(var_dna) % 3)]
 
     if rel_pos < 1:
         return base  # SKIPPED -> location-only row
 
-    # handleTranslatedProtein (:576-624)
-    ref_aa_seq = translate_dna_py(ref_dna)
-    var_aa_seq = translate_dna_py(var_dna)
+    # handleTranslatedProtein (:576-624); the full ref protein comes from
+    # the prep cache and the var side translates ONLY the affected codon
+    # (codon boundaries align, so the single-codon translation equals
+    # var_aa_seq[pos-1] of the full translation)
+    ref_aa_seq = prep["ref_aa_seq"]
     pos = 1 + (rel_pos - 1) // 3
-    if not (0 < pos <= len(ref_aa_seq) and pos <= len(var_aa_seq)):
+    if not (0 < pos <= len(ref_aa_seq) and pos * 3 <= len(var_dna)):
         return base
     l_ref = ref_aa_seq[pos - 1]
-    l_var = var_aa_seq[pos - 1]
+    l_var = translate_dna_py(var_dna[(pos - 1) * 3 : (pos - 1) * 3 + 3])
     syn = "synonymous" if l_ref == l_var else "nonsynonymous"
     if l_ref == "X" or l_var == "X":
         syn = "unassignable"
-    frameshift = "T" if abs(len(ref_dna) - len(var_dna)) % 3 != 0 else "F"
+    frameshift = (
+        "T" if abs(prep["ref_trunc_len"] - len(var_dna)) % 3 != 0 else "F"
+    )
     out = dict(base)
     out.update(
         {
@@ -222,7 +281,7 @@ def annotate_pair(
             "syn_status": syn,
             "full_ref_aa_pos": pos,
             "full_ref_nuc_pos": rel_pos,
-            "triplet_error": triplet_error,
+            "triplet_error": prep["triplet_error"],
             "frameshift": frameshift,
             "full_ref_aa_seq": ref_aa_seq,
         }
@@ -358,6 +417,7 @@ def annotate_variants(
         import pandas as pd
 
         seqs = bc.value
+        prep_cache: dict[tuple, dict] = {}
         for pdf in iterator:
             rows = []
             for r in pdf.itertuples(index=False):
@@ -366,6 +426,11 @@ def annotate_variants(
                     (f["object_name"], f["start_pos"], f["stop_pos"], f["strand"])
                     for f in r.features
                 ]
+                key = (r.transcript_rgd_id, r.v_chrom)
+                prep = prep_cache.get(key)
+                if prep is None:
+                    prep = prepare_transcript(feats, chr_seq)
+                    prep_cache[key] = prep
                 res = annotate_pair(
                     int(r.var_start),
                     int(r.var_stop),
@@ -375,6 +440,7 @@ def annotate_variants(
                     int(r.total_exon_count),
                     r.is_non_coding_ind or "N",
                     chr_seq,
+                    prep=prep,
                 )
                 rows.append(
                     {
@@ -465,7 +531,9 @@ def _annotate_chunked(
         .agg(
             F.first("features").alias("features"),
             F.first("total_exon_count").alias("total_exon_count"),
-            F.min("chunk_start").alias("seq_offset"),
+            F.first("t_lo").alias("t_lo"),
+            F.first("t_hi").alias("t_hi"),
+            F.min("chunk_start").alias("chunk0"),
             F.array_join(
                 F.transform(
                     F.array_sort(
@@ -474,6 +542,20 @@ def _annotate_chunked(
                     lambda st: st["cseq"],
                 ),
                 "",
+            ).alias("chunk_seq"),
+        )
+        # trim to the transcript's span: without this every transcript
+        # carries whole chunks (chunk_size bytes for a ~kb span) through the
+        # shuffle — the trim cuts shuffled sequence bytes by ~chunk/span
+        .select(
+            "t_tid",
+            "t_chrom",
+            "features",
+            "total_exon_count",
+            F.col("t_lo").alias("seq_offset"),
+            F.expr(
+                "substring(chunk_seq, cast(t_lo - chunk0 + 1 as int), "
+                "cast(t_hi - t_lo + 1 as int))"
             ).alias("local_seq"),
         )
     )
@@ -515,6 +597,7 @@ def _annotate_chunked(
                     )
                     for f in r.features
                 ]
+                prep = prepare_transcript(feats, r.local_seq)
                 for vr in r.vars:
                     res = annotate_pair(
                         int(vr["var_start"]) - shift,
@@ -525,6 +608,7 @@ def _annotate_chunked(
                         int(r.total_exon_count),
                         r.is_non_coding_ind or "N",
                         r.local_seq,
+                        prep=prep,
                     )
                     rows.append(
                         {
