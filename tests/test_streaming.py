@@ -146,3 +146,85 @@ def test_dedup_stream_matches_batch(spark, tmp_path):
     exp = sorted(r["event_id"] for r in df.collect())
     assert got == exp
     q.stop()
+
+
+def _mk_cf2(spark):
+    from variant_load_pipeline_spark.schemas import CF2_SCHEMA
+
+    rows = [
+        # chr, position, ref, var, rs, cA, cC, cG, cT, total_depth, hgvs,
+        # rgd, allele_depth, allele_count, read_depth, padding
+        ("1", 100, "A", "G", "rs1", 5, 0, 25, 0, 30, "h", 1, 25, 1, 30, ""),
+        ("1", 5000, "C", "T", "", 0, 10, 0, 10, 20, "h", 2, 10, 1, 20, ""),
+        ("2", 777, "G", "A", "", 9, 0, 0, 0, 9, "h", 3, 9, 1, 9, ""),
+    ]
+    return spark.createDataFrame(rows, CF2_SCHEMA)
+
+
+def test_variant_load_stream_matches_batch(spark, tmp_path):
+    from variant_load_pipeline_spark.plans.load import SampleInfo
+    from variant_load_pipeline_spark.streaming.variants import (
+        variant_load_stream,
+    )
+
+    cf2 = _mk_cf2(spark)
+    genes = spark.createDataFrame(
+        [(7, "1", 50, 200, 1, "ACTIVE")],
+        ["gene_rgd_id", "chromosome", "start_pos", "stop_pos", "map_key",
+         "object_status"],
+    )
+    sample = SampleInfo(sample_id=9, gender="M", map_key=1)
+
+    src = str(tmp_path / "cf2_stream")
+    cf2.write.parquet(src)
+    stream = spark.readStream.schema(cf2.schema).parquet(src)
+    out = variant_load_stream(stream, sample, genes).select(
+        "chr", "position", "genic_status", "zygosity_status", "score"
+    )
+    q = ev.run_stream_to_memory(out, "vload_stream", output_mode="append")
+    got = sorted(
+        tuple(r) for r in spark.sql("select * from vload_stream").collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in variant_load_stream(cf2, sample, genes)
+        .select("chr", "position", "genic_status", "zygosity_status", "score")
+        .collect()
+    )
+    assert got == exp and len(got) == 3
+    by_pos = {r[1]: r[2] for r in got}
+    assert by_pos[100] == "GENIC"       # inside gene 50-200
+    assert by_pos[5000] == "INTERGENIC"
+    assert by_pos[777] == "INTERGENIC"  # other chromosome
+    q.stop()
+
+
+def test_genic_status_bucketed_matches_batch_join(spark):
+    """The bucket-probe genic operator agrees with the semi/anti-join batch
+    form on a position sweep crossing bin boundaries."""
+    from variant_load_pipeline_spark.plans.load import attach_genic_status
+    from variant_load_pipeline_spark.streaming.variants import (
+        genic_status_bucketed,
+    )
+
+    genes = spark.createDataFrame(
+        [(1, "1", 99_990, 100_020, 1, "ACTIVE"),  # straddles a 100k bin edge
+         (2, "1", 250_000, 260_000, 1, "ACTIVE")],
+        ["gene_rgd_id", "chromosome", "start_pos", "stop_pos", "map_key",
+         "object_status"],
+    )
+    v = spark.createDataFrame(
+        [("1", p) for p in
+         [99_989, 99_990, 100_000, 100_020, 100_021, 255_000, 1]],
+        ["chr", "position"],
+    )
+    a = {
+        r["position"]: r["genic_status"]
+        for r in genic_status_bucketed(v, genes).collect()
+    }
+    b = {
+        r["position"]: r["genic_status"]
+        for r in attach_genic_status(v, genes).collect()
+    }
+    assert a == b
+    assert a[99_990] == "GENIC" and a[99_989] == "INTERGENIC"
