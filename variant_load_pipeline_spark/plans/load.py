@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 
 from ..functions import scalar
 from ..functions import zygosity as Z
-from ..operators.interval_join import point_in_interval_join
 from ..operators.upsert import dedup_upsert
 
 
@@ -133,30 +132,18 @@ def attach_genic_status(
     variants: DataFrame, genes: DataFrame, strategy: str = "binned"
 ) -> DataFrame:
     """J2: point-in-interval probe against ACTIVE gene intervals ->
-    GENIC/INTERGENIC (VariantLoad3.java:682-692 via GeneCache)."""
-    g = genes
-    if "object_status" in g.columns:
-        g = g.filter(F.col("object_status") == "ACTIVE")
-    g = g.select(
-        F.col("chromosome").alias("g_chrom"),
-        F.col("start_pos").alias("g_start"),
-        F.col("stop_pos").alias("g_stop"),
-    )
-    kw = dict(
-        point_chrom="chr",
-        point_pos="position",
-        ivl_chrom="g_chrom",
-        ivl_start="g_start",
-        ivl_end="g_stop",
-        strategy=strategy,
-    )
-    hit = point_in_interval_join(variants, g, how="left_semi", **kw).withColumn(
-        "genic_status", F.lit("GENIC")
-    )
-    miss = point_in_interval_join(variants, g, how="left_anti", **kw).withColumn(
-        "genic_status", F.lit("INTERGENIC")
-    )
-    return hit.unionByName(miss)
+    GENIC/INTERGENIC (VariantLoad3.java:682-692 via GeneCache).
+
+    Physical form: ONE left join against the broadcast (chromosome, bin) ->
+    interval-array table plus an `exists` containment probe — a single pass
+    over the variants instead of the semi/anti pair (which scans twice and
+    unions), and the same operator works on streaming frames (stream-static
+    anti joins are unsupported).  Equivalence to the semi/anti form is
+    pinned by tests/test_streaming.py::test_genic_status_bucketed_matches_batch_join.
+    """
+    from ..streaming.variants import genic_status_bucketed
+
+    return genic_status_bucketed(variants, genes)
 
 
 def assign_ids(variants: DataFrame, existing: DataFrame | None) -> DataFrame:
