@@ -25,23 +25,25 @@ from variant_load_pipeline_spark import queries as Q  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the VariantLoad3 slice — synthesized variants with full
-    zygosity annotation + interval-join genic status at sf0.001."""
+    zygosity annotation + genic status at sf0.001.  Genic status uses the
+    single-pass bucket-probe (broadcast (chrom, bin) -> interval arrays +
+    `exists`), the same operator the batch and streaming load plans share."""
     sf_dir = "/root/testdata/sf0.001"
     from pyspark.sql import functions as F
 
+    from variant_load_pipeline_spark.streaming.variants import (
+        genic_status_bucketed,
+    )
+
     v = Q.zygosity_snv(spark, sf_dir)
-    g = Q._gene_cols(Q.load(spark, sf_dir, "part"))
-    genic = v.join(
-        F.broadcast(g),
-        (v.chrom == g.chrom) & (v.pos >= g.gstart) & (v.pos <= g.gstop),
-        "left_semi",
-    ).withColumn("genic_status", F.lit("GENIC"))
-    intergenic = v.join(
-        F.broadcast(g),
-        (v.chrom == g.chrom) & (v.pos >= g.gstart) & (v.pos <= g.gstop),
-        "left_anti",
-    ).withColumn("genic_status", F.lit("INTERGENIC"))
-    return genic.unionByName(intergenic)
+    g = Q._gene_cols(Q.load(spark, sf_dir, "part")).select(
+        F.col("chrom").alias("chromosome"),
+        F.col("gstart").alias("start_pos"),
+        F.col("gstop").alias("stop_pos"),
+    )
+    return genic_status_bucketed(
+        v, g, chrom_col="chrom", pos_col="pos"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
