@@ -41,6 +41,19 @@ def test_five_way_join_broadcasts_dims(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_topk_query_broadcasts_filtered_dim(spark):
+    plan = plan_of(spark, "q3_shipping_priority_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan
+
+
+def test_label_blocked_near_dup_is_equi_join(spark):
+    # the label block must plan as a hash equi join, never a cross join
+    plan = plan_of(spark, "emb_near_dup_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_zygosity_stays_in_codegen(spark):
     plan = plan_of(spark, "zygosity_snv")
     # formatted mode tags whole-stage-codegen'd operators with [codegen id]
