@@ -54,3 +54,51 @@ def test_frame_sample_plan(spark):
     # media 3 has 3000 bytes -> 3 frames
     assert per_media[3] == [0, 1, 2]
     assert per_media[4] == [0]
+
+
+def test_resize_images_batch_contract(spark):
+    from variant_load_pipeline_spark.multimodal import binary_ops as B
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b""))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in B.resize_images(df, 4, 4).collect()}
+    assert len(out[1]["payload"]) == 4 * 4 * 3
+    assert out[1]["width"] == 4 and out[1]["height"] == 4
+    assert len(out[2]["payload"]) == 0 or len(out[2]["payload"]) == 4 * 4 * 3
+
+
+def test_extract_features_feeds_similarity(spark):
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark.multimodal import binary_ops as B
+    from variant_load_pipeline_spark.operators.similarity import cosine
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"aaa")), (2, bytearray(b"aaa")), (3, bytearray(b"zzz"))],
+        "media_id long, payload binary",
+    )
+    emb = B.extract_features(df)
+    rows = {r["media_id"]: r["embedding"] for r in emb.collect()}
+    assert len(rows[1]) == B.EMBED_DIM
+    assert rows[1] == rows[2] != rows[3]  # deterministic, content-addressed
+    # the embedding column plugs straight into the cosine operators
+    a = emb.select(F.col("media_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("media_id").alias("ib"), F.col("embedding").alias("vb"))
+    sims = a.crossJoin(b).filter(F.col("ia") < F.col("ib")).select(
+        "ia", "ib", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim")
+    ).collect()
+    by_pair = {(r["ia"], r["ib"]): r["sim"] for r in sims}
+    assert by_pair[(1, 2)] == 1.0
+    assert by_pair[(1, 3)] < 1.0
+
+
+def test_extract_features_real_codec_raises(spark):
+    import pytest as _pytest
+
+    from variant_load_pipeline_spark.multimodal import binary_ops as B
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, payload binary")
+    with _pytest.raises(NotImplementedError):
+        B.extract_features(df, codec="onnx")

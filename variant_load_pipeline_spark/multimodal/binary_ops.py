@@ -141,3 +141,105 @@ def frame_sample_plan(
             )
         ).alias("frame_idx"),
     )
+
+
+EMBED_DIM = 16
+
+EMBEDDING_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    codec: str = "fake",
+) -> DataFrame:
+    """Resize stage: (media_id, payload) -> (media_id, payload, width,
+    height) with the resized payload.  The pixel work is stubbed (the fake
+    'resize' is a deterministic byte slice/pad to the target size) but the
+    batch shape — Arrow in, Arrow out, binary column preserved — is the real
+    pipeline contract a libvips/PIL kernel would drop into."""
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec '{codec}' requires an image library not present here"
+        )
+    target = width * height * 3
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                raw = bytes(getattr(r, payload_col) or b"")
+                resized = (raw * (target // max(1, len(raw)) + 1))[:target]
+                rows.append(
+                    {
+                        "media_id": getattr(r, id_col),
+                        "payload": resized,
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "width", "height"]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    codec: str = "fake",
+) -> DataFrame:
+    """Feature-extraction stage: payload -> fixed-dim embedding
+    (array<double>), the column the similarity/ANN operators consume.
+    The fake encoder hashes byte windows into EMBED_DIM deterministic
+    components; a real model server / ONNX kernel replaces `encode` only."""
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec '{codec}' requires a model runtime not present here"
+        )
+
+    def encode(raw: bytes) -> list[float]:
+        import hashlib
+
+        out = []
+        for i in range(EMBED_DIM):
+            h = hashlib.md5(raw + bytes([i])).digest()
+            out.append(round(int.from_bytes(h[:4], "big") / 2**32, 6))
+        return out
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                {
+                    "media_id": getattr(r, id_col),
+                    "embedding": encode(bytes(getattr(r, payload_col) or b"")),
+                }
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "embedding"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=EMBEDDING_SCHEMA
+    )
