@@ -302,3 +302,54 @@ def test_cli_polyphen_full_chain(spark, tmp_path):
     for part in _glob.glob(f"{out}/part-*"):
         lines += open(part).read().splitlines()
     assert lines == ["NP_1 4 T K"]
+
+
+def test_cli_zygosity_perc_read_fixup(spark, tmp_path):
+    variants = str(tmp_path / "variants_zp")
+    # group (7,'1',100): total var_freq = 40; row1 pct = 100*10/40 = 25
+    spark.createDataFrame(
+        [
+            (1, 7, "1", 100, 10, 25),   # up to date
+            (2, 7, "1", 100, 30, 75),   # up to date
+            (3, 7, "1", 200, 5, 99),    # lone row: pct = 100 -> fixed
+        ],
+        "rgd_id long, sample_id int, chromosome string, start_pos long, "
+        "var_freq int, zygosity_percent_read int",
+    ).write.parquet(variants)
+    out = str(tmp_path / "zp_report")
+    main(
+        ["--tool", "ZygosityPercReadFixUp", "--variants", variants, "--out", out],
+        spark,
+    )
+    got = {r["status"]: r["n"] for r in spark.read.parquet(out).collect()}
+    assert got == {"up_to_date": 2, "fixed": 1}
+
+
+def test_cli_module_subprocess(tmp_path):
+    """`python -m variant_load_pipeline_spark --tool ...` works end to end
+    as a real OS process (own SparkSession, parquet out)."""
+    import os
+    import subprocess
+    import sys
+
+    wig = tmp_path / "s.wig"
+    wig.write_text("fixedStep chrom=chr1 start=10 step=5\n0.1\n0.2\n")
+    out = str(tmp_path / "cons_sub")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "variant_load_pipeline_spark",
+            "--tool", "ConservationScoreLoader",
+            "--wiggle", str(wig), "--out", out,
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import duckdb
+
+    rows = duckdb.sql(f"SELECT chr, position, score FROM '{out}/*.parquet' ORDER BY position").fetchall()
+    assert rows == [("1", 10, 0.1), ("1", 15, 0.2)]
