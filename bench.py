@@ -36,6 +36,12 @@ HEADLINE = [
     "emb_near_dup_cosine",
     "ann_ivf_topk",
     "doc_fingerprint_rolling",
+    "q3_shipping_priority_topk",
+    "q6_forecast_revenue",
+    "a8_feature_counts_cube",
+    "s3_s4_vcf_field_parse",
+    "bpe_token_counts",
+    "lang_id_scores",
 ]
 
 

@@ -1650,3 +1650,65 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_error"),
     )
+
+
+@register(
+    "q4_order_priority_exists",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-07-01'
+      AND o_orderdate < DATE '1996-10-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4-style EXISTS: correlated subquery -> left semi join "
+    "(Catalyst rewrites NOT EXISTS/EXISTS to anti/semi, SURVEY §4)",
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("date"))
+    )
+    late = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    WITH per_cust AS (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_custs
+    FROM per_cust GROUP BY n_orders
+    """,
+    doc="TPC-H Q13-style distribution: LEFT OUTER join with a join-side "
+    "predicate, count(nullable) semantics (zero-order customers kept), "
+    "double aggregation",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_custs")
+    )
