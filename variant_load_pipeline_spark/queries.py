@@ -179,12 +179,15 @@ _GENE_SQL = """
 @register(
     "q1_pricing_summary",
     """
+    -- money sums in DECIMAL: double summation order differs across engines
+    -- and exceeds 6-dp rounding at large row counts; decimal sums are exact
+    -- and order-independent (per-row double->decimal cast is deterministic)
     SELECT l_returnflag, l_linestatus,
-           CAST(ROUND(SUM(l_quantity), 6) AS DOUBLE) AS sum_qty,
-           CAST(ROUND(SUM(l_extendedprice), 6) AS DOUBLE) AS sum_base_price,
-           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS DOUBLE) AS sum_disc_price,
-           CAST(ROUND(AVG(l_quantity), 6) AS DOUBLE) AS avg_qty,
-           CAST(ROUND(AVG(l_discount), 6) AS DOUBLE) AS avg_disc,
+           CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS avg_qty,
+           CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '1998-09-02'
@@ -193,19 +196,29 @@ _GENE_SQL = """
     doc="TPC-H Q1-style pricing summary: partial aggregation, pushed filter (A1/A7 analog)",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # money sums aggregate in DECIMAL (exact, order-independent) so results
+    # are reproducible across partitionings AND engines — double partial
+    # sums reassociate differently per run/engine and drift past 6-dp
+    # rounding at 100 TB row counts
     li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    qty = F.sum(dec(F.col("l_quantity")))
+    disc = F.sum(dec(F.col("l_discount")))
+    base = F.sum(dec(F.col("l_extendedprice")))
+    disc_price = F.sum(
+        dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    )
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(qty.cast("double"), 6).alias("sum_qty"),
+            F.round(base.cast("double"), 6).alias("sum_base_price"),
+            F.round(disc_price.cast("double"), 6).alias("sum_disc_price"),
+            F.round(qty.cast("double") / n, 6).alias("avg_qty"),
+            F.round(disc.cast("double") / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -214,7 +227,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     """
     SELECT n_name,
-           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE) AS revenue
+           CAST(ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -244,8 +257,14 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
+            # DECIMAL sum: order-independent across partitionings/engines
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                4,
             ).alias("revenue")
         )
     )
