@@ -84,3 +84,27 @@ def test_no_python_udf_in_query_paths(spark, name):
     plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["w6_first_match_wins", "j16_consume_first_match", "j4_dedup_upsert_ids",
+     "w1_sorted_export_rank", "j6_j8_transcript_features"],
+)
+def test_order_sensitive_queries_partitioning_invariant(spark, name):
+    """The order-dependent operators (first-match-wins, consume-first-match
+    pairing, deterministic id allocation, sorted export, load-bearing
+    feature order) must produce IDENTICAL results under different shuffle
+    partitionings — the determinism contract of SURVEY §7.4."""
+    def rows():
+        df = Q.registry()[name].spark_fn(spark, SF)
+        return sorted(tuple(r) for r in df.collect())
+
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    a = rows()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        b = rows()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert a == b
