@@ -1470,8 +1470,8 @@ def q3_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     """
-    SELECT CAST(ROUND(SUM(l_extendedprice * l_discount), 6) AS DOUBLE)
-               AS revenue,
+    SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice * l_discount
+               AS DECIMAL(18,6))) AS DOUBLE), 6) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem
     WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
@@ -1491,8 +1491,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
+            # DECIMAL sum: summation-order-independent (see q1)
             F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                6,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
