@@ -210,3 +210,42 @@ def test_polyphen_input_chain(spark):
     assert r["left_flank"] == "MGD"
     assert r["right_flank"] == "KLSWE"
     assert r["flank_match"] == "Y"  # residue 4 is 'T' == ref_aa
+
+
+def test_convert_format_semicolon_quirk(spark, tmp_path):
+    """The reference splits FORMAT on ';' when it contains one
+    (VcfToCommonFormat2Converter.java:187-189) — both separator styles must
+    parse to the same AD/DP fields."""
+    vcf_lines = [
+        "##fileformat=VCFv4.1",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+        "chr1\t100\t.\tA\tG\t50\tPASS\t.\tGT;AD;DP\t0/1:20,10:30",
+        "chr1\t200\t.\tC\tT\t50\tPASS\t.\tGT:AD:DP\t0/1:8,4:12",
+    ]
+    p = tmp_path / "fmt.vcf"
+    p.write_text("\n".join(vcf_lines) + "\n")
+    out = convert.convert_vcf_to_cf2(spark, str(p))
+    rows = {r["position"]: r for r in out.collect()}
+    assert rows[100]["total_depth"] == 30
+    assert rows[100]["allele_depth"] == 10
+    assert rows[200]["total_depth"] == 12
+    assert rows[200]["allele_depth"] == 4
+
+
+def test_export_vcf_gzip(spark, tmp_path):
+    import glob
+    import gzip
+
+    from variant_load_pipeline_spark.plans.export import export_vcf
+
+    df = spark.createDataFrame(
+        [("1", 5, "rs1", "A", "G", 7)],
+        "chromosome string, position int, id string, ref string, "
+        "alt string, depth int",
+    )
+    out = str(tmp_path / "v_gz")
+    export_vcf(df, out, compress=True)
+    [part] = glob.glob(f"{out}/part-*.txt.gz")
+    lines = gzip.open(part, "rt").read().splitlines()
+    assert lines[0].startswith("##fileformat")
+    assert lines[-1].split("\t")[:2] == ["1", "5"]
