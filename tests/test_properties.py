@@ -208,3 +208,59 @@ def test_bucketed_row_number_equals_global(_spark, rows):
         ).collect()
     )
     assert got == exp
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 5)),
+        min_size=0,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 5)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_consume_first_match_equals_greedy_reference(_spark, lrows, rrows):
+    """J16 pairing == a python greedy consume-first-match loop: walk the
+    ordered left rows per key, pop the first unconsumed ordered right row."""
+    from variant_load_pipeline_spark.operators.windows import (
+        consume_first_match_join,
+    )
+
+    l = _spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(lrows)], "k string, lv int, lid int"
+    )
+    r = _spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rrows)], "k string, rv int, rid int"
+    )
+    got = sorted(
+        (row["k"], row["lid"], row["rid"])
+        for row in consume_first_match_join(
+            l, r, keys=["k"], left_order=["lv", "lid"], right_order=["rv", "rid"]
+        ).collect()
+    )
+
+    # greedy reference: per key, ordered left pops ordered right
+    from collections import defaultdict
+
+    pools = defaultdict(list)
+    for i, (k, v) in enumerate(rrows):
+        pools[k].append((v, i))
+    for k in pools:
+        pools[k].sort()
+    exp = []
+    lefts = sorted(
+        ((k, v, i) for i, (k, v) in enumerate(lrows)),
+        key=lambda t: (t[0], t[1], t[2]),
+    )
+    consumed = defaultdict(int)
+    for k, v, i in lefts:
+        idx = consumed[k]
+        if idx < len(pools[k]):
+            exp.append((k, i, pools[k][idx][1]))
+            consumed[k] += 1
+    assert got == sorted(exp)
