@@ -206,8 +206,17 @@ def test_cli_vcf8col_converter(spark, tmp_path):
     out = str(tmp_path / "cf28")
     main(["--tool", "Vcf8ColConverter", "--vcf", str(vcf), "--out", out], spark)
     rows = spark.read.option("sep", "\t").csv(out).collect()
-    # 2 alt-allele rows + imputed ref row (20 - 16 = 4 > 0)
+    # 2 alt-allele rows + imputed ref row (20 - 16 = 4 > 0), full 16-col CF2
     assert len(rows) == 3
+    assert all(len(r) == 16 for r in rows)
+    # the round-trip contract: read back through the CF2 reader
+    from variant_load_pipeline_spark.sources.cf2 import read_cf2
+
+    back = read_cf2(spark, out)
+    by_var = {r["var_nuc"]: r for r in back.collect()}
+    assert by_var["G"]["allele_depth"] == 9
+    assert by_var["T"]["allele_depth"] == 7
+    assert by_var["A"]["allele_depth"] == 4  # imputed ref depth
 
 
 def test_cli_genic_status_fixup(spark, tmp_path):

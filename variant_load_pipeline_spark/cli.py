@@ -133,7 +133,37 @@ def _vcf8col_converter(spark, args) -> None:
         ~F.array_contains(F.split(F.col("var_nuc"), ","), F.col("ref_nuc"))
         | (F.col("allele_depth") > 0)
     ).filter(F.col("allele_depth") > 0)
-    write_cf2(exploded.unionByName(ref_depth), args.out, compress=args.gzip)
+    rows = exploded.unionByName(ref_depth)
+    # project to the full 16-col CF2 layout (CommonFormat2Line.java:8-33):
+    # per-base counts carry this allele's depth, unknown fields empty/zero
+    n_alts = F.size(F.split(F.col("var_nuc"), ","))
+
+    def base_count(b: str):
+        return (
+            F.when(F.col("var_nuc") == b, F.col("allele_depth"))
+            .otherwise(F.lit(0))
+            .cast("int")
+        )
+
+    cf2_rows = rows.select(
+        "chr",
+        "position",
+        "ref_nuc",
+        "var_nuc",
+        F.lit("").alias("rs_id"),
+        base_count("A").alias("count_a"),
+        base_count("C").alias("count_c"),
+        base_count("G").alias("count_g"),
+        base_count("T").alias("count_t"),
+        F.col("total_depth").cast("int").alias("total_depth"),
+        F.lit("").alias("hgvs_name"),
+        F.lit(0).cast("long").alias("rgd_id"),
+        F.col("allele_depth").cast("int").alias("allele_depth"),
+        n_alts.cast("int").alias("allele_count"),
+        F.col("allele_depth").cast("int").alias("read_depth"),
+        F.lit("").alias("padding_base"),
+    )
+    write_cf2(cf2_rows, args.out, compress=args.gzip)
 
 
 @tool("VariantLoad3")
