@@ -215,3 +215,51 @@ def test_annotate_variants_chunked_matches_broadcast(spark):
 
     assert rows("chunked", 5) == rows("broadcast", 5)
     assert rows("chunked", 4) == rows("broadcast", 1_000_000)
+
+
+def test_annotate_variants_chunked_multichrom(spark):
+    """Chunked path with transcripts on two chromosomes: per-(transcript,
+    chromosome) grouping must keep each local sequence on its own chrom."""
+    variants = spark.createDataFrame(
+        [(201, "1", 10, 11, "C", "A"), (202, "2", 10, 11, "C", "A")],
+        ["rgd_id", "chromosome", "start_pos", "end_pos", "ref_nuc", "var_nuc"],
+    )
+    genes = spark.createDataFrame(
+        [(7, "1", 1, 20, 1, "ACTIVE"), (8, "2", 1, 20, 1, "ACTIVE")],
+        ["gene_rgd_id", "chromosome", "start_pos", "stop_pos", "map_key",
+         "object_status"],
+    )
+    transcripts = spark.createDataFrame(
+        [(70, 7, "N", "NM_1", "NP_1"), (80, 8, "N", "NM_2", "NP_2")],
+        ["transcript_rgd_id", "gene_rgd_id", "is_non_coding_ind", "acc_id",
+         "protein_acc_id"],
+    )
+    features = spark.createDataFrame(
+        [(70, "EXONS", "+", "1", 1, 15, 1), (80, "EXONS", "+", "2", 1, 15, 1)],
+        ["transcript_rgd_id", "object_name", "strand", "chromosome",
+         "start_pos", "stop_pos", "map_key"],
+    )
+    # different sequences per chromosome -> different amino acids prove the
+    # right chromosome's bytes reached each kernel group
+    fasta = spark.createDataFrame(
+        [("1", "ACG" * 10), ("2", "GGG" * 10)], ["chromosome", "seq"]
+    )
+    out = {
+        (r["variant_rgd_id"], r["transcript_rgd_id"]): r
+        for r in annotate_variants(
+            variants, genes, transcripts, features, fasta, map_key=1,
+            fasta_strategy="chunked", chunk_size=7,
+        ).collect()
+    }
+    assert set(out) == {(201, 70), (202, 80)}
+    bro = {
+        (r["variant_rgd_id"], r["transcript_rgd_id"]): r
+        for r in annotate_variants(
+            variants, genes, transcripts, features, fasta, map_key=1,
+        ).collect()
+    }
+    for k in out:
+        assert out[k]["ref_aa"] == bro[k]["ref_aa"]
+        assert out[k]["var_aa"] == bro[k]["var_aa"]
+    # chromosome 2's all-G sequence translates ref to glycine
+    assert bro[(202, 80)]["ref_aa"] == "G"
