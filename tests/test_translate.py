@@ -55,3 +55,32 @@ def test_expression_matches_python_exhaustive(spark):
     rows = df.select("dna", translate_dna(F.col("dna")).alias("aa")).collect()
     for r in rows:
         assert r["aa"] == translate_dna_py(r["dna"]), r["dna"]
+
+
+def test_jvm_expression_equals_python_kernel(spark):
+    """The JVM CASE-expression translate (query path) and the python
+    translate (applyInPandas CDS kernel) share one codon table — prove the
+    two code paths cannot diverge on random DNA incl. N and trailing bases."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark.functions.translate import (
+        translate_dna,
+        translate_dna_py,
+    )
+
+    rng = random.Random(99)
+    seqs = [
+        "".join(rng.choice("ACGTN") for _ in range(rng.randrange(0, 60)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(s,) for s in seqs], ["dna"])
+    got = {
+        r["dna"]: r["protein"]
+        for r in df.select(
+            "dna", translate_dna(F.col("dna")).alias("protein")
+        ).collect()
+    }
+    for s in seqs:
+        assert got[s] == translate_dna_py(s), s
