@@ -47,6 +47,33 @@ def test_topk_query_broadcasts_filtered_dim(spark):
     assert "PushedFilters" in plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority_topk", "j4_dedup_upsert_ids",
+     "w1_sorted_export_rank"],
+)
+def test_rank_queries_have_no_global_window(spark, name):
+    """The three queries the round-1 audit flagged as global-window
+    scale-killers: ranks must come from TakeOrderedAndProject (q3) or
+    bucketed two-phase allocation (j4/w1), never a partition-less Window.
+    Formatted explain renders the spec as windowspecdefinition(parts...,
+    order ASC/DESC..., frame); an empty partition list puts the order
+    expression (tagged ASC/DESC) in the first slot."""
+    import re
+
+    plan = plan_of(spark, name)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        first = m.group(1).split(",")[0]
+        assert "ASC" not in first and "DESC" not in first, (
+            f"{name}: partition-less window spec: {m.group(0)}"
+        )
+
+
+def test_q3_topk_is_take_ordered(spark):
+    plan = plan_of(spark, "q3_shipping_priority_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_label_blocked_near_dup_is_equi_join(spark):
     # the label block must plan as a hash equi join, never a cross join
     plan = plan_of(spark, "emb_near_dup_cosine")

@@ -78,12 +78,19 @@ def bucketed_row_number(
     """
     wn = W.partitionBy(bucket).orderBy(*order_keys)
     ranked = df.withColumn("__rn", F.row_number().over(wn))
-    wo = W.orderBy(bucket).rowsBetween(W.unboundedPreceding, -1)
+    # Cumulative bucket offsets via a theta self-join on the |buckets|-row
+    # count table (strictly-smaller buckets sum into the offset).  O(B^2) on
+    # a bounded dimension — and, unlike a non-partitioned running-sum
+    # window, it never creates a single-partition WindowExec.
+    counts = df.groupBy(bucket).agg(F.count(F.lit(1)).alias("__cnt"))
+    a = counts.select(F.col(bucket), F.col("__cnt"))
+    b = counts.select(
+        F.col(bucket).alias("__b_bucket"), F.col("__cnt").alias("__b_cnt")
+    )
     offsets = (
-        df.groupBy(bucket)
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .withColumn("__off", F.coalesce(F.sum("__cnt").over(wo), F.lit(0)))
-        .drop("__cnt")
+        a.join(F.broadcast(b), F.col("__b_bucket") < F.col(bucket), "left")
+        .groupBy(bucket)
+        .agg(F.coalesce(F.sum("__b_cnt"), F.lit(0)).alias("__off"))
     )
     return (
         ranked.join(F.broadcast(offsets), bucket)

@@ -397,18 +397,22 @@ def j2_genic_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(replaces the Oracle sequence, VariantLoad3.java:519-562)",
 )
 def j4_dedup_upsert_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import bucketed_row_number
+
     v = _variant_cols(load(spark, sf_dir, "lineitem"))
     incoming = v.select("chrom", "pos", "ref", "var").distinct()
-    existing = (
-        incoming.filter(F.col("pos") % 5 == 0)
-        .withColumn(
-            "rgd_id",
-            F.lit(1000000)
-            + F.row_number().over(
-                W.partitionBy().orderBy("chrom", "pos", "ref", "var")
-            ),
-        )
+    # id allocation via per-chromosome rank + tiny cumulative offsets:
+    # identical ids to a global ROW_NUMBER ordered by (chrom,pos,ref,var)
+    # (chrom is the leading sort key) but the data-sized sort is hash
+    # partitioned on chrom — no single-partition WindowExec at 100 TB.
+    existing = bucketed_row_number(
+        incoming.filter(F.col("pos") % 5 == 0),
+        order_keys=["pos", "ref", "var"],
+        bucket="chrom",
     )
+    existing = existing.withColumn(
+        "rgd_id", F.lit(1000000) + F.col("__rank")
+    ).drop("__rank")
     e = existing.select(
         F.col("chrom").alias("e_chrom"),
         F.col("pos").alias("e_pos"),
@@ -424,20 +428,27 @@ def j4_dedup_upsert_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.upper(F.col("var")) == F.upper(F.col("e_var"))),
         "left",
     ).select("chrom", "pos", "ref", "var", "existing_id")
-    new_ids = F.lit(2000000) + F.row_number().over(
-        W.partitionBy(F.col("existing_id").isNull()).orderBy(
-            "chrom", "pos", "ref", "var"
-        )
+    # matched feeds both branches; persist so the join runs once.
+    matched = matched.persist()
+    reused = (
+        matched.filter(F.col("existing_id").isNotNull())
+        .withColumn("rgd_id", F.col("existing_id").cast("long"))
+        .withColumn("id_source", F.lit("reused"))
     )
-    return matched.select(
-        "chrom",
-        "pos",
-        "ref",
-        "var",
-        F.coalesce(F.col("existing_id"), new_ids).cast("long").alias("rgd_id"),
-        F.when(F.col("existing_id").isNull(), F.lit("new"))
-        .otherwise(F.lit("reused"))
-        .alias("id_source"),
+    fresh = bucketed_row_number(
+        matched.filter(F.col("existing_id").isNull()),
+        order_keys=["pos", "ref", "var"],
+        bucket="chrom",
+    )
+    fresh = (
+        fresh.withColumn(
+            "rgd_id", (F.lit(2000000) + F.col("__rank")).cast("long")
+        )
+        .drop("__rank")
+        .withColumn("id_source", F.lit("new"))
+    )
+    return reused.unionByName(fresh).select(
+        "chrom", "pos", "ref", "var", "rgd_id", "id_source"
     )
 
 

@@ -309,11 +309,14 @@ def a9_qc_tallies(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ids
     """,
     doc="W1/K2: ClinVar2Vcf sorted-output order (ClinVar2Vcf.java:132-186): "
-    "(chr lexicographic, pos numeric, case-insensitive id). Validated via a "
-    "global row_number; at 100 TB the sort itself stays a range-partitioned "
-    "orderBy and the rank becomes two-phase (per-partition count + offset)",
+    "(chr lexicographic, pos numeric, case-insensitive id). Two-phase rank "
+    "(per-chromosome row_number + cumulative bucket offsets) — equal to the "
+    "global row_number but hash-partitioned on chrom, the form that "
+    "survives 100 TB",
 )
 def w1_sorted_export_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import bucketed_row_number
+
     v = _variant_cols(load(spark, sf_dir, "lineitem"))
     ids = v.select(
         "okey",
@@ -324,11 +327,14 @@ def w1_sorted_export_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("okey") % 2 == 0, F.lit("rs")).otherwise(F.lit("RS")),
             (F.col("okey") * 10 + F.col("lnum")).cast("string"),
         ).alias("id"),
+    ).withColumn("__lid", F.lower(F.col("id")))
+    ranked = bucketed_row_number(
+        ids,
+        order_keys=["pos", "__lid", "okey", "lnum"],
+        bucket="chrom",
+        out_col="rn",
     )
-    w = W.orderBy("chrom", "pos", F.lower(F.col("id")), "okey", "lnum")
-    return ids.select(
-        "okey", "lnum", F.row_number().over(w).cast("long").alias("rn")
-    )
+    return ranked.select("okey", "lnum", F.col("rn").cast("long").alias("rn"))
 
 
 # ===========================================================================
@@ -1459,11 +1465,23 @@ def q3_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
-    w = W.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    # top-k via orderBy+limit -> TakeOrderedAndProject (per-partition heap,
+    # driver merge of k rows) — never a data-sized global-window sort.  The
+    # rank is then minted over the 10 survivors by counting rows that sort
+    # strictly earlier (broadcast theta-join on k rows, no WindowExec).
+    top = agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
+    t = top.select(F.col("l_orderkey").alias("okey"), "revenue")
+    b = top.select(
+        F.col("l_orderkey").alias("__b_okey"), F.col("revenue").alias("__b_rev")
+    )
+    before = (F.col("__b_rev") > F.col("revenue")) | (
+        (F.col("__b_rev") == F.col("revenue"))
+        & (F.col("__b_okey") < F.col("okey"))
+    )
     return (
-        agg.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 10)
-        .select(F.col("l_orderkey").alias("okey"), "revenue", "rk")
+        t.join(F.broadcast(b), before, "left")
+        .groupBy("okey", "revenue")
+        .agg((F.count("__b_okey") + 1).cast("long").alias("rk"))
     )
 
 
