@@ -196,27 +196,73 @@ def test_cli_update_variant_status(spark, tmp_path):
     assert got == {1: "N", 2: "Y"}
 
 
+VCF8_FIXTURE = (
+    "##fileformat=VCFv4.1\n"
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+    "chr1\t100\trs11\tA\tG,T\t99\tPASS\tEND=100;DP=20;AC=9,7\n"
+    "chr1\t200\t.\tC\tT\t50\tPASS\tDP=12\n"
+)
+
+
 def test_cli_vcf8col_converter(spark, tmp_path):
+    """Vcf8ColToCommonFormat2Converter semantics: per-base counts look up
+    each literal base across the FULL allele/depth arrays (imputed ref
+    included), rsId passes through verbatim, read_depth = DP, allele_count
+    set only when AC is absent, and the imputed ref row is NOT emitted
+    without --same-as-ref."""
     vcf = tmp_path / "in8.vcf"
-    vcf.write_text(
-        "##fileformat=VCFv4.1\n"
-        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
-        "chr1\t100\t.\tA\tG,T\t99\tPASS\tEND=100;DP=20;AC=9,7\n"
-    )
+    vcf.write_text(VCF8_FIXTURE)
     out = str(tmp_path / "cf28")
     main(["--tool", "Vcf8ColConverter", "--vcf", str(vcf), "--out", out], spark)
     rows = spark.read.option("sep", "\t").csv(out).collect()
-    # 2 alt-allele rows + imputed ref row (20 - 16 = 4 > 0), full 16-col CF2
+    # line 1: alleles [G,T] + appended ref A (depth 20-16=4) but the A row
+    # is same-as-ref -> skipped; line 2 (no AC): 1 row.  Full 16-col CF2.
     assert len(rows) == 3
     assert all(len(r) == 16 for r in rows)
-    # the round-trip contract: read back through the CF2 reader
     from variant_load_pipeline_spark.sources.cf2 import read_cf2
 
     back = read_cf2(spark, out)
-    by_var = {r["var_nuc"]: r for r in back.collect()}
-    assert by_var["G"]["allele_depth"] == 9
-    assert by_var["T"]["allele_depth"] == 7
-    assert by_var["A"]["allele_depth"] == 4  # imputed ref depth
+    by_var = {(r["position"], r["var_nuc"]): r for r in back.collect()}
+    g = by_var[(100, "G")]
+    t = by_var[(100, "T")]
+    # counts identical on every row of the position: A=4 (imputed ref),
+    # C=0, G=9, T=7 — the reference's cross-allele lookup
+    for r in (g, t):
+        assert (r["count_a"], r["count_c"], r["count_g"], r["count_t"]) == (
+            4, 0, 9, 7,
+        )
+        assert r["rs_id"] == "rs11"
+        assert r["total_depth"] == 20 and r["read_depth"] == 20
+        assert r["allele_count"] == 0  # null when AC present ('' -> 0)
+    assert g["allele_depth"] == 9 and t["allele_depth"] == 7
+    # AC-absent line: own base carries DP, allele_count=1, '.' id verbatim
+    n = by_var[(200, "T")]
+    assert n["count_t"] == 12 and n["count_a"] == 0
+    assert n["allele_depth"] == 12 and n["allele_count"] == 1
+    assert n["rs_id"] == "." and n["read_depth"] == 12
+
+
+def test_cli_vcf8col_converter_same_as_ref(spark, tmp_path):
+    """--same-as-ref emits the imputed-ref-depth row too (the appended ref
+    allele survives the skip gate, Vcf8Col...Converter.java:209-211)."""
+    vcf = tmp_path / "in8s.vcf"
+    vcf.write_text(VCF8_FIXTURE)
+    out = str(tmp_path / "cf28s")
+    main(
+        [
+            "--tool", "Vcf8ColConverter", "--vcf", str(vcf),
+            "--same-as-ref", "--out", out,
+        ],
+        spark,
+    )
+    from variant_load_pipeline_spark.sources.cf2 import read_cf2
+
+    back = read_cf2(spark, out)
+    by_var = {(r["position"], r["var_nuc"]): r for r in back.collect()}
+    assert len(by_var) == 4
+    a = by_var[(100, "A")]
+    assert a["allele_depth"] == 4  # imputed ref depth row
+    assert (a["count_a"], a["count_g"], a["count_t"]) == (4, 9, 7)
 
 
 def test_cli_genic_status_fixup(spark, tmp_path):
@@ -314,24 +360,40 @@ def test_cli_polyphen_full_chain(spark, tmp_path):
 
 
 def test_cli_zygosity_perc_read_fixup(spark, tmp_path):
+    """qcAlleles semantics (ZygosityPercReadFixUp.java:99-121): select snv
+    rows with stored percent_read <> var_freq; assign percent_read :=
+    var_freq verbatim (no renormalization), re-derive status from it, set
+    num_allele to the mismatching-group size."""
     variants = str(tmp_path / "variants_zp")
-    # group (7,'1',100): total var_freq = 40; row1 pct = 100*10/40 = 25
+    cols = (
+        "rgd_id long, sample_id int, chromosome string, start_pos long, "
+        "var_freq int, zygosity_percent_read int, zygosity_status string, "
+        "zygosity_num_allele int, variant_type string"
+    )
     spark.createDataFrame(
         [
-            (1, 7, "1", 100, 10, 25),   # up to date
-            (2, 7, "1", 100, 30, 75),   # up to date
-            (3, 7, "1", 200, 5, 99),    # lone row: pct = 100 -> fixed
+            # matches stored pct -> excluded by the <> filter
+            (1, 7, "1", 100, 25, 25, "heterozygous", 2, "snv"),
+            # pct 30->100: status heterozygous->homozygous (fixed),
+            # num_allele stays 1 (lone mismatching row at its position)
+            (2, 7, "1", 200, 100, 30, "heterozygous", 1, "snv"),
+            # pct 99->85: possibly homozygous already stored -> status ok,
+            # but num_allele 2 -> 1 (fixed)
+            (3, 7, "1", 300, 85, 99, "possibly homozygous", 2, "snv"),
+            # non-snv -> excluded
+            (4, 7, "1", 400, 10, 50, "heterozygous", 1, "ins"),
         ],
-        "rgd_id long, sample_id int, chromosome string, start_pos long, "
-        "var_freq int, zygosity_percent_read int",
+        cols,
     ).write.parquet(variants)
     out = str(tmp_path / "zp_report")
     main(
         ["--tool", "ZygosityPercReadFixUp", "--variants", variants, "--out", out],
         spark,
     )
-    got = {r["status"]: r["n"] for r in spark.read.parquet(out).collect()}
-    assert got == {"up_to_date": 2, "fixed": 1}
+    [r] = spark.read.parquet(out).collect()
+    assert r["rows_processed"] == 2
+    assert r["zygosity_status_fixed"] == 1
+    assert r["num_allele_fixed"] == 1
 
 
 def test_cli_module_subprocess(tmp_path):

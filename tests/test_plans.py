@@ -70,6 +70,10 @@ def test_convert_vcf_to_cf2(spark, tmp_path):
 
 
 def test_convert_dbsnp_backfill(spark, tmp_path):
+    """The VCF ID flows to rs_id VERBATIM — '.' included (the reference
+    passes v[2] straight through, and CommonFormat2Writer only consults
+    dbSNP for truly-null rsId, which a well-formed VCF never produces).
+    The dbSNP join must therefore back-fill nothing here."""
     db_snp = spark.createDataFrame(
         [(400, 1, "src", "3", "C", "rs_db1", "snp"),
          (400, 1, "src", "3", "C", "rs_db0", "snp")],
@@ -77,10 +81,11 @@ def test_convert_dbsnp_backfill(spark, tmp_path):
          "snp_name", "snp_class"],
     )
     out = convert.convert_vcf_to_cf2(spark, _write_vcf(tmp_path), db_snp=db_snp)
-    r = [x for x in out.collect() if x["position"] == 400][0]
-    assert r["rs_id"] == "rs_db0"  # deterministic first match (min snp_name)
+    rows = out.collect()
+    r = [x for x in rows if x["position"] == 400][0]
+    assert r["rs_id"] == "."  # '.' passes through; no dbSNP overwrite
     # explicit rsId NOT overwritten
-    r100 = [x for x in out.collect() if x["position"] == 100][0]
+    r100 = [x for x in rows if x["position"] == 100][0]
     assert r100["rs_id"] == "rs10"
 
 

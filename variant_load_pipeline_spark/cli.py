@@ -84,9 +84,16 @@ def _vcf_converter2(spark, args) -> None:
 
 @tool("Vcf8ColConverter")
 def _vcf8col_converter(spark, args) -> None:
-    """Vcf8ColToCommonFormat2Converter.java:20-28,154-257: 8-col VCF with
-    INFO DP/AC -> one CF2 row per alt allele (+ imputed ref-depth row when
-    the ref allele is absent and DP - sum(AC) > 0, :175-200)."""
+    """Vcf8ColToCommonFormat2Converter.java:154-257: 8-col VCF with INFO
+    DP/AC -> one CF2 row per allele.  When AC is present and the ref allele
+    is absent, the imputed ref depth (DP - sum(AC), if > 0) is APPENDED to
+    the allele arrays (:175-200) — it feeds the per-base count lookups for
+    every row, but its own row is emitted only under --same-as-ref (the
+    allele==ref skip at :209-211 applies to it like any other allele).
+    Per-base counts are first-match lookups of the literal base across the
+    FULL allele/depth arrays (getSnpAlleleDepth, :249-255); rsId is the VCF
+    ID column passed through verbatim ('.' included); read_depth = DP.
+    """
     from .functions import scalar
     from .sources.cf2 import write_cf2
     from .sources.vcf import read_vcf8col
@@ -96,71 +103,66 @@ def _vcf8col_converter(spark, args) -> None:
         "chr", scalar.normalize_chromosome(F.col("chrom"))
     ).filter(F.col("chr").isNotNull() & (F.length("chr") <= 2))
     alts = F.split(F.col("alt"), ",")
-    acs = F.split(F.col("info_map")["AC"], ",")
-    dp = F.col("info_map")["DP"].cast("long")
-    exploded = df.select(
-        "chr",
-        F.col("pos").alias("position"),
-        F.col("ref").alias("ref_nuc"),
-        dp.alias("total_depth"),
-        F.posexplode(alts).alias("ai", "var_nuc"),
-        acs.alias("acs"),
-    ).select(
-        "chr",
-        "position",
-        "ref_nuc",
-        "var_nuc",
-        "total_depth",
-        F.try_element_at(F.col("acs"), F.col("ai") + 1)
-        .cast("long")
-        .alias("allele_depth"),
+    depths0 = F.transform(
+        F.split(F.col("info_map")["AC"], ","), lambda x: x.cast("long")
     )
-    ref_depth = df.select(
+    dp = F.col("info_map")["DP"].cast("long")
+    imputed_ref = dp - F.aggregate(
+        depths0, F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    append_ref = (
+        depths0.isNotNull()
+        & ~F.array_contains(alts, F.col("ref"))
+        & (imputed_ref > 0)
+    )
+    arrays = df.select(
         "chr",
         F.col("pos").alias("position"),
         F.col("ref").alias("ref_nuc"),
-        F.col("ref").alias("var_nuc"),
-        dp.alias("total_depth"),
-        (
-            dp
-            - F.aggregate(
-                F.transform(acs, lambda x: x.cast("long")),
-                F.lit(0).cast("long"),
-                lambda a, x: a + x,
-            )
-        ).alias("allele_depth"),
-    ).filter(
-        ~F.array_contains(F.split(F.col("var_nuc"), ","), F.col("ref_nuc"))
-        | (F.col("allele_depth") > 0)
-    ).filter(F.col("allele_depth") > 0)
-    rows = exploded.unionByName(ref_depth)
-    # project to the full 16-col CF2 layout (CommonFormat2Line.java:8-33):
-    # per-base counts carry this allele's depth, unknown fields empty/zero
-    n_alts = F.size(F.split(F.col("var_nuc"), ","))
+        F.col("id").alias("rs_id"),
+        dp.alias("dp"),
+        F.when(append_ref, F.concat(alts, F.array(F.col("ref"))))
+        .otherwise(alts)
+        .alias("alleles"),
+        F.when(append_ref, F.concat(depths0, F.array(imputed_ref)))
+        .otherwise(depths0)
+        .alias("depths"),
+    )
+    rows = arrays.select(
+        "*", F.posexplode(F.col("alleles")).alias("ai", "var_nuc")
+    )
+    if not args.same_as_ref:
+        rows = rows.filter(F.col("var_nuc") != F.col("ref_nuc"))
+    has_ac = F.col("depths").isNotNull()
 
     def base_count(b: str):
-        return (
-            F.when(F.col("var_nuc") == b, F.col("allele_depth"))
-            .otherwise(F.lit(0))
-            .cast("int")
-        )
+        # first-match lookup of the literal base across the full arrays
+        idx = F.array_position(F.col("alleles"), F.lit(b))
+        ac_count = F.when(
+            idx > 0, F.element_at(F.col("depths"), idx.cast("int"))
+        ).otherwise(F.lit(0))
+        no_ac_count = F.when(F.col("var_nuc") == b, F.col("dp"))
+        return F.when(has_ac, ac_count).otherwise(no_ac_count).cast("int")
 
     cf2_rows = rows.select(
         "chr",
         "position",
         "ref_nuc",
         "var_nuc",
-        F.lit("").alias("rs_id"),
+        "rs_id",
         base_count("A").alias("count_a"),
         base_count("C").alias("count_c"),
         base_count("G").alias("count_g"),
         base_count("T").alias("count_t"),
-        F.col("total_depth").cast("int").alias("total_depth"),
+        F.when(F.col("dp") > 0, F.col("dp")).cast("int").alias("total_depth"),
         F.lit("").alias("hgvs_name"),
-        F.lit(0).cast("long").alias("rgd_id"),
-        F.col("allele_depth").cast("int").alias("allele_depth"),
-        n_alts.cast("int").alias("allele_count"),
-        F.col("allele_depth").cast("int").alias("read_depth"),
+        F.lit(None).cast("long").alias("rgd_id"),
+        F.when(has_ac, F.element_at(F.col("depths"), F.col("ai") + 1))
+        .otherwise(F.col("dp"))
+        .cast("int")
+        .alias("allele_depth"),
+        F.when(~has_ac, F.lit(1)).cast("int").alias("allele_count"),
+        F.when(F.col("dp") > 0, F.col("dp")).cast("int").alias("read_depth"),
         F.lit("").alias("padding_base"),
     )
     write_cf2(cf2_rows, args.out, compress=args.gzip)
@@ -454,22 +456,48 @@ def _num_alleles_fixup(spark, args) -> None:
 
 @tool("ZygosityPercReadFixUp")
 def _zygosity_perc_read_fixup(spark, args) -> None:
-    """fixup/ZygosityPercReadFixUp.java:57-138: recompute percent-read =
-    f2i(100*var_freq/total_group_depth + 0.5) over the position group."""
+    """fixup/ZygosityPercReadFixUp.java:99-121: for snv rows whose stored
+    zygosity_percent_read <> var_freq, qcAlleles simply ASSIGNS
+    percent_read := var_freq (no renormalization — the reference's
+    odd-but-actual semantics), re-derives zygosity_status from that value
+    (:134-141: ==100 homozygous, >=85 possibly homozygous, else
+    heterozygous) and num_allele := size of the mismatching position group.
+    The report counts rows whose stored triple already matched."""
     from pyspark.sql.window import Window as W
 
-    df = _read(spark, args.variants)
+    from .functions.zygosity import (
+        HOMOZYGOUS_PERCENT,
+        POSSIBLY_HOMOZYGOUS_PERCENT,
+    )
+
+    df = _read(spark, args.variants).filter(
+        (F.col("variant_type") == "snv")
+        & (F.col("zygosity_percent_read") != F.col("var_freq"))
+    )
     w = W.partitionBy("sample_id", "chromosome", "start_pos")
-    total = F.sum("var_freq").over(w)
-    pct = (
-        (F.col("var_freq") * 100).cast("double") / total.cast("double")
-    ).cast("float")
-    recomputed = F.when(total > 0, F.floor(pct.cast("double") + 0.5)).otherwise(
-        F.lit(0)
-    ).cast("int")
-    report = _fixup_report(
-        df.withColumn("__re", recomputed),
-        "zygosity_percent_read",
-        F.col("__re"),
+    new_pct = F.col("var_freq").cast("int")
+    new_status = (
+        F.when(new_pct == HOMOZYGOUS_PERCENT, F.lit("homozygous"))
+        .when(
+            new_pct >= POSSIBLY_HOMOZYGOUS_PERCENT,
+            F.lit("possibly homozygous"),
+        )
+        .otherwise(F.lit("heterozygous"))
+    )
+    fixed = (
+        df.withColumn("__n", F.count(F.lit(1)).over(w).cast("int"))
+        .withColumn("__pct", new_pct)
+        .withColumn("__status", new_status)
+    )
+    # the reference's summary counters (:80-97): every selected row gets
+    # percent_read rewritten; status/num_allele "fixed" only when changed
+    report = fixed.agg(
+        F.count(F.lit(1)).alias("rows_processed"),
+        F.sum(
+            F.when(F.col("zygosity_status") != F.col("__status"), 1).otherwise(0)
+        ).alias("zygosity_status_fixed"),
+        F.sum(
+            F.when(F.col("zygosity_num_allele") != F.col("__n"), 1).otherwise(0)
+        ).alias("num_allele_fixed"),
     )
     report.write.mode("overwrite").parquet(args.out)

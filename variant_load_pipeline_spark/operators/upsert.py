@@ -65,7 +65,15 @@ def dedup_upsert(
 
     from .windows import bucketed_row_number
 
-    matched = incoming.join(e, cond, "left").persist()
+    # lazy localCheckpoint, not persist(): both id branches reuse the join
+    # result, and the checkpoint's RDD blocks are reference-tracked — the
+    # ContextCleaner reclaims them when this DataFrame is GC'd, so a
+    # long-lived driver session never accumulates leaked cache entries
+    # (persist() pins a CacheManager entry until an explicit unpersist the
+    # lazy API has no good place for).  Tradeoff: checkpointed partitions
+    # are not recomputable on executor loss; the load plan materializes its
+    # outputs immediately after, keeping the exposure window small.
+    matched = incoming.join(e, cond, "left").localCheckpoint(eager=False)
     reused = matched.filter(F.col("__existing_id").isNotNull()).withColumn(
         id_col, F.col("__existing_id").cast("long")
     ).withColumn("id_source", F.lit("reused"))

@@ -69,26 +69,38 @@ def convert_vcf_to_cf2(
     ).otherwise(F.col("sample_value"))
     df = df.filter(vcf_src.genotype_is_called(gt))
 
-    # AD vector: '.' -> zeros (:243-247); missing AD -> 9s policy (:251-257)
+    # AD vector (VcfToCommonFormat2Converter.java:240-258): a lone '.' cell
+    # -> seven zeros with read_depth 0 REGARDLESS of the missing-AD flag;
+    # AD genuinely absent under the flag -> eight 9s with read_depth
+    # hardcoded to 9 (NOT the array sum).
     parts = F.split(F.col("sample_value"), ":")
     ad_raw = F.try_element_at(parts, F.col("ad_idx").cast("int"))
-    ad_arr = F.when(
-        (F.col("ad_idx") > 0) & (ad_raw != ".") & ad_raw.isNotNull(),
+    parsed_ad = F.when(
+        (ad_raw == ".") | ad_raw.isNull(),
+        F.array(*[F.lit(0)] * 7),
+    ).otherwise(
         F.transform(
             F.split(ad_raw, ","), lambda x: F.coalesce(x.try_cast("int"), F.lit(0))
-        ),
-    ).otherwise(
-        F.array(*[F.lit(9 if process_missing_addp else 0)] * 7)
+        )
     )
-    df = df.withColumn("ad_arr", ad_arr).withColumn(
-        "read_depth",
-        F.aggregate(F.col("ad_arr"), F.lit(0), lambda a, x: a + x),
+    ad_arr = F.when(F.col("ad_idx") > 0, parsed_ad).otherwise(
+        F.array(*[F.lit(9 if process_missing_addp else 0)] * 8)
     )
+    read_depth = F.when(
+        F.col("ad_idx") > 0,
+        F.aggregate(parsed_ad, F.lit(0), lambda a, x: a + x),
+    ).otherwise(F.lit(9 if process_missing_addp else 0))
+    df = df.withColumn("ad_arr", ad_arr).withColumn("read_depth", read_depth)
 
+    # DP (:260-272): present-but-'.' -> 0 even under the flag; absent under
+    # the flag -> 9
     dp_raw = F.try_element_at(parts, F.col("dp_idx").cast("int"))
     total_depth = F.when(
-        (F.col("dp_idx") > 0) & (dp_raw != ".") & dp_raw.isNotNull(),
-        F.coalesce(dp_raw.try_cast("int"), F.lit(0)),
+        F.col("dp_idx") > 0,
+        F.when(
+            (dp_raw != ".") & dp_raw.isNotNull(),
+            F.coalesce(dp_raw.try_cast("int"), F.lit(0)),
+        ).otherwise(F.lit(0)),
     ).otherwise(F.lit(9 if process_missing_addp else 0))
     df = df.withColumn("total_depth", total_depth)
 
@@ -139,11 +151,13 @@ def convert_vcf_to_cf2(
         .withColumn("is_indel", is_ins | is_del)
     )
 
-    # J11: dbSNP rsId backfill for missing ids ('.'), first match wins with a
-    # deterministic order (the reference takes the first ResultSet row)
-    df = df.withColumn(
-        "rs_id", F.when(F.col("id") == ".", F.lit(None)).otherwise(F.col("id"))
-    )
+    # The VCF ID passes through to rsId VERBATIM — '.' included (the
+    # reference hands v[2] straight to setRsId, :221/:289, and
+    # CommonFormat2Writer only queries dbSNP when rsId is truly null,
+    # CommonFormat2Writer.java:72-74 — '.' is non-null, so no lookup).
+    # J11 backfill below therefore applies only to genuinely absent IDs
+    # (short lines), first match wins deterministically.
+    df = df.withColumn("rs_id", F.col("id"))
     if db_snp is not None:
         snp = first_match_wins(
             db_snp.select(

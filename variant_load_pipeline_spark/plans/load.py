@@ -232,9 +232,13 @@ def run_load(
 
 
 def load_counters(annotated: DataFrame) -> DataFrame:
-    """A7: dbSnp vs novel counts (rs_id present or not), per sample."""
+    """A7: dbSnp vs novel counts per sample.  rs_id flows through CF2
+    verbatim, so a missing VCF ID arrives as the literal '.' — counted as
+    novel alongside empty (matches the reference, where '.' rows never get
+    a dbSNP id and the novel tally counts rows without one)."""
+    is_novel = (F.col("rs_id") == "") | (F.col("rs_id") == ".")
     return annotated.groupBy("sample_id").agg(
-        F.sum(F.when(F.col("rs_id") != "", 1).otherwise(0)).alias("dbsnp_rows"),
-        F.sum(F.when(F.col("rs_id") == "", 1).otherwise(0)).alias("novel_rows"),
+        F.sum(F.when(~is_novel, 1).otherwise(0)).alias("dbsnp_rows"),
+        F.sum(F.when(is_novel, 1).otherwise(0)).alias("novel_rows"),
         F.count(F.lit(1)).alias("rows_loaded"),
     )

@@ -428,8 +428,9 @@ def j4_dedup_upsert_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.upper(F.col("var")) == F.upper(F.col("e_var"))),
         "left",
     ).select("chrom", "pos", "ref", "var", "existing_id")
-    # matched feeds both branches; persist so the join runs once.
-    matched = matched.persist()
+    # matched feeds both branches; lazy localCheckpoint materializes the
+    # join once and its blocks are GC-reclaimed (no unpersist bookkeeping).
+    matched = matched.localCheckpoint(eager=False)
     reused = (
         matched.filter(F.col("existing_id").isNotNull())
         .withColumn("rgd_id", F.col("existing_id").cast("long"))

@@ -94,7 +94,13 @@ def write_cf2(
     file; no driver-side writer map, no lazily-opened handles.
     """
     out = df
-    writer = out.write.mode("overwrite").option("sep", "\t")
+    # emptyValue: write empty cells bare (reference writes '' for null int
+    # columns, never a quoted "")
+    writer = (
+        out.write.mode("overwrite")
+        .option("sep", "\t")
+        .option("emptyValue", "")
+    )
     if compress:
         writer = writer.option("compression", "gzip")
     if partition_by:
