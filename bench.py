@@ -42,6 +42,7 @@ HEADLINE = [
     "s3_s4_vcf_field_parse",
     "bpe_token_counts",
     "lang_id_scores",
+    "p29_annotate_chunked",
 ]
 
 

@@ -405,6 +405,11 @@ def annotate_variants(
 
     mk = map_key
     if fasta_strategy == "chunked":
+        # pairs feeds two subtrees (transcript geometry + per-transcript
+        # variant groups): materialize once instead of recomputing the
+        # interval join + feature join per consumer (lazy localCheckpoint:
+        # blocks are GC-reclaimed, no unpersist bookkeeping)
+        pairs = pairs.localCheckpoint(eager=False)
         out = _annotate_chunked(pairs, fasta, chunk_size, mk)
         return _dedup_and_finish(out, existing_vt)
 

@@ -1736,3 +1736,350 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("n_orders").agg(
         F.count(F.lit(1)).alias("n_custs")
     )
+
+
+# ===========================================================================
+# P29: the CDS-splice annotation kernel (SURVEY.md §2.9), oracle-checked
+# ===========================================================================
+def _codon_case_sql(col: str) -> str:
+    """64-entry CASE mapping an UPPERCASE codon column to its AA, generated
+    from the same table as functions/translate.py (one source of truth)."""
+    from itertools import product
+
+    from .functions.translate import translate_codon_py
+
+    whens = " ".join(
+        f"WHEN '{a}{b}{c}' THEN '{translate_codon_py(a + b + c)}'"
+        for a, b, c in product("ACGT", repeat=3)
+    )
+    return f"CASE {col} {whens} ELSE 'X' END"
+
+
+_P29_CHROM_L = (
+    "CASE WHEN l_orderkey % 22 = 20 THEN 'X' WHEN l_orderkey % 22 = 21 "
+    "THEN 'Y' ELSE CAST(l_orderkey % 22 + 1 AS VARCHAR) END"
+)
+_P29_CHROM_P = (
+    "CASE WHEN pk % 22 = 20 THEN 'X' WHEN pk % 22 = 21 "
+    "THEN 'Y' ELSE CAST(pk % 22 + 1 AS VARCHAR) END"
+)
+_P29_BASE_REF = (
+    "CASE l_partkey % 4 WHEN 0 THEN 'A' WHEN 1 THEN 'C' "
+    "WHEN 2 THEN 'G' ELSE 'T' END"
+)
+_P29_BASE_VAR = (
+    "CASE l_suppkey % 4 WHEN 0 THEN 'A' WHEN 1 THEN 'C' "
+    "WHEN 2 THEN 'G' ELSE 'T' END"
+)
+
+# Synthetic gene model shared by both engines (all offsets from gene start
+# gs): 5'UTR-side UTR [gs,gs+99], exons [gs,gs+149] [gs+300,gs+449+k]
+# [gs+600,gs+799], 3'UTR-side UTR [gs+700,gs+799]; k = pk%3 varies the CDS
+# length (300+k) to exercise triplet truncation.  For '-' strand the UTR
+# *annotations* swap ends (the biological 5'UTR sits at the genomic high
+# end), which the kernel's swap-then-trim algebra maps back to the same
+# trimmed CDS geometry: [gs+100,gs+149] [gs+300,gs+449+k] [gs+600,gs+699].
+
+
+def _p29_oracle_sql() -> str:
+    ref_aa = _codon_case_sql("refcod")
+    var_aa = _codon_case_sql("varcod")
+    return f"""
+    WITH s AS (SELECT repeat('ACGTTGCAGTCA', 16750) AS seq),
+    -- (l_orderkey, l_linenumber) is NOT unique in this synthetic data, so
+    -- the id also encodes (position, ref, var): colliding ids then imply
+    -- fully identical variant rows, which the pipeline's per-(variant,
+    -- transcript) dedup collapses — mirrored by SELECT DISTINCT below
+    v AS (
+        SELECT CAST(((CAST(l_orderkey AS BIGINT) * 10 + l_linenumber) * 200001
+                   + (CAST(l_partkey AS BIGINT) * 1487) % 200000 + 1) * 16
+                   + (l_partkey % 4) * 4 + l_suppkey % 4 AS BIGINT)
+                   AS variant_rgd_id,
+               {_P29_CHROM_L} AS chromosome,
+               CAST((CAST(l_partkey AS BIGINT) * 1487) % 200000 + 1 AS BIGINT) AS vs,
+               {_P29_BASE_REF} AS ref_nuc,
+               {_P29_BASE_VAR} AS var_nuc
+        FROM lineitem
+        WHERE {_P29_BASE_REF} <> {_P29_BASE_VAR} AND l_orderkey % 8 = 0
+    ),
+    g AS (
+        SELECT CAST(pk + 5000000 AS BIGINT) AS transcript_rgd_id,
+               {_P29_CHROM_P} AS chromosome,
+               (pk * 9973) % 199000 + 1 AS gs,
+               CASE WHEN pk % 2 = 0 THEN '+' ELSE '-' END AS strand,
+               CASE WHEN pk % 7 = 0 THEN 'Y' ELSE 'N' END AS nc,
+               pk % 3 AS k
+        FROM (SELECT CAST(p_partkey AS BIGINT) AS pk FROM part WHERE p_partkey % 4 = 0)
+    ),
+    pr AS (
+        SELECT v.variant_rgd_id, g.transcript_rgd_id, v.vs, v.ref_nuc,
+               v.var_nuc, g.gs, g.strand, g.nc, g.k
+        FROM v JOIN g ON v.chromosome = g.chromosome
+                     AND v.vs BETWEEN g.gs AND g.gs + 799
+    ),
+    -- UTR annotation ends depend on strand; containment tests run on the
+    -- ANNOTATED features (processFeatures), trimming on the swapped ones
+    l2 AS (
+        SELECT *,
+            (CASE WHEN strand = '+' THEN gs + 700 ELSE gs END <= vs AND
+             CASE WHEN strand = '+' THEN gs + 799 ELSE gs + 99 END >= vs + 1)
+                AS in3,
+            (CASE WHEN strand = '+' THEN gs ELSE gs + 700 END <= vs AND
+             CASE WHEN strand = '+' THEN gs + 99 ELSE gs + 799 END >= vs + 1)
+                AS in5,
+            ((gs <= vs AND gs + 149 >= vs + 1)
+             OR (gs + 300 <= vs AND gs + 449 + k >= vs + 1)
+             OR (gs + 600 <= vs AND gs + 799 >= vs + 1)) AS inex,
+            -- near-splice: +-10bp of exon starts (not the first exon) and
+            -- exon stops (not the last); exons ordered by start
+            ((gs + 139 <= vs AND gs + 159 >= vs + 1)
+             OR (gs + 290 <= vs AND gs + 310 >= vs + 1)
+             OR (gs + 439 + k <= vs AND gs + 459 + k >= vs + 1)
+             OR (gs + 590 <= vs AND gs + 610 >= vs + 1)) AS nearspl
+        FROM pr
+    ),
+    -- relative CDS position over the TRIMMED exons (strict stop > var_stop)
+    rel AS (
+        SELECT *,
+            CASE WHEN gs + 100 <= vs AND gs + 149 > vs + 1
+                     THEN vs - (gs + 99)
+                 WHEN gs + 300 <= vs AND gs + 449 + k > vs + 1
+                     THEN 50 + vs - (gs + 299)
+                 WHEN gs + 600 <= vs AND gs + 699 > vs + 1
+                     THEN 200 + k + vs - (gs + 599)
+            END AS rel0
+        FROM l2
+    ),
+    dna AS (
+        SELECT r.*,
+            lower(substr(s.seq, CAST(gs + 100 AS INT), 50)
+                  || substr(s.seq, CAST(gs + 300 AS INT), CAST(150 + k AS INT))
+                  || substr(s.seq, CAST(gs + 600 AS INT), 100)) AS refdna
+        FROM rel r CROSS JOIN s
+    ),
+    ap AS (
+        SELECT *,
+            CASE WHEN rel0 IS NOT NULL THEN
+                substr(refdna, 1, CAST(rel0 - 1 AS INT)) || var_nuc
+                || substr(refdna, CAST(rel0 + 1 AS INT))
+            END AS vardna0
+        FROM dna
+    ),
+    st AS (
+        SELECT *,
+            CASE WHEN strand = '-' THEN 300 + k - rel0 + 1 ELSE rel0 END AS rel,
+            CASE WHEN strand = '-'
+                 THEN reverse(translate(upper(refdna), 'ACGT', 'TGCA'))
+                 ELSE refdna END AS refstr,
+            CASE WHEN strand = '-'
+                 THEN reverse(translate(upper(vardna0), 'ACGT', 'TGCA'))
+                 ELSE vardna0 END AS varstr
+        FROM ap
+    ),
+    aa AS (
+        SELECT *, CAST(1 + (rel - 1) // 3 AS INT) AS aapos,
+            (nc = 'N' AND inex AND rel IS NOT NULL AND rel >= 1
+             AND 1 + (rel - 1) // 3 <= 100) AS valid
+        FROM st
+    ),
+    cod AS (
+        SELECT *,
+            CASE WHEN valid
+                 THEN upper(substr(refstr, CAST((aapos - 1) * 3 + 1 AS INT), 3))
+            END AS refcod,
+            CASE WHEN valid
+                 THEN upper(substr(varstr, CAST((aapos - 1) * 3 + 1 AS INT), 3))
+            END AS varcod
+        FROM aa
+    ),
+    res AS (
+        SELECT *,
+            CASE WHEN valid THEN {ref_aa} END AS ref_aa,
+            CASE WHEN valid THEN {var_aa} END AS var_aa
+        FROM cod
+    )
+    SELECT DISTINCT variant_rgd_id, transcript_rgd_id,
+        concat_ws(',',
+            CASE WHEN in3 THEN '3UTRS' END,
+            CASE WHEN in5 THEN '5UTRS' END,
+            CASE WHEN inex THEN 'EXON' END,
+            CASE WHEN NOT inex THEN 'INTRON' END,
+            CASE WHEN nc = 'Y' THEN 'NON-CODING' END) AS location_name,
+        CASE WHEN nearspl THEN 'T' ELSE 'F' END AS near_splice_site,
+        ref_aa, var_aa,
+        CASE WHEN valid THEN
+            CASE WHEN ref_aa = 'X' OR var_aa = 'X' THEN 'unassignable'
+                 WHEN ref_aa = var_aa THEN 'synonymous'
+                 ELSE 'nonsynonymous' END
+        END AS syn_status,
+        CASE WHEN valid THEN aapos END AS full_ref_aa_pos,
+        CASE WHEN valid THEN CAST(rel AS INT) END AS full_ref_nuc_pos,
+        CASE WHEN valid THEN (CASE WHEN k = 0 THEN 'F' ELSE 'T' END)
+            END AS triplet_error,
+        CASE WHEN valid THEN 'F' END AS frameshift
+    FROM res
+    """
+
+
+@register(
+    "p29_annotate_pairs",
+    _p29_oracle_sql(),
+    doc="§2.9: the full VariantPostProcessing annotation kernel "
+    "(VariantPostProcessing.java:225-660) end-to-end — gene probe, "
+    "transcript fan-out, sorted feature arrays, UTR swap+trim, splice "
+    "proximity, relative CDS position, strand flip, triplet truncation, "
+    "codon translation and syn_status — on a deterministic synthetic gene "
+    "model over both strands, non-coding transcripts, and CDS lengths "
+    "300..302; the oracle re-derives the entire location/splice/codon "
+    "algebra in SQL",
+)
+def p29_annotate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _p29_run(spark, sf_dir, fasta_strategy="broadcast")
+
+
+@register(
+    "p29_annotate_chunked",
+    _p29_oracle_sql(),
+    doc="§2.9 kernel via the chunked-FASTA scale path (no whole-genome "
+    "broadcast, no driver collect: transcripts range-join only the sequence "
+    "chunks their span covers, variants ride per-transcript — the plan "
+    "shape that survives 100 TB); same oracle as p29_annotate_pairs",
+)
+def p29_annotate_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _p29_run(spark, sf_dir, fasta_strategy="chunked")
+
+
+def _p29_run(
+    spark: SparkSession, sf_dir: str, fasta_strategy: str
+) -> DataFrame:
+    from .plans.postprocess import annotate_variants
+
+    li = load(spark, sf_dir, "lineitem")
+    base4 = F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T"))
+    chrom_idx = (F.col("l_orderkey") % 22).cast("int")
+    chrom_l = (
+        F.when(chrom_idx == 20, F.lit("X"))
+        .when(chrom_idx == 21, F.lit("Y"))
+        .otherwise((chrom_idx + 1).cast("string"))
+    )
+    vs = (F.col("l_partkey").cast("long") * 1487) % 200000 + 1
+    # id encodes (okey, lnum, pos, ref, var): see the oracle's comment —
+    # colliding ids are fully identical rows, collapsed by the pipeline's
+    # (variant, transcript) dedup on both sides
+    vid = (
+        (F.col("l_orderkey").cast("long") * 10 + F.col("l_linenumber")) * 200001
+        + vs
+    ) * 16 + (F.col("l_partkey") % 4) * 4 + F.col("l_suppkey") % 4
+    variants = li.filter(F.col("l_orderkey") % 8 == 0).select(
+        vid.cast("long").alias("rgd_id"),
+        chrom_l.alias("chromosome"),
+        vs.cast("long").alias("start_pos"),
+        (vs + 1).cast("long").alias("end_pos"),
+        F.element_at(base4, ((F.col("l_partkey") % 4) + 1).cast("int")).alias(
+            "ref_nuc"
+        ),
+        F.element_at(base4, ((F.col("l_suppkey") % 4) + 1).cast("int")).alias(
+            "var_nuc"
+        ),
+    ).filter(F.col("ref_nuc") != F.col("var_nuc"))
+
+    pk = F.col("p_partkey").cast("long")
+    pidx = (pk % 22).cast("int")
+    chrom_p = (
+        F.when(pidx == 20, F.lit("X"))
+        .when(pidx == 21, F.lit("Y"))
+        .otherwise((pidx + 1).cast("string"))
+    )
+    gmodel = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 4 == 0).select(
+        pk.alias("pk"),
+        chrom_p.alias("chromosome"),
+        ((pk * 9973) % 199000 + 1).alias("gs"),
+        (pk % 3).alias("k"),
+        F.when(pk % 2 == 0, F.lit("+")).otherwise(F.lit("-")).alias("strand"),
+        F.when(pk % 7 == 0, F.lit("Y")).otherwise(F.lit("N")).alias("nc"),
+    )
+    genes = gmodel.select(
+        F.col("pk").alias("gene_rgd_id"),
+        "chromosome",
+        F.col("gs").alias("start_pos"),
+        (F.col("gs") + 799).alias("stop_pos"),
+        F.lit(1).alias("map_key"),
+        F.lit("ACTIVE").alias("object_status"),
+    )
+    transcripts = gmodel.select(
+        (F.col("pk") + 5000000).alias("transcript_rgd_id"),
+        F.col("pk").alias("gene_rgd_id"),
+        F.col("nc").alias("is_non_coding_ind"),
+    )
+    plus = F.col("strand") == "+"
+    g = F.col("gs")
+
+    def feat(name, start, stop):
+        return F.struct(
+            F.lit(name).alias("object_name"),
+            start.cast("long").alias("start_pos"),
+            stop.cast("long").alias("stop_pos"),
+        )
+
+    features = (
+        gmodel.select(
+            (F.col("pk") + 5000000).alias("transcript_rgd_id"),
+            "chromosome",
+            "strand",
+            F.explode(
+                F.array(
+                    feat(
+                        "5UTRS",
+                        F.when(plus, g).otherwise(g + 700),
+                        F.when(plus, g + 99).otherwise(g + 799),
+                    ),
+                    feat(
+                        "3UTRS",
+                        F.when(plus, g + 700).otherwise(g),
+                        F.when(plus, g + 799).otherwise(g + 99),
+                    ),
+                    feat("EXONS", g, g + 149),
+                    feat("EXONS", g + 300, g + 449 + F.col("k")),
+                    feat("EXONS", g + 600, g + 799),
+                )
+            ).alias("f"),
+        )
+        .select(
+            "transcript_rgd_id",
+            "chromosome",
+            "strand",
+            F.col("f.object_name").alias("object_name"),
+            F.col("f.start_pos").alias("start_pos"),
+            F.col("f.stop_pos").alias("stop_pos"),
+        )
+    )
+    fasta = (
+        gmodel.select("chromosome")
+        .distinct()
+        .select(
+            "chromosome",
+            F.expr("repeat('ACGTTGCAGTCA', 16750)").alias("seq"),
+        )
+    )
+    out = annotate_variants(
+        variants,
+        genes,
+        transcripts,
+        features,
+        fasta,
+        fasta_strategy=fasta_strategy,
+        chunk_size=50_000,
+    )
+    return out.select(
+        "variant_rgd_id",
+        "transcript_rgd_id",
+        "location_name",
+        "near_splice_site",
+        "ref_aa",
+        "var_aa",
+        "syn_status",
+        F.col("full_ref_aa_pos").cast("int").alias("full_ref_aa_pos"),
+        F.col("full_ref_nuc_pos").cast("int").alias("full_ref_nuc_pos"),
+        "triplet_error",
+        "frameshift",
+    )
