@@ -2083,3 +2083,463 @@ def _p29_run(
         "triplet_error",
         "frameshift",
     )
+
+
+# ===========================================================================
+# S2/S6/S9/S10: file-source scans, oracle-checked end-to-end.
+#
+# Pattern: the Spark side GENERATES the input file deterministically from
+# the parquet tables (driver-side write of a fixture-scale file), then runs
+# the REAL file scanner on it; the oracle re-derives generator-compose-
+# parser in pure SQL from the same tables.  The file is an intermediate
+# artifact of the Spark run only — the oracle never touches it.
+# ===========================================================================
+def _scan_path(sf_dir: str, name: str) -> str:
+    import re
+
+    token = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.strip("/"))
+    return f"/tmp/vlp_scan_{token}_{name}"
+
+
+_S2_STRAINS = ["STRAIN_A", "STRAIN_B", "STRAIN_C"]
+
+
+@register(
+    "s2_vcf_multisample_scan",
+    f"""
+    WITH li AS (
+        SELECT l_orderkey AS okey, l_linenumber AS lnum,
+               {_P29_CHROM_L} AS chrom,
+               CAST((CAST(l_partkey AS BIGINT) * 1487) % 3000000 AS BIGINT)
+                   AS pos,
+               {_P29_BASE_REF} AS ref, {_P29_BASE_VAR} AS var,
+               CAST(FLOOR(l_quantity) AS BIGINT) % 60 AS cnt_a,
+               CAST(FLOOR(l_extendedprice) AS BIGINT) % 50 AS cnt_c,
+               l_linenumber * 3 AS cnt_g,
+               l_suppkey % 40 AS cnt_t
+        FROM lineitem WHERE l_orderkey % 50 = 0
+    ),
+    cells AS (
+        SELECT li.*, s.strain,
+            CASE s.strain
+                WHEN 'STRAIN_A' THEN
+                    '0/1:' || cnt_a || ',' || cnt_c || ':' || (cnt_a + cnt_c)
+                WHEN 'STRAIN_B' THEN
+                    CASE WHEN lnum % 4 = 0 THEN '0/0:0,0:0'
+                         ELSE '1/1:' || cnt_g || ',' || cnt_t || ':'
+                              || (cnt_g + cnt_t) END
+                ELSE
+                    CASE WHEN lnum % 3 = 0 THEN './.'
+                         ELSE '0/1:' || cnt_t || ',' || cnt_a || ':'
+                              || (cnt_t + cnt_a) END
+            END AS sample_value
+        FROM li CROSS JOIN (
+            SELECT * FROM (VALUES ('STRAIN_A'), ('STRAIN_B'), ('STRAIN_C'))
+                AS t(strain)
+        ) s
+    )
+    SELECT chrom, pos, ref, var AS alt, strain, sample_value,
+        CASE WHEN length(sample_value) >= 3 THEN substr(sample_value, 1, 3)
+             ELSE sample_value END AS gt,
+        string_split(sample_value, ':')[2] AS ad_field,
+        CAST(string_split(sample_value, ':')[3] AS BIGINT) AS dp_field,
+        CASE WHEN (CASE WHEN length(sample_value) >= 3
+                        THEN substr(sample_value, 1, 3)
+                        ELSE sample_value END)
+                  IN ('./.', '.', '0/0', '0')
+             THEN 'F' ELSE 'T' END AS called
+    FROM cells
+    """,
+    doc="S2: multi-sample VCF scan end-to-end — the Spark side renders VCF "
+    "lines (GT:AD:DP cells for 3 strains from the header), writes the file, "
+    "and re-reads it through read_vcf_multisample (header-driven strain "
+    "explode, VcfToCommonFormat2Converter.java:119-147) + FORMAT indexing "
+    "(S3) + genotype-present flag (F6); the oracle composes generator and "
+    "parser in SQL",
+)
+def s2_vcf_multisample_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import vcf as vcf_src
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    v = _variant_cols(li)
+    cell_a = F.concat_ws(
+        "",
+        F.lit("0/1:"),
+        F.col("cnt_a").cast("string"),
+        F.lit(","),
+        F.col("cnt_c").cast("string"),
+        F.lit(":"),
+        (F.col("cnt_a") + F.col("cnt_c")).cast("string"),
+    )
+    cell_b = F.when(F.col("lnum") % 4 == 0, F.lit("0/0:0,0:0")).otherwise(
+        F.concat_ws(
+            "",
+            F.lit("1/1:"),
+            F.col("cnt_g").cast("string"),
+            F.lit(","),
+            F.col("cnt_t").cast("string"),
+            F.lit(":"),
+            (F.col("cnt_g") + F.col("cnt_t")).cast("string"),
+        )
+    )
+    cell_c = F.when(F.col("lnum") % 3 == 0, F.lit("./.")).otherwise(
+        F.concat_ws(
+            "",
+            F.lit("0/1:"),
+            F.col("cnt_t").cast("string"),
+            F.lit(","),
+            F.col("cnt_a").cast("string"),
+            F.lit(":"),
+            (F.col("cnt_t") + F.col("cnt_a")).cast("string"),
+        )
+    )
+    line = F.concat_ws(
+        "\t",
+        F.col("chrom"),
+        F.col("pos").cast("string"),
+        F.lit("."),
+        F.col("ref"),
+        F.col("var"),
+        F.lit("99"),
+        F.lit("PASS"),
+        F.lit("NS=3"),
+        F.lit("GT:AD:DP"),
+        cell_a,
+        cell_b,
+        cell_c,
+    )
+    path = _scan_path(sf_dir, "s2.vcf")
+    lines = [r["l"] for r in v.select(line.alias("l")).collect()]
+    with open(path, "w") as fh:
+        fh.write("##fileformat=VCFv4.1\n")
+        fh.write(
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+            + "\t".join(_S2_STRAINS)
+            + "\n"
+        )
+        fh.write("\n".join(lines) + ("\n" if lines else ""))
+
+    df = vcf_src.read_vcf_multisample(spark, path)
+    fmt_parts = F.split(F.col("format"), ":")
+    ad_idx = F.array_position(fmt_parts, "AD")
+    dp_idx = F.array_position(fmt_parts, "DP")
+    gt = F.when(
+        F.length("sample_value") >= 3, F.substring("sample_value", 1, 3)
+    ).otherwise(F.col("sample_value"))
+    return df.select(
+        F.col("chrom"),
+        F.col("pos"),
+        F.col("ref"),
+        F.col("alt"),
+        "strain",
+        "sample_value",
+        gt.alias("gt"),
+        vcf_src.sample_field(F.col("sample_value"), ad_idx).alias("ad_field"),
+        vcf_src.sample_field(F.col("sample_value"), dp_idx)
+        .cast("long")
+        .alias("dp_field"),
+        F.when(vcf_src.genotype_is_called(gt), F.lit("T"))
+        .otherwise(F.lit("F"))
+        .alias("called"),
+    )
+
+
+@register(
+    "s6_fasta_scan",
+    """
+    WITH p AS (
+        SELECT CAST(p_partkey AS BIGINT) AS pk FROM part
+        WHERE p_partkey % 20 = 0
+    ),
+    seqs AS (
+        SELECT 'CTG' || CAST(pk AS VARCHAR) AS chromosome,
+               upper(regexp_replace(
+                   md5(CAST(pk AS VARCHAR)) || md5(CAST(pk + 1 AS VARCHAR))
+                   || md5(CAST(pk + 2 AS VARCHAR)),
+                   '[^acgt]', '', 'g')) AS seq
+        FROM p
+    )
+    SELECT chromosome, seq, CAST(length(seq) AS BIGINT) AS seq_len
+    FROM seqs WHERE length(seq) > 0
+    """,
+    doc="S6: FASTA scan end-to-end — per-contig md5-derived sequences are "
+    "rendered as a 60-col-wrapped multi-record FASTA file, then re-read "
+    "through read_fasta (header grouping + line-order concat + uppercase, "
+    "ChrFastaFile.java:48-86); the oracle computes the unwrapped sequences "
+    "directly",
+)
+def s6_fasta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.fasta import read_fasta
+
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0)
+    pk = F.col("p_partkey").cast("long")
+    seq = F.upper(
+        F.regexp_replace(
+            F.concat(
+                F.md5(pk.cast("string")),
+                F.md5((pk + 1).cast("string")),
+                F.md5((pk + 2).cast("string")),
+            ),
+            "[^acgt]",
+            "",
+        )
+    )
+    # 60-col wrap; lowercase on the file side exercises the reader's upper()
+    wrapped = F.regexp_replace(F.lower(seq), "(.{60})", "$1\n")
+    recs = p.select(
+        F.concat(
+            F.lit(">CTG"), pk.cast("string"), F.lit(" synthetic contig\n"),
+            wrapped,
+        ).alias("rec"),
+        seq.alias("want"),
+    ).filter(F.length("want") > 0)
+    rows = recs.select("rec").collect()
+    path = _scan_path(sf_dir, "s6.fa")
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(r["rec"].rstrip("\n") + "\n")
+    fasta = read_fasta(spark, path, strip_chr_prefix=False)
+    return fasta.select(
+        "chromosome",
+        "seq",
+        F.length("seq").cast("long").alias("seq_len"),
+    )
+
+
+_S9_AA = "ARNDCQEGHILKMFPSTWYV"
+_S9_AA_SQL = (
+    "CASE {k} % 20 "
+    + " ".join(f"WHEN {i} THEN '{aa}'" for i, aa in enumerate(_S9_AA[:-1]))
+    + f" ELSE '{_S9_AA[-1]}' END"
+)
+
+
+@register(
+    "s9_polyphen_scan",
+    f"""
+    WITH li AS (
+        SELECT 'NP_' || CAST(l_orderkey AS VARCHAR) AS protein_acc_id,
+               CAST(l_linenumber AS INT) AS var_pos,
+               {_S9_AA_SQL.format(k="l_suppkey")} AS o_aa1,
+               {_S9_AA_SQL.format(k="l_partkey")} AS o_aa2,
+               CASE WHEN l_orderkey % 500 = 0
+                    THEN {_S9_AA_SQL.format(k="l_partkey")}
+                    ELSE {_S9_AA_SQL.format(k="l_suppkey")} END AS ref_aa,
+               CASE WHEN l_orderkey % 500 = 0
+                    THEN {_S9_AA_SQL.format(k="l_suppkey")}
+                    ELSE {_S9_AA_SQL.format(k="l_partkey")} END AS var_aa,
+               CASE l_partkey % 3 WHEN 0 THEN 'benign'
+                    WHEN 1 THEN 'possibly damaging'
+                    ELSE 'probably damaging' END AS prediction,
+               '0.' || CAST(l_partkey % 1000 AS VARCHAR) AS pph2_prob,
+               CASE WHEN l_partkey % 2 = 0 THEN '1ABC' ELSE '' END AS pdb_id
+        FROM lineitem WHERE l_orderkey % 100 = 0
+    )
+    SELECT protein_acc_id, var_pos, o_aa1, o_aa2, ref_aa, var_aa,
+           prediction, pph2_prob, pdb_id
+    FROM li
+    WHERE NOT (o_aa1 = var_aa AND o_aa2 = ref_aa)
+    """,
+    doc="S9: PolyPhen 55-col result scan end-to-end — rows rendered as a "
+    "whitespace-padded 55-column TSV, re-read through "
+    "read_polyphen_results (indexed columns, trim, >=55-col gate, "
+    "swapped-AA QC rejection; PolyphenLoader.java:100-180); the oracle "
+    "composes generator and parser including the QC filter",
+)
+def s9_polyphen_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.polyphen import read_polyphen_results
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    aa = F.array(*[F.lit(c) for c in _S9_AA])
+    aa1 = F.element_at(aa, (F.col("l_suppkey") % 20 + 1).cast("int"))
+    aa2 = F.element_at(aa, (F.col("l_partkey") % 20 + 1).cast("int"))
+    swapped = F.col("l_orderkey") % 500 == 0
+    ref_aa = F.when(swapped, aa2).otherwise(aa1)
+    var_aa = F.when(swapped, aa1).otherwise(aa2)
+    prediction = (
+        F.when(F.col("l_partkey") % 3 == 0, F.lit("benign"))
+        .when(F.col("l_partkey") % 3 == 1, F.lit("possibly damaging"))
+        .otherwise(F.lit("probably damaging"))
+    )
+    cols55: list = [F.lit("")] * 55
+    # whitespace padding on several cells exercises the reader's trim
+    cols55[0] = F.concat(F.lit("NP_"), F.col("l_orderkey").cast("string"))
+    cols55[1] = F.concat(F.lit(" "), F.col("l_linenumber").cast("string"))
+    cols55[2] = F.concat(F.lit(" "), aa1, F.lit(" "))
+    cols55[3] = aa2
+    cols55[4] = F.lit("")
+    cols55[5] = F.lit("")
+    cols55[6] = F.lit("")
+    cols55[7] = ref_aa
+    cols55[8] = F.concat(var_aa, F.lit("  "))
+    cols55[11] = prediction
+    cols55[15] = F.concat(
+        F.lit("0."), (F.col("l_partkey") % 1000).cast("string")
+    )
+    cols55[29] = F.when(F.col("l_partkey") % 2 == 0, F.lit("1ABC")).otherwise(
+        F.lit("")
+    )
+    cols55[54] = F.lit("")
+    line = F.concat_ws("\t", *cols55)
+    path = _scan_path(sf_dir, "s9.tsv")
+    rows = [r["l"] for r in li.select(line.alias("l")).collect()]
+    with open(path, "w") as fh:
+        fh.write("#o_acc\to_pos\to_aa1\to_aa2\t" + "\t".join(
+            ["h"] * 51) + "\n")
+        fh.write("\n".join(rows) + ("\n" if rows else ""))
+    res = read_polyphen_results(spark, path)
+    return res.select(
+        "protein_acc_id",
+        "var_pos",
+        "o_aa1",
+        "o_aa2",
+        "ref_aa",
+        "var_aa",
+        "prediction",
+        "pph2_prob",
+        "pdb_id",
+    )
+
+
+_S10_EFFECT = (
+    "CASE pk % 4 WHEN 0 THEN 'missense_variant' "
+    "WHEN 1 THEN 'synonymous_variant' WHEN 2 THEN 'intron_variant' "
+    "ELSE 'upstream_gene_variant' END"
+)
+_S10_IMPACT = (
+    "CASE pk % 4 WHEN 0 THEN 'MODERATE' WHEN 1 THEN 'LOW' "
+    "ELSE 'MODIFIER' END"
+)
+
+
+@register(
+    "s10_snpeff_scan",
+    f"""
+    WITH li AS (
+        SELECT l_orderkey AS okey, l_linenumber AS lnum,
+               l_partkey AS pk, l_suppkey AS sk,
+               {_P29_CHROM_L} AS chrom,
+               CAST((CAST(l_partkey AS BIGINT) * 1487) % 3000000 AS BIGINT)
+                   AS pos,
+               {_P29_BASE_REF} AS ref, {_P29_BASE_VAR} AS var
+        FROM lineitem
+        WHERE l_orderkey % 100 = 0 AND l_orderkey % 1000 <> 0
+    ),
+    ann AS (
+        SELECT li.*, n.ann_i FROM li
+        CROSS JOIN (SELECT * FROM (VALUES (1), (2)) AS t(ann_i)) n
+        WHERE n.ann_i = 1 OR li.lnum % 2 = 0
+    )
+    SELECT chrom AS chr, pos, ref AS ref_nuc, var AS var_nuc,
+        var AS allele,
+        CASE WHEN ann_i = 1 THEN {_S10_EFFECT}
+             ELSE 'downstream_gene_variant' END AS effect,
+        CASE WHEN ann_i = 1 THEN {_S10_IMPACT} ELSE 'MODIFIER' END AS impact,
+        CASE WHEN ann_i = 1 THEN 'G' || CAST(pk AS VARCHAR)
+             ELSE 'G2_' || CAST(pk AS VARCHAR) END AS gene_symbol,
+        'RGD:' || CAST(pk AS VARCHAR) AS gene_id,
+        'transcript' AS feature,
+        'NM_' || CAST(okey AS VARCHAR) AS feature_id,
+        CASE WHEN sk % 2 = 0 THEN 'protein_coding' END AS biotype,
+        CASE WHEN ann_i = 1 AND sk % 3 = 0
+             THEN CAST(lnum AS VARCHAR) || '/9' END AS rank,
+        'c.' || CAST(pos AS VARCHAR) || ref || '>' || var AS hgvs_c,
+        CASE WHEN ann_i = 1 AND pk % 4 = 0
+             THEN 'p.Lys' || CAST(lnum AS VARCHAR) || 'Glu' END AS hgvs_p,
+        CAST(NULL AS VARCHAR) AS cdna_pos_len,
+        CAST(NULL AS VARCHAR) AS cds_pos_len,
+        CAST(NULL AS VARCHAR) AS aa_pos_len,
+        CAST(NULL AS VARCHAR) AS distance,
+        CASE WHEN sk % 5 = 0 THEN 'W1' END AS errors
+    FROM ann
+    """,
+    doc="S10: SnpEff-annotated VCF scan end-to-end — VCF lines with 1-2 "
+    "comma-separated 16-pipe-field ANN annotations (empty fields, "
+    "ANN-less lines) are rendered and re-read through read_snpeff_vcf "
+    "(ANN block extract, per-annotation explode, empty->NULL; "
+    "SnpEffLoader.java:69-163); the oracle composes generator and parser",
+)
+def s10_snpeff_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.snpeff import read_snpeff_vcf
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") % 100 == 0)
+    )
+    base4 = F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T"))
+    chrom_idx = (F.col("l_orderkey") % 22).cast("int")
+    chrom = (
+        F.when(chrom_idx == 20, F.lit("X"))
+        .when(chrom_idx == 21, F.lit("Y"))
+        .otherwise((chrom_idx + 1).cast("string"))
+    )
+    pos = (F.col("l_partkey").cast("long") * 1487) % 3000000
+    ref = F.element_at(base4, ((F.col("l_partkey") % 4) + 1).cast("int"))
+    var = F.element_at(base4, ((F.col("l_suppkey") % 4) + 1).cast("int"))
+    pk, sk, lnum = F.col("l_partkey"), F.col("l_suppkey"), F.col("l_linenumber")
+    effect1 = (
+        F.when(pk % 4 == 0, F.lit("missense_variant"))
+        .when(pk % 4 == 1, F.lit("synonymous_variant"))
+        .when(pk % 4 == 2, F.lit("intron_variant"))
+        .otherwise(F.lit("upstream_gene_variant"))
+    )
+    impact1 = (
+        F.when(pk % 4 == 0, F.lit("MODERATE"))
+        .when(pk % 4 == 1, F.lit("LOW"))
+        .otherwise(F.lit("MODIFIER"))
+    )
+    hgvs_c = F.concat(
+        F.lit("c."), pos.cast("string"), ref, F.lit(">"), var
+    )
+
+    def ann_fields(first: bool):
+        return [
+            var,
+            effect1 if first else F.lit("downstream_gene_variant"),
+            impact1 if first else F.lit("MODIFIER"),
+            F.concat(F.lit("G" if first else "G2_"), pk.cast("string")),
+            F.concat(F.lit("RGD:"), pk.cast("string")),
+            F.lit("transcript"),
+            F.concat(F.lit("NM_"), F.col("l_orderkey").cast("string")),
+            F.when(sk % 2 == 0, F.lit("protein_coding")).otherwise(F.lit("")),
+            F.when(
+                F.lit(first) & (sk % 3 == 0),
+                F.concat(lnum.cast("string"), F.lit("/9")),
+            ).otherwise(F.lit("")),
+            hgvs_c,
+            F.when(
+                F.lit(first) & (pk % 4 == 0),
+                F.concat(F.lit("p.Lys"), lnum.cast("string"), F.lit("Glu")),
+            ).otherwise(F.lit("")),
+            F.lit(""),
+            F.lit(""),
+            F.lit(""),
+            F.lit(""),
+            F.when(sk % 5 == 0, F.lit("W1")).otherwise(F.lit("")),
+        ]
+
+    ann1 = F.concat_ws("|", *ann_fields(True))
+    ann2 = F.concat_ws("|", *ann_fields(False))
+    ann_block = F.when(
+        lnum % 2 == 0, F.concat(ann1, F.lit(","), ann2)
+    ).otherwise(ann1)
+    info = F.when(
+        F.col("l_orderkey") % 1000 == 0, F.lit("AC=2;DP=30")
+    ).otherwise(F.concat(F.lit("AC=2;ANN="), ann_block, F.lit(";DP=30")))
+    line = F.concat_ws(
+        "\t",
+        chrom,
+        pos.cast("string"),
+        F.lit("."),
+        ref,
+        var,
+        F.lit("99"),
+        F.lit("PASS"),
+        info,
+    )
+    path = _scan_path(sf_dir, "s10.vcf")
+    rows = [r["l"] for r in li.select(line.alias("l")).collect()]
+    with open(path, "w") as fh:
+        fh.write("##fileformat=VCFv4.1\n")
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        fh.write("\n".join(rows) + ("\n" if rows else ""))
+    return read_snpeff_vcf(spark, path)
