@@ -257,3 +257,48 @@ def test_cosine_topk_pandas_matches_expression(spark):
         for r in sim.cosine_topk_pandas(e, q, k=5).collect()
     }
     assert a == b
+
+
+def test_hll_sketch_within_bounds(spark):
+    """The sketch gate's 5% flag rests on the HLL estimate actually landing
+    near the exact count — assert the numeric relative error directly."""
+    from variant_load_pipeline_spark.queries import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    rows = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("a"),
+        F.countDistinct("user_id").alias("e"),
+    ).collect()
+    for r in rows:
+        rel = abs(r["a"] - r["e"]) / r["e"]
+        assert rel <= 0.05, (r["event_type"], r["a"], r["e"])
+
+
+def test_lsh_recall_floor(spark):
+    """ann_lsh_recall's 0.3 per-query gate rests on the measured recall;
+    assert the numeric mean recall directly at sf0.001."""
+    from variant_load_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e = e.withColumn("emb_d", F.col("embedding").cast("array<double>"))
+    corpus = e.select("vec_id", F.col("emb_d").alias("embedding"))
+    queries = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("emb_d").alias("qv")
+    )
+    ex = {(r["qid"], r["nid"]) for r in cosine_topk(corpus, queries, k=5).collect()}
+    ls = {
+        (r["qid"], r["nid"])
+        for r in lsh_topk(
+            corpus, queries, dim=64, k=5, n_planes=4, n_tables=12
+        ).collect()
+    }
+    qids = {q for q, _ in ex}
+    recalls = [
+        sum(1 for pair in ex if pair[0] == q and pair in ls) / 5.0
+        for q in qids
+    ]
+    assert min(recalls) >= 0.3
+    assert sum(recalls) / len(recalls) >= 0.6
