@@ -1,4 +1,4 @@
-"""Multimodal binary-column plumbing tests (decode stubbed, plumbing real)."""
+"""Multimodal binary-column tests: real PNG codec + Arrow plumbing."""
 
 from __future__ import annotations
 
@@ -32,7 +32,10 @@ def test_metadata_and_exact_dedup(spark):
 
 def test_decode_images_fake_codec(spark):
     df = _media(spark)
-    feats = {r["media_id"]: r for r in B.decode_images(df).collect()}
+    feats = {
+        r["media_id"]: r
+        for r in B.decode_images(df, codec="fake").collect()
+    }
     assert len(feats) == 4
     assert feats[1]["width"] == 1 + (200 % 64)
     assert feats[1]["n_channels"] == 3
@@ -102,3 +105,151 @@ def test_extract_features_real_codec_raises(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, payload binary")
     with _pytest.raises(NotImplementedError):
         B.extract_features(df, codec="onnx")
+
+
+# ---------------------------------------------------------------------------
+# real PNG codec (multimodal/png.py)
+# ---------------------------------------------------------------------------
+def _rand_img(shape, seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=shape, dtype=np.uint16).astype("uint8")
+
+
+def test_png_roundtrip_all_channel_counts():
+    import numpy as np
+
+    from variant_load_pipeline_spark.multimodal import png
+
+    for shape in [(5, 7), (5, 7, 2), (9, 4, 3), (3, 3, 4), (1, 1, 3)]:
+        img = _rand_img(shape, seed=sum(shape))
+        back = png.decode_png(png.encode_png(img))
+        want = img if img.ndim == 3 else img[:, :, None]
+        assert back.shape == want.shape
+        assert np.array_equal(back, want)
+
+
+def _apply_filter(f, line, prev, channels):
+    """Forward scanline filter per the PNG spec (encoder side), used to
+    hand-build PNGs that exercise every decode filter."""
+    out = bytearray(len(line))
+    for x in range(len(line)):
+        a = line[x - channels] if x >= channels else 0
+        b = prev[x]
+        c = prev[x - channels] if x >= channels else 0
+        if f == 0:
+            v = line[x]
+        elif f == 1:
+            v = line[x] - a
+        elif f == 2:
+            v = line[x] - b
+        elif f == 3:
+            v = line[x] - ((a + b) >> 1)
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            v = line[x] - pr
+        out[x] = v & 0xFF
+    return bytes(out)
+
+
+def test_png_decode_all_filters():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from variant_load_pipeline_spark.multimodal import png
+
+    img = _rand_img((5, 6, 3), seed=42)
+    h, w, c = img.shape
+    raw = bytearray()
+    prev = bytes(w * c)
+    for y in range(h):
+        f = y % 5  # row 0 filter None, then Sub, Up, Average, Paeth
+        line = img[y].tobytes()
+        raw += bytes([f]) + _apply_filter(f, line, prev, c)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        png.PNG_SIGNATURE
+        + png._chunk(b"IHDR", ihdr)
+        + png._chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + png._chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png.decode_png(data), img)
+
+
+def test_png_palette_decode():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from variant_load_pipeline_spark.multimodal import png
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    data = (
+        png.PNG_SIGNATURE
+        + png._chunk(b"IHDR", ihdr)
+        + png._chunk(b"PLTE", pal)
+        + png._chunk(b"IDAT", zlib.compress(raw))
+        + png._chunk(b"IEND", b"")
+    )
+    out = png.decode_png(data)
+    assert out.shape == (2, 2, 3)
+    assert list(out[0, 0]) == [255, 0, 0]
+    assert list(out[0, 1]) == [0, 255, 0]
+    assert list(out[1, 0]) == [0, 0, 255]
+
+
+def test_png_decode_rejects_garbage():
+    import pytest as _pytest
+
+    from variant_load_pipeline_spark.multimodal import png
+
+    with _pytest.raises(ValueError):
+        png.decode_png(b"not a png at all")
+
+
+def test_decode_images_real_png_codec(spark):
+    import numpy as np
+
+    from variant_load_pipeline_spark.multimodal import png
+
+    imgs = {
+        1: _rand_img((8, 12, 3), seed=1),
+        2: _rand_img((20, 5, 1), seed=2),
+        3: _rand_img((6, 6, 4), seed=3),
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(png.encode_png(v))) for k, v in imgs.items()],
+        "media_id long, payload binary",
+    )
+    feats = {r["media_id"]: r for r in B.decode_images(df, codec="png").collect()}
+    for k, v in imgs.items():
+        want = v if v.ndim == 3 else v[:, :, None]
+        assert feats[k]["height"] == want.shape[0]
+        assert feats[k]["width"] == want.shape[1]
+        assert feats[k]["n_channels"] == want.shape[2]
+        assert abs(feats[k]["mean_intensity"] - float(want.mean())) < 1e-4
+
+
+def test_resize_images_real_png_codec(spark):
+    import numpy as np
+
+    from variant_load_pipeline_spark.multimodal import png
+
+    img = _rand_img((16, 16, 3), seed=9)
+    df = spark.createDataFrame(
+        [(1, bytearray(png.encode_png(img)))], "media_id long, payload binary"
+    )
+    out = B.resize_images(df, width=4, height=8, codec="png").collect()[0]
+    got = png.decode_png(bytes(out["payload"]))
+    assert got.shape == (8, 4, 3)
+    assert np.array_equal(got, png.resize_nearest(img, 4, 8))

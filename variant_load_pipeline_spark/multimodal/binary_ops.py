@@ -3,9 +3,11 @@
 Media are opaque ``binary`` columns + typed metadata structs; the heavy
 decode/feature steps run as Arrow-batched pandas iterators (``mapInPandas``)
 so each executor processes whole record batches without per-row Python
-overhead.  The actual codec work is STUBBED (no image/audio libs in this
-container): ``decode_image`` raises unless given the deterministic fake
-codec, and the fake covers schema/partitioning/batch-shape testing.
+overhead.  Image decode/resize are REAL for PNG via the pure-stdlib codec
+in ``multimodal/png.py`` (codec='png', the default); the deterministic
+``fake`` codec remains for plumbing tests with arbitrary payloads, and
+audio/video decode plus model embeddings stay stubbed until a library /
+model runtime is provisioned (clearly-gated NotImplementedError).
 
 Design notes for 100 TB media:
 * store media in parquet binary columns (or pointers to object storage) and
@@ -77,36 +79,57 @@ def fake_decode_image(payload: bytes) -> dict:
     }
 
 
+def png_decode_features(payload: bytes) -> dict:
+    """REAL decode via the pure-stdlib PNG codec (multimodal/png.py):
+    parse chunks, inflate IDAT, undo scanline filters, report geometry +
+    mean intensity over actual pixels."""
+    from .png import decode_png
+
+    img = decode_png(payload)
+    h, w, c = img.shape
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_channels": int(c),
+        "mean_intensity": round(float(img.mean()), 6),
+    }
+
+
+_DECODERS = {"fake": fake_decode_image, "png": png_decode_features}
+
+
 def decode_images(
     df: DataFrame,
     id_col: str = "media_id",
     payload_col: str = "payload",
-    codec: str = "fake",
+    codec: str = "png",
 ) -> DataFrame:
     """Decode/feature-extract images via mapInPandas (Arrow batches).
 
-    ``codec='fake'`` uses the deterministic stub; any real codec name raises
-    NotImplementedError until the corresponding library is provisioned.
+    ``codec='png'`` (default) runs the real pure-stdlib PNG decoder;
+    ``codec='fake'`` keeps the deterministic stub for plumbing tests with
+    non-image payloads.  JPEG/WebP would slot in as further ``_DECODERS``
+    entries when a library is provisioned.
     """
-    if codec != "fake":
+    if codec not in _DECODERS:
         raise NotImplementedError(
             f"codec '{codec}' requires an image library not present in this "
-            "environment; the Spark plumbing (schema, batching, partitioning) "
-            "is exercised with codec='fake'"
+            f"environment; available: {sorted(_DECODERS)}"
         )
+    decode = _DECODERS[codec]
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                feats = fake_decode_image(bytes(getattr(r, payload_col) or b""))
-                rows.append({"media_id": getattr(r, id_col), **feats})
-            yield pd.DataFrame(
-                rows,
-                columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields],
-            )
+            ids = pdf[id_col].to_numpy()
+            feats = [
+                decode(bytes(p) if p is not None else b"")
+                for p in pdf[payload_col]
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", ids)
+            yield out[[f.name for f in IMAGE_FEATURES_SCHEMA.fields]]
 
     return df.select(id_col, payload_col).mapInPandas(
         run, schema=IMAGE_FEATURES_SCHEMA
@@ -162,35 +185,39 @@ def resize_images(
     codec: str = "fake",
 ) -> DataFrame:
     """Resize stage: (media_id, payload) -> (media_id, payload, width,
-    height) with the resized payload.  The pixel work is stubbed (the fake
-    'resize' is a deterministic byte slice/pad to the target size) but the
-    batch shape — Arrow in, Arrow out, binary column preserved — is the real
-    pipeline contract a libvips/PIL kernel would drop into."""
-    if codec != "fake":
+    height) with the resized payload.  ``codec='png'`` decodes, nearest-
+    neighbor resizes the actual pixels, and re-encodes PNG (pure-stdlib
+    codec); ``codec='fake'`` keeps the deterministic byte slice/pad stub
+    for non-image payloads.  Batch shape — Arrow in, Arrow out, binary
+    column preserved — is the pipeline contract either way."""
+    if codec not in ("fake", "png"):
         raise NotImplementedError(
             f"codec '{codec}' requires an image library not present here"
         )
     target = width * height * 3
 
+    def one(raw: bytes) -> bytes:
+        if codec == "png":
+            from .png import decode_png, encode_png, resize_nearest
+
+            return encode_png(resize_nearest(decode_png(raw), width, height))
+        return (raw * (target // max(1, len(raw)) + 1))[:target]
+
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                raw = bytes(getattr(r, payload_col) or b"")
-                resized = (raw * (target // max(1, len(raw)) + 1))[:target]
-                rows.append(
-                    {
-                        "media_id": getattr(r, id_col),
-                        "payload": resized,
-                        "width": width,
-                        "height": height,
-                    }
-                )
             yield pd.DataFrame(
-                rows, columns=["media_id", "payload", "width", "height"]
-            )
+                {
+                    "media_id": pdf[id_col].to_numpy(),
+                    "payload": [
+                        one(bytes(p) if p is not None else b"")
+                        for p in pdf[payload_col]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )[["media_id", "payload", "width", "height"]]
 
     schema = T.StructType(
         [

@@ -2640,3 +2640,82 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("F"))
         .alias("recall_ok"),
     )
+
+
+# ===========================================================================
+# Multimodal: real PNG decode, oracle-checked
+# ===========================================================================
+@register(
+    "mm_png_decode",
+    """
+    WITH g AS (
+        SELECT CAST(p_partkey AS BIGINT) AS media_id,
+               CAST(4 + p_partkey % 13 AS INT) AS width,
+               CAST(4 + p_partkey % 11 AS INT) AS height
+        FROM part WHERE p_partkey % 40 = 0
+    )
+    SELECT g.media_id, g.width, g.height, 3 AS n_channels,
+           ROUND(AVG(CAST((g.media_id + 3 * x.x + 5 * y.y + 11 * ch.ch)
+                          % 256 AS DOUBLE)), 6) AS mean_intensity
+    FROM g
+    CROSS JOIN LATERAL (SELECT unnest(range(0, g.width)) AS x) x
+    CROSS JOIN LATERAL (SELECT unnest(range(0, g.height)) AS y) y
+    CROSS JOIN (SELECT unnest(range(0, 3)) AS ch) ch
+    GROUP BY g.media_id, g.width, g.height
+    """,
+    doc="Multimodal: REAL PNG decode end-to-end — deterministic RGB images "
+    "(pixel = (id + 3x + 5y + 11c) mod 256) are encoded with the pure-"
+    "stdlib PNG codec and decoded back through decode_images(codec='png') "
+    "(chunk parse, inflate, scanline unfilter) inside mapInPandas; the "
+    "oracle computes the expected geometry and exact pixel mean in SQL",
+)
+def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from .multimodal.binary_ops import decode_images
+
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 40 == 0)
+    gen = p.select(
+        F.col("p_partkey").cast("long").alias("media_id"),
+        (4 + F.col("p_partkey") % 13).cast("int").alias("width"),
+        (4 + F.col("p_partkey") % 11).cast("int").alias("height"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def render(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .multimodal.png import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for mid, w, h in zip(
+                pdf["media_id"], pdf["width"], pdf["height"]
+            ):
+                y, x, c = np.meshgrid(
+                    np.arange(int(h)), np.arange(int(w)), np.arange(3),
+                    indexing="ij",
+                )
+                img = ((int(mid) + 3 * x + 5 * y + 11 * c) % 256).astype(
+                    "uint8"
+                )
+                payloads.append(encode_png(img))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = gen.mapInPandas(render, schema=out_schema)
+    return decode_images(media, codec="png").select(
+        "media_id",
+        "width",
+        "height",
+        "n_channels",
+        "mean_intensity",
+    )
