@@ -2719,3 +2719,401 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_channels",
         "mean_intensity",
     )
+
+
+# ===========================================================================
+# The FULL VcfConverter2 pipeline, oracle-checked end-to-end
+# (F2 + F5 + S3 + F6 + F10 + AD/DP policy + C5 + C6/C7/C8 + C17 + E2/F7
+#  + F11 — one hard-signal row for the whole conversion)
+# ===========================================================================
+_VC2_REF = _P29_BASE_REF
+_VC2_VAR = _P29_BASE_VAR
+
+
+@register(
+    "vcfconv_pipeline",
+    f"""
+    WITH li AS (
+        SELECT l_orderkey AS okey, l_linenumber AS lnum,
+               {_P29_CHROM_L} AS chrom,
+               CAST((CAST(l_partkey AS BIGINT) * 1487) % 3000000 AS BIGINT)
+                   AS pos,
+               {_VC2_REF} AS ref, {_VC2_VAR} AS var,
+               CAST(FLOOR(l_quantity) AS BIGINT) % 60 AS ca,
+               CAST(FLOOR(l_extendedprice) AS BIGINT) % 50 AS cc,
+               CAST(l_linenumber * 3 AS BIGINT) AS cg,
+               CAST(l_suppkey % 40 AS BIGINT) AS ct,
+               l_partkey AS pk
+        FROM lineitem
+        WHERE l_orderkey % 100 = 0 AND l_orderkey % 400 <> 0
+    ),
+    ra AS (
+        SELECT *,
+            CASE lnum % 6 WHEN 1 THEN ref
+                 WHEN 2 THEN ref || 'CA'
+                 WHEN 3 THEN 'AC'
+                 WHEN 4 THEN 'A'
+                 ELSE ref END AS vref,
+            CASE lnum % 6 WHEN 1 THEN ref || 'TG'
+                 WHEN 2 THEN ref
+                 WHEN 3 THEN 'GT'
+                 WHEN 4 THEN 'GTT'
+                 ELSE var END AS valt,
+            CASE lnum % 4 WHEN 0 THEN '.'
+                 WHEN 1 THEN 'rs' || CAST(okey AS VARCHAR)
+                 ELSE 'RGDID:' || CAST(pk AS VARCHAR) || ';NM_'
+                      || CAST(okey AS VARCHAR) || ':c.1A>G' END AS vid
+        FROM li WHERE lnum % 6 <> 0
+    ),
+    cells AS (
+        SELECT ra.*, s.strain,
+            CASE s.strain
+                WHEN 'STRAIN_A' THEN '0/1:' || ca || ',' || cc || ':'
+                     || (ca + cc + 1)
+                WHEN 'STRAIN_B' THEN
+                    CASE WHEN lnum % 4 = 0 THEN '0/0:1,1:2'
+                         ELSE '1/1:' || cg || ',' || ct || ':' || (cg + ct) END
+                ELSE
+                    CASE WHEN lnum % 3 = 0 THEN './.'
+                         WHEN lnum % 3 = 1 THEN '0/1:.:' || ct
+                         ELSE '1/1:' || ct || ',' || ca || ':' || (ct + ca) END
+            END AS cell
+        FROM ra CROSS JOIN (
+            SELECT * FROM (VALUES ('STRAIN_A'), ('STRAIN_B'), ('STRAIN_C'))
+                AS t(strain)
+        ) s
+    ),
+    called AS (
+        SELECT *,
+            CASE WHEN length(cell) >= 3 THEN substr(cell, 1, 3) ELSE cell END
+                AS gt,
+            string_split(cell, ':')[2] AS ad_raw,
+            string_split(cell, ':')[3] AS dp_raw
+        FROM cells
+        WHERE (CASE WHEN length(cell) >= 3 THEN substr(cell, 1, 3) ELSE cell
+               END) NOT IN ('./.', '.', '0/0', '0')
+    ),
+    depths AS (
+        SELECT *,
+            CASE WHEN ad_raw = '.' OR ad_raw IS NULL
+                 THEN [0, 0, 0, 0, 0, 0, 0]
+                 ELSE list_transform(string_split(ad_raw, ','),
+                                     x -> CAST(x AS BIGINT)) END AS ad,
+            CAST(CASE WHEN ad_raw = '.' OR ad_raw IS NULL THEN 0
+                 ELSE list_sum(list_transform(string_split(ad_raw, ','),
+                                              x -> CAST(x AS BIGINT))) END
+                 AS BIGINT) AS read_depth,
+            CASE WHEN dp_raw = '.' OR dp_raw IS NULL THEN 0
+                 ELSE CAST(dp_raw AS BIGINT) END AS total_depth,
+            list_prepend(vref, string_split(valt, ',')) AS alleles
+        FROM called
+    ),
+    expl AS (
+        SELECT d.*, al.allele
+        FROM depths d, unnest(d.alleles) AS al(allele)
+        WHERE al.allele <> d.vref
+    ),
+    counted AS (
+        SELECT *,
+            COALESCE(ad[list_position(alleles, 'A')], 0) AS count_a0,
+            COALESCE(ad[list_position(alleles, 'C')], 0) AS count_c0,
+            COALESCE(ad[list_position(alleles, 'G')], 0) AS count_g0,
+            COALESCE(ad[list_position(alleles, 'T')], 0) AS count_t0,
+            COALESCE(ad[list_position(alleles, allele)], 0) AS allele_depth,
+            CAST(len(string_split(valt, ',')) AS INT) AS allele_count,
+            (length(vref) = 1 AND length(allele) = 1) AS is_snv,
+            (length(vref) = 1 AND length(allele) > 1) AS is_ins,
+            (length(vref) > 1 AND length(allele) = 1) AS is_del,
+            substr(vref, 1, 1) = substr(allele, 1, 1) AS pad_ok
+        FROM expl
+    ),
+    adjusted AS (
+        SELECT *,
+            CASE WHEN is_ins AND vref = substr(allele, 1, 1)
+                      OR is_del AND allele = substr(vref, 1, 1)
+                 THEN pos + 1 ELSE pos END AS position,
+            CASE WHEN is_ins AND vref = substr(allele, 1, 1) THEN ''
+                 WHEN is_del AND allele = substr(vref, 1, 1)
+                     THEN substr(vref, 2)
+                 ELSE vref END AS ref_nuc,
+            CASE WHEN is_del AND allele = substr(vref, 1, 1) THEN ''
+                 WHEN is_ins AND vref = substr(allele, 1, 1)
+                     THEN substr(allele, 2)
+                 ELSE allele END AS var_nuc,
+            CASE WHEN (is_ins AND vref = substr(allele, 1, 1))
+                 THEN vref
+                 WHEN (is_del AND allele = substr(vref, 1, 1))
+                 THEN allele
+                 ELSE '' END AS padding_base
+        FROM counted
+        WHERE is_snv OR ((is_ins OR is_del) AND pad_ok)
+    )
+    SELECT strain, chrom AS chr, position, ref_nuc, var_nuc,
+        vid AS rs_id,
+        CASE WHEN is_ins OR is_del THEN 0 ELSE count_a0 END AS count_a,
+        CASE WHEN is_ins OR is_del THEN 0 ELSE count_c0 END AS count_c,
+        CASE WHEN is_ins OR is_del THEN 0 ELSE count_g0 END AS count_g,
+        CASE WHEN is_ins OR is_del THEN 0 ELSE count_t0 END AS count_t,
+        total_depth,
+        CASE WHEN vid LIKE 'RGDID:%' AND vid LIKE '%;%'
+             THEN string_split(vid, ';')[2] ELSE '' END AS hgvs_name,
+        CASE WHEN vid LIKE 'RGDID:%'
+             THEN CAST(regexp_extract(vid, 'RGDID:(\\d+)', 1) AS BIGINT)
+        END AS rgd_id,
+        allele_depth, allele_count, read_depth, padding_base
+    FROM adjusted
+    """,
+    doc="The FULL VcfConverter2 pipeline end-to-end (VcfToCommonFormat2"
+    "Converter.java:109-430): a generated multi-sample VCF exercising chr "
+    "prefixes + invalid contigs (F2), multi-allelic skip (F5), FORMAT "
+    "AD/DP indexing (S3), missing/hom-ref genotypes (F6), dotted AD, "
+    "per-allele explode with same-as-ref skip (E2/F7), ACGT pivot + "
+    "allele accounting (C6-C8), RGDID/hgvs parse (C17), indel padding "
+    "adjust + block-substitution/pad-mismatch drops (C5), and the CF2 "
+    "projection (F11) — the oracle re-derives the entire conversion in SQL",
+)
+def vcfconv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.convert import convert_vcf_to_cf2
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    base4 = F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T"))
+    chrom_idx = (F.col("l_orderkey") % 22).cast("int")
+    chrom = (
+        F.when(chrom_idx == 20, F.lit("X"))
+        .when(chrom_idx == 21, F.lit("Y"))
+        .otherwise((chrom_idx + 1).cast("string"))
+    )
+    gen = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lnum"),
+        F.col("l_partkey").alias("pk"),
+        chrom.alias("chrom"),
+        ((F.col("l_partkey").cast("long") * 1487) % 3000000).alias("pos"),
+        F.element_at(base4, ((F.col("l_partkey") % 4) + 1).cast("int")).alias(
+            "ref"
+        ),
+        F.element_at(base4, ((F.col("l_suppkey") % 4) + 1).cast("int")).alias(
+            "var"
+        ),
+        (F.floor("l_quantity").cast("long") % 60).alias("ca"),
+        (F.floor("l_extendedprice").cast("long") % 50).alias("cc"),
+        (F.col("l_linenumber") * 3).cast("long").alias("cg"),
+        (F.col("l_suppkey") % 40).cast("long").alias("ct"),
+    )
+    vref = (
+        F.when(F.col("lnum") % 6 == 1, F.col("ref"))
+        .when(F.col("lnum") % 6 == 2, F.concat(F.col("ref"), F.lit("CA")))
+        .when(F.col("lnum") % 6 == 3, F.lit("AC"))
+        .when(F.col("lnum") % 6 == 4, F.lit("A"))
+        .otherwise(F.col("ref"))
+    )
+    valt = (
+        F.when(F.col("lnum") % 6 == 0, F.lit("G,T"))
+        .when(F.col("lnum") % 6 == 1, F.concat(F.col("ref"), F.lit("TG")))
+        .when(F.col("lnum") % 6 == 2, F.col("ref"))
+        .when(F.col("lnum") % 6 == 3, F.lit("GT"))
+        .when(F.col("lnum") % 6 == 4, F.lit("GTT"))
+        .otherwise(F.col("var"))
+    )
+    vid = (
+        F.when(F.col("lnum") % 4 == 0, F.lit("."))
+        .when(
+            F.col("lnum") % 4 == 1,
+            F.concat(F.lit("rs"), F.col("okey").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("RGDID:"),
+                F.col("pk").cast("string"),
+                F.lit(";NM_"),
+                F.col("okey").cast("string"),
+                F.lit(":c.1A>G"),
+            )
+        )
+    )
+    # chr-prefixed on even okeys; okey%400==0 becomes an invalid contig the
+    # normalizer must drop
+    chrom_raw = (
+        F.when(F.col("okey") % 400 == 0, F.lit("chrUn_9"))
+        .when(F.col("okey") % 2 == 0, F.concat(F.lit("chr"), F.col("chrom")))
+        .otherwise(F.col("chrom"))
+    )
+    cell_a = F.concat_ws(
+        "",
+        F.lit("0/1:"), F.col("ca").cast("string"), F.lit(","),
+        F.col("cc").cast("string"), F.lit(":"),
+        (F.col("ca") + F.col("cc") + 1).cast("string"),
+    )
+    cell_b = F.when(F.col("lnum") % 4 == 0, F.lit("0/0:1,1:2")).otherwise(
+        F.concat_ws(
+            "",
+            F.lit("1/1:"), F.col("cg").cast("string"), F.lit(","),
+            F.col("ct").cast("string"), F.lit(":"),
+            (F.col("cg") + F.col("ct")).cast("string"),
+        )
+    )
+    cell_c = (
+        F.when(F.col("lnum") % 3 == 0, F.lit("./."))
+        .when(
+            F.col("lnum") % 3 == 1,
+            F.concat(F.lit("0/1:.:"), F.col("ct").cast("string")),
+        )
+        .otherwise(
+            F.concat_ws(
+                "",
+                F.lit("1/1:"), F.col("ct").cast("string"), F.lit(","),
+                F.col("ca").cast("string"), F.lit(":"),
+                (F.col("ct") + F.col("ca")).cast("string"),
+            )
+        )
+    )
+    line = F.concat_ws(
+        "\t",
+        chrom_raw, F.col("pos").cast("string"), vid, vref, valt,
+        F.lit("99"), F.lit("PASS"), F.lit("NS=3"), F.lit("GT:AD:DP"),
+        cell_a, cell_b, cell_c,
+    )
+    path = _scan_path(sf_dir, "vc2.vcf")
+    rows = [r["l"] for r in gen.select(line.alias("l")).collect()]
+    with open(path, "w") as fh:
+        fh.write("##fileformat=VCFv4.1\n")
+        fh.write(
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+            + "\t".join(_S2_STRAINS)
+            + "\n"
+        )
+        fh.write("\n".join(rows) + ("\n" if rows else ""))
+    out = convert_vcf_to_cf2(spark, path)
+    return out.select(
+        "strain", "chr", "position", "ref_nuc", "var_nuc", "rs_id",
+        "count_a", "count_c", "count_g", "count_t", "total_depth",
+        "hgvs_name", "rgd_id",
+        F.col("allele_depth").cast("long").alias("allele_depth"),
+        F.col("allele_count").cast("int").alias("allele_count"),
+        F.col("read_depth").cast("long").alias("read_depth"),
+        "padding_base",
+    )
+
+
+# ===========================================================================
+# S1/S5: gzip CF2 sink -> scan round trip; K5: batched UPDATE as merge
+# ===========================================================================
+@register(
+    "cf2_roundtrip_scan",
+    f"""
+    WITH v AS ({_VARIANT_SQL})
+    SELECT chrom AS chr, CAST(pos AS BIGINT) AS position,
+        ref AS ref_nuc, var AS var_nuc,
+        CASE WHEN lnum % 2 = 0 THEN 'rs' || CAST(okey AS VARCHAR)
+             ELSE '' END AS rs_id,
+        CAST(cnt_a AS INT) AS count_a, CAST(cnt_c AS INT) AS count_c,
+        CAST(cnt_g AS INT) AS count_g, CAST(cnt_t AS INT) AS count_t,
+        CAST(cnt_a + cnt_c AS INT) AS total_depth,
+        '' AS hgvs_name,
+        CASE WHEN lnum % 3 = 0 THEN CAST(okey AS BIGINT) END AS rgd_id,
+        CAST(cnt_t AS INT) AS allele_depth,
+        CAST(2 AS INT) AS allele_count,
+        CAST(cnt_a + cnt_c + cnt_g + cnt_t AS INT) AS read_depth,
+        CASE WHEN lnum % 4 = 0 THEN 'A' ELSE '' END AS padding_base
+    FROM v WHERE okey % 20 = 0
+    """,
+    doc="S1/S5/K1: CF2 sink -> scan round trip through REAL gzip files — "
+    "CF2-shaped rows written by write_cf2 (TSV, gzip, bare empty cells) "
+    "and re-read by read_cf2 (16-col typed schema, ''->0 int policy, "
+    "CommonFormat2Writer.java:57/VariantLoad3.java:379-386); the oracle "
+    "derives the rows directly, so any write/scan asymmetry breaks the "
+    "hash",
+)
+def cf2_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .sources.cf2 import read_cf2, write_cf2
+
+    v = _variant_cols(load(spark, sf_dir, "lineitem")).filter(
+        F.col("okey") % 20 == 0
+    )
+    rows = v.select(
+        F.col("chrom").alias("chr"),
+        F.col("pos").cast("long").alias("position"),
+        F.col("ref").alias("ref_nuc"),
+        F.col("var").alias("var_nuc"),
+        F.when(
+            F.col("lnum") % 2 == 0,
+            F.concat(F.lit("rs"), F.col("okey").cast("string")),
+        ).otherwise(F.lit("")).alias("rs_id"),
+        F.col("cnt_a").cast("int").alias("count_a"),
+        F.col("cnt_c").cast("int").alias("count_c"),
+        F.col("cnt_g").cast("int").alias("count_g"),
+        F.col("cnt_t").cast("int").alias("count_t"),
+        (F.col("cnt_a") + F.col("cnt_c")).cast("int").alias("total_depth"),
+        F.lit("").alias("hgvs_name"),
+        F.when(F.col("lnum") % 3 == 0, F.col("okey"))
+        .cast("long")
+        .alias("rgd_id"),
+        F.col("cnt_t").cast("int").alias("allele_depth"),
+        F.lit(2).cast("int").alias("allele_count"),
+        (F.col("cnt_a") + F.col("cnt_c") + F.col("cnt_g") + F.col("cnt_t"))
+        .cast("int")
+        .alias("read_depth"),
+        F.when(F.col("lnum") % 4 == 0, F.lit("A"))
+        .otherwise(F.lit(""))
+        .alias("padding_base"),
+    )
+    path = _scan_path(sf_dir, "cf2_rt")
+    shutil.rmtree(path, ignore_errors=True)
+    write_cf2(rows, path, compress=True)
+    return read_cf2(spark, path)
+
+
+@register(
+    "k5_merge_update",
+    f"""
+    WITH v AS ({_VARIANT_SQL}),
+    target AS (
+        SELECT DISTINCT okey, lnum, chrom, pos, 'GENIC' AS genic_status,
+               CAST(0 AS BIGINT) AS score
+        FROM v
+    ),
+    updates AS (
+        SELECT okey, lnum, MIN(pos) AS _p
+        FROM v WHERE okey % 3 = 0 GROUP BY okey, lnum
+    )
+    SELECT t.okey, t.lnum, t.chrom, t.pos,
+        CASE WHEN u.okey IS NOT NULL THEN 'INTERGENIC'
+             ELSE t.genic_status END AS genic_status,
+        CASE WHEN u.okey IS NOT NULL THEN CAST(u._p % 100 AS BIGINT)
+             ELSE t.score END AS score
+    FROM target t LEFT JOIN updates u
+      ON t.okey = u.okey AND t.lnum = u.lnum
+    """,
+    doc="K5: batched UPDATE as a relational MERGE (operators.upsert."
+    "merge_update — join on key, COALESCE overwrite of the SET columns; "
+    "UpdateVariantStatus/GenicStatusFixUp write path, "
+    "VariantPostProcessing.java batched updates analog)",
+)
+def k5_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.upsert import merge_update
+
+    v = _variant_cols(load(spark, sf_dir, "lineitem"))
+    target = (
+        v.select("okey", "lnum", "chrom", "pos")
+        .distinct()
+        .withColumn("genic_status", F.lit("GENIC"))
+        .withColumn("score", F.lit(0).cast("long"))
+    )
+    # update rows are unique per key with a deterministic derived value
+    # (MIN(pos) per key) — the merge_update contract
+    updates = (
+        v.filter(F.col("okey") % 3 == 0)
+        .groupBy("okey", "lnum")
+        .agg(F.min("pos").alias("_p"))
+        .select(
+            "okey",
+            "lnum",
+            F.lit("INTERGENIC").alias("genic_status"),
+            (F.col("_p") % 100).cast("long").alias("score"),
+        )
+    )
+    return merge_update(
+        target, updates, keys=["okey", "lnum"], set_cols=["genic_status", "score"]
+    )
