@@ -135,3 +135,27 @@ def test_order_sensitive_queries_partitioning_invariant(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     assert a == b
+
+
+def test_no_registered_query_has_partitionless_window(spark):
+    """Registry-wide invariant: NO query plans a Window with an empty
+    partition spec (the round-1 audit's scale-killer pattern).  Bounded
+    small-table ordering needs (top-k, cumulative bucket offsets, header
+    successor lookup) are all expressed as TakeOrderedAndProject or
+    broadcast theta-joins instead."""
+    import re
+
+    from variant_load_pipeline_spark import queries as Q
+
+    offenders = []
+    for name, q in sorted(Q.registry().items()):
+        df = q.spark_fn(spark, SF)
+        plan = spark._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            first = m.group(1).split(",")[0]
+            if "ASC" in first or "DESC" in first:
+                offenders.append((name, m.group(0)[:70]))
+                break
+    assert not offenders, offenders

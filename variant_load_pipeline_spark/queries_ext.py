@@ -909,10 +909,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clabel",
         F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("csim"),
     )
-    wp = W.orderBy(F.col("csim").desc(), F.col("clabel"))
+    # nearest-2 centroids via TakeOrderedAndProject, not a global window
     probe = (
-        scored.withColumn("rk", F.row_number().over(wp))
-        .filter(F.col("rk") <= 2)
+        scored.orderBy(F.col("csim").desc(), F.col("clabel"))
+        .limit(2)
         .select(F.col("clabel").alias("label"))
     )
     cand = (
@@ -925,11 +925,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("emb_d"), F.col("qv")), 6).alias("cos_sim"),
         )
     )
-    wr = W.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    # top-10 via orderBy+limit; rank minted over the 10 survivors by a
+    # broadcast strictly-before count (same shape as q3 — no WindowExec)
+    top = cand.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
+    b = top.select(
+        F.col("vec_id").alias("__b_id"), F.col("cos_sim").alias("__b_sim")
+    )
+    before = (F.col("__b_sim") > F.col("cos_sim")) | (
+        (F.col("__b_sim") == F.col("cos_sim"))
+        & (F.col("__b_id") < F.col("vec_id"))
+    )
     return (
-        cand.withColumn("rk", F.row_number().over(wr))
-        .filter(F.col("rk") <= 10)
-        .select("vec_id", "label", "cos_sim", F.col("rk").cast("long").alias("rk"))
+        top.join(F.broadcast(b), before, "left")
+        .groupBy("vec_id", "label", "cos_sim")
+        .agg((F.count("__b_id") + 1).cast("long").alias("rk"))
     )
 
 

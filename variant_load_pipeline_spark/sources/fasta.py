@@ -39,18 +39,20 @@ def read_fasta(
     df = _lines_with_index(spark, path)
     # header table (one row per '>' line — per-chromosome, tiny): broadcast
     # each header's [idx, next header idx) line range and equi-range-join the
-    # sequence lines to it.  The only ordering window touches the header
-    # table; sequence lines never funnel through a single partition.
-    wh = W.orderBy("hidx")
+    # sequence lines to it.  next_hidx comes from a theta self-join on the
+    # |headers|-row table (min following header) instead of a lead() window,
+    # so nothing in this scan — not even the tiny side — creates a
+    # partition-less WindowExec; sequence lines never funnel through a
+    # single partition.
+    hdr = df.filter(F.col("line").startswith(">")).select(
+        F.col("idx").alias("hidx"),
+        F.regexp_extract(F.col("line"), r">\s*(\S+)", 1).alias("chromosome"),
+    )
+    nxt = hdr.select(F.col("hidx").alias("__b_hidx"))
     headers = (
-        df.filter(F.col("line").startswith(">"))
-        .select(
-            F.col("idx").alias("hidx"),
-            F.regexp_extract(F.col("line"), r">\s*(\S+)", 1).alias(
-                "chromosome"
-            ),
-        )
-        .withColumn("next_hidx", F.lead("hidx").over(wh))
+        hdr.join(F.broadcast(nxt), F.col("__b_hidx") > F.col("hidx"), "left")
+        .groupBy("hidx", "chromosome")
+        .agg(F.min("__b_hidx").alias("next_hidx"))
     )
     body = df.filter(
         ~F.col("line").startswith(">") & (F.trim(F.col("line")) != "")
