@@ -217,7 +217,18 @@ def test_iupac(spark):
 
 def test_parse_rgd_id_field(spark):
     df = spark.createDataFrame(
-        [("RGDID:8650299;NM_12345",), ("rs123",), ("RGDID:7;",)], ["i"]
+        [
+            ("RGDID:8650299;NM_12345",),
+            ("rs123",),
+            ("RGDID:7;",),
+            # no semicolon: the reference logs "missing semicolon" and
+            # leaves BOTH fields null (VcfToCommonFormat2Converter.java:
+            # 207-217)
+            ("RGDID:42",),
+            # hgvs carries everything after the FIRST semicolon
+            ("RGDID:5;NM_1(X);c.1A>G",),
+        ],
+        ["i"],
     )
     p = scalar.parse_rgd_id_field(F.col("i"))
     rows = df.select(p["rgd_id"].alias("r"), p["hgvs_name"].alias("h")).collect()
@@ -225,6 +236,8 @@ def test_parse_rgd_id_field(spark):
         (8650299, "NM_12345"),
         (None, None),
         (7, ""),
+        (None, None),
+        (5, "NM_1(X);c.1A>G"),
     ]
 
 

@@ -260,13 +260,20 @@ def iupac_expand(code: Column) -> Column:
 def parse_rgd_id_field(id_col: Column) -> dict[str, Column]:
     """'RGDID:8650299;NM_...' -> rgd_id (long) + hgvs_name.
 
-    Parity: VcfToCommonFormat2Converter.java:207-217.
+    Parity: VcfToCommonFormat2Converter.java:207-217 — BOTH fields require
+    the semicolon (an 'RGDID:123' id without one logs "missing semicolon"
+    and leaves rgdId/hgvsName null); hgvs_name is EVERYTHING after the
+    first ';' (the reference's substring(semicolonPos+1)), not just the
+    second ';'-delimited field.
     """
-    rgd = F.regexp_extract(id_col, r"RGDID:(\d+)", 1)
+    has = id_col.startswith("RGDID:") & id_col.contains(";")
+    rgd = F.regexp_extract(id_col, r"^RGDID:(\d+);", 1)
     return {
-        "rgd_id": F.when(rgd != "", rgd.cast("long")).otherwise(F.lit(None).cast("long")),
+        "rgd_id": F.when(has & (rgd != ""), rgd.cast("long")).otherwise(
+            F.lit(None).cast("long")
+        ),
         "hgvs_name": F.when(
-            id_col.contains(";"), F.element_at(F.split(id_col, ";"), 2)
+            has, F.regexp_extract(id_col, r"^RGDID:[^;]*;(.*)$", 1)
         ).otherwise(F.lit(None).cast("string")),
     }
 
