@@ -3126,3 +3126,128 @@ def k5_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_update(
         target, updates, keys=["okey", "lnum"], set_cols=["genic_status", "score"]
     )
+
+
+# ===========================================================================
+# Analytic widening, wave 2: ratio aggregate, correlated-min subquery,
+# distinct-count with composite anti pattern
+# ===========================================================================
+@register(
+    "q14_promo_revenue_ratio",
+    """
+    SELECT CAST(ROUND(
+        100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+            THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+            ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+            AS DECIMAL(18,6))) AS DOUBLE), 6) AS DOUBLE) AS promo_pct,
+        CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+    """,
+    doc="TPC-H Q14-style conditional-aggregate ratio: date-pruned scan, "
+    "dimension broadcast on partkey, decimal-exact conditional sums (order-"
+    "independent across partitionings), one ratio row out",
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("date"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )
+            ).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q17_small_quantity_avg",
+    """
+    WITH avg_qty AS (
+        SELECT l_partkey AS ap, 0.2 * AVG(l_quantity) AS threshold
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+               AS DOUBLE) / 7.0, 6) AS DOUBLE) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem JOIN avg_qty ON l_partkey = ap
+    WHERE l_quantity < threshold
+    """,
+    doc="TPC-H Q17-style correlated-average subquery decorrelated into an "
+    "aggregate + self-join on partkey: both sides shuffle once on the SAME "
+    "key (no repeated correlated probes), threshold applied post-join",
+)
+def q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("threshold")
+    )
+    j = li.join(avg_qty, F.col("l_partkey") == F.col("ap")).filter(
+        F.col("l_quantity") < F.col("threshold")
+    )
+    return j.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / 7.0,
+            6,
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_type, CAST(p_size AS INT) AS p_size,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (
+        SELECT p.p_type, p.p_size, l.l_suppkey AS ps_suppkey
+        FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        WHERE p.p_size IN (1, 4, 7) AND p.p_type NOT LIKE 'MEDIUM%'
+          AND l.l_suppkey NOT IN (
+              SELECT DISTINCT l2.l_suppkey FROM lineitem l2
+              WHERE l2.l_returnflag = 'R' AND l2.l_suppkey % 97 = 0
+          )
+    )
+    GROUP BY p_type, p_size
+    """,
+    doc="TPC-H Q16-style: filtered dim join, NOT IN -> left_anti against a "
+    "deduped exclusion set, COUNT(DISTINCT) grouped on two part attributes",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 4, 7)
+        & ~F.col("p_type").startswith("MEDIUM")
+    ).select("p_partkey", "p_type", "p_size")
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    excl = (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_returnflag") == "R") & (F.col("l_suppkey") % 97 == 0))
+        .select("l_suppkey")
+        .distinct()
+    )
+    j = (
+        li.join(excl, "l_suppkey", "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return j.groupBy("p_type", F.col("p_size").cast("int").alias("p_size")).agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
