@@ -3251,3 +3251,55 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("p_type", F.col("p_size").cast("int").alias("p_size")).agg(
         F.countDistinct("l_suppkey").alias("supplier_cnt")
     )
+
+
+@register(
+    "events_dedup_first",
+    """
+    WITH ev AS (
+        SELECT event_id, ts, user_id, event_type, value FROM events
+    ),
+    dup AS (
+        SELECT event_id,
+               CASE WHEN event_id % 3 = 0 THEN ts - INTERVAL 90 SECOND
+                    ELSE ts + INTERVAL 90 SECOND END AS ts,
+               user_id, event_type, value + 1 AS value
+        FROM ev
+    ),
+    un AS (SELECT * FROM ev UNION ALL SELECT * FROM dup)
+    SELECT event_id, user_id, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY event_id ORDER BY ts, value) AS rn
+        FROM un
+    ) WHERE rn = 1
+    """,
+    doc="Online-dedup batch twin (streaming/events.dedup_stream family, "
+    "dropDuplicatesWithinWatermark semantics): a stream with duplicate "
+    "arrivals — some earlier, some later than the original — keeps the "
+    "FIRST event per id under a deterministic order; the survivor's value "
+    "column identifies which arrival won (raw timestamps are excluded: "
+    "nanos->micros conversion differs by 1us across engines)",
+)
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import first_match_wins
+    from .queries import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    dup = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.col("ts") - F.expr("INTERVAL 90 SECONDS"),
+        )
+        .otherwise(F.col("ts") + F.expr("INTERVAL 90 SECONDS"))
+        .alias("ts"),
+        "user_id",
+        "event_type",
+        (F.col("value") + 1).alias("value"),
+    )
+    un = ev.unionByName(dup)
+    return first_match_wins(un, ["event_id"], ["ts", "value"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
