@@ -23,7 +23,9 @@ from pyspark.sql.window import Window as W
 
 from .queries import (
     _GENE_SQL,
+    _PAR_SQL,
     _VARIANT_SQL,
+    _ZYG_PCT,
     _gene_cols,
     _variant_cols,
     load,
@@ -3302,4 +3304,133 @@ def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     un = ev.unionByName(dup)
     return first_match_wins(un, ["event_id"], ["ts", "value"]).select(
         "event_id", "user_id", "event_type", "value"
+    )
+
+
+# ===========================================================================
+# The FULL VariantLoad3 pipeline, oracle-checked end-to-end
+# (F4 + C1-C4 + C10 + F8 + J2 + the load projection — the reference's core
+#  load tool composed as ONE hard-signal row)
+# ===========================================================================
+@register(
+    "variantload_pipeline",
+    f"""
+    WITH v0 AS ({_VARIANT_SQL}),
+    g AS ({_GENE_SQL}),
+    cf AS (
+        SELECT *, cnt_a + cnt_c + cnt_g + cnt_t AS total,
+            CASE WHEN lnum % 2 = 0
+                 THEN cnt_a + cnt_c + cnt_g + cnt_t + 5 ELSE 0 END AS td_raw
+        FROM v0
+    ),
+    d AS (
+        SELECT *,
+            CASE WHEN td_raw > 0 THEN td_raw ELSE total END AS td_eff,
+            {_ZYG_PCT} AS pct,
+            CASE ref WHEN 'A' THEN ((cnt_a * 100)::DOUBLE / total::DOUBLE)::FLOAT
+                     WHEN 'C' THEN ((cnt_c * 100)::DOUBLE / total::DOUBLE)::FLOAT
+                     WHEN 'G' THEN ((cnt_g * 100)::DOUBLE / total::DOUBLE)::FLOAT
+                     WHEN 'T' THEN ((cnt_t * 100)::DOUBLE / total::DOUBLE)::FLOAT
+                     ELSE 0.0::FLOAT END AS ref_pct,
+            CASE var WHEN 'A' THEN cnt_a WHEN 'C' THEN cnt_c
+                     WHEN 'G' THEN cnt_g WHEN 'T' THEN cnt_t
+                     ELSE 0 END AS score,
+            {_PAR_SQL} AS par
+        FROM cf WHERE total > 0
+    )
+    SELECT chrom AS chromosome, CAST(pos AS BIGINT) AS start_pos,
+        CAST(pos + 1 AS BIGINT) AS end_pos,
+        ref AS ref_nuc, var AS var_nuc, 'snv' AS variant_type,
+        CAST(td_eff AS INT) AS total_depth,
+        CAST(CASE WHEN td_eff > 0
+             THEN (100 * total + td_eff // 2) // td_eff
+             ELSE 0 END AS INT) AS quality_score,
+        CASE WHEN chrom IN ('X','Y') AND NOT par THEN
+             CASE WHEN pct = 100 THEN 'hemizygous'
+                  WHEN pct >= 85 THEN 'probably hemizygous'
+                  ELSE 'possibly hemizygous' END
+        ELSE CASE WHEN pct = 100 THEN 'homozygous'
+                  WHEN pct >= 85 THEN 'possibly homozygous'
+                  ELSE 'heterozygous' END
+        END AS zygosity_status,
+        CAST(FLOOR(pct::DOUBLE + 0.5) AS INT) AS zygosity_percent_read,
+        CASE WHEN pct <= 15 THEN 'Y' ELSE 'N' END AS zygosity_poss_error,
+        CASE WHEN ref_pct > 0 THEN 'Y' ELSE 'N' END AS zygosity_ref_allele,
+        CAST((CASE WHEN ((cnt_a*100)::DOUBLE/total::DOUBLE)::FLOAT > 0 THEN 1 ELSE 0 END
+           + CASE WHEN ((cnt_c*100)::DOUBLE/total::DOUBLE)::FLOAT > 0 THEN 1 ELSE 0 END
+           + CASE WHEN ((cnt_g*100)::DOUBLE/total::DOUBLE)::FLOAT > 0 THEN 1 ELSE 0 END
+           + CASE WHEN ((cnt_t*100)::DOUBLE/total::DOUBLE)::FLOAT > 0 THEN 1 ELSE 0 END)
+          AS INT) AS zygosity_num_allele,
+        CASE WHEN chrom IN ('X','Y') AND par THEN 'Y' ELSE 'N' END
+            AS zygosity_in_pseudo,
+        CAST(score AS INT) AS var_freq,
+        CASE WHEN EXISTS (
+            SELECT 1 FROM g WHERE g.chrom = d.chrom
+              AND d.pos BETWEEN g.gstart AND g.gstop
+        ) THEN 'GENIC' ELSE 'INTERGENIC' END AS genic_status
+    FROM d WHERE score > 0
+    """,
+    doc="The FULL VariantLoad3 pipeline end-to-end (VariantLoad3.java:"
+    "178-589): CF2-shaped rows through run_load — allele validation (F4), "
+    "type/end/quality with the DP-default (C1-C4), the SNV zygosity suite "
+    "with gender-M hemizygosity + PAR (C10), the zero-called filter (F8), "
+    "bucket-probe genic status (J2), and deterministic id allocation — "
+    "composed as ONE plan; the oracle re-derives every derived column in "
+    "SQL (ids excluded: natural keys are the correctness contract)",
+)
+def variantload_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.load import SampleInfo, run_load
+
+    v = _variant_cols(load(spark, sf_dir, "lineitem"))
+    total = (
+        F.col("cnt_a") + F.col("cnt_c") + F.col("cnt_g") + F.col("cnt_t")
+    )
+    cf2 = v.select(
+        F.col("chrom").alias("chr"),
+        F.col("pos").cast("long").alias("position"),
+        F.col("ref").alias("ref_nuc"),
+        F.col("var").alias("var_nuc"),
+        F.lit("").alias("rs_id"),
+        F.col("cnt_a").cast("int").alias("count_a"),
+        F.col("cnt_c").cast("int").alias("count_c"),
+        F.col("cnt_g").cast("int").alias("count_g"),
+        F.col("cnt_t").cast("int").alias("count_t"),
+        # odd rows carry DP=0 so the C4 default path (snv -> sum of counts)
+        # is exercised alongside explicit DP
+        F.when(F.col("lnum") % 2 == 0, (total + 5).cast("int"))
+        .otherwise(F.lit(0))
+        .alias("total_depth"),
+        F.lit("").alias("hgvs_name"),
+        F.lit(None).cast("long").alias("rgd_id"),
+        F.col("cnt_t").cast("int").alias("allele_depth"),
+        F.lit(2).cast("int").alias("allele_count"),
+        total.cast("int").alias("read_depth"),
+        F.lit("").alias("padding_base"),
+    )
+    genes = _gene_cols(load(spark, sf_dir, "part")).select(
+        F.col("gene_id").alias("gene_rgd_id"),
+        F.col("chrom").alias("chromosome"),
+        F.col("gstart").alias("start_pos"),
+        F.col("gstop").alias("stop_pos"),
+        F.lit("ACTIVE").alias("object_status"),
+    )
+    tables = run_load(cf2, SampleInfo(sample_id=7, gender="M", map_key=372), genes)
+    ann = tables["_annotated"]
+    return ann.select(
+        "chromosome",
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.col("end_pos").cast("long").alias("end_pos"),
+        "ref_nuc",
+        "var_nuc",
+        "variant_type",
+        F.col("total_depth_eff").cast("int").alias("total_depth"),
+        F.col("quality_score").cast("int").alias("quality_score"),
+        "zygosity_status",
+        F.col("zygosity_percent_read").cast("int").alias("zygosity_percent_read"),
+        "zygosity_poss_error",
+        "zygosity_ref_allele",
+        F.col("zygosity_num_allele").cast("int").alias("zygosity_num_allele"),
+        "zygosity_in_pseudo",
+        F.col("score").cast("int").alias("var_freq"),
+        "genic_status",
     )
