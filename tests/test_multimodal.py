@@ -253,3 +253,53 @@ def test_resize_images_real_png_codec(spark):
     got = png.decode_png(bytes(out["payload"]))
     assert got.shape == (8, 4, 3)
     assert np.array_equal(got, png.resize_nearest(img, 4, 8))
+
+
+# ---------------------------------------------------------------------------
+# real WAV codec (multimodal/wav.py)
+# ---------------------------------------------------------------------------
+def test_wav_roundtrip_widths():
+    import numpy as np
+
+    from variant_load_pipeline_spark.multimodal import wav
+
+    rng = np.random.default_rng(5)
+    for width, lo, hi in [(1, 0, 256), (2, -32768, 32768), (4, -2**31, 2**31)]:
+        a = rng.integers(lo, hi, size=(100, 2), dtype=np.int64)
+        data = wav.encode_wav(a, 16000, sampwidth=width)
+        back, rate = wav.decode_wav(data)
+        assert rate == 16000 and back.shape == (100, 2)
+        assert np.array_equal(back.astype(np.int64), a)
+
+
+def test_wav_features():
+    import numpy as np
+
+    from variant_load_pipeline_spark.multimodal import wav
+
+    a = np.array([[-100], [100], [0], [50]], dtype=np.int64)
+    f = wav.wav_features(wav.encode_wav(a, 8000))
+    assert f["n_frames"] == 4 and f["n_channels"] == 1
+    assert f["sample_rate"] == 8000 and f["duration_ms"] == 0
+    assert f["mean_abs_amplitude"] == 62.5
+
+
+def test_decode_audio_through_spark(spark):
+    import numpy as np
+
+    from variant_load_pipeline_spark.multimodal import binary_ops as B2
+    from variant_load_pipeline_spark.multimodal import wav
+
+    rng = np.random.default_rng(11)
+    rows = []
+    want = {}
+    for mid in (1, 2):
+        a = rng.integers(-1000, 1000, size=(320 * mid, mid), dtype=np.int64)
+        rows.append((mid, bytearray(wav.encode_wav(a, 16000))))
+        want[mid] = (320 * mid, mid, round(float(np.abs(a).mean()), 6))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in B2.decode_audio(df).collect()}
+    for mid, (nf, nc, amp) in want.items():
+        assert got[mid]["n_frames"] == nf
+        assert got[mid]["n_channels"] == nc
+        assert abs(got[mid]["mean_abs_amplitude"] - amp) < 1e-6

@@ -4,10 +4,12 @@ Media are opaque ``binary`` columns + typed metadata structs; the heavy
 decode/feature steps run as Arrow-batched pandas iterators (``mapInPandas``)
 so each executor processes whole record batches without per-row Python
 overhead.  Image decode/resize are REAL for PNG via the pure-stdlib codec
-in ``multimodal/png.py`` (codec='png', the default); the deterministic
-``fake`` codec remains for plumbing tests with arbitrary payloads, and
-audio/video decode plus model embeddings stay stubbed until a library /
-model runtime is provisioned (clearly-gated NotImplementedError).
+in ``multimodal/png.py`` (codec='png', the default) and audio decode is
+REAL for PCM WAV via ``multimodal/wav.py`` (codec='wav'); the
+deterministic ``fake`` codec remains for plumbing tests with arbitrary
+payloads, and compressed codecs (jpeg/mp3) plus model embeddings stay
+stubbed until a library / model runtime is provisioned (clearly-gated
+NotImplementedError).
 
 Design notes for 100 TB media:
 * store media in parquet binary columns (or pointers to object storage) and
@@ -269,4 +271,51 @@ def extract_features(
 
     return df.select(id_col, payload_col).mapInPandas(
         run, schema=EMBEDDING_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("mean_abs_amplitude", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    codec: str = "wav",
+) -> DataFrame:
+    """Audio decode/feature stage via mapInPandas.  ``codec='wav'`` runs
+    the REAL pure-stdlib PCM WAV decoder (multimodal/wav.py); compressed
+    codecs (mp3/flac/ogg) would slot in when a library is provisioned."""
+    if codec != "wav":
+        raise NotImplementedError(
+            f"codec '{codec}' requires an audio library not present here; "
+            "available: ['wav']"
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .wav import wav_features
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            feats = [
+                wav_features(bytes(p) if p is not None else b"")
+                for p in pdf[payload_col]
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", ids)
+            yield out[[f.name for f in AUDIO_FEATURES_SCHEMA.fields]]
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
     )

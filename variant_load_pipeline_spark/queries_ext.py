@@ -3434,3 +3434,76 @@ def variantload_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").cast("int").alias("var_freq"),
         "genic_status",
     )
+
+
+@register(
+    "mm_wav_decode",
+    """
+    WITH g AS (
+        SELECT CAST(p_partkey AS BIGINT) AS media_id,
+               CAST(500 + p_partkey % 300 AS INT) AS n_frames,
+               CAST(1 + p_partkey % 2 AS INT) AS n_channels,
+               CAST(8000 + (p_partkey % 3) * 4000 AS INT) AS sample_rate
+        FROM part WHERE p_partkey % 40 = 0
+    )
+    SELECT g.media_id, g.n_frames, g.n_channels, g.sample_rate,
+        CAST(g.n_frames * 1000 // g.sample_rate AS INT) AS duration_ms,
+        ROUND(AVG(ABS(CAST((g.media_id * 31 + j.j * 7) % 2000 - 1000
+                           AS DOUBLE))), 6) AS mean_abs_amplitude
+    FROM g
+    CROSS JOIN LATERAL (
+        SELECT unnest(range(0, g.n_frames * g.n_channels)) AS j
+    ) j
+    GROUP BY g.media_id, g.n_frames, g.n_channels, g.sample_rate
+    """,
+    doc="Multimodal: REAL PCM WAV decode end-to-end — deterministic int16 "
+    "sample streams (sample j = (id*31 + j*7) mod 2000 - 1000) are encoded "
+    "with the stdlib WAV writer and decoded back through decode_audio "
+    "(codec='wav') inside mapInPandas; the oracle computes geometry, "
+    "integer-division duration, and the exact mean absolute amplitude",
+)
+def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from .multimodal.binary_ops import decode_audio
+
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 40 == 0)
+    gen = p.select(
+        F.col("p_partkey").cast("long").alias("media_id"),
+        (500 + F.col("p_partkey") % 300).cast("int").alias("n_frames"),
+        (1 + F.col("p_partkey") % 2).cast("int").alias("n_channels"),
+        (8000 + (F.col("p_partkey") % 3) * 4000).cast("int").alias(
+            "sample_rate"
+        ),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def render(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .multimodal.wav import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for mid, nf, nc, sr in zip(
+                pdf["media_id"], pdf["n_frames"], pdf["n_channels"],
+                pdf["sample_rate"],
+            ):
+                j = np.arange(int(nf) * int(nc), dtype=np.int64)
+                flat = (int(mid) * 31 + j * 7) % 2000 - 1000
+                payloads.append(
+                    encode_wav(flat.reshape(-1, int(nc)), int(sr))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = gen.mapInPandas(render, schema=out_schema)
+    return decode_audio(media, codec="wav")
