@@ -3507,3 +3507,67 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = gen.mapInPandas(render, schema=out_schema)
     return decode_audio(media, codec="wav")
+
+
+@register(
+    "s7_wiggle_file_scan",
+    """
+    WITH g AS (
+        SELECT CAST(p_partkey AS BIGINT) AS pk,
+               CASE WHEN p_partkey % 22 = 20 THEN 'X'
+                    WHEN p_partkey % 22 = 21 THEN 'Y'
+                    ELSE CAST(p_partkey % 22 + 1 AS VARCHAR) END AS chrom,
+               (CAST(p_partkey AS BIGINT) * 7919) % 1000000 + 1 AS start,
+               1 + p_partkey % 3 AS step,
+               20 + p_partkey % 30 AS n
+        FROM part
+        WHERE p_partkey % 40 = 0 AND p_partkey % 200 <> 0
+    )
+    SELECT g.chrom AS chr,
+           CAST(g.start + g.step * i.i AS BIGINT) AS position,
+           CAST(((g.pk * 13 + i.i * 7) % 1000) AS DOUBLE) / 10.0 AS score
+    FROM g CROSS JOIN LATERAL (SELECT unnest(range(0, g.n)) AS i) i
+    """,
+    doc="S7: wiggle fixedStep scan end-to-end through a REAL file — "
+    "declaration blocks (varying start/step, plus unmapped chr*_random "
+    "contigs whose data lines are skipped) rendered and re-read through "
+    "read_wiggle (broadcast declaration ranges + per-declaration position "
+    "accounting, ConservationScoreLoader.java:100-140); the oracle "
+    "composes generator and parser",
+)
+def s7_wiggle_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.wiggle import read_wiggle
+
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 40 == 0)
+    pk = F.col("p_partkey").cast("long")
+    pidx = (pk % 22).cast("int")
+    chrom = (
+        F.when(pidx == 20, F.lit("X"))
+        .when(pidx == 21, F.lit("Y"))
+        .otherwise((pidx + 1).cast("string"))
+    )
+    gen = p.select(
+        pk.alias("pk"),
+        # every 5th block targets an unmapped contig: its data lines are
+        # parsed, advance positions, then drop at the name-length gate
+        F.when(
+            pk % 200 == 0, F.concat(F.lit("chr"), chrom, F.lit("_random"))
+        )
+        .otherwise(F.concat(F.lit("chr"), chrom))
+        .alias("chrom_raw"),
+        ((pk * 7919) % 1000000 + 1).alias("start"),
+        (1 + pk % 3).alias("step"),
+        (20 + pk % 30).alias("n"),
+    ).orderBy("pk")
+    blocks = []
+    for r in gen.collect():
+        blocks.append(
+            f"fixedStep chrom={r['chrom_raw']} start={r['start']} "
+            f"step={r['step']}"
+        )
+        for i in range(r["n"]):
+            blocks.append(str(((r["pk"] * 13 + i * 7) % 1000) / 10.0))
+    path = _scan_path(sf_dir, "s7.wig")
+    with open(path, "w") as fh:
+        fh.write("\n".join(blocks) + ("\n" if blocks else ""))
+    return read_wiggle(spark, path)

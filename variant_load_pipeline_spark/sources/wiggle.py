@@ -30,25 +30,25 @@ def read_wiggle(spark: SparkSession, path: str) -> DataFrame:
     df = spark.createDataFrame(rdd, ["line", "idx"])
 
     is_decl = F.col("line").startswith("fixedStep")
-    # declaration table: one row per fixedStep header.  Tiny even for a
-    # whole-genome file, so the global lead() ordering below is fine — it
-    # never touches the data lines.
-    wd_decl = W.orderBy("decl_idx")
+    # declaration table: one row per fixedStep header (tiny even for a
+    # whole-genome file).  The successor index comes from a broadcast theta
+    # self-join (min following declaration) — no partition-less lead()
+    # window anywhere, matching the repo-wide plan invariant.
+    d0 = df.filter(is_decl).select(
+        F.col("idx").alias("decl_idx"),
+        F.regexp_extract("line", r"chrom=(\S+)", 1).alias("chrom_raw"),
+        F.regexp_extract("line", r"start=(\d+)", 1).cast("long").alias("start"),
+        F.coalesce(
+            F.nullif(F.regexp_extract("line", r"step=(\d+)", 1), F.lit(""))
+            .cast("long"),
+            F.lit(1),
+        ).alias("step"),
+    )
+    nxt = d0.select(F.col("decl_idx").alias("__b_idx"))
     decl = (
-        df.filter(is_decl)
-        .select(
-            F.col("idx").alias("decl_idx"),
-            F.regexp_extract("line", r"chrom=(\S+)", 1).alias("chrom_raw"),
-            F.regexp_extract("line", r"start=(\d+)", 1)
-            .cast("long")
-            .alias("start"),
-            F.coalesce(
-                F.nullif(F.regexp_extract("line", r"step=(\d+)", 1), F.lit(""))
-                .cast("long"),
-                F.lit(1),
-            ).alias("step"),
-        )
-        .withColumn("next_idx", F.lead("decl_idx").over(wd_decl))
+        d0.join(F.broadcast(nxt), F.col("__b_idx") > F.col("decl_idx"), "left")
+        .groupBy("decl_idx", "chrom_raw", "start", "step")
+        .agg(F.min("__b_idx").alias("next_idx"))
     )
 
     data = df.filter(~is_decl & (F.trim("line") != ""))
