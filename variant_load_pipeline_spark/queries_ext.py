@@ -3571,3 +3571,76 @@ def s7_wiggle_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(path, "w") as fh:
         fh.write("\n".join(blocks) + ("\n" if blocks else ""))
     return read_wiggle(spark, path)
+
+
+@register(
+    "k2_vcf_export_roundtrip",
+    f"""
+    WITH v AS ({_VARIANT_SQL}),
+    d AS (
+        SELECT DISTINCT chrom, pos, ref, var,
+            CASE WHEN okey % 2 = 0 THEN 'rs' || CAST(okey AS VARCHAR)
+                 ELSE NULL END AS vid,
+            CASE WHEN lnum % 3 = 0 THEN NULL
+                 ELSE cnt_a + cnt_c END AS depth
+        FROM v WHERE okey % 25 = 0
+    )
+    SELECT chrom AS chromosome, CAST(pos AS BIGINT) AS position,
+        COALESCE(vid, '.') AS id, ref, var AS alt,
+        'DP=' || COALESCE(CAST(depth AS VARCHAR), '.') AS info,
+        CAST(ROW_NUMBER() OVER (
+            PARTITION BY chrom
+            ORDER BY pos, lower(COALESCE(vid, '.')), ref, var,
+                     'DP=' || COALESCE(CAST(depth AS VARCHAR), '.')
+        ) AS BIGINT) AS line_rank
+    FROM d
+    """,
+    doc="K2/W1/C21 end-to-end through a REAL file: variants rendered and "
+    "written by export_vcf (distributed (chr, pos, lower(id)) sort, header "
+    "first, gzip, coalesced single file - ClinVar2Vcf.java:132-262), then "
+    "the emitted .gz is re-scanned, fields re-parsed, and each line's "
+    "per-chromosome sort rank re-derived; the oracle computes parsed "
+    "fields AND the expected rank, so a sink that mis-sorts or mis-renders "
+    "breaks the hash",
+)
+def k2_vcf_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .plans.export import export_vcf
+
+    v = _variant_cols(load(spark, sf_dir, "lineitem")).filter(
+        F.col("okey") % 25 == 0
+    )
+    variants = v.select(
+        F.col("chrom").alias("chromosome"),
+        F.col("pos").alias("position"),
+        F.when(
+            F.col("okey") % 2 == 0,
+            F.concat(F.lit("rs"), F.col("okey").cast("string")),
+        ).alias("id"),
+        F.col("ref"),
+        F.col("var").alias("alt"),
+        F.when(F.col("lnum") % 3 != 0, F.col("cnt_a") + F.col("cnt_c")).alias(
+            "depth"
+        ),
+    ).distinct()
+    path = _scan_path(sf_dir, "k2_vcf")
+    shutil.rmtree(path, ignore_errors=True)
+    export_vcf(variants, path, compress=True)
+
+    lines = spark.read.text(path).filter(~F.col("value").startswith("#"))
+    cols = F.split(F.col("value"), "\t")
+    parsed = lines.select(
+        F.try_element_at(cols, F.lit(1)).alias("chromosome"),
+        F.try_element_at(cols, F.lit(2)).cast("long").alias("position"),
+        F.try_element_at(cols, F.lit(3)).alias("id"),
+        F.try_element_at(cols, F.lit(4)).alias("ref"),
+        F.try_element_at(cols, F.lit(5)).alias("alt"),
+        F.try_element_at(cols, F.lit(8)).alias("info"),
+    )
+    w = W.partitionBy("chromosome").orderBy(
+        "position", F.lower(F.col("id")), "ref", "alt", "info"
+    )
+    return parsed.withColumn(
+        "line_rank", F.row_number().over(w).cast("long")
+    )
