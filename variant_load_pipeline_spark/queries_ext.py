@@ -3644,3 +3644,50 @@ def k2_vcf_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.withColumn(
         "line_rank", F.row_number().over(w).cast("long")
     )
+
+
+@register(
+    "j10_sample_detail_existence",
+    f"""
+    WITH v AS ({_VARIANT_SQL}),
+    incoming AS (
+        SELECT DISTINCT okey AS rgd_id, lnum % 3 + 1 AS sample_id,
+               chrom, pos
+        FROM v
+    ),
+    existing AS (
+        SELECT DISTINCT okey AS rgd_id, lnum % 3 + 1 AS sample_id
+        FROM v WHERE okey % 4 = 0 AND lnum % 2 = 0
+    )
+    SELECT i.rgd_id, i.sample_id, i.chrom, i.pos
+    FROM incoming i
+    WHERE NOT EXISTS (
+        SELECT 1 FROM existing e
+        WHERE e.rgd_id = i.rgd_id AND e.sample_id = i.sample_id
+    )
+    """,
+    doc="J10: VARIANT_SAMPLE_DETAIL 2-key existence anti-join (insert only "
+    "rows absent for this (variant, sample) — VariantLoad3.java sample-"
+    "detail gate) via operators.upsert.insert_if_not_exists",
+)
+def j10_sample_detail_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.upsert import insert_if_not_exists
+
+    v = _variant_cols(load(spark, sf_dir, "lineitem"))
+    incoming = v.select(
+        F.col("okey").alias("rgd_id"),
+        (F.col("lnum") % 3 + 1).alias("sample_id"),
+        "chrom",
+        "pos",
+    ).distinct()
+    existing = (
+        v.filter((F.col("okey") % 4 == 0) & (F.col("lnum") % 2 == 0))
+        .select(
+            F.col("okey").alias("rgd_id"),
+            (F.col("lnum") % 3 + 1).alias("sample_id"),
+        )
+        .distinct()
+    )
+    return insert_if_not_exists(
+        incoming, existing, keys=["rgd_id", "sample_id"]
+    )
