@@ -46,11 +46,14 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    if "--sf" in sys.argv:
-        sf = sys.argv[sys.argv.index("--sf") + 1]
+    argv = sys.argv[1:]
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        sf = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     else:
         sf = SF_DIR
+    args = [a for a in argv if not a.startswith("--")]
 
     import __spark_entry__ as entry_mod
     from variant_load_pipeline_spark.session import get_spark
