@@ -424,3 +424,22 @@ def test_cli_module_subprocess(tmp_path):
 
     rows = duckdb.sql(f"SELECT chr, position, score FROM '{out}/*.parquet' ORDER BY position").fetchall()
     assert rows == [("1", 10, 0.1), ("1", 15, 0.2)]
+
+
+def test_cli_vcf8col_converter_rejects_ac_alt_mismatch(spark, tmp_path):
+    """Malformed AC (length != ALT count) must fail loudly (the reference
+    Java crashes on the index mismatch), never silently misalign counts."""
+    import pytest as _pytest
+
+    vcf = tmp_path / "bad8.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.1\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "chr1\t100\t.\tA\tG,T\t99\tPASS\tDP=20;AC=9\n"
+    )
+    out = str(tmp_path / "cf28bad")
+    with _pytest.raises(Exception, match="AC count does not match"):
+        main(
+            ["--tool", "Vcf8ColConverter", "--vcf", str(vcf), "--out", out],
+            spark,
+        )

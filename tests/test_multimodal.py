@@ -66,7 +66,10 @@ def test_resize_images_batch_contract(spark):
         [(1, bytearray(b"abc")), (2, bytearray(b""))],
         "media_id long, payload binary",
     )
-    out = {r["media_id"]: r for r in B.resize_images(df, 4, 4).collect()}
+    out = {
+        r["media_id"]: r
+        for r in B.resize_images(df, 4, 4, codec="fake").collect()
+    }
     assert len(out[1]["payload"]) == 4 * 4 * 3
     assert out[1]["width"] == 4 and out[1]["height"] == 4
     assert len(out[2]["payload"]) == 0 or len(out[2]["payload"]) == 4 * 4 * 3

@@ -254,3 +254,24 @@ def test_export_vcf_gzip(spark, tmp_path):
     lines = gzip.open(part, "rt").read().splitlines()
     assert lines[0].startswith("##fileformat")
     assert lines[-1].split("\t")[:2] == ["1", "5"]
+
+
+def test_load_counters_dot_rsid_is_novel(spark):
+    """A7: rs_id flows through CF2 verbatim, so a missing VCF ID arrives as
+    the literal '.' — counted as novel alongside empty."""
+    from variant_load_pipeline_spark.plans.load import load_counters
+
+    df = spark.createDataFrame(
+        [
+            (7, "rs123"),   # dbSNP
+            (7, "."),       # missing VCF ID -> novel
+            (7, ""),        # empty -> novel
+            (8, "rs9"),
+        ],
+        "sample_id int, rs_id string",
+    )
+    got = {r["sample_id"]: r for r in load_counters(df).collect()}
+    assert got[7]["dbsnp_rows"] == 1
+    assert got[7]["novel_rows"] == 2
+    assert got[7]["rows_loaded"] == 3
+    assert got[8]["dbsnp_rows"] == 1 and got[8]["novel_rows"] == 0

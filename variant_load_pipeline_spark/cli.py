@@ -106,7 +106,24 @@ def _vcf8col_converter(spark, args) -> None:
     depths0 = F.transform(
         F.split(F.col("info_map")["AC"], ","), lambda x: x.cast("long")
     )
-    dp = F.col("info_map")["DP"].cast("long")
+    # malformed AC (length != ALT count) crashes the reference with an
+    # index error — fail loudly here too instead of silently misaligning
+    # the per-base count lookups.  The check rides inside dp (selected on
+    # every output row) so column pruning can never elide it.
+    ac_mismatch = depths0.isNotNull() & (alts.isNotNull()) & (
+        F.size(alts) != F.size(depths0)
+    )
+    dp = F.when(
+        ac_mismatch,
+        F.raise_error(
+            F.concat(
+                F.lit("AC count does not match ALT count at "),
+                F.col("chrom"),
+                F.lit(":"),
+                F.col("pos").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("info_map")["DP"].cast("long"))
     imputed_ref = dp - F.aggregate(
         depths0, F.lit(0).cast("long"), lambda a, x: a + x
     )

@@ -123,7 +123,11 @@ def decode_images(
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        cols = [f.name for f in IMAGE_FEATURES_SCHEMA.fields]
         for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
             ids = pdf[id_col].to_numpy()
             feats = [
                 decode(bytes(p) if p is not None else b"")
@@ -131,7 +135,7 @@ def decode_images(
             ]
             out = pd.DataFrame(feats)
             out.insert(0, "media_id", ids)
-            yield out[[f.name for f in IMAGE_FEATURES_SCHEMA.fields]]
+            yield out[cols]
 
     return df.select(id_col, payload_col).mapInPandas(
         run, schema=IMAGE_FEATURES_SCHEMA
@@ -184,7 +188,7 @@ def resize_images(
     height: int = 224,
     id_col: str = "media_id",
     payload_col: str = "payload",
-    codec: str = "fake",
+    codec: str = "png",
 ) -> DataFrame:
     """Resize stage: (media_id, payload) -> (media_id, payload, width,
     height) with the resized payload.  ``codec='png'`` decodes, nearest-
@@ -306,7 +310,11 @@ def decode_audio(
 
         from .wav import wav_features
 
+        cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
         for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
             ids = pdf[id_col].to_numpy()
             feats = [
                 wav_features(bytes(p) if p is not None else b"")
@@ -314,7 +322,7 @@ def decode_audio(
             ]
             out = pd.DataFrame(feats)
             out.insert(0, "media_id", ids)
-            yield out[[f.name for f in AUDIO_FEATURES_SCHEMA.fields]]
+            yield out[cols]
 
     return df.select(id_col, payload_col).mapInPandas(
         run, schema=AUDIO_FEATURES_SCHEMA

