@@ -2,8 +2,12 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed to completion (count() forces the full plan; results
-are not collected to the driver).  Timings are per-query wall clock.
+Each query is executed to completion via a `noop`-format write, which
+materializes EVERY column of EVERY row (unlike count(), which lets Catalyst
+prune unreferenced projections down to an empty-schema FileScan — under
+count(), a pure-projection query like c13_translate measured parquet
+row-counting, not codon translation).  Results are not collected to the
+driver.  Timings are per-query wall clock.
 """
 
 from __future__ import annotations
@@ -54,9 +58,14 @@ def main() -> None:
     reg = Q.registry()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
+    def materialize(df) -> None:
+        # noop sink: full pipeline + all output columns execute, nothing is
+        # persisted or collected.  Pruning-proof, unlike count().
+        df.write.format("noop").mode("overwrite").save()
+
     # untimed warm-up: JVM/codegen/parquet-footer costs land here, not on
     # whichever query happens to run first
-    reg["q6_forecast_revenue"].spark_fn(spark, SF_DIR).count()
+    materialize(reg["q6_forecast_revenue"].spark_fn(spark, SF_DIR))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -64,7 +73,7 @@ def main() -> None:
             continue
         df = reg[name].spark_fn(spark, SF_DIR)
         t0 = time.time()
-        df.count()
+        materialize(df)
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
