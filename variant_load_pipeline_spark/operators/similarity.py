@@ -105,40 +105,53 @@ def lsh_topk(
     qvec_col: str = "qv",
 ) -> DataFrame:
     """Approximate top-k: bucket corpus+queries per table, equi-join on
-    (table, bucket), exact cosine re-rank of candidates."""
-    tables = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed=7 + 31 * t)
-        tables.append(
-            (t, lambda v, p=planes: lsh_bucket(v, p))
+    (table, bucket), exact cosine re-rank of candidates.
+
+    Plan shape (matters at scale): all ``n_tables`` bucket ids come out of
+    ONE projection + explode — a single source scan, not an n_tables-way
+    union of scans — and candidate dedup runs on bare (qid, nid) ids so the
+    shuffle never carries the embedding arrays; vectors are equi-joined back
+    onto the (small) surviving candidate set for the exact re-rank.
+    """
+
+    def bucket_structs(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket(
+                        vec, _hyperplanes(dim, n_planes, seed=7 + 31 * t)
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
         )
-    c_buckets = None
-    q_buckets = None
-    for t, fn in tables:
-        cb = corpus.select(
-            F.col(id_col).alias("nid"),
-            F.col(vec_col).alias("nv"),
-            F.lit(t).alias("tbl"),
-            fn(F.col(vec_col)).alias("bucket"),
-        )
-        qb = queries.select(
-            F.col(qid_col),
-            F.col(qvec_col),
-            F.lit(t).alias("tbl"),
-            fn(F.col(qvec_col)).alias("bucket"),
-        )
-        c_buckets = cb if c_buckets is None else c_buckets.unionByName(cb)
-        q_buckets = qb if q_buckets is None else q_buckets.unionByName(qb)
+
+    c_buckets = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.explode(bucket_structs(F.col(vec_col))).alias("tb"),
+    ).select("nid", "tb.tbl", "tb.bucket")
+    q_buckets = queries.select(
+        F.col(qid_col),
+        F.explode(bucket_structs(F.col(qvec_col))).alias("tb"),
+    ).select(qid_col, "tb.tbl", "tb.bucket")
     cand = (
         q_buckets.join(c_buckets, ["tbl", "bucket"])
         .filter(F.col(qid_col) != F.col("nid"))
-        .select(qid_col, qvec_col, "nid", "nv")
+        .select(qid_col, "nid")
         .distinct()
     )
-    sims = cand.select(
-        qid_col,
-        "nid",
-        F.round(cosine(F.col(qvec_col), F.col("nv")), 6).alias("sim"),
+    sims = (
+        cand.join(
+            corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
+            "nid",
+        )
+        .join(queries.select(qid_col, qvec_col), qid_col)
+        .select(
+            qid_col,
+            "nid",
+            F.round(cosine(F.col(qvec_col), F.col("nv")), 6).alias("sim"),
+        )
     )
     w = W.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col("nid"))
     return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
