@@ -70,6 +70,40 @@ def test_binned_interval_interval_join(spark):
     assert sorted((r["lid"], r["rid"]) for r in out) == [(1, 10), (3, 12)]
 
 
+def test_binned_join_wide_left_spans_cross_multiple_bins(spark):
+    # property: left intervals WIDER than bin_size (structural-variant-sized
+    # deletions spanning 2+ bins) must still find every overlap — the pad is
+    # derived from the observed max left span, not fixed at one bin
+    rng = random.Random(7)
+    left_rows = []
+    for i in range(200):
+        chrom = str(rng.randint(1, 2))
+        start = rng.randint(1, 900_000)
+        # spans from 0 up to 4x bin_size
+        left_rows.append((i, chrom, start, start + rng.randint(0, 400_000)))
+    # a deliberately pathological case: left starts 3 bins before right
+    left_rows.append((999, "1", 50_000, 420_000))
+    right_rows = _random_intervals(11, 60) + [(901, "1", 400_000, 400_100)]
+    left = spark.createDataFrame(left_rows, ["lid", "chrom", "lstart", "lend"])
+    right = spark.createDataFrame(
+        right_rows, ["rid", "rchrom", "rstart", "rend"]
+    )
+    kw = dict(
+        p_chrom="chrom", p_start="lstart", p_end="lend",
+        i_chrom="rchrom", i_start="rstart", i_end="rend",
+    )
+    binned = interval_overlap_join(
+        left, right, strategy="binned", **kw
+    ).select("lid", "rid")
+    bcast = interval_overlap_join(
+        left, right, strategy="broadcast", **kw
+    ).select("lid", "rid")
+    assert binned.exceptAll(bcast).count() == 0
+    assert bcast.exceptAll(binned).count() == 0
+    # the pathological pair is present
+    assert binned.filter("lid = 999 AND rid = 901").count() == 1
+
+
 def test_exact_dedup_groups(spark):
     docs = spark.createDataFrame(
         [

@@ -64,6 +64,7 @@ def point_in_interval_join(
         strategy=strategy,
         bin_size=bin_size,
         broadcast_intervals=broadcast_intervals,
+        max_left_span=0,  # points: start == end, no pad scan needed
     ).drop("__p_end")
 
 
@@ -80,15 +81,25 @@ def interval_overlap_join(
     strategy: str = "binned",
     bin_size: int = DEFAULT_BIN,
     broadcast_intervals: bool = True,
+    max_left_span: int | None = None,
 ) -> DataFrame:
     """Generic [start,end] x [start,end] overlap join.
 
     For the binned strategy the LEFT side is binned by its START position and
-    the RIGHT side is exploded over bins spanning [start - (left_max_span),
-    end]; to keep each candidate pair unique without dedup we require the
-    left interval's start-bin to fall in the right interval's padded bin
-    range.  For point-like left sides (start==end, the common genomic case)
-    this is exact with zero padding.
+    the RIGHT side is exploded over bins spanning
+    ``[start - pad, end]`` where ``pad`` covers the widest left interval, so
+    a left interval that STARTS up to ``max_left_span`` positions before a
+    right interval is still a candidate.  Each left row has exactly one bin,
+    so no post-join dedup is needed, and over-padding only adds candidates
+    that the exact overlap filter discards — results are pad-invariant as
+    long as pad >= max left span.
+
+    ``max_left_span``: widest ``p_end - p_start`` on the left side.  Pass it
+    when known (0 for point lefts); when None it is derived with one
+    column-pruned max() aggregate over the left side — a map-side partial
+    max, cheap relative to the join it protects, and the price of the join
+    being EXACT for structural-variant-sized left intervals instead of
+    silently dropping overlaps wider than one bin.
     """
     lcols = left.columns
     if how not in ("inner", "left", "left_semi", "left_anti"):
@@ -106,15 +117,20 @@ def interval_overlap_join(
 
     # bin the left side by start position (one bin per row)
     lb = left.withColumn("__bin", F.floor(F.col(p_start) / bin_size))
-    # explode the right side over every bin its interval touches; pad the
-    # lower edge by one bin so left intervals that START one bin before an
-    # overlapping right interval are still candidates (left spans <= bin_size
-    # stay exact; larger left spans should swap sides or raise bin_size)
+    if max_left_span is None:
+        row = left.select(
+            F.max(F.col(p_end) - F.col(p_start)).alias("s")
+        ).first()
+        max_left_span = int(row["s"]) if row["s"] is not None else 0
+    # a left interval overlapping [i_start, i_end] has
+    # p_start >= i_start - max_left_span, so its start-bin is at least
+    # floor(i_start/bin) - (max_left_span // bin + 1)
+    pad_bins = max_left_span // bin_size + 1
     rb = right.withColumn(
         "__bin",
         F.explode(
             F.sequence(
-                F.floor(F.col(i_start) / bin_size) - 1,
+                F.floor(F.col(i_start) / bin_size) - pad_bins,
                 F.floor(F.col(i_end) / bin_size),
             )
         ),

@@ -53,16 +53,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; read nanos as long (runtime conf) and convert to a microsecond
-    timestamp.  Session TZ pinned UTC so rendering matches DuckDB's naive ts.
+    """events.parquet's ts encoding has varied across testdata generations:
+    TIMESTAMP(NANOS) (unsupported by Spark's reader — read as long via the
+    nanosAsLong conf and convert) or TIMESTAMP(MICROS) (arrives as
+    TIMESTAMP_NTZ — cast to session-TZ timestamp).  Session TZ pinned UTC so
+    both paths render identically to DuckDB's naive timestamps.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":  # nanos-as-long
+        return ev.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 @dataclass
@@ -322,6 +327,7 @@ def j1_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         i_start="gstart",
         i_end="gstop",
         strategy="binned",
+        max_left_span=1,  # vend = pos + 1 by construction
     )
     return joined.groupBy("gene_id").agg(F.count(F.lit(1)).alias("n_variants"))
 
