@@ -306,3 +306,128 @@ def test_decode_audio_through_spark(spark):
         assert got[mid]["n_frames"] == nf
         assert got[mid]["n_channels"] == nc
         assert abs(got[mid]["mean_abs_amplitude"] - amp) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# real baseline JPEG codec (multimodal/jpeg.py)
+# ---------------------------------------------------------------------------
+def _gradient_img(h, w, channels, base=40):
+    """Smooth linear ramp — low-frequency content whose JPEG error stays
+    within a couple of intensity levels at quality 90."""
+    import numpy as np
+
+    y, x, c = np.meshgrid(
+        np.arange(h), np.arange(w), np.arange(max(1, channels)), indexing="ij"
+    )
+    img = np.clip(base + 2 * x + 3 * y + 10 * c, 0, 255).astype("uint8")
+    return img[:, :, 0] if channels == 1 else img
+
+
+def test_jpeg_roundtrip_grayscale_and_rgb():
+    import numpy as np
+
+    from variant_load_pipeline_spark.multimodal import jpeg
+
+    for h, w, c in [(16, 12, 3), (8, 8, 1), (9, 13, 3), (1, 1, 1), (5, 3, 3)]:
+        img = _gradient_img(h, w, c)
+        back = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+        assert back.shape == img.shape
+        err = np.abs(back.astype(np.int64) - img.astype(np.int64))
+        assert err.max() <= 3  # lossy but bounded on smooth content
+
+
+def test_jpeg_roundtrip_noise_bounded_error():
+    import numpy as np
+
+    from variant_load_pipeline_spark.multimodal import jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 17, 3), dtype=np.int64).astype("uint8")
+    back = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=95))
+    assert back.shape == img.shape
+    err = np.abs(back.astype(np.float64) - img.astype(np.float64))
+    assert err.mean() < 8.0  # white noise is JPEG's worst case; mean bounded
+
+
+def test_jpeg_deterministic():
+    from variant_load_pipeline_spark.multimodal import jpeg
+
+    img = _gradient_img(16, 16, 3)
+    a = jpeg.encode_jpeg(img, quality=90)
+    b = jpeg.encode_jpeg(img, quality=90)
+    assert a == b  # both directions deterministic -> reproducible oracles
+
+
+def test_jpeg_rejects_progressive_subsampled_garbage():
+    import pytest as _pytest
+
+    from variant_load_pipeline_spark.multimodal import jpeg
+
+    with _pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"not a jpeg")
+
+    data = bytearray(jpeg.encode_jpeg(_gradient_img(8, 8, 3)))
+    i = data.find(b"\xff\xc0")
+    prog = bytearray(data)
+    prog[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with _pytest.raises(ValueError, match="baseline"):
+        jpeg.decode_jpeg(bytes(prog))
+
+    sub = bytearray(data)
+    sub[i + 2 + 2 + 1 + 2 + 2 + 1 + 1] = 0x22  # 3-component 2x2 sampling
+    with _pytest.raises(ValueError, match="subsampling"):
+        jpeg.decode_jpeg(bytes(sub))
+
+
+def test_jpeg_grayscale_ignores_sampling_factors():
+    import numpy as np
+
+    from variant_load_pipeline_spark.multimodal import jpeg
+
+    data = bytearray(jpeg.encode_jpeg(_gradient_img(16, 12, 1)))
+    want = jpeg.decode_jpeg(bytes(data))
+    i = data.find(b"\xff\xc0")
+    data[i + 2 + 2 + 1 + 2 + 2 + 1 + 1] = 0x22  # odd factors, 1 component
+    assert np.array_equal(jpeg.decode_jpeg(bytes(data)), want)
+
+
+def test_decode_images_real_jpeg_codec(spark):
+    import numpy as np
+
+    from variant_load_pipeline_spark.multimodal import jpeg
+
+    imgs = {
+        1: _gradient_img(16, 12, 3),
+        2: _gradient_img(20, 5, 1),
+        3: _gradient_img(9, 13, 3, base=80),
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(jpeg.encode_jpeg(v))) for k, v in imgs.items()],
+        "media_id long, payload binary",
+    )
+    feats = {
+        r["media_id"]: r for r in B.decode_images(df, codec="jpeg").collect()
+    }
+    for k, v in imgs.items():
+        want = v if v.ndim == 3 else v[:, :, None]
+        assert feats[k]["height"] == want.shape[0]
+        assert feats[k]["width"] == want.shape[1]
+        assert feats[k]["n_channels"] == want.shape[2]
+        assert abs(feats[k]["mean_intensity"] - float(want.mean())) < 2.0
+
+
+def test_resize_images_real_jpeg_codec(spark):
+    import numpy as np
+
+    from variant_load_pipeline_spark.multimodal import jpeg, png
+
+    img = _gradient_img(16, 16, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(jpeg.encode_jpeg(img, quality=90)))],
+        "media_id long, payload binary",
+    )
+    out = B.resize_images(df, width=4, height=8, codec="jpeg").collect()[0]
+    got = jpeg.decode_jpeg(bytes(out["payload"]))
+    assert got.shape == (8, 4, 3)
+    want = png.resize_nearest(img, 4, 8).astype(np.float64)
+    assert np.abs(got.astype(np.float64) - want).mean() < 6.0

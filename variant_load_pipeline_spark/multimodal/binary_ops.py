@@ -4,12 +4,13 @@ Media are opaque ``binary`` columns + typed metadata structs; the heavy
 decode/feature steps run as Arrow-batched pandas iterators (``mapInPandas``)
 so each executor processes whole record batches without per-row Python
 overhead.  Image decode/resize are REAL for PNG via the pure-stdlib codec
-in ``multimodal/png.py`` (codec='png', the default) and audio decode is
-REAL for PCM WAV via ``multimodal/wav.py`` (codec='wav'); the
-deterministic ``fake`` codec remains for plumbing tests with arbitrary
-payloads, and compressed codecs (jpeg/mp3) plus model embeddings stay
-stubbed until a library / model runtime is provisioned (clearly-gated
-NotImplementedError).
+in ``multimodal/png.py`` (codec='png', the default) and for baseline
+JPEG (grayscale / 4:4:4 YCbCr) via ``multimodal/jpeg.py``
+(codec='jpeg'); audio decode is REAL for PCM WAV via
+``multimodal/wav.py`` (codec='wav').  The deterministic ``fake`` codec
+remains for plumbing tests with arbitrary payloads; compressed audio
+(mp3) and model embeddings stay stubbed until a library / model runtime
+is provisioned (clearly-gated NotImplementedError).
 
 Design notes for 100 TB media:
 * store media in parquet binary columns (or pointers to object storage) and
@@ -97,7 +98,32 @@ def png_decode_features(payload: bytes) -> dict:
     }
 
 
-_DECODERS = {"fake": fake_decode_image, "png": png_decode_features}
+def jpeg_decode_features(payload: bytes) -> dict:
+    """REAL decode via the pure-stdlib baseline JPEG codec
+    (multimodal/jpeg.py): marker parse, Huffman decode, dequantize, IDCT,
+    YCbCr->RGB; reports geometry + mean intensity over actual pixels.
+    Grayscale scans report n_channels=1."""
+    from .jpeg import decode_jpeg
+
+    img = decode_jpeg(payload)
+    if img.ndim == 2:
+        h, w = img.shape
+        c = 1
+    else:
+        h, w, c = img.shape
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_channels": int(c),
+        "mean_intensity": round(float(img.mean()), 6),
+    }
+
+
+_DECODERS = {
+    "fake": fake_decode_image,
+    "png": png_decode_features,
+    "jpeg": jpeg_decode_features,
+}
 
 
 def decode_images(
@@ -109,9 +135,12 @@ def decode_images(
     """Decode/feature-extract images via mapInPandas (Arrow batches).
 
     ``codec='png'`` (default) runs the real pure-stdlib PNG decoder;
-    ``codec='fake'`` keeps the deterministic stub for plumbing tests with
-    non-image payloads.  JPEG/WebP would slot in as further ``_DECODERS``
-    entries when a library is provisioned.
+    ``codec='jpeg'`` runs the real pure-stdlib baseline JPEG decoder
+    (grayscale / 4:4:4 YCbCr; progressive and subsampled scans raise
+    per-row ValueError rather than mis-decoding); ``codec='fake'`` keeps
+    the deterministic stub for plumbing tests with non-image payloads.
+    WebP would slot in as a further ``_DECODERS`` entry when a library is
+    provisioned.
     """
     if codec not in _DECODERS:
         raise NotImplementedError(
@@ -191,12 +220,13 @@ def resize_images(
     codec: str = "png",
 ) -> DataFrame:
     """Resize stage: (media_id, payload) -> (media_id, payload, width,
-    height) with the resized payload.  ``codec='png'`` decodes, nearest-
-    neighbor resizes the actual pixels, and re-encodes PNG (pure-stdlib
-    codec); ``codec='fake'`` keeps the deterministic byte slice/pad stub
-    for non-image payloads.  Batch shape — Arrow in, Arrow out, binary
-    column preserved — is the pipeline contract either way."""
-    if codec not in ("fake", "png"):
+    height) with the resized payload.  ``codec='png'`` / ``codec='jpeg'``
+    decode, nearest-neighbor resize the actual pixels, and re-encode in
+    the same format (pure-stdlib codecs); ``codec='fake'`` keeps the
+    deterministic byte slice/pad stub for non-image payloads.  Batch
+    shape — Arrow in, Arrow out, binary column preserved — is the
+    pipeline contract either way."""
+    if codec not in ("fake", "png", "jpeg"):
         raise NotImplementedError(
             f"codec '{codec}' requires an image library not present here"
         )
@@ -207,6 +237,11 @@ def resize_images(
             from .png import decode_png, encode_png, resize_nearest
 
             return encode_png(resize_nearest(decode_png(raw), width, height))
+        if codec == "jpeg":
+            from .jpeg import decode_jpeg, encode_jpeg
+            from .png import resize_nearest
+
+            return encode_jpeg(resize_nearest(decode_jpeg(raw), width, height))
         return (raw * (target // max(1, len(raw)) + 1))[:target]
 
     def run(batches: Iterator) -> Iterator:

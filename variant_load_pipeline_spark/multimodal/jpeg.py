@@ -263,58 +263,46 @@ def _ycbcr_to_rgb(img: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
-def _encode_component(
-    comp: np.ndarray,
-    qt: np.ndarray,
+def _encode_block(
+    zz: np.ndarray,
     dc_codes: dict[int, tuple[int, int]],
     ac_codes: dict[int, tuple[int, int]],
     writer: _BitWriter,
     pred: int,
 ) -> int:
-    """Encode one 8x8-padded component plane block-row-major; returns the
-    new DC predictor."""
-    h, w = comp.shape
-    q = qt.reshape(8, 8).astype(np.float64)
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            block = comp[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
-            coeffs = _DCT @ block @ _DCT.T
-            quant = np.round(coeffs / q).astype(np.int64)
-            zz = quant.reshape(-1)[ZIGZAG]
-            # DC
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            size = _size_cat(diff)
-            code, ln = dc_codes[size]
+    """Huffman-encode one zigzag-ordered quantized block (64 coefficients);
+    returns the new DC predictor."""
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    size = _size_cat(diff)
+    code, ln = dc_codes[size]
+    writer.write(code, ln)
+    if size:
+        writer.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    # AC run-length
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
             writer.write(code, ln)
-            if size:
-                mag = diff if diff >= 0 else diff + (1 << size) - 1
-                writer.write(mag, size)
-            # AC run-length
-            run = 0
-            last_nz = 0
-            for i in range(63, 0, -1):
-                if zz[i]:
-                    last_nz = i
-                    break
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    writer.write(code, ln)
-                    run -= 16
-                size = _size_cat(v)
-                code, ln = ac_codes[(run << 4) | size]
-                writer.write(code, ln)
-                mag = v if v >= 0 else v + (1 << size) - 1
-                writer.write(mag, size)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                writer.write(code, ln)
+            run -= 16
+        size = _size_cat(v)
+        code, ln = ac_codes[(run << 4) | size]
+        writer.write(code, ln)
+        writer.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        writer.write(code, ln)
     return pred
 
 
@@ -397,38 +385,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
                 block = plane[by : by + 8, bx : bx + 8] - 128.0
                 quant = np.round(_DCT @ block @ _DCT.T / q8[ci]).astype(np.int64)
                 zz = quant.reshape(-1)[ZIGZAG]
-                diff = int(zz[0]) - preds[ci]
-                preds[ci] = int(zz[0])
-                size = _size_cat(diff)
-                code, ln = dc_codes[size]
-                writer.write(code, ln)
-                if size:
-                    writer.write(
-                        diff if diff >= 0 else diff + (1 << size) - 1, size
-                    )
-                run = 0
-                last_nz = 0
-                for i in range(63, 0, -1):
-                    if zz[i]:
-                        last_nz = i
-                        break
-                for i in range(1, last_nz + 1):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_codes[0xF0]
-                        writer.write(code, ln)
-                        run -= 16
-                    size = _size_cat(v)
-                    code, ln = ac_codes[(run << 4) | size]
-                    writer.write(code, ln)
-                    writer.write(v if v >= 0 else v + (1 << size) - 1, size)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = ac_codes[0x00]
-                    writer.write(code, ln)
+                preds[ci] = _encode_block(
+                    zz, dc_codes, ac_codes, writer, preds[ci]
+                )
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
@@ -491,7 +450,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
+                # sampling factors are irrelevant to a single-component
+                # scan's layout (every MCU is one block), so grayscale
+                # files with e.g. 2x2 factors decode fine; only
+                # multi-component subsampled frames are out of scope
+                if samp != 0x11 and nc > 1:
                     raise ValueError(
                         "chroma subsampling unsupported (sampling factors "
                         f"{samp >> 4}x{samp & 0xF}); this decoder covers the "

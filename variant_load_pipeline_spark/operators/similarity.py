@@ -92,8 +92,8 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
-def _planes_literal(planes: list[list[float]]) -> Column:
-    """All hyperplanes as ONE array<array<double>> SQL literal.
+def _planes_sql(planes: list[list[float]]) -> str:
+    """All hyperplanes as ONE array<array<double>> SQL literal string.
 
     Building the same thing with nested ``F.array(*[F.lit(x) ...])`` costs one
     py4j round-trip per element — for 12 tables x 4 planes x 64 dims that is
@@ -101,11 +101,13 @@ def _planes_literal(planes: list[list[float]]) -> Column:
     plan CONSTRUCTION vs 2.0 s of execution at sf0.01).  A single parsed SQL
     expression is one round-trip; ``repr(float)`` round-trips exactly, so the
     doubles are bit-identical to the F.lit form and bucket ids are unchanged.
+    Returned as a raw string so callers can splice it into a larger
+    expression (``lsh_topk`` wraps it in ``transform(...)``).
     """
     inner = ",".join(
         "array(" + ",".join(f"{float(x)!r}D" for x in p) + ")" for p in planes
     )
-    return F.expr(f"array({inner})")
+    return f"array({inner})"
 
 
 def lsh_topk(
@@ -130,7 +132,7 @@ def lsh_topk(
     onto the (small) surviving candidate set for the exact re-rank.
 
     All n_tables x n_planes projections come from one ``transform`` over a
-    single array<array<double>> literal (see ``_planes_literal``) — the
+    single array<array<double>> literal (see ``_planes_sql``) — the
     per-element F.lit form spent 3x more wall clock constructing the
     expression tree than executing it.
     """
@@ -144,11 +146,8 @@ def lsh_topk(
     # n_tables x n_planes exprs cost more than running them; one parse is
     # ~20 ms).  Semantics identical to the F.lit/when form: same fold order,
     # same doubles (repr round-trip), element_at 1-based.
-    inner = ",".join(
-        "array(" + ",".join(f"{float(x)!r}D" for x in p) + ")" for p in flat
-    )
     projs_sql = (
-        f"transform(array({inner}), p -> "
+        f"transform({_planes_sql(flat)}, p -> "
         "aggregate(zip_with(__vec, p, (x, y) -> x * y), "
         "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
     )

@@ -2727,6 +2727,99 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_jpeg_decode",
+    """
+    SELECT CAST(p_partkey AS BIGINT) AS media_id,
+           CAST(8 + p_partkey % 9 AS INT) AS width,
+           CAST(8 + p_partkey % 7 AS INT) AS height,
+           CAST(CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 3 END AS INT)
+               AS n_channels,
+           'T' AS err_ok
+    FROM part WHERE p_partkey % 40 = 1
+    """,
+    doc="Multimodal: REAL baseline JPEG decode end-to-end — deterministic "
+    "smooth-gradient images (grayscale for even ids, 4:4:4 RGB for odd) "
+    "are encoded with the pure-stdlib JPEG codec and decoded back through "
+    "decode_images(codec='jpeg') (marker parse, Huffman decode, "
+    "dequantize, IDCT, YCbCr->RGB) inside mapInPandas.  JPEG is lossy, so "
+    "the oracle gates exact geometry + channel count plus a bounded-"
+    "reconstruction-error flag (|decoded mean - true mean| <= 1.0) — both "
+    "codec directions are deterministic, so the flag is reproducible",
+)
+def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from .multimodal.binary_ops import decode_images
+
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 40 == 1)
+    gen = p.select(
+        F.col("p_partkey").cast("long").alias("media_id"),
+        (8 + F.col("p_partkey") % 9).cast("int").alias("width"),
+        (8 + F.col("p_partkey") % 7).cast("int").alias("height"),
+        F.when(F.col("p_partkey") % 2 == 0, F.lit(1))
+        .otherwise(F.lit(3))
+        .cast("int")
+        .alias("n_channels"),
+        (20 + F.col("p_partkey") % 50).cast("int").alias("base"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("exp_mean", T.DoubleType()),
+        ]
+    )
+
+    def render(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .multimodal.jpeg import encode_jpeg
+
+        for pdf in batches:
+            payloads, means = [], []
+            for mid, w, h, nc, base in zip(
+                pdf["media_id"], pdf["width"], pdf["height"],
+                pdf["n_channels"], pdf["base"],
+            ):
+                y, x, c = np.meshgrid(
+                    np.arange(int(h)), np.arange(int(w)),
+                    np.arange(int(nc)), indexing="ij",
+                )
+                # smooth ramp, values < 255 by construction (no clipping)
+                img = (int(base) + 2 * x + 3 * y + 10 * c).astype("uint8")
+                if int(nc) == 1:
+                    img = img[:, :, 0]
+                payloads.append(encode_jpeg(img, quality=90))
+                means.append(float(img.mean()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "exp_mean": means,
+                }
+            )
+
+    media = gen.mapInPandas(render, schema=out_schema)
+    feats = decode_images(media, codec="jpeg")
+    return feats.join(
+        F.broadcast(media.select("media_id", "exp_mean")), "media_id"
+    ).select(
+        "media_id",
+        "width",
+        "height",
+        "n_channels",
+        F.when(
+            F.abs(F.col("mean_intensity") - F.col("exp_mean")) <= 1.0,
+            F.lit("T"),
+        )
+        .otherwise(F.lit("F"))
+        .alias("err_ok"),
+    )
+
+
 # ===========================================================================
 # The FULL VcfConverter2 pipeline, oracle-checked end-to-end
 # (F2 + F5 + S3 + F6 + F10 + AD/DP policy + C5 + C6/C7/C8 + C17 + E2/F7
