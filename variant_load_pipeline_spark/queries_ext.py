@@ -1963,12 +1963,235 @@ def p29_annotate_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _p29_run(spark, sf_dir, fasta_strategy="chunked")
 
 
-def _p29_run(
-    spark: SparkSession, sf_dir: str, fasta_strategy: str
-) -> DataFrame:
-    from .plans.postprocess import annotate_variants
+def _p29_indel_oracle_sql() -> str:
+    """SQL re-derivation of the kernel's INDEL arms
+    (VariantPostProcessing.java:472-492): deletion length from
+    len(var_nuc) — NOT len(ref) (the bug-compat quirk), the three
+    insertion encodings (ref '-', ref NULL, padded ref base), and block
+    replace whose deletion length is var_stop - var_start.  Variant types
+    by t = l_suppkey % 6:
+      0 del ref=2bp var='-'  (kernel deletes 1 base, not 2)  vstop=vs+2
+      1 del ref=2bp var='--' (kernel deletes 2 bases)        vstop=vs+2
+      2 ins ref='-'  var=2bp  inserted BEFORE rel_pos        vstop=vs+1
+      3 ins ref=NULL var=3bp  inserted BEFORE rel_pos        vstop=vs+1
+      4 ins ref=1bp  var=ref+2bp -> var[1:] AFTER rel_pos    vstop=vs+1
+      5 block replace ref=2bp var=2bp, del span vstop-vs=2   vstop=vs+2
+    Var-side truncation to %3 interacts with the length delta, so rows
+    near the CDS tail flip to location-only (pos*3 > len(var_trunc)) —
+    the arm the SNV gate can never reach.  Frameshift stays 'F' by
+    construction: BOTH dna strings are %3-truncated before the length
+    delta is taken (:607-611) — the quirk the reference later shipped
+    FrameShiftFixUp.java for."""
+    ref_aa = _codon_case_sql("refcod")
+    var_aa = _codon_case_sql("varcod")
+    return f"""
+    WITH s AS (SELECT repeat('ACGTTGCAGTCA', 16750) AS seq),
+    v AS (
+        SELECT CAST(((CAST(l_orderkey AS BIGINT) * 10 + l_linenumber) * 200001
+                   + (CAST(l_partkey AS BIGINT) * 1487) % 200000 + 1) * 100
+                   + (l_suppkey % 6) * 16 + (l_partkey % 4) * 4
+                   + l_suppkey % 4 AS BIGINT) AS variant_rgd_id,
+               {_P29_CHROM_L} AS chromosome,
+               CAST((CAST(l_partkey AS BIGINT) * 1487) % 200000 + 1 AS BIGINT)
+                   AS vs,
+               l_suppkey % 6 AS t,
+               {_P29_BASE_REF} AS b1,
+               {_P29_BASE_VAR} AS b2
+        FROM lineitem WHERE l_orderkey % 8 = 4
+    ),
+    v2 AS (
+        SELECT *,
+            CASE WHEN t IN (0, 1, 5) THEN vs + 2 ELSE vs + 1 END AS vstop,
+            CASE t WHEN 0 THEN -1 WHEN 1 THEN -2 WHEN 2 THEN 2
+                   WHEN 3 THEN 3 WHEN 4 THEN 2 ELSE 0 END AS delta,
+            CASE t WHEN 2 THEN b2 || b1 WHEN 3 THEN b2 || b1 || b2
+                   WHEN 4 THEN b2 || b2 WHEN 5 THEN b2 || b1 END AS ins
+        FROM v
+    ),
+    g AS (
+        SELECT CAST(pk + 5000000 AS BIGINT) AS transcript_rgd_id,
+               {_P29_CHROM_P} AS chromosome,
+               (pk * 9973) % 199000 + 1 AS gs,
+               CASE WHEN pk % 2 = 0 THEN '+' ELSE '-' END AS strand,
+               CASE WHEN pk % 7 = 0 THEN 'Y' ELSE 'N' END AS nc,
+               pk % 3 AS k
+        FROM (SELECT CAST(p_partkey AS BIGINT) AS pk FROM part
+              WHERE p_partkey % 4 = 0)
+    ),
+    pr AS (
+        SELECT v2.variant_rgd_id, g.transcript_rgd_id, v2.vs, v2.vstop,
+               v2.t, v2.delta, v2.ins, g.gs, g.strand, g.nc, g.k
+        FROM v2 JOIN g ON v2.chromosome = g.chromosome
+                      AND v2.vs BETWEEN g.gs AND g.gs + 799
+    ),
+    l2 AS (
+        SELECT *,
+            (CASE WHEN strand = '+' THEN gs + 700 ELSE gs END <= vs AND
+             CASE WHEN strand = '+' THEN gs + 799 ELSE gs + 99 END >= vstop)
+                AS in3,
+            (CASE WHEN strand = '+' THEN gs ELSE gs + 700 END <= vs AND
+             CASE WHEN strand = '+' THEN gs + 99 ELSE gs + 799 END >= vstop)
+                AS in5,
+            ((gs <= vs AND gs + 149 >= vstop)
+             OR (gs + 300 <= vs AND gs + 449 + k >= vstop)
+             OR (gs + 600 <= vs AND gs + 799 >= vstop)) AS inex,
+            ((gs + 139 <= vs AND gs + 159 >= vstop)
+             OR (gs + 290 <= vs AND gs + 310 >= vstop)
+             OR (gs + 439 + k <= vs AND gs + 459 + k >= vstop)
+             OR (gs + 590 <= vs AND gs + 610 >= vstop)) AS nearspl
+        FROM pr
+    ),
+    rel AS (
+        SELECT *,
+            CASE WHEN gs + 100 <= vs AND gs + 149 > vstop
+                     THEN vs - (gs + 99)
+                 WHEN gs + 300 <= vs AND gs + 449 + k > vstop
+                     THEN 50 + vs - (gs + 299)
+                 WHEN gs + 600 <= vs AND gs + 699 > vstop
+                     THEN 200 + k + vs - (gs + 599)
+            END AS rel0
+        FROM l2
+    ),
+    dna AS (
+        SELECT r.*,
+            lower(substr(s.seq, CAST(gs + 100 AS INT), 50)
+                  || substr(s.seq, CAST(gs + 300 AS INT), CAST(150 + k AS INT))
+                  || substr(s.seq, CAST(gs + 600 AS INT), 100)) AS refdna
+        FROM rel r CROSS JOIN s
+    ),
+    ap AS (
+        SELECT *,
+            CASE WHEN rel0 IS NULL THEN NULL
+                 WHEN t = 0 THEN substr(refdna, 1, CAST(rel0 - 1 AS INT))
+                     || substr(refdna, CAST(rel0 + 1 AS INT))
+                 WHEN t = 1 THEN substr(refdna, 1, CAST(rel0 - 1 AS INT))
+                     || substr(refdna, CAST(rel0 + 2 AS INT))
+                 WHEN t IN (2, 3) THEN substr(refdna, 1, CAST(rel0 - 1 AS INT))
+                     || ins || substr(refdna, CAST(rel0 AS INT))
+                 WHEN t = 4 THEN substr(refdna, 1, CAST(rel0 AS INT))
+                     || ins || substr(refdna, CAST(rel0 + 1 AS INT))
+                 ELSE substr(refdna, 1, CAST(rel0 - 1 AS INT))
+                     || ins || substr(refdna, CAST(rel0 + 2 AS INT))
+            END AS vardna0
+        FROM dna
+    ),
+    st AS (
+        SELECT *,
+            CASE WHEN strand = '-' THEN 300 + k - rel0 + 1 ELSE rel0 END AS rel,
+            CASE WHEN strand = '-'
+                 THEN reverse(translate(upper(refdna), 'ACGT', 'TGCA'))
+                 ELSE refdna END AS refstr,
+            CASE WHEN strand = '-'
+                 THEN reverse(translate(upper(vardna0), 'ACGT', 'TGCA'))
+                 ELSE vardna0 END AS varstr,
+            300 + k + delta AS lenvar0
+        FROM ap
+    ),
+    aa AS (
+        SELECT *, lenvar0 - (lenvar0 % 3) AS varlen,
+            CAST(1 + (rel - 1) // 3 AS INT) AS aapos,
+            (nc = 'N' AND inex AND rel0 IS NOT NULL AND rel >= 1
+             AND 1 + (rel - 1) // 3 <= 100
+             AND (1 + (rel - 1) // 3) * 3 <= lenvar0 - (lenvar0 % 3)) AS valid
+        FROM st
+    ),
+    cod AS (
+        SELECT *,
+            CASE WHEN valid
+                 THEN upper(substr(refstr, CAST((aapos - 1) * 3 + 1 AS INT), 3))
+            END AS refcod,
+            CASE WHEN valid
+                 THEN upper(substr(varstr, CAST((aapos - 1) * 3 + 1 AS INT), 3))
+            END AS varcod
+        FROM aa
+    ),
+    res AS (
+        SELECT *,
+            CASE WHEN valid THEN {ref_aa} END AS ref_aa,
+            CASE WHEN valid THEN {var_aa} END AS var_aa
+        FROM cod
+    )
+    SELECT DISTINCT variant_rgd_id, transcript_rgd_id,
+        concat_ws(',',
+            CASE WHEN in3 THEN '3UTRS' END,
+            CASE WHEN in5 THEN '5UTRS' END,
+            CASE WHEN inex THEN 'EXON' END,
+            CASE WHEN NOT inex THEN 'INTRON' END,
+            CASE WHEN nc = 'Y' THEN 'NON-CODING' END) AS location_name,
+        CASE WHEN nearspl THEN 'T' ELSE 'F' END AS near_splice_site,
+        ref_aa, var_aa,
+        CASE WHEN valid THEN
+            CASE WHEN ref_aa = 'X' OR var_aa = 'X' THEN 'unassignable'
+                 WHEN ref_aa = var_aa THEN 'synonymous'
+                 ELSE 'nonsynonymous' END
+        END AS syn_status,
+        CASE WHEN valid THEN aapos END AS full_ref_aa_pos,
+        CASE WHEN valid THEN CAST(rel AS INT) END AS full_ref_nuc_pos,
+        CASE WHEN valid THEN (CASE WHEN k = 0 THEN 'F' ELSE 'T' END)
+            END AS triplet_error,
+        CASE WHEN valid THEN
+            (CASE WHEN abs(300 - varlen) % 3 <> 0 THEN 'T' ELSE 'F' END)
+            END AS frameshift
+    FROM res
+    """
 
+
+@register(
+    "p29_annotate_indel",
+    _p29_indel_oracle_sql(),
+    doc="§2.9 kernel, INDEL arms (VariantPostProcessing.java:472-492): "
+    "deletion length from len(var_nuc) not len(ref) (bug-compat quirk, "
+    "exercised with a 2-bp ref deleted as 1), all three insertion "
+    "encodings (ref '-', ref NULL, padded first base), and block replace "
+    "with deletion length = var_stop - var_start; var-side %3 truncation "
+    "now shifts with the indel length delta, flipping tail-of-CDS rows "
+    "to location-only — the oracle re-derives the full string surgery, "
+    "strand flip, truncation, and codon translation in SQL",
+)
+def p29_annotate_indel(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    base4, chrom_l, vs = _p29_variant_parts()
+    t = (F.col("l_suppkey") % 6).cast("int")
+    b1 = F.element_at(base4, ((F.col("l_partkey") % 4) + 1).cast("int"))
+    b2 = F.element_at(base4, ((F.col("l_suppkey") % 4) + 1).cast("int"))
+    vid = (
+        (
+            (F.col("l_orderkey").cast("long") * 10 + F.col("l_linenumber"))
+            * 200001
+            + vs
+        )
+        * 100
+        + t * 16
+        + (F.col("l_partkey") % 4) * 4
+        + F.col("l_suppkey") % 4
+    )
+    variants = li.filter(F.col("l_orderkey") % 8 == 4).select(
+        vid.cast("long").alias("rgd_id"),
+        chrom_l.alias("chromosome"),
+        vs.cast("long").alias("start_pos"),
+        F.when(t.isin(0, 1, 5), vs + 2)
+        .otherwise(vs + 1)
+        .cast("long")
+        .alias("end_pos"),
+        F.when(t.isin(0, 1, 5), F.concat(b1, b1))
+        .when(t == 2, F.lit("-"))
+        .when(t == 3, F.lit(None).cast("string"))
+        .otherwise(b1)
+        .alias("ref_nuc"),
+        F.when(t == 0, F.lit("-"))
+        .when(t == 1, F.lit("--"))
+        .when(t == 2, F.concat(b2, b1))
+        .when(t == 3, F.concat(b2, b1, b2))
+        .when(t == 4, F.concat(b1, b2, b2))
+        .otherwise(F.concat(b2, b1))
+        .alias("var_nuc"),
+    )
+    return _p29_annotate(spark, sf_dir, variants, "broadcast")
+
+
+def _p29_variant_parts():
+    """Shared lineitem-derived column expressions for the synthetic
+    variant generators (chromosome, position, base alphabet)."""
     base4 = F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T"))
     chrom_idx = (F.col("l_orderkey") % 22).cast("int")
     chrom_l = (
@@ -1977,6 +2200,14 @@ def _p29_run(
         .otherwise((chrom_idx + 1).cast("string"))
     )
     vs = (F.col("l_partkey").cast("long") * 1487) % 200000 + 1
+    return base4, chrom_l, vs
+
+
+def _p29_run(
+    spark: SparkSession, sf_dir: str, fasta_strategy: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    base4, chrom_l, vs = _p29_variant_parts()
     # id encodes (okey, lnum, pos, ref, var): see the oracle's comment —
     # colliding ids are fully identical rows, collapsed by the pipeline's
     # (variant, transcript) dedup on both sides
@@ -1996,6 +2227,19 @@ def _p29_run(
             "var_nuc"
         ),
     ).filter(F.col("ref_nuc") != F.col("var_nuc"))
+
+    return _p29_annotate(spark, sf_dir, variants, fasta_strategy)
+
+
+def _p29_annotate(
+    spark: SparkSession,
+    sf_dir: str,
+    variants: DataFrame,
+    fasta_strategy: str,
+) -> DataFrame:
+    """Shared §2.9 tail: the synthetic gene model + annotate_variants +
+    output projection, reused by the SNV and indel gates."""
+    from .plans.postprocess import annotate_variants
 
     pk = F.col("p_partkey").cast("long")
     pidx = (pk % 22).cast("int")
