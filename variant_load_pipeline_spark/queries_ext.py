@@ -2359,6 +2359,21 @@ def _scan_path(sf_dir: str, name: str) -> str:
     return f"/tmp/vlp_scan_{token}_{name}"
 
 
+# Fixture-writer bound: every driver-side collect of generated fixture
+# lines is capped to a deterministic top-N — Spark takes
+# orderBy(<generator tuple>).limit(CAP) (TakeOrderedAndProject: per-
+# partition top-N + merge, no global sort materialization, bounded driver
+# memory at ANY scale factor), and each oracle applies the identical
+# ORDER BY ... LIMIT in its generator CTE.  Ties beyond the ordering
+# tuple are fully identical generated lines, so the selected multiset —
+# and therefore the file content — is engine-independent.  The cap is
+# far above every sf<=0.1 row count (fixtures only shrink at sf1+), so
+# recorded hashes are unchanged.
+_SCAN_CAP = 20_000
+_LI_ORDER = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+_LI_ORDER_SQL = "l_orderkey, l_linenumber, l_partkey, l_suppkey"
+
+
 _S2_STRAINS = ["STRAIN_A", "STRAIN_B", "STRAIN_C"]
 
 
@@ -2376,6 +2391,9 @@ _S2_STRAINS = ["STRAIN_A", "STRAIN_B", "STRAIN_C"]
                l_linenumber * 3 AS cnt_g,
                l_suppkey % 40 AS cnt_t
         FROM lineitem WHERE l_orderkey % 50 = 0
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                 l_quantity, l_extendedprice
+        LIMIT 20000
     ),
     cells AS (
         SELECT li.*, s.strain,
@@ -2418,7 +2436,12 @@ _S2_STRAINS = ["STRAIN_A", "STRAIN_B", "STRAIN_C"]
 def s2_vcf_multisample_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import vcf as vcf_src
 
-    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .orderBy(*_LI_ORDER, "l_quantity", "l_extendedprice")
+        .limit(_SCAN_CAP)
+    )
     v = _variant_cols(li)
     cell_a = F.concat_ws(
         "",
@@ -2508,6 +2531,7 @@ def s2_vcf_multisample_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (
         SELECT CAST(p_partkey AS BIGINT) AS pk FROM part
         WHERE p_partkey % 20 = 0
+        ORDER BY pk LIMIT 20000
     ),
     seqs AS (
         SELECT 'CTG' || CAST(pk AS VARCHAR) AS chromosome,
@@ -2529,7 +2553,12 @@ def s2_vcf_multisample_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s6_fasta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.fasta import read_fasta
 
-    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0)
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 20 == 0)
+        .orderBy("p_partkey")
+        .limit(_SCAN_CAP)
+    )
     pk = F.col("p_partkey").cast("long")
     seq = F.upper(
         F.regexp_replace(
@@ -2592,6 +2621,7 @@ _S9_AA_SQL = (
                '0.' || CAST(l_partkey % 1000 AS VARCHAR) AS pph2_prob,
                CASE WHEN l_partkey % 2 = 0 THEN '1ABC' ELSE '' END AS pdb_id
         FROM lineitem WHERE l_orderkey % 100 = 0
+        ORDER BY {_LI_ORDER_SQL} LIMIT 20000
     )
     SELECT protein_acc_id, var_pos, o_aa1, o_aa2, ref_aa, var_aa,
            prediction, pph2_prob, pdb_id
@@ -2607,7 +2637,12 @@ _S9_AA_SQL = (
 def s9_polyphen_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.polyphen import read_polyphen_results
 
-    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .orderBy(*_LI_ORDER)
+        .limit(_SCAN_CAP)
+    )
     aa = F.array(*[F.lit(c) for c in _S9_AA])
     aa1 = F.element_at(aa, (F.col("l_suppkey") % 20 + 1).cast("int"))
     aa2 = F.element_at(aa, (F.col("l_partkey") % 20 + 1).cast("int"))
@@ -2673,7 +2708,7 @@ _S10_IMPACT = (
 @register(
     "s10_snpeff_scan",
     f"""
-    WITH li AS (
+    WITH li0 AS (
         SELECT l_orderkey AS okey, l_linenumber AS lnum,
                l_partkey AS pk, l_suppkey AS sk,
                {_P29_CHROM_L} AS chrom,
@@ -2681,8 +2716,12 @@ _S10_IMPACT = (
                    AS pos,
                {_P29_BASE_REF} AS ref, {_P29_BASE_VAR} AS var
         FROM lineitem
-        WHERE l_orderkey % 100 = 0 AND l_orderkey % 1000 <> 0
+        WHERE l_orderkey % 100 = 0
+        ORDER BY {_LI_ORDER_SQL} LIMIT 20000
     ),
+    -- ANN-less lines (okey % 1000 = 0) are in the FILE but the parser
+    -- emits no annotation rows for them; the cap above mirrors the file
+    li AS (SELECT * FROM li0 WHERE okey % 1000 <> 0),
     ann AS (
         SELECT li.*, n.ann_i FROM li
         CROSS JOIN (SELECT * FROM (VALUES (1), (2)) AS t(ann_i)) n
@@ -2720,8 +2759,11 @@ _S10_IMPACT = (
 def s10_snpeff_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.snpeff import read_snpeff_vcf
 
-    li = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_orderkey") % 100 == 0)
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .orderBy(*_LI_ORDER)
+        .limit(_SCAN_CAP)
     )
     base4 = F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T"))
     chrom_idx = (F.col("l_orderkey") % 22).cast("int")
@@ -3076,7 +3118,7 @@ _VC2_VAR = _P29_BASE_VAR
 @register(
     "vcfconv_pipeline",
     f"""
-    WITH li AS (
+    WITH li0 AS (
         SELECT l_orderkey AS okey, l_linenumber AS lnum,
                {_P29_CHROM_L} AS chrom,
                CAST((CAST(l_partkey AS BIGINT) * 1487) % 3000000 AS BIGINT)
@@ -3088,8 +3130,12 @@ _VC2_VAR = _P29_BASE_VAR
                CAST(l_suppkey % 40 AS BIGINT) AS ct,
                l_partkey AS pk
         FROM lineitem
-        WHERE l_orderkey % 100 = 0 AND l_orderkey % 400 <> 0
+        WHERE l_orderkey % 100 = 0
+        ORDER BY {_LI_ORDER_SQL}, l_quantity, l_extendedprice LIMIT 20000
     ),
+    -- okey % 400 = 0 lines are in the FILE as invalid contigs the
+    -- normalizer drops (F2); the cap above mirrors the file content
+    li AS (SELECT * FROM li0 WHERE okey % 400 <> 0),
     ra AS (
         SELECT *,
             CASE lnum % 6 WHEN 1 THEN ref
@@ -3218,7 +3264,12 @@ _VC2_VAR = _P29_BASE_VAR
 def vcfconv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.convert import convert_vcf_to_cf2
 
-    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .orderBy(*_LI_ORDER, "l_quantity", "l_extendedprice")
+        .limit(_SCAN_CAP)
+    )
     base4 = F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T"))
     chrom_idx = (F.col("l_orderkey") % 22).cast("int")
     chrom = (
@@ -3848,7 +3899,7 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s7_wiggle_file_scan",
     """
-    WITH g AS (
+    WITH g0 AS (
         SELECT CAST(p_partkey AS BIGINT) AS pk,
                CASE WHEN p_partkey % 22 = 20 THEN 'X'
                     WHEN p_partkey % 22 = 21 THEN 'Y'
@@ -3857,8 +3908,12 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                1 + p_partkey % 3 AS step,
                20 + p_partkey % 30 AS n
         FROM part
-        WHERE p_partkey % 40 = 0 AND p_partkey % 200 <> 0
-    )
+        WHERE p_partkey % 40 = 0
+        ORDER BY pk LIMIT 20000
+    ),
+    -- pk % 200 = 0 blocks are in the FILE as unmapped contigs whose data
+    -- lines the reader drops; the cap above mirrors the file content
+    g AS (SELECT * FROM g0 WHERE pk % 200 <> 0)
     SELECT g.chrom AS chr,
            CAST(g.start + g.step * i.i AS BIGINT) AS position,
            CAST(((g.pk * 13 + i.i * 7) % 1000) AS DOUBLE) / 10.0 AS score
@@ -3894,7 +3949,7 @@ def s7_wiggle_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((pk * 7919) % 1000000 + 1).alias("start"),
         (1 + pk % 3).alias("step"),
         (20 + pk % 30).alias("n"),
-    ).orderBy("pk")
+    ).orderBy("pk").limit(_SCAN_CAP)
     blocks = []
     for r in gen.collect():
         blocks.append(
