@@ -198,3 +198,38 @@ def test_no_registered_query_has_partitionless_window(spark):
         if specs:
             offenders.append((name, specs[0]))
     assert not offenders, offenders
+
+
+def test_variant_store_scan_prunes_partitions(spark, tmp_path):
+    """F3: the (map_key, chromosome) equality filters on the partitioned
+    variant store must land in PartitionFilters — a chromosome-scoped load
+    reads only that chromosome's files (VariantLoad3.java:229-233)."""
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark.plans.load import (
+        read_variant_store,
+        write_variant_store,
+    )
+
+    rows = spark.range(200).select(
+        F.lit("v").alias("ref_nuc"),
+        (F.col("id") * 13 % 1000).alias("start_pos"),
+        (F.col("id") % 3 + 1).cast("int").alias("map_key"),
+        F.when(F.col("id") % 5 == 0, F.lit("X"))
+        .otherwise((F.col("id") % 5).cast("string"))
+        .alias("chromosome"),
+    )
+    path = str(tmp_path / "store")
+    write_variant_store(rows, path)
+    df = read_variant_store(spark, path, map_key=2, chromosome="3")
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, plan
+    assert "map_key" in pf[0] and "chromosome" in pf[0], pf[0]
+    # and the pruned scan returns exactly the matching partition's rows
+    got = df.collect()
+    assert got and all(
+        r["map_key"] == 2 and r["chromosome"] == "3" for r in got
+    )

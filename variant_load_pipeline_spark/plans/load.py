@@ -231,6 +231,37 @@ def run_load(
     return out
 
 
+def write_variant_store(
+    df: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """K3: the batched-insert sink (VariantProcessingBase.java:223-273 —
+    the reference accumulates rows and flushes JDBC batches) re-expressed
+    as a partitioned parquet write: every executor appends its partition's
+    rows in parallel (the distributed analog of the batch flush), and
+    ``partitionBy(map_key, chromosome)`` lays the store out so per-assembly
+    / per-chromosome loads prune at the source (F3)."""
+    df.write.mode(mode).partitionBy("map_key", "chromosome").parquet(path)
+
+
+def read_variant_store(
+    spark,
+    path: str,
+    map_key: int | None = None,
+    chromosome: str | None = None,
+) -> DataFrame:
+    """Re-scan the partitioned variant store.  The equality filters land
+    in the scan's PartitionFilters (F3, VariantLoad3.java:229-233 — the
+    reference's per-chromosome WHERE clause), so a chromosome-scoped load
+    reads only that chromosome's files — the property that keeps
+    incremental loads O(chromosome), not O(store), at 100 TB."""
+    df = spark.read.parquet(path)
+    if map_key is not None:
+        df = df.filter(F.col("map_key") == map_key)
+    if chromosome is not None:
+        df = df.filter(F.col("chromosome") == chromosome)
+    return df
+
+
 def load_counters(annotated: DataFrame) -> DataFrame:
     """A7: dbSnp vs novel counts per sample.  rs_id flows through CF2
     verbatim, so a missing VCF ID arrives as the literal '.' — counted as

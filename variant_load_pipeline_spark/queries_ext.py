@@ -4038,6 +4038,64 @@ def k2_vcf_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "k3_f3_store_roundtrip",
+    f"""
+    WITH v AS ({_VARIANT_SQL}),
+    d AS (
+        SELECT DISTINCT chrom, pos, ref, var,
+               cnt_a + cnt_c + cnt_g + cnt_t AS depth,
+               CAST(okey % 3 + 1 AS INT) AS map_key
+        FROM v WHERE okey % 20 = 0
+    )
+    SELECT chrom AS chromosome, CAST(pos AS BIGINT) AS start_pos,
+           ref AS ref_nuc, var AS var_nuc, CAST(depth AS BIGINT) AS depth,
+           map_key
+    FROM d WHERE map_key = 2 AND chrom = '5'
+    """,
+    doc="K3 + F3 end-to-end through a REAL store: variant rows are written "
+    "by write_variant_store (the batched-insert sink, "
+    "VariantProcessingBase.java:223-273, as a parallel parquet write "
+    "partitioned by (map_key, chromosome)) and re-scanned through "
+    "read_variant_store with map_key + chromosome equality filters — the "
+    "per-chromosome WHERE of VariantLoad3.java:229-233 — which land in "
+    "the scan's PartitionFilters (pinned by test_plan_audit) so only the "
+    "matching partition directories are read; the oracle re-derives the "
+    "filtered subset, so a sink that drops/mangles rows or a scan that "
+    "mis-prunes breaks the hash",
+)
+def k3_f3_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .plans.load import read_variant_store, write_variant_store
+
+    v = _variant_cols(
+        load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    )
+    rows = v.select(
+        F.col("chrom").alias("chromosome"),
+        F.col("pos").cast("long").alias("start_pos"),
+        F.col("ref").alias("ref_nuc"),
+        F.col("var").alias("var_nuc"),
+        (F.col("cnt_a") + F.col("cnt_c") + F.col("cnt_g") + F.col("cnt_t"))
+        .cast("long")
+        .alias("depth"),
+        (F.col("okey") % 3 + 1).cast("int").alias("map_key"),
+    ).distinct()
+    path = _scan_path(sf_dir, "k3_store")
+    shutil.rmtree(path, ignore_errors=True)
+    write_variant_store(rows, path)
+    out = read_variant_store(spark, path, map_key=2, chromosome="5")
+    return out.select(
+        F.col("chromosome").cast("string").alias("chromosome"),
+        "start_pos",
+        "ref_nuc",
+        "var_nuc",
+        "depth",
+        F.col("map_key").cast("int").alias("map_key"),
+    )
+
+
+@register(
     "j10_sample_detail_existence",
     f"""
     WITH v AS ({_VARIANT_SQL}),
