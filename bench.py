@@ -7,13 +7,20 @@ materializes EVERY column of EVERY row (unlike count(), which lets Catalyst
 prune unreferenced projections down to an empty-schema FileScan — under
 count(), a pure-projection query like c13_translate measured parquet
 row-counting, not codon translation).  Results are not collected to the
-driver.  Timings are per-query wall clock.
+driver.
+
+Each query runs REPEATS times and reports the per-query MEDIAN (total =
+sum of medians), so single-run noise (~±30% observed round-over-round)
+can't masquerade as a regression.  The plan is rebuilt from scratch every
+repeat — re-executing one DataFrame instance would skip already-computed
+shuffle map stages and time only the tail.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -67,14 +74,20 @@ def main() -> None:
     # whichever query happens to run first
     materialize(reg["q6_forecast_revenue"].spark_fn(spark, SF_DIR))
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in reg:
             continue
-        df = reg[name].spark_fn(spark, SF_DIR)
-        t0 = time.time()
-        materialize(df)
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(repeats):
+            # fresh plan per repeat: same-instance re-execution would skip
+            # completed shuffle map stages and under-time the query
+            df = reg[name].spark_fn(spark, SF_DIR)
+            t0 = time.time()
+            materialize(df)
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -85,6 +98,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "repeats": repeats,
+                "aggregation": "median",
             }
         )
     )

@@ -336,3 +336,50 @@ def test_lsh_recall_floor(spark):
     ]
     assert min(recalls) >= 0.3
     assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_near_dup_hot_band_guard_bounds_degenerate_corpus(spark):
+    """10k identical docs all hash to the same band buckets; without the
+    hot-band guard the candidate self-join builds ~10k^2/2 pairs per band.
+    With the guard the hot buckets star-pair around the min-id
+    representative: exactly n-1 verified pairs, linear work, and the
+    whole bucket stays collapsible by connected components."""
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark.operators.dedup import near_dup_pairs
+
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same document body repeated verbatim for everyone").alias(
+            "text"
+        ),
+    )
+    out = near_dup_pairs(
+        docs, threshold=0.8, hot_bucket_threshold=100
+    )
+    rows = out.collect()
+    assert len(rows) == n - 1
+    assert all(r["id_a"] == 0 and r["jaccard"] == 1.0 for r in rows)
+    assert {r["id_b"] for r in rows} == set(range(1, n))
+
+
+def test_near_dup_cold_buckets_stay_exhaustive(spark):
+    """Below the threshold the guard must not change results: all-pairs
+    candidates, same pairs as a tiny corpus expects."""
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark.operators.dedup import near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "alpha beta gamma delta epsilon zeta"),
+            (4, "completely different content here entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = near_dup_pairs(docs, threshold=0.8, hot_bucket_threshold=1000)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(1, 2), (1, 3), (2, 3)}

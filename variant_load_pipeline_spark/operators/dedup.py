@@ -193,6 +193,7 @@ def near_dup_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    hot_bucket_threshold: int = 1000,
 ) -> DataFrame:
     """Fused MinHash-LSH near-dup pipeline: shingle ONCE, persist the
     (id, shingles, hashes) table, then derive signatures, band candidates,
@@ -203,6 +204,17 @@ def near_dup_pairs(
     does not share common subplans across join branches; at 100 TB the
     shingle scan IS the dominant cost, so the fused form persists it —
     spill-safe (MEMORY_AND_DISK) and ~3x less work.
+
+    Hot-band guard: a band bucket with n members yields n^2/2 candidate
+    pairs, so one degenerate bucket (a corpus of near-identical docs all
+    hashing to the same band signature) goes quadratic no matter how good
+    the banding is.  Buckets larger than ``hot_bucket_threshold`` switch
+    from all-pairs to STAR pairing around the bucket's min-id
+    representative — a pure projection (no join), linear in bucket size —
+    so every member still pairs with the representative and downstream
+    connected-component dedup collapses the whole bucket, while the
+    worst case drops from O(n^2) to O(n).  Cold buckets are exhaustive,
+    exactly as before.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -241,16 +253,29 @@ def near_dup_pairs(
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, "band.band_idx", "band.band_hash")
-    cand = (
-        banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    # per-bucket size + representative; the groupBy shuffles on the same
+    # key the candidate self-join partitions on, and the annotated table
+    # is persisted so the cold/hot branches don't recompute the banding
+    stats = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__rep")
+    )
+    banded_s = banded.join(stats, ["band_idx", "band_hash"]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cold = banded_s.filter(F.col("__n") <= hot_bucket_threshold)
+    cold_pairs = (
+        cold.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
         .join(
-            banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash"),
+            cold.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash"),
             ["band_idx", "band_hash"],
         )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    hot_pairs = banded_s.filter(
+        (F.col("__n") > hot_bucket_threshold) & (F.col(id_col) != F.col("__rep"))
+    ).select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    cand = cold_pairs.union(hot_pairs).distinct()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b_ = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = cand.join(a, "id_a").join(b_, "id_b")

@@ -1063,7 +1063,12 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _near_dup_sql(n_hashes: int = 16, bands: int = 4, threshold: float = 0.6) -> str:
+def _near_dup_sql(
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+    hot: int = 1000,
+) -> str:
     rows = n_hashes // bands
     band_selects = "\n UNION ALL\n".join(
         f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('_', "
@@ -1074,11 +1079,26 @@ def _near_dup_sql(n_hashes: int = 16, bands: int = 4, threshold: float = 0.6) ->
     return f"""
     WITH sig AS ({_minhash_sig_sql(n_hashes)}),
     banded AS ({band_selects}),
+    stats AS (
+        SELECT band_idx, band_hash, count(*) AS n, min(doc_id) AS rep
+        FROM banded GROUP BY band_idx, band_hash
+    ),
+    bs AS (
+        SELECT b.doc_id, b.band_idx, b.band_hash, s.n, s.rep
+        FROM banded b JOIN stats s
+          ON b.band_idx = s.band_idx AND b.band_hash = s.band_hash
+    ),
+    -- hot-band guard (mirrors operators.dedup.near_dup_pairs): buckets
+    -- over the threshold pair members with the min-id representative
+    -- only (star), cold buckets stay all-pairs
     cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN banded b
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bs a JOIN bs b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-        WHERE a.doc_id < b.doc_id
+        WHERE a.doc_id < b.doc_id AND a.n <= {hot}
+        UNION
+        SELECT rep AS id_a, doc_id AS id_b FROM bs
+        WHERE n > {hot} AND doc_id <> rep
     ),
     sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
     SELECT id_a, id_b,
