@@ -2,6 +2,12 @@
 on Spark AND its oracle_sql() on DuckDB over the same parquet, then compare
 row count, schema (column names), and an order-insensitive value hash.
 
+Every run at the default sf0.01 also records per-query results in
+tools/parity_state.json and regenerates the parity table in README.md
+(between the PARITY markers) — the full registry's oracle status and last
+local hash-check date, so the driver's frozen round-1 CORRECTNESS subset
+is legible as exactly that.
+
 Usage:
     PYTHONPATH=/root/repo python tools/check.py [query ...] [--sf DIR]
 """
@@ -45,6 +51,92 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
     return len(df), cols, h
 
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+STATE_PATH = os.path.join(_HERE, "parity_state.json")
+README_PATH = os.path.join(os.path.dirname(_HERE), "README.md")
+PARITY_BEGIN = "<!-- PARITY:BEGIN -->"
+PARITY_END = "<!-- PARITY:END -->"
+
+
+def _load_state() -> dict:
+    import json
+
+    try:
+        with open(STATE_PATH) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_state(state: dict) -> None:
+    import json
+
+    with open(STATE_PATH, "w") as fh:
+        json.dump(state, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+
+def _driver_recorded() -> set[str]:
+    """Query names present in the newest driver CORRECTNESS_r*.json."""
+    import glob
+    import json
+
+    root = os.path.dirname(_HERE)
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if not files:
+        return set()
+    try:
+        with open(files[-1]) as fh:
+            return set(json.load(fh))
+    except (OSError, ValueError):
+        return set()
+
+
+def render_parity_table(all_queries, oracles, state) -> str:
+    """The README parity table: one row per registered query."""
+    drec = _driver_recorded()
+    lines = [
+        "| query | oracle | driver row | last local check | result | rows |",
+        "|---|---|---|---|---|---|",
+    ]
+    n_ok = 0
+    for name in sorted(all_queries):
+        st = state.get(name, {})
+        oracle = "SQL hash" if name in oracles else "rows-only"
+        drv = "r1 set" if name in drec else "—"
+        date = st.get("date", "—")
+        res = st.get("status", "unchecked")
+        rows = st.get("rows", "—")
+        if res == "ok":
+            n_ok += 1
+        lines.append(
+            f"| `{name}` | {oracle} | {drv} | {date} | {res} | {rows} |"
+        )
+    head = (
+        f"{len(all_queries)} registered queries, {len(oracles)} with a "
+        f"DuckDB oracle, {n_ok} locally hash-verified; the driver's "
+        f"CORRECTNESS file records the frozen round-1 subset "
+        f"({len(drec)} rows).  Regenerate with "
+        f"`PYTHONPATH=. python tools/check.py`.\n"
+    )
+    return head + "\n" + "\n".join(lines)
+
+
+def update_readme(all_queries, oracles, state) -> None:
+    try:
+        with open(README_PATH) as fh:
+            text = fh.read()
+    except OSError:
+        return
+    if PARITY_BEGIN not in text or PARITY_END not in text:
+        return
+    pre, rest = text.split(PARITY_BEGIN, 1)
+    _, post = rest.split(PARITY_END, 1)
+    table = render_parity_table(all_queries, oracles, state)
+    with open(README_PATH, "w") as fh:
+        fh.write(f"{pre}{PARITY_BEGIN}\n{table}\n{PARITY_END}{post}")
+
+
 def main() -> int:
     argv = sys.argv[1:]
     if "--sf" in argv:
@@ -69,6 +161,15 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
 
+    # state/README updates only for runs at the canonical gate SF
+    record = "sf0.01" in sf
+    state = _load_state() if record else {}
+    today = time.strftime("%Y-%m-%d")
+
+    def note(name: str, status: str, rows) -> None:
+        if record:
+            state[name] = {"status": status, "rows": rows, "date": today}
+
     n_pass = n_fail = 0
     for name in names:
         if name not in qs:
@@ -80,12 +181,14 @@ def main() -> int:
             sdf = qs[name](spark, sf).toPandas()
         except Exception as ex:
             print(f"{name}: SPARK ERROR: {str(ex)[:400]}")
+            note(name, "spark-error", None)
             n_fail += 1
             continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"{name}: rows={len(sdf)} (rows-only check, no oracle) "
                   f"[spark {t_spark:.1f}s]")
+            note(name, "rows-only", len(sdf))
             n_pass += 1
             continue
         t0 = time.time()
@@ -93,6 +196,7 @@ def main() -> int:
             ddf = con.execute(oracles[name]).df()
         except Exception as ex:
             print(f"{name}: DUCKDB ERROR: {str(ex)[:400]}")
+            note(name, "oracle-error", len(sdf))
             n_fail += 1
             continue
         t_duck = time.time() - t0
@@ -104,6 +208,7 @@ def main() -> int:
             f"{name}: {status} rows {sc}/{dc} hash {sh}/{dh} "
             f"[spark {t_spark:.1f}s duck {t_duck:.1f}s]"
         )
+        note(name, "ok" if ok else "fail", sc)
         if not ok:
             n_fail += 1
             if scols != dcols:
@@ -116,6 +221,9 @@ def main() -> int:
                 print(diff.head(6).to_string())
         else:
             n_pass += 1
+    if record:
+        _save_state(state)
+        update_readme(qs, oracles, state)
     print(f"== {n_pass} ok, {n_fail} fail ==")
     return 1 if n_fail else 0
 
