@@ -383,3 +383,32 @@ def test_near_dup_cold_buckets_stay_exhaustive(spark):
     out = near_dup_pairs(docs, threshold=0.8, hot_bucket_threshold=1000)
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_connected_components_chain_star_cliques(spark):
+    """Chain (worst-case diameter), star, disjoint clique, isolated pair —
+    every node must land in the min-id component, converging within
+    max_iters even on the 8-long chain."""
+    from variant_load_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5-6-7-8
+        [(i, i + 1) for i in range(1, 8)]
+        # star around 20
+        + [(20, 21), (20, 22), (20, 23)]
+        # clique 30,31,32
+        + [(30, 31), (30, 32), (31, 32)]
+        # pair
+        + [(40, 41)],
+        ["id_a", "id_b"],
+    )
+    comp = {
+        r["id"]: r["comp"] for r in connected_components(pairs).collect()
+    }
+    assert all(comp[i] == 1 for i in range(1, 9))
+    assert all(comp[i] == 20 for i in (20, 21, 22, 23))
+    assert all(comp[i] == 30 for i in (30, 31, 32))
+    assert comp[40] == comp[41] == 40
+    assert len(comp) == 17

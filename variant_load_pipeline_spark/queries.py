@@ -1133,6 +1133,54 @@ def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(d, n_hashes=16, bands=4, threshold=0.6)
 
 
+def _near_dup_components_sql() -> str:
+    """Components over the verified near-dup pairs via a recursive CTE:
+    reach(id, comp) holds every (node, id-that-reaches-it); min(comp) per
+    node is the component representative — the same min-reachable-id
+    contract as operators.dedup.connected_components."""
+    return f"""
+    WITH RECURSIVE p AS (
+        SELECT id_a, id_b FROM ({_near_dup_sql()})
+    ),
+    e AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM p
+    ),
+    reach(id, comp) AS (
+        SELECT src, src FROM e
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(min(comp) AS BIGINT) AS component
+    FROM reach GROUP BY id
+    """
+
+
+@register(
+    "near_dup_components",
+    _near_dup_components_sql(),
+    doc="Dedup GROUPS from near-dup PAIRS: connected components over the "
+    "verified MinHash-LSH pair graph by iterative min-label propagation "
+    "(one shuffle join per round, localCheckpoint-bounded lineage, "
+    "converges in O(component diameter)); component id = min doc_id, so "
+    "keep-one-per-component is deterministic.  The oracle recomputes the "
+    "same components with a recursive CTE",
+)
+def near_dup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components, near_dup_pairs
+
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = near_dup_pairs(d, n_hashes=16, bands=4, threshold=0.6)
+    return connected_components(pairs).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("component"),
+    )
+
+
 _SIMHASH_BITSUM_SQL = ",\n".join(
     f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
     for b in range(32)
