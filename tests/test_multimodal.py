@@ -431,3 +431,81 @@ def test_resize_images_real_jpeg_codec(spark):
     assert got.shape == (8, 4, 3)
     want = png.resize_nearest(img, 4, 8).astype(np.float64)
     assert np.abs(got.astype(np.float64) - want).mean() < 6.0
+
+
+# ---------------------------------------------------------------------------
+# MPEG audio frame-header metadata (multimodal/mp3.py)
+# ---------------------------------------------------------------------------
+def test_mp3_metadata_basic_stream():
+    from variant_load_pipeline_spark.multimodal import mp3
+
+    # MPEG1 Layer III, 128 kbps (idx 9), 44100 Hz (idx 0), stereo
+    data = mp3.make_frames(38, bitrate_index=9, sample_rate_index=0)
+    m = mp3.mp3_metadata(data)
+    assert m["n_frames"] == 38
+    assert m["sample_rate"] == 44100 and m["n_channels"] == 2
+    assert m["bitrate_kbps"] == 128
+    assert m["layer"] == 3 and m["version"] == "MPEG1"
+    assert m["duration_ms"] == 38 * 1152 * 1000 // 44100
+    assert m["clean_eof"] == "T"
+
+
+def test_mp3_metadata_id3v2_skip_and_mono_mpeg2():
+    from variant_load_pipeline_spark.multimodal import mp3
+
+    # MPEG2 Layer III (576 samples/frame), 64 kbps (idx 8), 22050 Hz,
+    # mono, behind a 200-byte ID3v2 tag
+    data = mp3.make_frames(
+        10, bitrate_index=8, sample_rate_index=0, version_bits=2,
+        mono=True, id3v2_bytes=200,
+    )
+    m = mp3.mp3_metadata(data)
+    assert m["n_frames"] == 10 and m["n_channels"] == 1
+    assert m["version"] == "MPEG2" and m["sample_rate"] == 22050
+    assert m["bitrate_kbps"] == 64
+    assert m["duration_ms"] == 10 * 576 * 1000 // 22050
+    assert m["clean_eof"] == "T"
+
+
+def test_mp3_metadata_layer1_and_layer2():
+    from variant_load_pipeline_spark.multimodal import mp3
+
+    m1 = mp3.mp3_metadata(
+        mp3.make_frames(5, bitrate_index=9, sample_rate_index=1, layer=1)
+    )
+    assert m1["layer"] == 1 and m1["n_frames"] == 5
+    assert m1["duration_ms"] == 5 * 384 * 1000 // 48000
+    m2 = mp3.mp3_metadata(
+        mp3.make_frames(5, bitrate_index=9, sample_rate_index=1, layer=2)
+    )
+    assert m2["layer"] == 2 and m2["duration_ms"] == 5 * 1152 * 1000 // 48000
+
+
+def test_mp3_metadata_corrupt_flags_not_raises():
+    from variant_load_pipeline_spark.multimodal import mp3
+
+    good = mp3.make_frames(4)
+    assert mp3.mp3_metadata(good + b"garbage!")["clean_eof"] == "F"
+    truncated = good[:-10]
+    m = mp3.mp3_metadata(truncated)
+    assert m["clean_eof"] == "F" and m["n_frames"] == 3
+    assert mp3.mp3_metadata(b"not audio at all")["clean_eof"] == "F"
+    assert mp3.mp3_metadata(b"")["n_frames"] == 0
+    # ID3v1 trailer is a clean ending
+    assert mp3.mp3_metadata(good + b"TAG" + b"\x00" * 125)["clean_eof"] == "T"
+
+
+def test_audio_metadata_through_spark(spark):
+    from variant_load_pipeline_spark.multimodal import binary_ops as B3
+    from variant_load_pipeline_spark.multimodal import mp3
+
+    rows = [
+        (1, bytearray(mp3.make_frames(20))),
+        (2, bytearray(mp3.make_frames(7, bitrate_index=11))),
+        (3, bytearray(b"broken")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in B3.audio_metadata(df).collect()}
+    assert got[1]["n_frames"] == 20 and got[1]["bitrate_kbps"] == 128
+    assert got[2]["n_frames"] == 7 and got[2]["bitrate_kbps"] == 192
+    assert got[3]["clean_eof"] == "F" and got[3]["n_frames"] == 0

@@ -7,10 +7,13 @@ overhead.  Image decode/resize are REAL for PNG via the pure-stdlib codec
 in ``multimodal/png.py`` (codec='png', the default) and for baseline
 JPEG (grayscale / 4:4:4 YCbCr) via ``multimodal/jpeg.py``
 (codec='jpeg'); audio decode is REAL for PCM WAV via
-``multimodal/wav.py`` (codec='wav').  The deterministic ``fake`` codec
-remains for plumbing tests with arbitrary payloads; compressed audio
-(mp3) and model embeddings stay stubbed until a library / model runtime
-is provisioned (clearly-gated NotImplementedError).
+``multimodal/wav.py`` (codec='wav'); MPEG audio (MP3/MP2/MP1) frame-
+header METADATA — duration, bitrate, sample rate, channels, integrity —
+is REAL via ``audio_metadata`` (``multimodal/mp3.py``).  The
+deterministic ``fake`` codec remains for plumbing tests with arbitrary
+payloads; full MP3 PCM decode and model embeddings stay stubbed until a
+library / model runtime is provisioned (clearly-gated
+NotImplementedError).
 
 Design notes for 100 TB media:
 * store media in parquet binary columns (or pointers to object storage) and
@@ -325,6 +328,62 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+AUDIO_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("bitrate_kbps", T.IntegerType()),
+        T.StructField("layer", T.IntegerType()),
+        T.StructField("version", T.StringType()),
+        T.StructField("clean_eof", T.StringType()),
+    ]
+)
+
+
+def audio_metadata(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    codec: str = "mp3",
+) -> DataFrame:
+    """REAL compressed-audio METADATA stage: walk MPEG audio frame headers
+    (multimodal/mp3.py — public ISO 11172-3/13818-3 tables) inside
+    mapInPandas and report duration/bitrate/sample-rate/channel/integrity
+    columns — everything a corpus filter predicates on, with no PCM
+    decode.  Corrupt or truncated payloads flag clean_eof='F' instead of
+    failing the batch."""
+    if codec != "mp3":
+        raise NotImplementedError(
+            f"metadata codec '{codec}' not supported; available: ['mp3']"
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .mp3 import mp3_metadata
+
+        cols = [f.name for f in AUDIO_METADATA_SCHEMA.fields]
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            ids = pdf[id_col].to_numpy()
+            feats = [
+                mp3_metadata(bytes(p) if p is not None else b"")
+                for p in pdf[payload_col]
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", ids)
+            yield out[cols]
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=AUDIO_METADATA_SCHEMA
+    )
+
+
 def decode_audio(
     df: DataFrame,
     id_col: str = "media_id",
@@ -332,12 +391,14 @@ def decode_audio(
     codec: str = "wav",
 ) -> DataFrame:
     """Audio decode/feature stage via mapInPandas.  ``codec='wav'`` runs
-    the REAL pure-stdlib PCM WAV decoder (multimodal/wav.py); compressed
-    codecs (mp3/flac/ogg) would slot in when a library is provisioned."""
+    the REAL pure-stdlib PCM WAV decoder (multimodal/wav.py).  MP3 frame-
+    header METADATA (duration/bitrate/rate/integrity) is real via
+    ``audio_metadata``; full MP3 PCM decode (polyphase filterbank + MDCT)
+    stays behind this gate until a library is provisioned."""
     if codec != "wav":
         raise NotImplementedError(
             f"codec '{codec}' requires an audio library not present here; "
-            "available: ['wav']"
+            "available: ['wav'] (mp3 header metadata: audio_metadata())"
         )
 
     def run(batches: Iterator) -> Iterator:

@@ -4037,6 +4037,105 @@ def k2_vcf_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mp3_meta_oracle_sql() -> str:
+    """Closed-form re-derivation of the MP3 frame-header walk for the
+    synthetic streams: the bitrate CASE is generated from the SAME
+    ISO table the parser uses (multimodal/mp3.py — one source of truth)."""
+    from .multimodal.mp3 import _BITRATES
+
+    br = _BITRATES[(1, 3)]
+    br_case = (
+        "CASE CAST(1 + p_partkey % 14 AS INT) "
+        + " ".join(f"WHEN {i} THEN {br[i]}" for i in range(1, 15))
+        + " END"
+    )
+    return f"""
+    SELECT CAST(p_partkey AS BIGINT) AS media_id,
+           CAST(10 + p_partkey % 40 AS INT) AS n_frames,
+           CAST(CASE WHEN p_partkey % 2 = 1 THEN 1 ELSE 2 END AS INT)
+               AS n_channels,
+           CAST(CASE p_partkey % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS INT) AS sample_rate,
+           CAST((10 + p_partkey % 40) * 1152 * 1000
+                // (CASE p_partkey % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                    ELSE 32000 END) AS INT) AS duration_ms,
+           CAST({br_case} AS INT) AS bitrate_kbps,
+           'T' AS clean_eof
+    FROM part WHERE p_partkey % 40 = 2
+    """
+
+
+@register(
+    "mm_mp3_meta",
+    _mp3_meta_oracle_sql(),
+    doc="Multimodal: REAL MPEG audio frame-header metadata — synthetic "
+    "MP3 streams (valid MPEG1 Layer III headers across all 14 bitrate "
+    "indices, 3 sample rates, mono/stereo, some behind ID3v2 tags) walked "
+    "frame-by-frame through audio_metadata (multimodal/mp3.py, public "
+    "ISO 11172-3 tables) inside mapInPandas; the oracle re-derives frame "
+    "count, duration, bitrate, and integrity closed-form from the same "
+    "rate tables",
+)
+def mm_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from .multimodal.binary_ops import audio_metadata
+
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 40 == 2)
+    gen = p.select(
+        F.col("p_partkey").cast("long").alias("media_id"),
+        (10 + F.col("p_partkey") % 40).cast("int").alias("nf"),
+        (1 + F.col("p_partkey") % 14).cast("int").alias("bri"),
+        (F.col("p_partkey") % 3).cast("int").alias("sri"),
+        (F.col("p_partkey") % 2 == 1).alias("mono"),
+        # ID3v2 tag on every 5th stream; size is metadata-invariant
+        F.when(F.col("p_partkey") % 5 == 0, 64 + F.col("p_partkey") % 100)
+        .otherwise(0)
+        .cast("int")
+        .alias("id3"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def render(batches):
+        import pandas as pd
+
+        from .multimodal.mp3 import make_frames
+
+        for pdf in batches:
+            payloads = [
+                make_frames(
+                    int(nf),
+                    bitrate_index=int(bri),
+                    sample_rate_index=int(sri),
+                    mono=bool(mono),
+                    id3v2_bytes=int(id3),
+                )
+                for nf, bri, sri, mono, id3 in zip(
+                    pdf["nf"], pdf["bri"], pdf["sri"], pdf["mono"], pdf["id3"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = gen.mapInPandas(render, schema=out_schema)
+    return audio_metadata(media, codec="mp3").select(
+        "media_id",
+        "n_frames",
+        "n_channels",
+        "sample_rate",
+        "duration_ms",
+        "bitrate_kbps",
+        "clean_eof",
+    )
+
+
 @register(
     "k3_f3_store_roundtrip",
     f"""
