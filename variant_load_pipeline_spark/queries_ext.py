@@ -3054,7 +3054,6 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             T.StructField("media_id", T.LongType()),
             T.StructField("payload", T.BinaryType()),
-            T.StructField("exp_mean", T.DoubleType()),
         ]
     )
 
@@ -3065,7 +3064,7 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .multimodal.jpeg import encode_jpeg
 
         for pdf in batches:
-            payloads, means = [], []
+            payloads = []
             for mid, w, h, nc, base in zip(
                 pdf["media_id"], pdf["width"], pdf["height"],
                 pdf["n_channels"], pdf["base"],
@@ -3079,20 +3078,25 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if int(nc) == 1:
                     img = img[:, :, 0]
                 payloads.append(encode_jpeg(img, quality=90))
-                means.append(float(img.mean()))
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": payloads,
-                    "exp_mean": means,
-                }
+                {"media_id": pdf["media_id"], "payload": payloads}
             )
 
     media = gen.mapInPandas(render, schema=out_schema)
     feats = decode_images(media, codec="jpeg")
-    return feats.join(
-        F.broadcast(media.select("media_id", "exp_mean")), "media_id"
-    ).select(
+    # expected mean of the linear ramp, closed-form (no clipping by
+    # construction): base + (w-1) + 1.5(h-1) + 5(nc-1) — so the expected
+    # side reads `gen`, not a second pass through the JPEG render
+    exp = gen.select(
+        "media_id",
+        (
+            F.col("base")
+            + (F.col("width") - 1)
+            + 1.5 * (F.col("height") - 1)
+            + 5.0 * (F.col("n_channels") - 1)
+        ).alias("exp_mean"),
+    )
+    return feats.join(F.broadcast(exp), "media_id").select(
         "media_id",
         "width",
         "height",
