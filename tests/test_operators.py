@@ -412,3 +412,48 @@ def test_connected_components_chain_star_cliques(spark):
     assert all(comp[i] == 30 for i in (30, 31, 32))
     assert comp[40] == comp[41] == 40
     assert len(comp) == 17
+
+
+def test_hash_sample_deterministic_under_repartitioning(spark):
+    """The whole point vs df.sample: the selected set must be identical
+    for any partitioning, and different salts give independent splits."""
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark.operators.sampling import hash_sample
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    pick = lambda d, salt: {
+        r["doc_id"] for r in hash_sample(d, 0.3, "doc_id", salt).collect()
+    }
+    a1 = pick(df, "s1")
+    a2 = pick(df.repartition(7, "doc_id"), "s1")
+    a3 = pick(df.coalesce(1), "s1")
+    assert a1 == a2 == a3
+    assert 0.25 < len(a1) / 2000 < 0.35
+    b = pick(df, "s2")
+    # independent splits: overlap near fraction^2, not 0 or fraction
+    overlap = len(a1 & b) / 2000
+    assert 0.04 < overlap < 0.15
+
+
+def test_stratified_sample_caps_each_stratum(spark):
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("stratum")
+    )
+    out = stratified_sample(df, "stratum", 50, "doc_id")
+    counts = {
+        r["stratum"]: r["n"]
+        for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {0: 50, 1: 50, 2: 50}
+    # deterministic: same rows again
+    again = stratified_sample(df.repartition(13), "stratum", 50, "doc_id")
+    assert {tuple(r) for r in out.collect()} == {
+        tuple(r) for r in again.collect()
+    }

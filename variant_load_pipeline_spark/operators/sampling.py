@@ -1,0 +1,73 @@
+"""Deterministic sampling operators for training-data curation.
+
+`df.sample()` is seed-dependent on PARTITIONING (Bernoulli per partition
+with a per-partition XORShift stream), so the same seed gives different
+rows after a repartition, a scale-up, or an engine change — useless for
+reproducible corpus splits.  These operators derive the sampling decision
+from a HASH OF THE ROW KEY instead: any engine, any partitioning, any
+cluster size selects the identical rows, and the decision is a pure
+projection (no shuffle).
+
+* ``hash_uniform`` — md5-derived uniform [0, 1) per key (engine-portable:
+  DuckDB replays the identical arithmetic, see functions/text.shingle_hash).
+* ``hash_sample`` — keep rows with u < fraction: a deterministic
+  Bernoulli(fraction) split.  Different ``salt`` values give independent
+  splits (train/val/test from one corpus without coordination).
+* ``stratified_sample`` — per-stratum cap: rank rows inside each stratum
+  by the hash and keep the first ``per_stratum``.  Bounds any stratum
+  (language, domain, source) to a budget regardless of its raw frequency
+  — the balancing step of corpus curation.  One shuffle on the stratum
+  key; skewed strata are exactly the rows the cap discards, so the
+  window's heavy partitions shrink as they rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_uniform(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform [0, 1) from the first 8 md5 hex chars of
+    (key || salt).  DuckDB twin:
+    ``('0x' || substr(md5(key || salt), 1, 8))::BIGINT / 4294967296.0``."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return h.cast("double") / F.lit(float(1 << 32))
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Keep rows whose key-hash uniform is below ``fraction`` — a
+    reproducible Bernoulli split, stable under repartitioning and engine
+    changes.  A pure filter: pushes down, no shuffle."""
+    return df.filter(hash_uniform(F.col(key_col), salt) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    per_stratum: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum cap: rows ranked inside each stratum by
+    (hash, key) — the key tiebreak keeps the rank total even for
+    colliding hashes — and the first ``per_stratum`` survive."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(strata_col).orderBy(
+        hash_uniform(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= per_stratum)
+        .drop("__rk")
+    )

@@ -4041,6 +4041,73 @@ def k2_vcf_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HASH_U_SQL = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 8))"
+    "::BIGINT / 4294967296.0)"
+)
+
+
+@register(
+    "hash_sample_split",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(ROUND({_HASH_U_SQL.format(salt='val')}, 6) AS DOUBLE) AS u
+    FROM documents
+    WHERE {_HASH_U_SQL.format(salt='val')} < 0.25
+    """,
+    doc="Deterministic corpus split: hash_sample keeps rows whose "
+    "md5-derived key uniform is below the fraction — identical rows "
+    "selected on any engine, partitioning, or cluster size (unlike "
+    "df.sample, whose per-partition RNG streams change under "
+    "repartitioning); a pure pushed-down filter, no shuffle.  The oracle "
+    "replays the identical hash arithmetic",
+)
+def hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import hash_sample, hash_uniform
+
+    d = load(spark, sf_dir, "documents")
+    out = hash_sample(d, 0.25, "doc_id", salt="val")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(hash_uniform(F.col("doc_id"), "val"), 6).alias("u"),
+    )
+
+
+@register(
+    "stratified_sample_caps",
+    f"""
+    WITH u AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(doc_id % 7 AS BIGINT) AS stratum,
+               {_HASH_U_SQL.format(salt='cap')} AS uu
+        FROM documents
+    ),
+    rk AS (
+        SELECT doc_id, stratum,
+               ROW_NUMBER() OVER (PARTITION BY stratum
+                                  ORDER BY uu, doc_id) AS r
+        FROM u
+    )
+    SELECT doc_id, stratum FROM rk WHERE r <= 20
+    """,
+    doc="Stratified per-source cap: rank rows inside each stratum by the "
+    "deterministic key hash and keep the first 20 — bounds any stratum "
+    "(language, domain, source) to a budget regardless of raw frequency, "
+    "the balancing step of corpus curation.  One shuffle on the stratum "
+    "key; the oracle replays hash, rank, and cap",
+)
+def stratified_sample_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import stratified_sample
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("doc_id") % 7).cast("long").alias("stratum"),
+    )
+    return stratified_sample(
+        d, "stratum", per_stratum=20, key_col="doc_id", salt="cap"
+    ).select("doc_id", "stratum")
+
+
 def _mp3_meta_oracle_sql() -> str:
     """Closed-form re-derivation of the MP3 frame-header walk for the
     synthetic streams: the bitrate CASE is generated from the SAME
