@@ -162,3 +162,52 @@ def bpe_ish_tokens(text: Column) -> Column:
 
 def bpe_ish_token_count(text: Column) -> Column:
     return F.size(bpe_ish_tokens(text))
+
+
+def tfidf_top_terms(
+    df,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Top-k characteristic terms per document by TF-IDF
+    (idf = ln((N+1)/(df+1)), smoothed) — the keyword/topic-surface step of
+    corpus analysis.
+
+    Plan shape: token explode -> (doc, term) count -> per-term doc
+    frequency (one groupBy; stopword skew is AQE's case) -> 1-row corpus
+    count broadcast -> per-doc top-k window on the doc key.  Ordering uses
+    the ROUNDED score + term tiebreak so ranks replay identically in the
+    SQL oracle.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    nd = df.agg(F.count_distinct(F.col(id_col)).alias("nd"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("nd") + 1.0) / (F.col("dft") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )

@@ -1133,6 +1133,48 @@ def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(d, n_hashes=16, bands=4, threshold=0.6)
 
 
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ln((nd + 1.0) / (dft + 1.0)), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    rk AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS r
+        FROM scored
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
+           CAST(tfidf AS DOUBLE) AS tfidf
+    FROM rk WHERE r <= 3
+    """,
+    doc="Top-3 characteristic terms per document by smoothed TF-IDF "
+    "(idf = ln((N+1)/(df+1))): token explode -> (doc, term) counts -> "
+    "per-term doc frequency -> broadcast corpus count -> per-doc top-k "
+    "window; rounded-score + term tiebreak ordering replays identically "
+    "in the oracle",
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import tfidf_top_terms
+
+    d = load(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "term", "tfidf"
+    )
+
+
 def _near_dup_components_sql() -> str:
     """Components over the verified near-dup pairs via a recursive CTE:
     reach(id, comp) holds every (node, id-that-reaches-it); min(comp) per
