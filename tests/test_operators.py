@@ -457,3 +457,45 @@ def test_stratified_sample_caps_each_stratum(spark):
     assert {tuple(r) for r in out.collect()} == {
         tuple(r) for r in again.collect()
     }
+
+
+def test_quantize_embeddings_roundtrip_and_recall(spark):
+    """q8 values stay in [-127, 127], max-magnitude component hits 127
+    exactly, and quantized cosine stays within 1e-2 of exact cosine."""
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark.operators.similarity import (
+        cosine,
+        quantize_embeddings,
+    )
+
+    rows = [
+        (1, [0.1, -0.5, 0.25, 1.0]),
+        (2, [0.09, -0.48, 0.26, 0.99]),
+        (3, [-2.0, 0.0, 2.0, 0.5]),
+        (4, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale guard
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = quantize_embeddings(df)
+    got = {r["vec_id"]: r for r in q.collect()}
+    # floor(x + 0.5) rounds halves toward +inf: -0.5*127 -> -63, not -64
+    assert got[1]["q8"] == [13, -63, 32, 127]
+    assert max(abs(v) for v in got[3]["q8"]) == 127
+    assert got[4]["q8"] == [0, 0, 0, 0] and got[4]["q_scale"] == 1.0
+
+    qd = q.select(
+        "vec_id",
+        F.transform("q8", lambda x: x.cast("double")).alias("qv"),
+        "embedding",
+    )
+    a = qd.filter(F.col("vec_id") == 1).select(
+        F.col("qv").alias("qa"), F.col("embedding").alias("ea")
+    )
+    b = qd.filter(F.col("vec_id") == 2).select(
+        F.col("qv").alias("qb"), F.col("embedding").alias("eb")
+    )
+    r = a.crossJoin(b).select(
+        cosine(F.col("qa"), F.col("qb")).alias("cq"),
+        cosine(F.col("ea"), F.col("eb")).alias("ce"),
+    ).collect()[0]
+    assert abs(r["cq"] - r["ce"]) < 1e-2

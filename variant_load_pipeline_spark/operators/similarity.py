@@ -68,6 +68,35 @@ def cosine_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "q8",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization per vector: scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5) in [-127, 127] — a 4x (float32) / 8x
+    (float64) cut in the bytes ANN stages shuffle and cache, which is the
+    binding resource for 100 TB embedding corpora.  Cosine is
+    scale-invariant, so quantized cosine needs NO dequantization: the
+    integer arrays rank directly (see the ``ann_q8_topk`` gate for the
+    accuracy cost, ~1e-3 on unit-ish vectors).
+
+    floor(x + 0.5) instead of round(): identical halfway behavior in
+    Spark and DuckDB, so the quantized vectors — not just the ranks —
+    replay exactly in the oracle."""
+    absmax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
+    out = df.withColumn(scale_col, scale)
+    return out.withColumn(
+        q_col,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x / F.col(scale_col) + F.lit(0.5)).cast("int"),
+        ),
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (LCG; no numpy needed
     on executors)."""

@@ -2869,6 +2869,63 @@ _ANN_EXACT_ORACLE = """
 
 
 @register(
+    "ann_q8_topk",
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    m AS (
+        SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx
+        FROM e
+    ),
+    qv AS (
+        SELECT vec_id,
+               list_transform(v, x -> floor(x /
+                   (CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END) + 0.5))
+                   AS q
+        FROM m
+    ),
+    qs AS (SELECT vec_id AS qid, q AS qvec FROM qv WHERE vec_id % 50 = 0),
+    sims AS (
+        SELECT qs.qid, c.vec_id AS nid,
+               ROUND(list_cosine_similarity(qs.qvec, c.q)::DOUBLE, 6) AS sim
+        FROM qs CROSS JOIN qv c WHERE qs.qid <> c.vec_id
+    )
+    SELECT qid, nid, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, nid) AS rk
+        FROM sims
+    ) WHERE rk <= 5
+    """,
+    doc="Int8-quantized ANN: symmetric scalar quantization "
+    "(scale = max|x|/127, floor(x/s + 0.5) — halfway behavior identical "
+    "across engines) cuts ANN working-set bytes 4-8x; cosine is "
+    "scale-invariant so the integer arrays rank directly with no "
+    "dequantization.  The oracle replays quantization AND ranking "
+    "exactly — this gates the quantized neighbor lists themselves, not "
+    "just recall",
+)
+def ann_q8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk, quantize_embeddings
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q8 = quantize_embeddings(e).select(
+        "vec_id",
+        F.transform(F.col("q8"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    queries = q8.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = cosine_topk(q8, queries, k=5)
+    return out.select("qid", "nid", F.col("rk").cast("long").alias("rk"))
+
+
+@register(
     "ann_cosine_matmul",
     _ANN_EXACT_ORACLE,
     doc="Arrow-batched ANN kernel: query matrix broadcast once, each corpus "
