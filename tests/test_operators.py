@@ -499,3 +499,64 @@ def test_quantize_embeddings_roundtrip_and_recall(spark):
         cosine(F.col("ea"), F.col("eb")).alias("ce"),
     ).collect()[0]
     assert abs(r["cq"] - r["ce"]) < 1e-2
+
+
+def test_pii_scrub_order_and_counts(spark):
+    """An email inside a URL must scrub as URL only; counts follow the
+    progressive-scrub order."""
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark.functions.text import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    rows = [
+        (1, "mail me at Bob.Smith+x@Example.COM or call 5551234567"),
+        (2, "see https://host.com/path?u=a@b.co and http://x.io"),
+        (3, "no pii here"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    c = pii_counts(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            c["n_urls"].alias("u"),
+            c["n_emails"].alias("e"),
+            c["n_longnums"].alias("n"),
+            scrub_pii(F.col("text")).alias("s"),
+        ).collect()
+    }
+    assert (out[1]["u"], out[1]["e"], out[1]["n"]) == (0, 1, 1)
+    assert "<EMAIL>" in out[1]["s"] and "<NUM>" in out[1]["s"]
+    # the a@b.co inside the URL is swallowed by the URL scrub
+    assert (out[2]["u"], out[2]["e"]) == (2, 0)
+    assert out[3]["s"] == "no pii here"
+    assert out[4]["s"] == ""
+
+
+def test_boilerplate_columns_signals(spark):
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark.functions.text import (
+        boilerplate_columns,
+    )
+
+    text = "intro\n- a\n- a\n- b\nmore...\n\nintro"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    c = boilerplate_columns(F.col("text"))
+    r = df.select(
+        c["n_lines"].alias("n"),
+        c["dup_line_ratio"].alias("dup"),
+        c["top_line_share"].alias("top"),
+        c["bullet_line_ratio"].alias("bul"),
+        c["ellipsis_line_ratio"].alias("ell"),
+    ).collect()[0]
+    # 6 non-empty lines; 'intro' and '- a' each appear twice
+    assert r["n"] == 6
+    assert r["dup"] == round(2 / 6, 6)
+    assert r["top"] == round(2 / 6, 6)
+    assert r["bul"] == round(3 / 6, 6)
+    assert r["ell"] == round(1 / 6, 6)

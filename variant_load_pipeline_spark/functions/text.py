@@ -211,3 +211,68 @@ def tfidf_top_terms(
         .filter(F.col("__r") <= k)
         .drop("__r")
     )
+
+
+# PII patterns restricted to the regex dialect Java (Spark) and RE2
+# (DuckDB) share — no lookarounds, no backreferences — so counts and the
+# scrubbed text replay identically in SQL oracles.  URL first: an email
+# inside a URL must be swallowed by the URL token, not double-scrubbed.
+PII_URL_PATTERN = r"(?i)https?://[^\s]+"
+PII_EMAIL_PATTERN = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_LONGNUM_PATTERN = r"[0-9]{7,}"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Occurrence counts of the scrub-target patterns (urls, emails,
+    7+-digit runs).  Emails inside URLs count as URLs only — the counts
+    are taken on the progressively-scrubbed text, matching scrub_pii."""
+    s = F.coalesce(text, F.lit(""))
+    urls = F.size(F.regexp_extract_all(s, F.lit(PII_URL_PATTERN), 0))
+    s1 = F.regexp_replace(s, PII_URL_PATTERN, "<URL>")
+    emails = F.size(F.regexp_extract_all(s1, F.lit(PII_EMAIL_PATTERN), 0))
+    s2 = F.regexp_replace(s1, PII_EMAIL_PATTERN, "<EMAIL>")
+    nums = F.size(F.regexp_extract_all(s2, F.lit(PII_LONGNUM_PATTERN), 0))
+    return {"n_urls": urls, "n_emails": emails, "n_longnums": nums}
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact URLs -> <URL>, then emails -> <EMAIL>, then 7+-digit runs
+    -> <NUM>.  Order is load-bearing (see pii_counts)."""
+    s = F.coalesce(text, F.lit(""))
+    s = F.regexp_replace(s, PII_URL_PATTERN, "<URL>")
+    s = F.regexp_replace(s, PII_EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(s, PII_LONGNUM_PATTERN, "<NUM>")
+
+
+def boilerplate_columns(text: Column) -> dict[str, Column]:
+    """Repetition / boilerplate signals (Gopher-style corpus filters):
+    duplicate-line ratio, top-line frequency share, bullet-line ratio,
+    ellipsis-line ratio.  All from ONE line split; ratios rounded to 6
+    decimals for oracle parity."""
+    s = F.coalesce(text, F.lit(""))
+    lines = F.filter(F.split(s, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    n_nz = F.when(n_lines == 0, F.lit(1)).otherwise(n_lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    # most frequent line's share: max over distinct lines of their count
+    top_freq = F.array_max(
+        F.transform(
+            F.array_distinct(lines),
+            lambda d: F.size(F.filter(lines, lambda x: x == d)),
+        )
+    )
+    bullets = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(r"^[-*•]"))
+    )
+    ellipsis = F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"\.\.\.$")))
+    return {
+        "n_lines": n_lines,
+        "dup_line_ratio": F.round(
+            (n_lines - n_distinct).cast("double") / n_nz, 6
+        ),
+        "top_line_share": F.round(
+            F.coalesce(top_freq, F.lit(0)).cast("double") / n_nz, 6
+        ),
+        "bullet_line_ratio": F.round(bullets.cast("double") / n_nz, 6),
+        "ellipsis_line_ratio": F.round(ellipsis.cast("double") / n_nz, 6),
+    }

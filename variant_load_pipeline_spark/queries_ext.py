@@ -4098,6 +4098,149 @@ def k2_vcf_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_URL = r"(?i)https?://[^\s]+"
+_PII_EMAIL = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_NUM = r"[0-9]{7,}"
+
+
+@register(
+    "pii_scrub_counts",
+    f"""
+    WITH s0 AS (
+        SELECT doc_id,
+               COALESCE(text, '') || ' contact bob' || CAST(doc_id AS VARCHAR)
+               || '@example.com via https://site' || CAST(doc_id AS VARCHAR)
+               || '.org/a?x=1 ref ' || CAST(doc_id * 1234567 AS VARCHAR)
+                   AS t
+        FROM documents
+    ),
+    s1 AS (
+        SELECT doc_id,
+               len(regexp_extract_all(t, '{_PII_URL}')) AS n_urls,
+               regexp_replace(t, '{_PII_URL}', '<URL>', 'g') AS t1
+        FROM s0
+    ),
+    s2 AS (
+        SELECT doc_id, n_urls,
+               len(regexp_extract_all(t1, '{_PII_EMAIL}')) AS n_emails,
+               regexp_replace(t1, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t2
+        FROM s1
+    ),
+    s3 AS (
+        SELECT doc_id, n_urls, n_emails,
+               len(regexp_extract_all(t2, '{_PII_NUM}')) AS n_longnums,
+               regexp_replace(t2, '{_PII_NUM}', '<NUM>', 'g') AS t3
+        FROM s2
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_urls AS INT) AS n_urls,
+           CAST(n_emails AS INT) AS n_emails,
+           CAST(n_longnums AS INT) AS n_longnums,
+           md5(t3) AS scrub_fp
+    FROM s3
+    """,
+    doc="PII scrubbing: URL -> <URL>, email -> <EMAIL>, 7+-digit run -> "
+    "<NUM> redaction with occurrence counts, patterns restricted to the "
+    "Java/RE2-shared regex dialect; documents are augmented with "
+    "deterministic injected PII so every row exercises all three "
+    "scrubbers, and the oracle gates the md5 of the fully-scrubbed text "
+    "— replacement-exactness, not just counts",
+)
+def pii_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import pii_counts, scrub_pii
+
+    d = load(spark, sf_dir, "documents")
+    aug = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact bob"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via https://site"),
+            F.col("doc_id").cast("string"),
+            F.lit(".org/a?x=1 ref "),
+            (F.col("doc_id") * 1234567).cast("string"),
+        ).alias("t"),
+    )
+    counts = pii_counts(F.col("t"))
+    return aug.select(
+        "doc_id",
+        counts["n_urls"].cast("int").alias("n_urls"),
+        counts["n_emails"].cast("int").alias("n_emails"),
+        counts["n_longnums"].cast("int").alias("n_longnums"),
+        F.md5(scrub_pii(F.col("t"))).alias("scrub_fp"),
+    )
+
+
+@register(
+    "boilerplate_signals",
+    """
+    WITH s AS (
+        SELECT doc_id,
+               concat_ws(chr(10), COALESCE(text, ''), '- item one',
+                         '- item one', 'read more...',
+                         COALESCE(text, '')) AS t
+        FROM documents
+    ),
+    l AS (
+        SELECT doc_id,
+               list_filter(string_split(t, chr(10)), x -> trim(x) <> '')
+                   AS lines
+        FROM s
+    ),
+    m AS (
+        SELECT doc_id, lines, len(lines) AS n_lines,
+               CASE WHEN len(lines) = 0 THEN 1 ELSE len(lines) END AS nz
+        FROM l
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        CAST(n_lines AS INT) AS n_lines,
+        CAST(ROUND((n_lines - len(list_distinct(lines)))::DOUBLE / nz, 6)
+             AS DOUBLE) AS dup_line_ratio,
+        CAST(ROUND(COALESCE(list_max(list_transform(list_distinct(lines),
+                 d -> len(list_filter(lines, x -> x = d)))), 0)::DOUBLE
+             / nz, 6) AS DOUBLE) AS top_line_share,
+        CAST(ROUND(len(list_filter(lines,
+                 x -> regexp_matches(trim(x), '^[-*•]')))::DOUBLE / nz, 6)
+             AS DOUBLE) AS bullet_line_ratio,
+        CAST(ROUND(len(list_filter(lines,
+                 x -> regexp_matches(trim(x), '\\.\\.\\.$')))::DOUBLE / nz, 6)
+             AS DOUBLE) AS ellipsis_line_ratio
+    FROM m
+    """,
+    doc="Repetition/boilerplate quality signals (Gopher-style corpus "
+    "filters): duplicate-line ratio, top-line frequency share, "
+    "bullet-line and ellipsis-line ratios, all from one line split; "
+    "documents get deterministic injected boilerplate lines so every "
+    "signal is exercised; the oracle replays the split, dedup, and "
+    "per-line regex tests",
+)
+def boilerplate_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import boilerplate_columns
+
+    d = load(spark, sf_dir, "documents")
+    aug = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("- item one"),
+            F.lit("- item one"),
+            F.lit("read more..."),
+            F.coalesce(F.col("text"), F.lit("")),
+        ).alias("t"),
+    )
+    cols = boilerplate_columns(F.col("t"))
+    return aug.select(
+        "doc_id",
+        cols["n_lines"].cast("int").alias("n_lines"),
+        cols["dup_line_ratio"].alias("dup_line_ratio"),
+        cols["top_line_share"].alias("top_line_share"),
+        cols["bullet_line_ratio"].alias("bullet_line_ratio"),
+        cols["ellipsis_line_ratio"].alias("ellipsis_line_ratio"),
+    )
+
+
 _HASH_U_SQL = (
     "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 8))"
     "::BIGINT / 4294967296.0)"
