@@ -509,3 +509,48 @@ def test_audio_metadata_through_spark(spark):
     assert got[1]["n_frames"] == 20 and got[1]["bitrate_kbps"] == 128
     assert got[2]["n_frames"] == 7 and got[2]["bitrate_kbps"] == 192
     assert got[3]["clean_eof"] == "F" and got[3]["n_frames"] == 0
+
+
+# ---------------------------------------------------------------------------
+# ISO BMFF (MP4) container metadata (multimodal/mp4.py)
+# ---------------------------------------------------------------------------
+def test_mp4_metadata_layouts():
+    from variant_load_pipeline_spark.multimodal import mp4
+
+    m = mp4.mp4_metadata(
+        mp4.make_mp4(90500, video=True, audio=True, width=1280, height=720,
+                     codec=b"hvc1")
+    )
+    assert m["duration_ms"] == 90500 and m["n_tracks"] == 2
+    assert (m["width"], m["height"]) == (1280, 720)
+    assert m["video_codec"] == "hvc1"
+    assert m["has_video"] == "T" and m["has_audio"] == "T"
+    assert m["clean_eof"] == "T"
+
+    a = mp4.mp4_metadata(mp4.make_mp4(1000, video=False, audio=True))
+    assert a["has_video"] == "F" and a["n_tracks"] == 1 and a["width"] == 0
+
+
+def test_mp4_metadata_corrupt_flags():
+    from variant_load_pipeline_spark.multimodal import mp4
+
+    good = mp4.make_mp4(5000)
+    assert mp4.mp4_metadata(b"not a video")["clean_eof"] == "F"
+    assert mp4.mp4_metadata(good[:40])["clean_eof"] == "F"
+    assert mp4.mp4_metadata(b"")["clean_eof"] == "F"
+
+
+def test_video_metadata_through_spark(spark):
+    from variant_load_pipeline_spark.multimodal import binary_ops as B4
+    from variant_load_pipeline_spark.multimodal import mp4
+
+    rows = [
+        (1, bytearray(mp4.make_mp4(60000, width=640, height=360))),
+        (2, bytearray(mp4.make_mp4(2500, video=False, audio=True))),
+        (3, bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in B4.video_metadata(df).collect()}
+    assert got[1]["duration_ms"] == 60000 and got[1]["video_codec"] == "avc1"
+    assert got[2]["has_audio"] == "T" and got[2]["has_video"] == "F"
+    assert got[3]["clean_eof"] == "F"

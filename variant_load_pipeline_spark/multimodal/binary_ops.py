@@ -384,6 +384,62 @@ def audio_metadata(
     )
 
 
+VIDEO_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("video_codec", T.StringType()),
+        T.StructField("has_video", T.StringType()),
+        T.StructField("has_audio", T.StringType()),
+        T.StructField("clean_eof", T.StringType()),
+    ]
+)
+
+
+def video_metadata(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    container: str = "mp4",
+) -> DataFrame:
+    """REAL video-container METADATA stage: walk the ISO BMFF box tree
+    (multimodal/mp4.py, ISO 14496-12) inside mapInPandas and report
+    duration / track layout / codec fourcc / resolution / integrity —
+    the columns video curation filters and frame-sampling plans key on.
+    Bitstream decode stays behind ``decode_images``-style gates until a
+    codec library is provisioned.  Corrupt payloads flag clean_eof='F'."""
+    if container != "mp4":
+        raise NotImplementedError(
+            f"container '{container}' not supported; available: ['mp4']"
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .mp4 import mp4_metadata
+
+        cols = [f.name for f in VIDEO_METADATA_SCHEMA.fields]
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            ids = pdf[id_col].to_numpy()
+            feats = [
+                mp4_metadata(bytes(p) if p is not None else b"")
+                for p in pdf[payload_col]
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", ids)
+            yield out[cols]
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=VIDEO_METADATA_SCHEMA
+    )
+
+
 def decode_audio(
     df: DataFrame,
     id_col: str = "media_id",

@@ -4308,6 +4308,88 @@ def stratified_sample_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "stratum")
 
 
+@register(
+    "mm_mp4_meta",
+    """
+    SELECT CAST(p_partkey AS BIGINT) AS media_id,
+           CAST(1000 + (p_partkey * 37) % 600000 AS INT) AS duration_ms,
+           CAST(CASE WHEN p_partkey % 3 = 0 THEN 2 ELSE 1 END AS INT)
+               AS n_tracks,
+           CAST(CASE WHEN p_partkey % 3 = 1 THEN 0
+                ELSE 320 + (p_partkey % 5) * 320 END AS INT) AS width,
+           CAST(CASE WHEN p_partkey % 3 = 1 THEN 0
+                ELSE 180 + (p_partkey % 5) * 180 END AS INT) AS height,
+           CASE WHEN p_partkey % 3 = 1 THEN ''
+                WHEN p_partkey % 2 = 0 THEN 'avc1' ELSE 'hvc1' END
+               AS video_codec,
+           CASE WHEN p_partkey % 3 = 1 THEN 'F' ELSE 'T' END AS has_video,
+           CASE WHEN p_partkey % 3 <> 2 THEN 'T' ELSE 'F' END AS has_audio,
+           'T' AS clean_eof
+    FROM part WHERE p_partkey % 40 = 3
+    """,
+    doc="Multimodal: REAL ISO BMFF (MP4) container metadata — synthetic "
+    "box trees (video/audio/both track layouts, avc1/hvc1 codecs, five "
+    "resolutions, durations to 10 min) walked through video_metadata "
+    "(multimodal/mp4.py, ISO 14496-12 box parse: mvhd duration, trak "
+    "count, tkhd geometry, hdlr types, stsd fourcc) inside mapInPandas; "
+    "the oracle re-derives every field closed-form from the generator "
+    "parameters",
+)
+def mm_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from .multimodal.binary_ops import video_metadata
+
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 40 == 3)
+    gen = p.select(
+        F.col("p_partkey").cast("long").alias("media_id"),
+        (1000 + (F.col("p_partkey") * 37) % 600000)
+        .cast("int")
+        .alias("dur"),
+        (F.col("p_partkey") % 3).cast("int").alias("layout"),
+        (320 + (F.col("p_partkey") % 5) * 320).cast("int").alias("w"),
+        (180 + (F.col("p_partkey") % 5) * 180).cast("int").alias("h"),
+        F.when(F.col("p_partkey") % 2 == 0, F.lit("avc1"))
+        .otherwise(F.lit("hvc1"))
+        .alias("codec"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def render(batches):
+        import pandas as pd
+
+        from .multimodal.mp4 import make_mp4
+
+        for pdf in batches:
+            payloads = []
+            for dur, layout, w, h, codec in zip(
+                pdf["dur"], pdf["layout"], pdf["w"], pdf["h"], pdf["codec"]
+            ):
+                # layout 0: video+audio, 1: audio only, 2: video only
+                payloads.append(
+                    make_mp4(
+                        int(dur),
+                        video=int(layout) != 1,
+                        audio=int(layout) != 2,
+                        width=int(w),
+                        height=int(h),
+                        codec=codec.encode(),
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = gen.mapInPandas(render, schema=out_schema)
+    return video_metadata(media, container="mp4")
+
+
 def _mp3_meta_oracle_sql() -> str:
     """Closed-form re-derivation of the MP3 frame-header walk for the
     synthetic streams: the bitrate CASE is generated from the SAME
