@@ -443,3 +443,54 @@ def test_cli_vcf8col_converter_rejects_ac_alt_mismatch(spark, tmp_path):
             ["--tool", "Vcf8ColConverter", "--vcf", str(vcf), "--out", out],
             spark,
         )
+
+
+def test_cli_corpus_dedup(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                      # exact dup of 1
+            # close near-dup (jaccard ~0.91): reliably collides in a band
+            # at 16 hashes x 4 bands; a 0.5-jaccard pair has only ~30%
+            # candidate probability at these LSH parameters
+            (3, base + " today"),
+            (4, "entirely different content about query planners"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "keep")
+    main(
+        ["--tool", "CorpusDedup", "--docs", src, "--threshold", "0.5",
+         "--out", out],
+        spark,
+    )
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[1]["keep"] == "T" and rows[1]["canonical_id"] == 1
+    assert rows[2]["keep"] == "F" and rows[2]["canonical_id"] == 1
+    assert rows[3]["keep"] == "F" and rows[3]["canonical_id"] == 1
+    assert rows[4]["keep"] == "T"
+
+
+def test_cli_corpus_sample_and_quality(spark, tmp_path):
+    src = str(tmp_path / "docs2")
+    spark.createDataFrame(
+        [(i, f"document number {i} with text https://x{i}.org") for i in range(200)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out1 = str(tmp_path / "sampled")
+    main(
+        ["--tool", "CorpusSample", "--docs", src, "--fraction", "0.3",
+         "--salt", "v", "--out", out1],
+        spark,
+    )
+    n = spark.read.parquet(out1).count()
+    assert 40 < n < 80
+    out2 = str(tmp_path / "quality")
+    main(["--tool", "CorpusQuality", "--docs", src, "--out", out2], spark)
+    q = spark.read.parquet(out2)
+    cols = set(q.columns)
+    assert {"n_tokens", "dup_line_ratio", "n_urls", "lang", "bpe_tokens"} <= cols
+    assert q.count() == 200
+    assert q.filter(F.col("n_urls") == 1).count() == 200

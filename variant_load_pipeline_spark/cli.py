@@ -395,6 +395,12 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["broadcast", "chunked"],
         default="broadcast",
     )
+    p.add_argument("--docs")
+    p.add_argument("--threshold", type=float)
+    p.add_argument("--fraction", type=float)
+    p.add_argument("--stratum-col", dest="stratum_col")
+    p.add_argument("--per-stratum", dest="per_stratum", type=int)
+    p.add_argument("--salt", default="")
     p.add_argument("--gzip", action="store_true")
     p.add_argument("--addp", action="store_true")
     p.add_argument(
@@ -518,3 +524,102 @@ def _zygosity_perc_read_fixup(spark, args) -> None:
         ).alias("num_allele_fixed"),
     )
     report.write.mode("overwrite").parquet(args.out)
+
+
+# -- training-data corpus tools (beyond Manager.java: the LLM-pipeline
+#    surface, same thin-adapter style) --------------------------------------
+@tool("CorpusDedup")
+def _corpus_dedup(spark, args) -> None:
+    """documents parquet (doc_id, text) -> keep-list parquet
+    (doc_id, keep, canonical_id): exact dedup on the normalized-text
+    fingerprint first (cheap, kills byte-dups), then MinHash-LSH near-dup
+    pairs over the exact survivors, connected components, keep = the
+    min-id representative of each component."""
+    from .functions.text import normalize_text
+    from .operators.dedup import connected_components, near_dup_pairs
+
+    docs = _read(spark, args.docs)
+    fps = docs.select(
+        F.col("doc_id"), F.md5(normalize_text(F.col("text"))).alias("fp")
+    )
+    canon = fps.groupBy("fp").agg(F.min("doc_id").alias("exact_canon"))
+    m = fps.join(canon, "fp").select("doc_id", "exact_canon")
+    exact_kept = docs.join(
+        m.filter(F.col("doc_id") == F.col("exact_canon")).select("doc_id"),
+        "doc_id",
+    )
+    pairs = near_dup_pairs(
+        exact_kept, threshold=args.threshold or 0.8
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("near_canon")
+    )
+    out = (
+        m.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("near_canon", "exact_canon").alias("canonical_id"),
+            F.when(
+                (F.col("doc_id") == F.col("exact_canon"))
+                & (
+                    F.col("near_canon").isNull()
+                    | (F.col("near_canon") == F.col("doc_id"))
+                ),
+                F.lit("T"),
+            )
+            .otherwise(F.lit("F"))
+            .alias("keep"),
+        )
+    )
+    out.write.mode("overwrite").parquet(args.out)
+
+
+@tool("CorpusSample")
+def _corpus_sample(spark, args) -> None:
+    """documents parquet -> deterministic sample parquet: --fraction for a
+    hash-Bernoulli split, or --stratum-col + --per-stratum for a
+    per-stratum cap (both repartition- and engine-stable)."""
+    from .operators.sampling import hash_sample, stratified_sample
+
+    docs = _read(spark, args.docs)
+    if args.stratum_col:
+        out = stratified_sample(
+            docs,
+            args.stratum_col,
+            per_stratum=args.per_stratum or 1000,
+            key_col="doc_id",
+            salt=args.salt or "",
+        )
+    else:
+        out = hash_sample(
+            docs, args.fraction or 0.1, "doc_id", salt=args.salt or ""
+        )
+    out.write.mode("overwrite").parquet(args.out)
+
+
+@tool("CorpusQuality")
+def _corpus_quality(spark, args) -> None:
+    """documents parquet -> per-doc quality/analysis parquet: length and
+    ratio features, language id, boilerplate signals, PII counts, token
+    counts — the filter columns of corpus curation, one pass."""
+    from .functions.text import (
+        boilerplate_columns,
+        bpe_ish_token_count,
+        lang_id,
+        pii_counts,
+        quality_columns,
+    )
+
+    docs = _read(spark, args.docs)
+    q = quality_columns(F.col("text"))
+    b = boilerplate_columns(F.col("text"))
+    p = pii_counts(F.col("text"))
+    out = docs.select(
+        "doc_id",
+        *[c.alias(k) for k, c in q.items()],
+        *[c.alias(k) for k, c in b.items()],
+        *[c.alias(k) for k, c in p.items()],
+        lang_id(F.col("text")).alias("lang"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+    out.write.mode("overwrite").parquet(args.out)
