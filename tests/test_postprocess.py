@@ -263,3 +263,53 @@ def test_annotate_variants_chunked_multichrom(spark):
         assert out[k]["var_aa"] == bro[k]["var_aa"]
     # chromosome 2's all-G sequence translates ref to glycine
     assert bro[(202, 80)]["ref_aa"] == "G"
+
+
+def test_annotate_indels_chunked_matches_broadcast(spark):
+    """All four variant-application arms (deletion with the len(var_nuc)
+    quirk, both '-'/NULL insertion encodings, padded insertion, block
+    replace) must survive the chunked-FASTA rebase identically — the
+    rebase shifts var_start/var_stop and the local sequence, and an
+    off-by-one there corrupts exactly these string-surgery arms."""
+    variants = spark.createDataFrame(
+        [
+            (201, "1", 10, 12, "CG", "-", ),    # deletion, quirk: dels 1
+            (202, "1", 10, 12, "CG", "--"),     # deletion of 2
+            (203, "1", 10, 11, "-", "TT"),      # insertion, '-' ref
+            (204, "1", 10, 11, None, "TTA"),    # insertion, NULL ref
+            (205, "1", 10, 11, "C", "CAA"),     # padded insertion
+            (206, "1", 10, 12, "CG", "AT"),     # block replace
+        ],
+        ["rgd_id", "chromosome", "start_pos", "end_pos", "ref_nuc", "var_nuc"],
+    )
+    genes = spark.createDataFrame(
+        [(7, "1", 1, 20, 1, "ACTIVE")],
+        ["gene_rgd_id", "chromosome", "start_pos", "stop_pos", "map_key",
+         "object_status"],
+    )
+    transcripts = spark.createDataFrame(
+        [(70, 7, "N", "NM_1", "NP_1")],
+        ["transcript_rgd_id", "gene_rgd_id", "is_non_coding_ind", "acc_id",
+         "protein_acc_id"],
+    )
+    features = spark.createDataFrame(
+        [(70, "EXONS", "+", "1", 1, 6, 1), (70, "EXONS", "+", "1", 9, 14, 1)],
+        ["transcript_rgd_id", "object_name", "strand", "chromosome",
+         "start_pos", "stop_pos", "map_key"],
+    )
+    fasta = spark.createDataFrame([("1", SEQ)], ["chromosome", "seq"])
+
+    def rows(strategy, chunk):
+        out = annotate_variants(
+            variants, genes, transcripts, features, fasta, map_key=1,
+            fasta_strategy=strategy, chunk_size=chunk,
+        ).collect()
+        return sorted(
+            tuple(r[c] for c in sorted(out[0].asDict())) for r in out
+        ) if out else []
+
+    # chunk_size 4 forces the transcript across 4+ chunks; every indel row
+    # must match the whole-genome broadcast result exactly
+    got = rows("chunked", 4)
+    assert got == rows("broadcast", 1_000_000)
+    assert len(got) == 6
