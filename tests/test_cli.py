@@ -450,12 +450,14 @@ def test_cli_corpus_dedup(spark, tmp_path):
     base = "the quick brown fox jumps over the lazy dog again and again"
     spark.createDataFrame(
         [
+            # doc 0 is a close near-dup of 1/2 (jaccard ~0.91: reliably
+            # collides in a band at 16 hashes x 4 bands) and has the
+            # LOWEST id, so the component min (0) differs from the exact
+            # canon (1) — byte-dup 2 must chain through to canonical 0,
+            # never point at dropped doc 1
+            (0, base + " today"),
             (1, base),
             (2, base),                      # exact dup of 1
-            # close near-dup (jaccard ~0.91): reliably collides in a band
-            # at 16 hashes x 4 bands; a 0.5-jaccard pair has only ~30%
-            # candidate probability at these LSH parameters
-            (3, base + " today"),
             (4, "entirely different content about query planners"),
         ],
         "doc_id long, text string",
@@ -467,10 +469,13 @@ def test_cli_corpus_dedup(spark, tmp_path):
         spark,
     )
     rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
-    assert rows[1]["keep"] == "T" and rows[1]["canonical_id"] == 1
-    assert rows[2]["keep"] == "F" and rows[2]["canonical_id"] == 1
-    assert rows[3]["keep"] == "F" and rows[3]["canonical_id"] == 1
-    assert rows[4]["keep"] == "T"
+    assert rows[0]["keep"] == "T" and rows[0]["canonical_id"] == 0
+    assert rows[1]["keep"] == "F" and rows[1]["canonical_id"] == 0
+    assert rows[2]["keep"] == "F" and rows[2]["canonical_id"] == 0
+    assert rows[4]["keep"] == "T" and rows[4]["canonical_id"] == 4
+    # every dropped doc's canonical is itself kept
+    kept = {d for d, r in rows.items() if r["keep"] == "T"}
+    assert all(r["canonical_id"] in kept for r in rows.values())
 
 
 def test_cli_corpus_sample_and_quality(spark, tmp_path):

@@ -490,7 +490,11 @@ def test_mp3_metadata_corrupt_flags_not_raises():
     m = mp3.mp3_metadata(truncated)
     assert m["clean_eof"] == "F" and m["n_frames"] == 3
     assert mp3.mp3_metadata(b"not audio at all")["clean_eof"] == "F"
-    assert mp3.mp3_metadata(b"")["n_frames"] == 0
+    # zero decodable frames is never clean: empty, tag-only, bad ID3 size
+    empty = mp3.mp3_metadata(b"")
+    assert empty["n_frames"] == 0 and empty["clean_eof"] == "F"
+    tag_only = mp3.make_frames(0, id3v2_bytes=64)
+    assert mp3.mp3_metadata(tag_only)["clean_eof"] == "F"
     # ID3v1 trailer is a clean ending
     assert mp3.mp3_metadata(good + b"TAG" + b"\x00" * 125)["clean_eof"] == "T"
 
@@ -554,3 +558,40 @@ def test_video_metadata_through_spark(spark):
     assert got[1]["duration_ms"] == 60000 and got[1]["video_codec"] == "avc1"
     assert got[2]["has_audio"] == "T" and got[2]["has_video"] == "F"
     assert got[3]["clean_eof"] == "F"
+
+
+def test_decode_images_on_error_null(spark):
+    from variant_load_pipeline_spark.multimodal import binary_ops as B5
+    from variant_load_pipeline_spark.multimodal import jpeg
+
+    rows = [
+        (1, bytearray(jpeg.encode_jpeg(_gradient_img(8, 8, 3)))),
+        (2, bytearray(b"not a jpeg")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: r
+        for r in B5.decode_images(df, codec="jpeg", on_error="null").collect()
+    }
+    assert got[1]["width"] == 8
+    assert got[2]["width"] is None and got[3]["width"] is None
+    # default mode still fails the job on a bad payload
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        B5.decode_images(df, codec="jpeg").collect()
+
+
+def test_mp4_metadata_nonftyp_leading_boxes():
+    import struct
+
+    from variant_load_pipeline_spark.multimodal import mp4
+
+    good = mp4.make_mp4(5000)
+    # a spec-valid file led by a free box instead of ftyp
+    free = struct.pack(">I4s", 16, b"free") + b"\x00" * 8
+    m = mp4.mp4_metadata(free + good[good.index(b"moov") - 4 :])
+    assert m["clean_eof"] == "T" and m["duration_ms"] == 5000
+    # plausible single box but no moov: not a stream
+    assert mp4.mp4_metadata(free)["clean_eof"] == "F"

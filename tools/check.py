@@ -81,8 +81,14 @@ def _driver_recorded() -> set[str]:
     import glob
     import json
 
+    import re
+
     root = os.path.dirname(_HERE)
-    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    # sort by the round NUMBER: lexicographic order puts r9 after r10
+    files = sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
     if not files:
         return set()
     try:

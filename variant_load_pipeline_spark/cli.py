@@ -549,24 +549,26 @@ def _corpus_dedup(spark, args) -> None:
         "doc_id",
     )
     pairs = near_dup_pairs(
-        exact_kept, threshold=args.threshold or 0.8
+        exact_kept,
+        threshold=args.threshold if args.threshold is not None else 0.8,
     ).select("id_a", "id_b")
+    # components are computed over exact SURVIVORS, so resolve each doc's
+    # chain through its exact canon: doc -> exact_canon -> component min.
+    # Joining on doc_id instead would leave byte-duplicates pointing at an
+    # exact canon that was itself merged (and dropped) into a component.
     comp = connected_components(pairs).select(
-        F.col("id").alias("doc_id"), F.col("comp").alias("near_canon")
+        F.col("id").alias("exact_canon"), F.col("comp").alias("near_canon")
     )
     out = (
-        m.join(comp, "doc_id", "left")
+        m.join(comp, "exact_canon", "left")
         .select(
             "doc_id",
             F.coalesce("near_canon", "exact_canon").alias("canonical_id"),
-            F.when(
-                (F.col("doc_id") == F.col("exact_canon"))
-                & (
-                    F.col("near_canon").isNull()
-                    | (F.col("near_canon") == F.col("doc_id"))
-                ),
-                F.lit("T"),
-            )
+        )
+        .select(
+            "doc_id",
+            "canonical_id",
+            F.when(F.col("doc_id") == F.col("canonical_id"), F.lit("T"))
             .otherwise(F.lit("F"))
             .alias("keep"),
         )
@@ -582,17 +584,24 @@ def _corpus_sample(spark, args) -> None:
     from .operators.sampling import hash_sample, stratified_sample
 
     docs = _read(spark, args.docs)
+    # `x if x is not None else d`, NOT `x or d`: explicit 0 / 0.0 are
+    # legitimate (empty split, zero-row cap) and must not fall to defaults
     if args.stratum_col:
         out = stratified_sample(
             docs,
             args.stratum_col,
-            per_stratum=args.per_stratum or 1000,
+            per_stratum=(
+                args.per_stratum if args.per_stratum is not None else 1000
+            ),
             key_col="doc_id",
             salt=args.salt or "",
         )
     else:
         out = hash_sample(
-            docs, args.fraction or 0.1, "doc_id", salt=args.salt or ""
+            docs,
+            args.fraction if args.fraction is not None else 0.1,
+            "doc_id",
+            salt=args.salt or "",
         )
     out.write.mode("overwrite").parquet(args.out)
 

@@ -134,37 +134,59 @@ def decode_images(
     id_col: str = "media_id",
     payload_col: str = "payload",
     codec: str = "png",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode/feature-extract images via mapInPandas (Arrow batches).
 
     ``codec='png'`` (default) runs the real pure-stdlib PNG decoder;
     ``codec='jpeg'`` runs the real pure-stdlib baseline JPEG decoder
-    (grayscale / 4:4:4 YCbCr; progressive and subsampled scans raise
-    per-row ValueError rather than mis-decoding); ``codec='fake'`` keeps
+    (grayscale / 4:4:4 YCbCr; progressive and subsampled scans raise a
+    clear ValueError rather than mis-decoding); ``codec='fake'`` keeps
     the deterministic stub for plumbing tests with non-image payloads.
     WebP would slot in as a further ``_DECODERS`` entry when a library is
     provisioned.
+
+    ``on_error='raise'`` (default) propagates decoder errors and FAILS
+    THE TASK — right for pipelines whose inputs are supposed to be valid.
+    ``on_error='null'`` emits a NULL-feature row for undecodable
+    payloads instead, the crawl-keeps-flowing mode a 100 TB web corpus
+    needs (one corrupt JPEG must not kill the job); filter on
+    ``width IS NULL`` downstream.
     """
     if codec not in _DECODERS:
         raise NotImplementedError(
             f"codec '{codec}' requires an image library not present in this "
             f"environment; available: {sorted(_DECODERS)}"
         )
+    if on_error not in ("raise", "null"):
+        raise ValueError("on_error must be 'raise' or 'null'")
     decode = _DECODERS[codec]
+    tolerant = on_error == "null"
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         cols = [f.name for f in IMAGE_FEATURES_SCHEMA.fields]
+        null_row = {
+            "width": None, "height": None,
+            "n_channels": None, "mean_intensity": None,
+        }
+
+        def one(p) -> dict:
+            raw = bytes(p) if p is not None else b""
+            if not tolerant:
+                return decode(raw)
+            try:
+                return decode(raw)
+            except Exception:
+                return dict(null_row)
+
         for pdf in batches:
             if not len(pdf):
                 yield pd.DataFrame(columns=cols)
                 continue
             ids = pdf[id_col].to_numpy()
-            feats = [
-                decode(bytes(p) if p is not None else b"")
-                for p in pdf[payload_col]
-            ]
+            feats = [one(p) for p in pdf[payload_col]]
             out = pd.DataFrame(feats)
             out.insert(0, "media_id", ids)
             yield out[cols]

@@ -130,6 +130,10 @@ def mp3_metadata(data: bytes) -> dict:
         data[pos : pos + 3] == b"TAG" and n - pos == 128
     ):
         clean = "F"  # trailing garbage / truncated final frame
+    if n_frames == 0:
+        # empty payload, ID3-tag-only file, or an ID3v2 size past EOF:
+        # zero decodable frames is never a clean audio stream
+        clean = "F"
     duration_ms = (
         total_samples * 1000 // sample_rate if sample_rate else 0
     )

@@ -28,6 +28,14 @@ import struct
 
 _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 
+# plausible first top-level boxes: ftyp is recommended-not-required by
+# 14496-12 — DASH segments start with styp, legacy MOV can lead with
+# free/skip/wide or moov itself
+_TOP_LEVEL = {
+    b"ftyp", b"styp", b"free", b"skip", b"wide", b"moov", b"mdat",
+    b"pdin", b"sidx", b"moof", b"meta", b"uuid",
+}
+
 
 def _walk(data: bytes, start: int, end: int, depth: int = 0):
     """Yield (type, payload_start, payload_end, depth) for every box."""
@@ -64,14 +72,17 @@ def mp4_metadata(data: bytes) -> dict:
         "has_audio": "F",
         "clean_eof": "T",
     }
-    if len(data) < 8 or data[4:8] != b"ftyp":
+    if len(data) < 8 or data[4:8] not in _TOP_LEVEL:
         out["clean_eof"] = "F"
         return out
     in_video_trak = False
+    saw_moov = False
     pending_tkhd: tuple[int, int] | None = None
     try:
         for btype, p, q, depth in _walk(data, 0, len(data)):
             box = data[p:q]
+            if btype == b"moov":
+                saw_moov = True
             if btype == b"mvhd" and len(box) >= 20:
                 version = box[0]
                 if version == 1:
@@ -105,6 +116,10 @@ def mp4_metadata(data: bytes) -> dict:
                         "ascii", errors="replace"
                     )
     except (ValueError, struct.error):
+        out["clean_eof"] = "F"
+    if not saw_moov:
+        # a random-bytes payload can parse as one plausible box; without a
+        # movie header there is no stream here
         out["clean_eof"] = "F"
     return out
 

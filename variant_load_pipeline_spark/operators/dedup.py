@@ -277,10 +277,24 @@ def near_dup_pairs(
     the banding is.  Buckets larger than ``hot_bucket_threshold`` switch
     from all-pairs to STAR pairing around the bucket's min-id
     representative — a pure projection (no join), linear in bucket size —
-    so every member still pairs with the representative and downstream
-    connected-component dedup collapses the whole bucket, while the
-    worst case drops from O(n^2) to O(n).  Cold buckets are exhaustive,
-    exactly as before.
+    dropping the worst case from O(n^2) to O(n).  Cold buckets are
+    exhaustive, exactly as before.
+
+    Recall contract of the guard: star candidates still pass the exact
+    Jaccard verify, so for the degenerate case the guard targets
+    (near-identical documents, rep-to-member similarity >= threshold) the
+    whole bucket stays connected and component dedup collapses it.  A
+    HETEROGENEOUS hot bucket — sub-clusters similar to each other but
+    below threshold vs the representative — loses the member-member
+    pairs the all-pairs path would have found: that is the explicit
+    boundedness-for-recall trade; raise ``hot_bucket_threshold`` (or add
+    bands) if such buckets are expected.
+
+    The shingle and annotated-band tables are persisted MEMORY_AND_DISK
+    for the lifetime of the returned plan; Spark's ContextCleaner drops
+    both caches once the returned DataFrame is garbage collected, so
+    repeated invocations in a long-lived driver do not accumulate pinned
+    storage beyond live result references.
     """
     from pyspark.storagelevel import StorageLevel
 

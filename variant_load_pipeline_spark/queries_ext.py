@@ -4441,8 +4441,10 @@ def mm_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1 + F.col("p_partkey") % 14).cast("int").alias("bri"),
         (F.col("p_partkey") % 3).cast("int").alias("sri"),
         (F.col("p_partkey") % 2 == 1).alias("mono"),
-        # ID3v2 tag on every 5th stream; size is metadata-invariant
-        F.when(F.col("p_partkey") % 5 == 0, 64 + F.col("p_partkey") % 100)
+        # ID3v2 tag on every 3rd stream (modulus coprime with the %40
+        # partkey filter, so the branch actually fires); tag size is
+        # metadata-invariant so the oracle needs no matching column
+        F.when(F.col("p_partkey") % 3 == 0, 64 + F.col("p_partkey") % 100)
         .otherwise(0)
         .cast("int")
         .alias("id3"),
