@@ -560,3 +560,35 @@ def test_boilerplate_columns_signals(spark):
     assert r["top"] == round(2 / 6, 6)
     assert r["bul"] == round(3 / 6, 6)
     assert r["ell"] == round(1 / 6, 6)
+
+
+def test_simhash_near_dup_exact_for_bound(spark):
+    """Multi-index hashing must find EVERY pair within the hamming bound
+    (pigeonhole exactness) — compare against brute force on the corpus."""
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark.operators.dedup import (
+        simhash,
+        simhash_near_dup,
+    )
+
+    base = "spark engine distributed query runner with columnar memory"
+    docs = spark.createDataFrame(
+        [(i, base + f" variant {i % 7} extra {i % 3}") for i in range(60)],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup(docs, max_hamming=3).collect()
+    }
+    hashes = {
+        r["doc_id"]: r["simhash"] for r in simhash(docs).collect()
+    }
+    want = {}
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(hashes[a] ^ hashes[b]).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want and len(want) > 0

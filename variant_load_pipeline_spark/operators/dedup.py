@@ -185,6 +185,74 @@ def hamming_distance(a: Column, b: Column, bits: int = 32) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash near-dup pairs by multi-index hashing: split each hash into
+    ``n_bands`` bit-slices, equi-join on any identical slice, verify
+    hamming distance on the candidates.
+
+    Unlike MinHash banding this is EXACT for the bound, not approximate:
+    by pigeonhole, two hashes within ``max_hamming <= n_bands - 1`` bits
+    of each other MUST agree on at least one slice, so no qualifying pair
+    is missed.  Complements MinHash: simhash is cheaper per doc (no
+    shingle set) and catches short-document near-dups whose shingle sets
+    are too small for stable MinHash signatures.  All candidate
+    generation is an equi-join on (band, slice-value) — bounded keys, no
+    cross join.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            "exactness needs max_hamming < n_bands (pigeonhole)"
+        )
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sh = simhash(df, text_col, id_col, bits)
+    banded = sh.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("slice"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bs"),
+    ).select(id_col, "simhash", "bs.band", "bs.slice")
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+        "band",
+        "slice",
+    )
+    b_ = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+        "band",
+        "slice",
+    )
+    return (
+        a.join(b_, ["band", "slice"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            hamming_distance(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

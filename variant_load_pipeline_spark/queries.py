@@ -1234,6 +1234,55 @@ _SIMHASH_RECON_SQL = " + ".join(
 
 
 @register(
+    "simhash_near_dup",
+    f"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS word
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) AS h
+        FROM w
+    ),
+    bits AS (SELECT doc_id, {_SIMHASH_BITSUM_SQL} FROM h GROUP BY doc_id),
+    sh AS (
+        SELECT doc_id, CAST({_SIMHASH_RECON_SQL} AS BIGINT) AS simhash
+        FROM bits
+    ),
+    b AS (
+        SELECT doc_id, simhash, bi, (simhash >> (8 * bi)) & 255 AS bv
+        FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bi)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM b a JOIN b c ON a.bi = c.bi AND a.bv = c.bv
+        WHERE a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+    FROM cand
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+    """,
+    doc="SimHash near-dup by multi-index hashing: 32-bit hash split into "
+    "4 x 8-bit slices, candidates share any slice (equi-join on bounded "
+    "keys), hamming <= 3 verify — EXACT for the bound by pigeonhole, not "
+    "probabilistic; the short-document complement to MinHash banding",
+)
+def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_near_dup
+
+    d = load(spark, sf_dir, "documents")
+    return simhash_near_dup(d).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+@register(
     "simhash_docs",
     f"""
     WITH w AS (
