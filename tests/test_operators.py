@@ -592,3 +592,39 @@ def test_simhash_near_dup_exact_for_bound(spark):
             if d <= 3:
                 want[(a, b)] = d
     assert got == want and len(want) > 0
+
+
+def test_chunk_documents_windows(spark):
+    """Window boundaries: overlap honored, last window is the remainder,
+    short docs give exactly one chunk, reconstruction covers every token."""
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark.functions.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, text), (2, "just three tokens"), (3, "one")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, max_tokens=10, overlap=4)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["chunk_text"]) for r in out.collect())
+    )
+    by_doc = {}
+    for d, i, t in rows:
+        by_doc.setdefault(d, []).append((i, t.split(" ")))
+    # doc 1: 25 tokens, stride 6 -> chunks at 0,6,12,18 (1+ceil(15/6)=4)
+    assert [i for i, _ in by_doc[1]] == [0, 1, 2, 3]
+    assert by_doc[1][0][1] == [f"w{i}" for i in range(10)]
+    assert by_doc[1][1][1] == [f"w{i}" for i in range(6, 16)]
+    assert by_doc[1][3][1] == [f"w{i}" for i in range(18, 25)]  # remainder
+    # overlap: consecutive windows share exactly 4 tokens
+    assert by_doc[1][0][1][-4:] == by_doc[1][1][1][:4]
+    # short docs: single chunk, whole text
+    assert by_doc[2] == [(0, ["just", "three", "tokens"])]
+    assert by_doc[3] == [(0, ["one"])]
+    # coverage: union of window tokens = all tokens
+    seen = set()
+    for _, toks in by_doc[1]:
+        seen.update(toks)
+    assert seen == {f"w{i}" for i in range(25)}

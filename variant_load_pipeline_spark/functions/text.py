@@ -276,3 +276,54 @@ def boilerplate_columns(text: Column) -> dict[str, Column]:
         "bullet_line_ratio": F.round(bullets.cast("double") / n_nz, 6),
         "ellipsis_line_ratio": F.round(ellipsis.cast("double") / n_nz, 6),
     }
+
+
+def chunk_documents(
+    df,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Split documents into token-budget windows with overlap — the
+    context-length packing step of training-data prep.  Chunk i covers
+    tokens [i*stride, i*stride + max_tokens) with stride = max_tokens -
+    overlap; the last window is the remainder (never empty, never
+    duplicated).  Pure JVM: one tokenize, `sequence` + explode for the
+    window index, `slice` for the window — no Python in the path, and
+    the explode is the only row multiplication (bounded by
+    n_tokens/stride per doc).
+
+    Output: (id, chunk_idx, n_chunk_tokens, chunk_text).
+    """
+    from pyspark.sql import functions as F
+
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    toks = df.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__t"),
+    ).withColumn("__n", F.size("__t"))
+    # number of windows: 1 + ceil(max(0, n - max_tokens) / stride)
+    n_chunks = 1 + F.ceil(
+        F.greatest(F.col("__n") - max_tokens, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    return (
+        toks.withColumn(
+            "chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.slice(
+                F.col("__t"), F.col("chunk_idx") * stride + 1, max_tokens
+            ).alias("__w"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("__w").alias("n_chunk_tokens"),
+            F.array_join("__w", " ").alias("chunk_text"),
+        )
+    )

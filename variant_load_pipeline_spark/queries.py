@@ -1234,6 +1234,51 @@ _SIMHASH_RECON_SQL = " + ".join(
 
 
 @register(
+    "doc_chunking",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+        FROM documents
+    ),
+    n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+    c AS (
+        SELECT doc_id, toks,
+               unnest(range(0, CAST(1 + ceil(greatest(nt - 64, 0) / 48.0)
+                                    AS BIGINT))) AS chunk_idx
+        FROM n
+    ),
+    w AS (
+        SELECT doc_id, chunk_idx,
+               list_slice(toks, CAST(chunk_idx * 48 + 1 AS BIGINT),
+                          CAST(chunk_idx * 48 + 64 AS BIGINT)) AS win
+        FROM c
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(win) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(win, ' ')) AS chunk_fp
+    FROM w
+    """,
+    doc="Document chunking into token-budget windows (64 tokens, overlap "
+    "16 -> stride 48) — the context-length packing step of training-data "
+    "prep: one tokenize, sequence+explode window index, slice per window, "
+    "all JVM-side; the oracle replays windowing and gates the md5 of "
+    "every chunk's text",
+)
+def doc_chunking_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    out = chunk_documents(d, max_tokens=64, overlap=16)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+        F.md5("chunk_text").alias("chunk_fp"),
+    )
+
+
+@register(
     "simhash_near_dup",
     f"""
     WITH w AS (
