@@ -628,3 +628,37 @@ def test_chunk_documents_windows(spark):
     for _, toks in by_doc[1]:
         seen.update(toks)
     assert seen == {f"w{i}" for i in range(25)}
+
+
+def test_pack_chunks_bins_and_positions(spark):
+    """Bins fill to the budget by exclusive cumsum (last chunk may
+    overflow), bin_pos is 1-based within the bin, bins never cross
+    shards, and every chunk is assigned exactly once."""
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark.functions.text import pack_chunks
+
+    rows = [
+        # shard 0: doc 0 tokens 60,60,60 ; doc 2 tokens 60,30
+        (0, 0, 60), (0, 1, 60), (0, 2, 60), (2, 0, 60), (2, 1, 30),
+        # shard 1: doc 1 tokens 100, 100
+        (1, 0, 100), (1, 1, 100),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "chunk_idx", "n_chunk_tokens"]
+    ).withColumn("shard", F.col("doc_id") % 2)
+    out = pack_chunks(df, token_budget=150, shard_col="shard")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["shard"], r["bin_id"], r["bin_pos"])
+        for r in out.collect()
+    }
+    # shard 0 cumsum_excl: 0,60,120,180,240 -> bins 0,0,0,1,1
+    assert got[(0, 0)] == (0, 0, 1)
+    assert got[(0, 1)] == (0, 0, 2)
+    assert got[(0, 2)] == (0, 0, 3)   # overflows 150 by design
+    assert got[(2, 0)] == (0, 1, 1)
+    assert got[(2, 1)] == (0, 1, 2)
+    # shard 1 cumsum_excl: 0,100 -> bins 0,0
+    assert got[(1, 0)] == (1, 0, 1)
+    assert got[(1, 1)] == (1, 0, 2)
+    assert len(got) == 7

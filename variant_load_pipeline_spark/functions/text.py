@@ -327,3 +327,60 @@ def chunk_documents(
             F.array_join("__w", " ").alias("chunk_text"),
         )
     )
+
+
+def pack_chunks(
+    df,
+    token_budget: int = 2048,
+    shard_col: str | None = None,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tokens_col: str = "n_chunk_tokens",
+):
+    """Greedy sequence packing: assign chunks to fixed-token-budget bins
+    (the pretraining-batch packing step) by exclusive running token count:
+    ``bin_id = floor(cumsum_exclusive / token_budget)``.
+
+    Deterministic (ordered by (id, chunk_idx) within a shard) and fully
+    window-expressible, so the SQL oracle replays it exactly.  Packing is
+    PER SHARD: a global order would funnel everything through one
+    partition, and at corpus scale packing within hash shards is the
+    standard practice anyway (bins never cross shards; each shard packs
+    independently on its own executor).  The default shard is
+    ``id % 32``.  Greedy cumsum packing lets the last chunk of a bin
+    overflow the budget by up to one chunk — the usual trade against
+    splitting chunks across bins.
+
+    Output: input columns + (shard, bin_id, bin_pos).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    if shard_col is None:
+        out = df.select("*", (F.col(id_col) % 32).alias("shard"))
+    elif shard_col != "shard":
+        out = df.withColumnRenamed(shard_col, "shard")
+    else:
+        out = df
+    w = W.partitionBy("shard").orderBy(F.col(id_col), F.col(idx_col))
+    cum_excl = F.coalesce(
+        F.sum(tokens_col).over(
+            w.rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    staged = out.select(
+        "*",
+        F.floor(cum_excl / F.lit(token_budget)).cast("int").alias("bin_id"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    # bin_pos = 1-based position inside the bin; the (shard, bin_id)
+    # window needs no extra shuffle — shard partitioning already
+    # co-locates every bin
+    wb = W.partitionBy("shard", "bin_id")
+    return staged.select(
+        "*",
+        (F.col("__rn") - F.min("__rn").over(wb) + 1)
+        .cast("int")
+        .alias("bin_pos"),
+    ).drop("__rn")

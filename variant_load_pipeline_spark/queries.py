@@ -1234,6 +1234,77 @@ _SIMHASH_RECON_SQL = " + ".join(
 
 
 @register(
+    "sequence_packing",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+        FROM documents
+    ),
+    n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+    c AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(1 + ceil(greatest(nt - 64, 0) / 48.0)
+                                    AS BIGINT))) AS chunk_idx,
+               toks
+        FROM n
+    ),
+    ch AS (
+        SELECT doc_id, chunk_idx,
+               len(list_slice(toks, CAST(chunk_idx * 48 + 1 AS BIGINT),
+                              CAST(chunk_idx * 48 + 64 AS BIGINT)))
+                   AS n_chunk_tokens,
+               doc_id % 8 AS shard
+        FROM c
+    ),
+    st AS (
+        SELECT doc_id, chunk_idx, n_chunk_tokens, shard,
+            CAST(floor(COALESCE(SUM(n_chunk_tokens) OVER (
+                PARTITION BY shard ORDER BY doc_id, chunk_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 256.0) AS INT) AS bin_id,
+            ROW_NUMBER() OVER (
+                PARTITION BY shard ORDER BY doc_id, chunk_idx) AS rn
+        FROM ch
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(n_chunk_tokens AS INT) AS n_chunk_tokens,
+           CAST(shard AS BIGINT) AS shard,
+           bin_id,
+           CAST(rn - MIN(rn) OVER (PARTITION BY shard, bin_id) + 1 AS INT)
+               AS bin_pos
+    FROM st
+    """,
+    doc="Greedy sequence packing: document chunks assigned to fixed-256-"
+    "token training bins by exclusive running token count within hash "
+    "shards (bin_id = floor(cumsum_excl/budget); last chunk of a bin may "
+    "overflow — the standard trade against splitting chunks).  Per-shard "
+    "windows, no global sort; the oracle replays cumsum, binning, and "
+    "in-bin position exactly",
+)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import chunk_documents, pack_chunks
+
+    d = load(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, max_tokens=64, overlap=16).select(
+        "doc_id", "chunk_idx", "n_chunk_tokens"
+    )
+    out = pack_chunks(
+        chunks.withColumn("shard", F.col("doc_id") % 8),
+        token_budget=256,
+        shard_col="shard",
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+        F.col("shard").cast("long").alias("shard"),
+        "bin_id",
+        "bin_pos",
+    )
+
+
+@register(
     "doc_chunking",
     f"""
     WITH t AS (
