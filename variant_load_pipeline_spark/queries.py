@@ -1234,6 +1234,61 @@ _SIMHASH_RECON_SQL = " + ".join(
 
 
 @register(
+    "dup_ngram_ratio",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3 THEN
+                   list_transform(range(0, len(w) - 2),
+                       i -> array_to_string(w[i+1:i+3], ' '))
+               ELSE [] END AS grams
+        FROM t
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        CAST(len(grams) AS INT) AS n_grams,
+        CAST(ROUND(CASE WHEN len(grams) > 0
+             THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)
+             ELSE 0.0 END, 6) AS DOUBLE) AS dup_ngram_ratio
+    FROM g
+    """,
+    doc="Within-document repetition: duplicate word-trigram fraction "
+    "(1 - distinct/total 3-grams, the Gopher-style repetition filter "
+    "that catches boilerplate loops line-level signals miss); one "
+    "tokenize + transform, all JVM-side, oracle replays the gram walk",
+)
+def dup_ngram_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import normalize_text
+
+    d = load(spark, sf_dir, "documents")
+    w = F.split(normalize_text(F.col("text")), " ")
+    grams = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 3),
+            lambda i: F.array_join(F.slice(w, i + 1, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"), grams.alias("grams")
+    )
+    n = F.size("grams")
+    return g.select(
+        "doc_id",
+        n.cast("int").alias("n_grams"),
+        F.round(
+            F.when(
+                n > 0,
+                1.0 - F.size(F.array_distinct("grams")).cast("double") / n,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_ngram_ratio"),
+    )
+
+
+@register(
     "sequence_packing",
     f"""
     WITH t AS (
