@@ -565,8 +565,6 @@ def test_boilerplate_columns_signals(spark):
 def test_simhash_near_dup_exact_for_bound(spark):
     """Multi-index hashing must find EVERY pair within the hamming bound
     (pigeonhole exactness) — compare against brute force on the corpus."""
-    from pyspark.sql import functions as F
-
     from variant_load_pipeline_spark.operators.dedup import (
         simhash,
         simhash_near_dup,
@@ -597,8 +595,6 @@ def test_simhash_near_dup_exact_for_bound(spark):
 def test_chunk_documents_windows(spark):
     """Window boundaries: overlap honored, last window is the remainder,
     short docs give exactly one chunk, reconstruction covers every token."""
-    from pyspark.sql import functions as F
-
     from variant_load_pipeline_spark.functions.text import chunk_documents
 
     text = " ".join(f"w{i}" for i in range(25))

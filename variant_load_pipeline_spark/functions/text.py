@@ -301,9 +301,14 @@ def chunk_documents(
     if overlap >= max_tokens:
         raise ValueError("overlap must be < max_tokens")
     stride = max_tokens - overlap
+    # coalesce per this file's convention: NULL text must chunk like ""
+    # (one empty chunk), not propagate NULL through size() as -1 — a
+    # negative token count would also corrupt pack_chunks' cumsum bins
     toks = df.select(
         F.col(id_col),
-        F.split(normalize_text(F.col(text_col)), " ").alias("__t"),
+        F.split(
+            normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+        ).alias("__t"),
     ).withColumn("__n", F.size("__t"))
     # number of windows: 1 + ceil(max(0, n - max_tokens) / stride)
     n_chunks = 1 + F.ceil(
@@ -357,8 +362,18 @@ def pack_chunks(
     from pyspark.sql.window import Window as W
 
     if shard_col is None:
+        if "shard" in df.columns:
+            raise ValueError(
+                "df already has a 'shard' column; pass shard_col='shard' "
+                "to use it (or rename it)"
+            )
         out = df.select("*", (F.col(id_col) % 32).alias("shard"))
     elif shard_col != "shard":
+        if "shard" in df.columns:
+            raise ValueError(
+                f"renaming shard_col={shard_col!r} to 'shard' would shadow "
+                "an existing 'shard' column"
+            )
         out = df.withColumnRenamed(shard_col, "shard")
     else:
         out = df
@@ -384,3 +399,17 @@ def pack_chunks(
         .cast("int")
         .alias("bin_pos"),
     ).drop("__rn")
+
+
+def word_ngrams(text: Column, k: int = 3) -> Column:
+    """Raw (non-distinct, in-order) word k-gram array over normalized
+    text — the repetition-signal counterpart of ``shingles`` (which
+    dedups and sorts for MinHash); empty/short docs give an empty array."""
+    w = F.split(normalize_text(F.coalesce(text, F.lit(""))), " ")
+    return F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.array_join(F.slice(w, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -192,30 +192,47 @@ def simhash_near_dup(
     max_hamming: int = 3,
     n_bands: int = 4,
     bits: int = 32,
+    hot_slice_threshold: int = 1000,
 ) -> DataFrame:
     """SimHash near-dup pairs by multi-index hashing: split each hash into
-    ``n_bands`` bit-slices, equi-join on any identical slice, verify
-    hamming distance on the candidates.
+    ``n_bands`` bit-slices, equi-join on any identical slice, then verify
+    hamming distance on the DISTINCT candidate pairs.
 
-    Unlike MinHash banding this is EXACT for the bound, not approximate:
-    by pigeonhole, two hashes within ``max_hamming <= n_bands - 1`` bits
-    of each other MUST agree on at least one slice, so no qualifying pair
-    is missed.  Complements MinHash: simhash is cheaper per doc (no
-    shingle set) and catches short-document near-dups whose shingle sets
-    are too small for stable MinHash signatures.  All candidate
-    generation is an equi-join on (band, slice-value) — bounded keys, no
-    cross join.
+    Recall is EXACT for the bound (pigeonhole: hashes within
+    ``max_hamming <= n_bands - 1`` bits MUST agree on one slice), except
+    inside slices capped by the hot guard below.  Complements MinHash:
+    simhash is cheaper per doc (no shingle set) and catches
+    short-document near-dups whose shingle sets are too small for stable
+    MinHash signatures.
+
+    Scale contract — read before raising the corpus size: a slice has
+    ``2^(bits/n_bands)`` possible values (256 at the 32/4 default), so
+    candidate volume grows ~N^2/2^width once N is large against the
+    slice space; 32/4 is sized for per-shard corpora up to ~10^5 docs.
+    Beyond that, widen the hash (a 64-bit simhash over a 64-bit word
+    hash gives 16-bit slices -> 65 536 buckets) — and the
+    ``hot_slice_threshold`` guard bounds the damage meanwhile: slices
+    with more members than the threshold switch from all-pairs to star
+    pairing around the min-id member (linear, same trade as
+    ``near_dup_pairs``' hot-band guard, recall beyond the star lost for
+    heterogeneous hot slices).
+
+    The hash table is persisted (one simhash aggregation, not one per
+    join branch); ContextCleaner reclaims it when the result is GC'd.
     """
+    from pyspark.storagelevel import StorageLevel
+
     if max_hamming >= n_bands:
         raise ValueError(
             "exactness needs max_hamming < n_bands (pigeonhole)"
         )
     width = bits // n_bands
     mask = (1 << width) - 1
-    sh = simhash(df, text_col, id_col, bits)
+    sh = simhash(df, text_col, id_col, bits).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     banded = sh.select(
         F.col(id_col),
-        "simhash",
         F.explode(
             F.array(*[
                 F.struct(
@@ -227,29 +244,41 @@ def simhash_near_dup(
                 for b in range(n_bands)
             ])
         ).alias("bs"),
-    ).select(id_col, "simhash", "bs.band", "bs.slice")
-    a = banded.select(
-        F.col(id_col).alias("id_a"),
-        F.col("simhash").alias("sh_a"),
-        "band",
-        "slice",
+    ).select(id_col, "bs.band", "bs.slice")
+    stats = banded.groupBy("band", "slice").agg(
+        F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__rep")
     )
-    b_ = banded.select(
-        F.col(id_col).alias("id_b"),
-        F.col("simhash").alias("sh_b"),
-        "band",
-        "slice",
+    banded_s = banded.join(stats, ["band", "slice"]).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    return (
-        a.join(b_, ["band", "slice"])
+    cold = banded_s.filter(F.col("__n") <= hot_slice_threshold)
+    cold_pairs = (
+        cold.select(F.col(id_col).alias("id_a"), "band", "slice")
+        .join(
+            cold.select(F.col(id_col).alias("id_b"), "band", "slice"),
+            ["band", "slice"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    hot_pairs = banded_s.filter(
+        (F.col("__n") > hot_slice_threshold)
+        & (F.col(id_col) != F.col("__rep"))
+    ).select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    # dedup candidates BEFORE the verify join: a pair can collide in up
+    # to n_bands slices, and hamming need only be computed once
+    cand = cold_pairs.union(hot_pairs).distinct()
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b_ = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b_, "id_b")
         .select(
             "id_a",
             "id_b",
             hamming_distance(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 

@@ -1260,19 +1260,12 @@ _SIMHASH_RECON_SQL = " + ".join(
     "tokenize + transform, all JVM-side, oracle replays the gram walk",
 )
 def dup_ngram_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import normalize_text
+    from .functions.text import word_ngrams
 
     d = load(spark, sf_dir, "documents")
-    w = F.split(normalize_text(F.col("text")), " ")
-    grams = F.when(
-        F.size(w) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 3),
-            lambda i: F.array_join(F.slice(w, i + 1, 3), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     g = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"), grams.alias("grams")
+        F.col("doc_id").cast("long").alias("doc_id"),
+        word_ngrams(F.col("text"), 3).alias("grams"),
     )
     n = F.size("grams")
     return g.select(
@@ -1288,28 +1281,45 @@ def dup_ngram_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sequence_packing",
-    f"""
-    WITH t AS (
+# chunking window parameters shared by the doc_chunking and
+# sequence_packing queries (Spark call sites AND both oracles — edit here
+# only, or the pair desynchronizes into a confusing parity failure)
+CHUNK_MAX_TOKENS = 64
+CHUNK_OVERLAP = 16
+_CHUNK_STRIDE = CHUNK_MAX_TOKENS - CHUNK_OVERLAP
+# CTEs t/n/c/w: documents -> (doc_id, chunk_idx, win) token windows
+_CHUNK_SQL = f"""
+    t AS (
         SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
         FROM documents
     ),
     n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
     c AS (
-        SELECT doc_id,
-               unnest(range(0, CAST(1 + ceil(greatest(nt - 64, 0) / 48.0)
-                                    AS BIGINT))) AS chunk_idx,
-               toks
+        SELECT doc_id, toks,
+               unnest(range(0, CAST(1 + ceil(greatest(nt -
+                   {CHUNK_MAX_TOKENS}, 0) / {_CHUNK_STRIDE}.0)
+                   AS BIGINT))) AS chunk_idx
         FROM n
     ),
-    ch AS (
+    w AS (
         SELECT doc_id, chunk_idx,
-               len(list_slice(toks, CAST(chunk_idx * 48 + 1 AS BIGINT),
-                              CAST(chunk_idx * 48 + 64 AS BIGINT)))
-                   AS n_chunk_tokens,
-               doc_id % 8 AS shard
+               list_slice(toks,
+                   CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS BIGINT),
+                   CAST(chunk_idx * {_CHUNK_STRIDE} + {CHUNK_MAX_TOKENS}
+                        AS BIGINT)) AS win
         FROM c
+    )
+"""
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH {_CHUNK_SQL},
+    ch AS (
+        SELECT doc_id, chunk_idx, len(win) AS n_chunk_tokens,
+               doc_id % 8 AS shard
+        FROM w
     ),
     st AS (
         SELECT doc_id, chunk_idx, n_chunk_tokens, shard,
@@ -1341,9 +1351,9 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import chunk_documents, pack_chunks
 
     d = load(spark, sf_dir, "documents")
-    chunks = chunk_documents(d, max_tokens=64, overlap=16).select(
-        "doc_id", "chunk_idx", "n_chunk_tokens"
-    )
+    chunks = chunk_documents(
+        d, max_tokens=CHUNK_MAX_TOKENS, overlap=CHUNK_OVERLAP
+    ).select("doc_id", "chunk_idx", "n_chunk_tokens")
     out = pack_chunks(
         chunks.withColumn("shard", F.col("doc_id") % 8),
         token_budget=256,
@@ -1362,23 +1372,7 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_chunking",
     f"""
-    WITH t AS (
-        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
-        FROM documents
-    ),
-    n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
-    c AS (
-        SELECT doc_id, toks,
-               unnest(range(0, CAST(1 + ceil(greatest(nt - 64, 0) / 48.0)
-                                    AS BIGINT))) AS chunk_idx
-        FROM n
-    ),
-    w AS (
-        SELECT doc_id, chunk_idx,
-               list_slice(toks, CAST(chunk_idx * 48 + 1 AS BIGINT),
-                          CAST(chunk_idx * 48 + 64 AS BIGINT)) AS win
-        FROM c
-    )
+    WITH {_CHUNK_SQL}
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(chunk_idx AS INT) AS chunk_idx,
            CAST(len(win) AS INT) AS n_chunk_tokens,
@@ -1395,7 +1389,9 @@ def doc_chunking_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import chunk_documents
 
     d = load(spark, sf_dir, "documents")
-    out = chunk_documents(d, max_tokens=64, overlap=16)
+    out = chunk_documents(
+        d, max_tokens=CHUNK_MAX_TOKENS, overlap=CHUNK_OVERLAP
+    )
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
@@ -1425,10 +1421,23 @@ def doc_chunking_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, simhash, bi, (simhash >> (8 * bi)) & 255 AS bv
         FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bi)
     ),
+    stats AS (
+        SELECT bi, bv, count(*) AS n, min(doc_id) AS rep
+        FROM b GROUP BY bi, bv
+    ),
+    bs AS (
+        SELECT b.doc_id, b.bi, b.bv, s.n, s.rep
+        FROM b JOIN stats s ON b.bi = s.bi AND b.bv = s.bv
+    ),
+    -- hot-slice guard mirror (operators.dedup.simhash_near_dup): slices
+    -- over the threshold star-pair around the min-id member
     cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-        FROM b a JOIN b c ON a.bi = c.bi AND a.bv = c.bv
-        WHERE a.doc_id < c.doc_id
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM bs a JOIN bs c ON a.bi = c.bi AND a.bv = c.bv
+        WHERE a.doc_id < c.doc_id AND a.n <= 1000
+        UNION
+        SELECT rep AS id_a, doc_id AS id_b FROM bs
+        WHERE n > 1000 AND doc_id <> rep
     )
     SELECT id_a, id_b,
            CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
