@@ -1233,6 +1233,74 @@ _SIMHASH_RECON_SQL = " + ".join(
 )
 
 
+_DECON_K = 4
+_DECON_GRAMS_SQL = f"""
+    CASE WHEN len(w) >= {_DECON_K} THEN
+        list_transform(range(0, len(w) - {_DECON_K - 1}),
+            i -> array_to_string(w[i+1:i+{_DECON_K}], ' '))
+    ELSE [] END
+"""
+
+
+@register(
+    "decontaminate",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id, unnest({_DECON_GRAMS_SQL}) AS gram FROM t
+    ),
+    bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+    tg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 50 <> 0),
+    hits AS (
+        SELECT tg.doc_id, count(*) AS n_shared
+        FROM tg JOIN bg ON tg.gram = bg.gram
+        GROUP BY tg.doc_id
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(h.n_shared, 0) AS INT) AS n_shared_grams,
+           CASE WHEN COALESCE(h.n_shared, 0) > 0 THEN 'T' ELSE 'F' END
+               AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+    doc=f"Benchmark decontamination: training docs sharing any word "
+    f"{_DECON_K}-gram with the held-out benchmark set (doc_id %% 50 = 0 "
+    f"here) are flagged with their shared-gram count — the eval-leakage "
+    f"filter of corpus curation.  Plan: benchmark grams dedup to a small "
+    f"set that BROADCASTS; training grams meet it in a map-side semi "
+    f"join, so the corpus-sized side never shuffles on the gram key",
+)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import word_ngrams
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    grams = lambda df: df.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), _DECON_K)).alias("gram")
+    )
+    bench = (
+        grams(d.filter(F.col("doc_id") % 50 == 0)).select("gram").distinct()
+    )
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    hits = (
+        grams(train)
+        .distinct()
+        .join(F.broadcast(bench), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return train.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared", F.lit(0)).cast("int").alias("n_shared_grams"),
+        F.when(F.coalesce("n_shared", F.lit(0)) > 0, F.lit("T"))
+        .otherwise(F.lit("F"))
+        .alias("contaminated"),
+    )
+
+
 @register(
     "dup_ngram_ratio",
     f"""
