@@ -599,7 +599,8 @@ def test_chunk_documents_windows(spark):
 
     text = " ".join(f"w{i}" for i in range(25))
     df = spark.createDataFrame(
-        [(1, text), (2, "just three tokens"), (3, "one")],
+        [(1, text), (2, "just three tokens"), (3, "one"),
+         (4, ""), (5, None)],
         ["doc_id", "text"],
     )
     out = chunk_documents(df, max_tokens=10, overlap=4)
@@ -619,6 +620,13 @@ def test_chunk_documents_windows(spark):
     # short docs: single chunk, whole text
     assert by_doc[2] == [(0, ["just", "three", "tokens"])]
     assert by_doc[3] == [(0, ["one"])]
+    # empty / NULL text: one chunk with ZERO tokens (not [''] -> 1),
+    # so pack_chunks bin budgets stay honest
+    zero = {
+        (r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in out.filter("doc_id >= 4").collect()
+    }
+    assert zero == {(4, 0, 0, ""), (5, 0, 0, "")}
     # coverage: union of window tokens = all tokens
     seen = set()
     for _, toks in by_doc[1]:

@@ -84,9 +84,14 @@ def _driver_recorded() -> set[str]:
     import re
 
     root = os.path.dirname(_HERE)
-    # sort by the round NUMBER: lexicographic order puts r9 after r10
+    # sort by the round NUMBER: lexicographic order puts r9 after r10;
+    # skip files whose name has no digits after _r instead of crashing
+    matched = [
+        (p, re.search(r"_r(\d+)", p))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    ]
     files = sorted(
-        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+        (p for p, m in matched if m),
         key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
     )
     if not files:
@@ -167,8 +172,9 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
 
-    # state/README updates only for runs at the canonical gate SF
-    record = "sf0.01" in sf
+    # state/README updates only for runs at the canonical gate SF —
+    # exact basename match, not substring (an sf0.015 dir must not record)
+    record = os.path.basename(sf.rstrip("/")) == "sf0.01"
     state = _load_state() if record else {}
     today = time.strftime("%Y-%m-%d")
 

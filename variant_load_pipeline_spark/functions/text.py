@@ -303,12 +303,15 @@ def chunk_documents(
     stride = max_tokens - overlap
     # coalesce per this file's convention: NULL text must chunk like ""
     # (one empty chunk), not propagate NULL through size() as -1 — a
-    # negative token count would also corrupt pack_chunks' cumsum bins
+    # negative token count would also corrupt pack_chunks' cumsum bins.
+    # Empty text tokenizes to [] (not [""]) so the single emitted chunk
+    # reports n_chunk_tokens = 0, keeping pack_chunks' bin budgets honest.
+    norm = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
     toks = df.select(
         F.col(id_col),
-        F.split(
-            normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "
-        ).alias("__t"),
+        F.when(norm == "", F.array().cast("array<string>"))
+        .otherwise(F.split(norm, " "))
+        .alias("__t"),
     ).withColumn("__n", F.size("__t"))
     # number of windows: 1 + ceil(max(0, n - max_tokens) / stride)
     n_chunks = 1 + F.ceil(

@@ -1355,10 +1355,14 @@ def dup_ngram_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_MAX_TOKENS = 64
 CHUNK_OVERLAP = 16
 _CHUNK_STRIDE = CHUNK_MAX_TOKENS - CHUNK_OVERLAP
-# CTEs t/n/c/w: documents -> (doc_id, chunk_idx, win) token windows
+# CTEs t/n/c/w: documents -> (doc_id, chunk_idx, win) token windows.
+# Empty text tokenizes to [] (not ['']), mirroring chunk_documents: the
+# single emitted chunk reports n_chunk_tokens = 0.
 _CHUNK_SQL = f"""
     t AS (
-        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+        SELECT doc_id,
+               CASE WHEN {_NORM_SQL} = '' THEN []
+                    ELSE string_split({_NORM_SQL}, ' ') END AS toks
         FROM documents
     ),
     n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
