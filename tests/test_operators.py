@@ -385,6 +385,70 @@ def test_near_dup_cold_buckets_stay_exhaustive(spark):
     assert pairs == {(1, 2), (1, 3), (2, 3)}
 
 
+def test_simhash64_high_slices_carry_entropy_and_find_planted_pair(spark):
+    """The 64-bit scale path must be real: with shingle_hash64 the HIGH
+    16-bit slices of a 64-bit simhash are non-constant across a 20k-doc
+    corpus (the 32-bit word hash would zero bits 32-63 and collapse two
+    of the four slices to one value each), no slice goes hot, and a
+    planted hamming-2 pair (found offline, deterministic md5 math) is
+    recovered by simhash_near_dup(bits=64, n_bands=4) without the
+    hot-slice star fallback."""
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark.operators.dedup import (
+        simhash,
+        simhash_near_dup,
+    )
+
+    n = 20_000
+    base = " ".join(f"alpha{i}" for i in range(41))
+    planted = [(n, base), (n + 1, base + " extra10")]  # hamming 2
+    filler = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("t"), ((F.col("id") * 13 + 7 * j) % 30_000))
+                for j in range(9)
+            ],
+        ).alias("text"),
+    )
+    docs = filler.union(spark.createDataFrame(planted, ["doc_id", "text"]))
+
+    sh = simhash(docs, bits=64).persist()
+    # every 16-bit slice band — including the high ones a 32-bit word
+    # hash would flatline — must spread over many values and stay cold
+    for band in range(4):
+        sl = sh.select(
+            F.shiftright(F.col("simhash"), band * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("slice")
+        )
+        stats = sl.groupBy("slice").count().agg(
+            F.count(F.lit(1)).alias("n_distinct"), F.max("count").alias("mx")
+        ).collect()[0]
+        assert stats["n_distinct"] > 1000, (band, stats)
+        assert stats["mx"] <= 1000, (band, stats)  # no hot-slice fallback
+    sh.unpersist()
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup(docs, bits=64, n_bands=4).collect()
+    }
+    assert pairs.get((n, n + 1)) == 2, pairs
+
+
+def test_simhash_near_dup_rejects_uneven_bands():
+    """bits %% n_bands != 0 leaves top bits outside every slice, silently
+    voiding the exact-recall contract -> must raise."""
+    import pytest
+
+    from variant_load_pipeline_spark.operators.dedup import simhash_near_dup
+
+    with pytest.raises(ValueError, match="divisible"):
+        simhash_near_dup(None, bits=32, n_bands=5)
+
+
 def test_connected_components_chain_star_cliques(spark):
     """Chain (worst-case diameter), star, disjoint clique, isolated pair —
     every node must land in the min-id component, converging within

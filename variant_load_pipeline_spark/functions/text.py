@@ -146,6 +146,33 @@ def shingle_hash(shingle: Column) -> Column:
     return F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long")
 
 
+def shingle_hash64(shingle: Column) -> Column:
+    """Portable 64-bit hash: two independent 32-bit md5-derived halves,
+    ``(hi << 32) | lo`` with hi = hex chars 9-16, lo = hex chars 1-8.
+
+    Bitwise ops only (shiftleft + OR never overflow under ANSI mode); a
+    set bit 63 yields a NEGATIVE long — the intended two's-complement
+    view, and every consumer (shiftright-and-mask slicing, xor/bit_count
+    hamming) is bit-pattern arithmetic that agrees between Spark and
+    DuckDB (both shift arithmetically).  DuckDB twin::
+
+        CAST(CAST(('0x'||substr(md5(s),9,8))::BIGINT AS HUGEINT)
+             * 4294967296
+             + ('0x'||substr(md5(s),1,8))::BIGINT
+             - CASE WHEN ('0x'||substr(md5(s),9,8))::BIGINT >= 2147483648
+                    THEN CAST('18446744073709551616' AS HUGEINT)
+                    ELSE CAST(0 AS HUGEINT) END
+             AS BIGINT)
+
+    This is the 64-bit twin ``simhash(bits=64)`` requires: with the
+    32-bit ``shingle_hash``, bit positions 32-63 would be constant zero
+    and the high slices of multi-index banding would all collide.
+    """
+    hi = F.conv(F.substring(F.md5(shingle), 9, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 # GPT-2-ish pretokenizer classes, restricted to a regex dialect shared by
 # Java (Spark) and RE2 (DuckDB): letter runs, digit runs, single
 # non-alphanumeric marks.  No lookarounds, so counts replay identically in

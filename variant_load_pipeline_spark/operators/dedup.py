@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import normalize_text, shingle_hash, shingles
+from ..functions.text import (
+    normalize_text,
+    shingle_hash,
+    shingle_hash64,
+    shingles,
+)
 
 # MinHash universal-hash parameters: h_i(x) = (a_i*(x mod P) + b_i) mod P.
 # P is the 31-bit Mersenne prime and a/b < 2^31 so every intermediate stays
@@ -154,15 +159,25 @@ def simhash(
     id_col: str = "doc_id",
     bits: int = 32,
 ) -> DataFrame:
-    """32-bit SimHash over word features: bit b of the hash contributes +1/-1
+    """SimHash over word features: bit b of the hash contributes +1/-1
     per word; sign of the sum gives the output bit.  JVM-side only.
+
+    ``bits <= 32`` uses the 32-bit word hash; wider (up to 64) uses
+    ``shingle_hash64`` so every bit position carries real entropy — a
+    32-bit word hash under bits=64 would leave positions 32-63 constant
+    and silently break multi-index banding (see shingle_hash64).  Bit 63
+    of a 64-bit simhash is the long's sign bit: reconstruction is a
+    bitwise OR (never an overflowing add), and the value can be negative.
     """
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in [1, 64]")
+    word_hash = shingle_hash if bits <= 32 else shingle_hash64
     w = df.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
         ).alias("word"),
-    ).withColumn("h", shingle_hash(F.col("word")))
+    ).withColumn("h", word_hash(F.col("word")))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
@@ -174,8 +189,11 @@ def simhash(
     agg = w.groupBy(id_col).agg(*bit_sums)
     out: Column = F.lit(0).cast("long")
     for b in range(bits):
-        out = out + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            0
+        bitval = (1 << b) if b < 63 else -(1 << 63)
+        out = out.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.lit(bitval).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
     return agg.select(F.col(id_col), out.alias("simhash"))
 
@@ -209,13 +227,13 @@ def simhash_near_dup(
     ``2^(bits/n_bands)`` possible values (256 at the 32/4 default), so
     candidate volume grows ~N^2/2^width once N is large against the
     slice space; 32/4 is sized for per-shard corpora up to ~10^5 docs.
-    Beyond that, widen the hash (a 64-bit simhash over a 64-bit word
-    hash gives 16-bit slices -> 65 536 buckets) — and the
-    ``hot_slice_threshold`` guard bounds the damage meanwhile: slices
-    with more members than the threshold switch from all-pairs to star
-    pairing around the min-id member (linear, same trade as
-    ``near_dup_pairs``' hot-band guard, recall beyond the star lost for
-    heterogeneous hot slices).
+    Beyond that, pass ``bits=64`` (simhash switches to the 64-bit word
+    hash ``shingle_hash64``; with n_bands=4 that gives 16-bit slices ->
+    65 536 buckets) — and the ``hot_slice_threshold`` guard bounds the
+    damage meanwhile: slices with more members than the threshold switch
+    from all-pairs to star pairing around the min-id member (linear,
+    same trade as ``near_dup_pairs``' hot-band guard, recall beyond the
+    star lost for heterogeneous hot slices).
 
     The hash table is persisted (one simhash aggregation, not one per
     join branch); ContextCleaner reclaims it when the result is GC'd.
@@ -226,6 +244,11 @@ def simhash_near_dup(
         raise ValueError(
             "exactness needs max_hamming < n_bands (pigeonhole)"
         )
+    if bits % n_bands != 0:
+        # a remainder would leave the top bits % n_bands bits outside
+        # every slice: pairs differing only there would be silently
+        # missed despite the exact-recall contract
+        raise ValueError("bits must be divisible by n_bands")
     width = bits // n_bands
     mask = (1 << width) - 1
     sh = simhash(df, text_col, id_col, bits).persist(
