@@ -478,6 +478,70 @@ def test_connected_components_chain_star_cliques(spark):
     assert len(comp) == 17
 
 
+def test_connected_components_star_matches_and_converges_log_rounds(spark):
+    """The alternating large-star/small-star variant must (a) produce the
+    identical (id, min-reachable-id) labeling as min-propagation on mixed
+    graphs, and (b) settle a 10k-node PATH graph — min-propagation's
+    worst case, diameter 9999 vs its 25-round cap — within
+    ceil(log2(n)) + 6 rounds."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    mixed = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)]
+        + [(20, 21), (20, 22), (20, 23)]
+        + [(30, 31), (30, 32), (31, 32)]
+        + [(40, 41), (50, 50)],
+        ["id_a", "id_b"],
+    )
+    a = {r["id"]: r["comp"] for r in connected_components(mixed).collect()}
+    b = {
+        r["id"]: r["comp"]
+        for r in connected_components_star(mixed).collect()
+    }
+    assert a == b and b[50] == 50  # self-pair node emitted by both
+
+    n = 10_000
+    path = spark.range(1, n).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    budget = math.ceil(math.log2(n)) + 6  # 20
+    out = connected_components_star(path, max_iters=budget)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("comp").alias("ncomp"),
+        F.min("comp").alias("mn"),
+        F.max("comp").alias("mx"),
+    ).collect()[0]
+    assert (agg["n"], agg["ncomp"], agg["mn"], agg["mx"]) == (n, 1, 1, 1)
+
+
+def test_connected_components_warns_on_non_convergence(spark):
+    """ADVICE: a component whose diameter exceeds the round budget must
+    not be returned split SILENTLY."""
+    import warnings
+
+    from variant_load_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], ["id_a", "id_b"]
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(chain, max_iters=3).collect()
+    assert any(
+        "did not converge" in str(w.message) for w in caught
+    ), [str(w.message) for w in caught]
+
+
 def test_hash_sample_deterministic_under_repartitioning(spark):
     """The whole point vs df.sample: the selected set must be identical
     for any partitioning, and different salts give independent splits."""

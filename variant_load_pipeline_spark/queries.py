@@ -1223,6 +1223,28 @@ def near_dup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "near_dup_components_star",
+    _near_dup_components_sql(),
+    doc="Same dedup-group contract as near_dup_components, computed by "
+    "the alternating large-star/small-star algorithm [Kiveris et al., "
+    "SoCC'14] — O(log d) rounds instead of O(diameter), the scale path "
+    "for long-chain pair graphs; identical recursive-CTE oracle, so the "
+    "two algorithms are hash-checked against each other through it",
+)
+def near_dup_components_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components_star, near_dup_pairs
+
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = near_dup_pairs(d, n_hashes=16, bands=4, threshold=0.6)
+    return connected_components_star(pairs).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("component"),
+    )
+
+
 _SIMHASH_BITSUM_SQL = ",\n".join(
     f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
     for b in range(32)
