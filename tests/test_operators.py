@@ -338,6 +338,62 @@ def test_lsh_recall_floor(spark):
     assert sum(recalls) / len(recalls) >= 0.6
 
 
+def test_hash_embed_feeds_ann_stack_end_to_end(spark):
+    """Text -> hash_embed vectors -> the existing ANN stack: (a) LSH
+    bucketed top-k recovers a decent fraction of the exact text top-k,
+    and (b) int8-quantized cosine agrees with exact cosine on rank-1
+    neighbors for most queries — the full model-free text ANN path."""
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        hash_embed,
+        lsh_topk,
+        quantize_embeddings,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = hash_embed(docs, dim=64).persist()
+    corpus = emb.select(F.col("doc_id").alias("vec_id"), "embedding")
+    queries = emb.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    ex = {
+        (r["qid"], r["nid"])
+        for r in cosine_topk(corpus, queries, k=5).collect()
+    }
+    assert len(ex) > 0
+    ls = {
+        (r["qid"], r["nid"])
+        for r in lsh_topk(
+            corpus, queries, dim=64, k=5, n_planes=4, n_tables=12
+        ).collect()
+    }
+    recall = len(ex & ls) / len(ex)
+    assert recall >= 0.5, recall
+
+    # quantized path: rank-1 neighbor via int8 vectors matches the exact
+    # rank-1 for most queries (quantized cosine is scale-invariant)
+    qz = quantize_embeddings(corpus, vec_col="embedding")
+    qcorpus = qz.select(
+        "vec_id", F.col("q8").cast("array<double>").alias("embedding")
+    )
+    qqueries = quantize_embeddings(
+        queries, vec_col="qv", q_col="q8q", scale_col="q_scale_q"
+    ).select(F.col("qid"), F.col("q8q").cast("array<double>").alias("qv"))
+    exact1 = {
+        r["qid"]: r["nid"]
+        for r in cosine_topk(corpus, queries, k=1).collect()
+    }
+    quant1 = {
+        r["qid"]: r["nid"]
+        for r in cosine_topk(qcorpus, qqueries, k=1).collect()
+    }
+    agree = sum(1 for q in exact1 if quant1.get(q) == exact1[q])
+    assert agree / len(exact1) >= 0.8, (agree, len(exact1))
+    emb.unpersist()
+
+
 def test_near_dup_hot_band_guard_bounds_degenerate_corpus(spark):
     """10k identical docs all hash to the same band buckets; without the
     hot-band guard the candidate self-join builds ~10k^2/2 pairs per band.

@@ -305,10 +305,14 @@ def extract_features(
     """Feature-extraction stage: payload -> fixed-dim embedding
     (array<double>), the column the similarity/ANN operators consume.
     The fake encoder hashes byte windows into EMBED_DIM deterministic
-    components; a real model server / ONNX kernel replaces `encode` only."""
+    components; a real model server / ONNX kernel replaces `encode` only.
+    For TEXT, a real model-free embedder exists: use
+    ``operators.similarity.hash_embed`` (feature hashing), which feeds
+    the quantize/LSH/top-k ANN stack end-to-end with an oracle gate."""
     if codec != "fake":
         raise NotImplementedError(
-            f"codec '{codec}' requires a model runtime not present here"
+            f"codec '{codec}' requires a model runtime not present here; "
+            "for text columns use operators.similarity.hash_embed instead"
         )
 
     def encode(raw: bytes) -> list[float]:

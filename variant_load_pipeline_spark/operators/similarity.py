@@ -97,6 +97,64 @@ def quantize_embeddings(
     )
 
 
+def hash_embed(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sign_bit: int = 16,
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") document embeddings: each token
+    occurrence adds ±1 to bucket ``shingle_hash(word) % dim``, sign from
+    bit ``sign_bit`` of the same hash — the model-free text→vector path
+    that makes the ANN/dedup stack text-driven (no model runtime needed,
+    public algorithm: Weinberger et al., "Feature Hashing for Large Scale
+    Multitask Learning", ICML'09).
+
+    Deliberately UNNORMALIZED integer counts (returned as array<double>):
+    cosine is scale-invariant so downstream ranking is unchanged, and
+    integer sums are exact in IEEE doubles in any summation order — dot
+    products and norms replay bit-identically in the DuckDB oracle, which
+    float-normalized vectors would not.
+
+    Plan shape: token explode -> (id, bucket) partial-sum (map-side
+    combine collapses each doc's tokens to <= dim rows before the
+    shuffle) -> per-doc map -> dense vector.  Docs with no tokens after
+    normalization are dropped (no vector to emit).
+    """
+    from ..functions.text import normalize_text, shingle_hash
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(
+                normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+            )
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    h = shingle_hash(F.col("word"))
+    e = toks.select(
+        id_col,
+        (h % dim).alias("idx"),
+        F.when(
+            F.shiftright(h, sign_bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("s"),
+    )
+    g = e.groupBy(id_col, "idx").agg(F.sum("s").alias("v"))
+    m = g.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("idx", "v"))).alias("__m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__m"), i.cast("long")), F.lit(0)
+        ).cast("double"),
+    )
+    return m.select(F.col(id_col), vec.alias("embedding"))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (LCG; no numpy needed
     on executors)."""

@@ -1580,6 +1580,108 @@ def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Feature-hashing embedding oracle helpers: dense 64-dim count vectors as
+# 64 generated SUM(CASE) columns; dot products / norms as explicit BIGINT
+# term sums — exact integer arithmetic, so sqrt/divide/round replay
+# bit-identically against Spark's double fold.
+_HE_DIM = 64
+_HE_SIGN_BIT = 16
+_HE_VEC_SQL = ",\n".join(
+    f"SUM(CASE WHEN idx = {i} THEN v ELSE 0 END) AS c{i}"
+    for i in range(_HE_DIM)
+)
+_HE_DOT_SQL = " + ".join(f"q.c{i}*e.c{i}" for i in range(_HE_DIM))
+_HE_QQ_SQL = " + ".join(f"q.c{i}*q.c{i}" for i in range(_HE_DIM))
+_HE_NN_SQL = " + ".join(f"e.c{i}*e.c{i}" for i in range(_HE_DIM))
+
+
+@register(
+    "emb_hashing_topk",
+    f"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS word
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, ('0x'||substr(md5(word),1,8))::BIGINT AS h
+        FROM w WHERE word <> ''
+    ),
+    e0 AS (
+        SELECT doc_id, h % {_HE_DIM} AS idx,
+               CASE WHEN (h >> {_HE_SIGN_BIT}) & 1 = 1 THEN 1 ELSE -1 END AS s
+        FROM t
+    ),
+    g AS (SELECT doc_id, idx, SUM(s) AS v FROM e0 GROUP BY doc_id, idx),
+    vec AS (SELECT doc_id, {_HE_VEC_SQL} FROM g GROUP BY doc_id),
+    q AS (SELECT * FROM vec WHERE doc_id % 50 = 0),
+    sims AS (
+        SELECT q.doc_id AS qid, e.doc_id AS nid,
+               ROUND(CAST({_HE_DOT_SQL} AS DOUBLE)
+                     / (sqrt(CAST({_HE_QQ_SQL} AS DOUBLE))
+                        * sqrt(CAST({_HE_NN_SQL} AS DOUBLE))), 6) AS sim
+        FROM q CROSS JOIN vec e
+        WHERE q.doc_id <> e.doc_id
+          AND ({_HE_QQ_SQL}) > 0 AND ({_HE_NN_SQL}) > 0
+    )
+    SELECT qid, nid, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, nid) AS rk
+        FROM sims
+    ) WHERE rk <= 5
+    """,
+    doc="Text-driven ANN end-to-end: feature-hashing (hashing-trick) "
+    f"{_HE_DIM}-dim document embeddings — ±1 per token occurrence into "
+    "bucket shingle_hash(word) %% dim, sign from a hash bit; no model "
+    "runtime — then exact cosine top-5 per query doc.  Embeddings stay "
+    "integer-valued (cosine is scale-invariant) so every dot product and "
+    "norm is exact and the oracle replays the full text→vector→rank "
+    "path bit-identically",
+)
+def emb_hashing_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import dot, hash_embed
+
+    emb = hash_embed(
+        load(spark, sf_dir, "documents"), dim=_HE_DIM, sign_bit=_HE_SIGN_BIT
+    ).repartition(spark.sparkContext.defaultParallelism)
+    nrm2 = dot(F.col("embedding"), F.col("embedding"))
+    q = emb.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        nrm2.alias("qq"),
+    )
+    joined = (
+        F.broadcast(q)
+        .crossJoin(
+            emb.select(
+                F.col("doc_id").alias("nid"),
+                F.col("embedding").alias("nv"),
+                nrm2.alias("nn"),
+            )
+        )
+        .filter(
+            (F.col("qid") != F.col("nid"))
+            & (F.col("qq") > 0)
+            & (F.col("nn") > 0)
+        )
+    )
+    sims = joined.select(
+        "qid",
+        "nid",
+        F.round(
+            dot(F.col("qv"), F.col("nv"))
+            / (F.sqrt(F.col("qq")) * F.sqrt(F.col("nn"))),
+            6,
+        ).alias("sim"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "nid", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 @register(
     "simhash64_near_dup",
     f"""
