@@ -535,43 +535,15 @@ def _corpus_dedup(spark, args) -> None:
     fingerprint first (cheap, kills byte-dups), then MinHash-LSH near-dup
     pairs over the exact survivors, connected components, keep = the
     min-id representative of each component."""
-    from .functions.text import normalize_text
-    from .operators.dedup import connected_components, near_dup_pairs
+    # the exact->LSH->components->chain-resolution composition lives in
+    # operators.dedup.corpus_keeplist so the corpus_dedup_keeplist query
+    # oracle-gates the very code path this tool runs
+    from .operators.dedup import corpus_keeplist
 
     docs = _read(spark, args.docs)
-    fps = docs.select(
-        F.col("doc_id"), F.md5(normalize_text(F.col("text"))).alias("fp")
-    )
-    canon = fps.groupBy("fp").agg(F.min("doc_id").alias("exact_canon"))
-    m = fps.join(canon, "fp").select("doc_id", "exact_canon")
-    exact_kept = docs.join(
-        m.filter(F.col("doc_id") == F.col("exact_canon")).select("doc_id"),
-        "doc_id",
-    )
-    pairs = near_dup_pairs(
-        exact_kept,
+    out = corpus_keeplist(
+        docs,
         threshold=args.threshold if args.threshold is not None else 0.8,
-    ).select("id_a", "id_b")
-    # components are computed over exact SURVIVORS, so resolve each doc's
-    # chain through its exact canon: doc -> exact_canon -> component min.
-    # Joining on doc_id instead would leave byte-duplicates pointing at an
-    # exact canon that was itself merged (and dropped) into a component.
-    comp = connected_components(pairs).select(
-        F.col("id").alias("exact_canon"), F.col("comp").alias("near_canon")
-    )
-    out = (
-        m.join(comp, "exact_canon", "left")
-        .select(
-            "doc_id",
-            F.coalesce("near_canon", "exact_canon").alias("canonical_id"),
-        )
-        .select(
-            "doc_id",
-            "canonical_id",
-            F.when(F.col("doc_id") == F.col("canonical_id"), F.lit("T"))
-            .otherwise(F.lit("F"))
-            .alias("keep"),
-        )
     )
     out.write.mode("overwrite").parquet(args.out)
 

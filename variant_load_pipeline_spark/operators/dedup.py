@@ -479,6 +479,56 @@ def connected_components_star(
     ).select("id", F.coalesce("__m", "id").alias("comp"))
 
 
+def corpus_keeplist(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composed corpus-dedup keep-list (the CorpusDedup CLI tool's
+    logic, exposed as an operator so it is oracle-gateable): exact dedup
+    on the normalized-text fingerprint first (cheap, kills byte-dups),
+    MinHash-LSH near-dup pairs over the EXACT SURVIVORS only, connected
+    components, then chain resolution doc -> exact_canon -> component
+    min.  Resolving through the exact canon (not doc_id) matters: a
+    byte-duplicate's exact canon may itself have merged into a near-dup
+    component and been dropped — joining components on doc_id would
+    leave such docs pointing at a dropped canonical.
+
+    Returns (doc_id, canonical_id, keep 'T'|'F'); keep is 'T' exactly
+    when doc_id == canonical_id (one survivor per transitive group).
+    """
+    fps = docs.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp")
+    )
+    canon = fps.groupBy("fp").agg(F.min(id_col).alias("exact_canon"))
+    m = fps.join(canon, "fp").select(id_col, "exact_canon")
+    exact_kept = docs.join(
+        m.filter(F.col(id_col) == F.col("exact_canon")).select(id_col),
+        id_col,
+    )
+    pairs = near_dup_pairs(
+        exact_kept, text_col=text_col, id_col=id_col, threshold=threshold
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs).select(
+        F.col("id").alias("exact_canon"), F.col("comp").alias("near_canon")
+    )
+    return (
+        m.join(comp, "exact_canon", "left")
+        .select(
+            id_col,
+            F.coalesce("near_canon", "exact_canon").alias("canonical_id"),
+        )
+        .select(
+            id_col,
+            "canonical_id",
+            F.when(F.col(id_col) == F.col("canonical_id"), F.lit("T"))
+            .otherwise(F.lit("F"))
+            .alias("keep"),
+        )
+    )
+
+
 def near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",

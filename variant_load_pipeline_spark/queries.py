@@ -1032,7 +1032,7 @@ _HASHES_SQL = f"""
 """
 
 
-def _minhash_sig_sql(n_hashes: int) -> str:
+def _minhash_sig_sql(n_hashes: int, source: str = "documents") -> str:
     p = _dedup.MINHASH_PRIME
     sig_exprs = ",\n".join(
         f"CAST(list_min(list_transform(hashes, "
@@ -1041,7 +1041,7 @@ def _minhash_sig_sql(n_hashes: int) -> str:
     )
     return f"""
     WITH sh AS (
-        SELECT doc_id, {_HASHES_SQL} AS hashes FROM documents
+        SELECT doc_id, {_HASHES_SQL} AS hashes FROM {source}
     )
     SELECT doc_id, {sig_exprs} FROM sh
     """
@@ -1068,6 +1068,7 @@ def _near_dup_sql(
     bands: int = 4,
     threshold: float = 0.6,
     hot: int = 1000,
+    source: str = "documents",
 ) -> str:
     rows = n_hashes // bands
     band_selects = "\n UNION ALL\n".join(
@@ -1077,7 +1078,7 @@ def _near_dup_sql(
         for b in range(bands)
     )
     return f"""
-    WITH sig AS ({_minhash_sig_sql(n_hashes)}),
+    WITH sig AS ({_minhash_sig_sql(n_hashes, source)}),
     banded AS ({band_selects}),
     stats AS (
         SELECT band_idx, band_hash, count(*) AS n, min(doc_id) AS rep
@@ -1100,7 +1101,7 @@ def _near_dup_sql(
         SELECT rep AS id_a, doc_id AS id_b FROM bs
         WHERE n > {hot} AND doc_id <> rep
     ),
-    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM {source})
     SELECT id_a, id_b,
            CAST(ROUND(CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
                 THEN len(list_intersect(sa.sh, sb.sh))::DOUBLE
@@ -1220,6 +1221,68 @@ def near_dup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("id").cast("long").alias("doc_id"),
         F.col("comp").cast("long").alias("component"),
+    )
+
+
+@register(
+    "corpus_dedup_keeplist",
+    f"""
+    WITH RECURSIVE fps AS (
+        SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+    ),
+    canon AS (SELECT fp, min(doc_id) AS exact_canon FROM fps GROUP BY fp),
+    m AS (
+        SELECT f.doc_id, c.exact_canon
+        FROM fps f JOIN canon c ON f.fp = c.fp
+    ),
+    exact_kept AS (
+        SELECT d.* FROM documents d
+        JOIN m ON d.doc_id = m.doc_id AND m.doc_id = m.exact_canon
+    ),
+    p AS (
+        SELECT id_a, id_b
+        FROM ({_near_dup_sql(threshold=0.8, source="exact_kept")})
+    ),
+    e AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM p
+    ),
+    reach(id, comp) AS (
+        SELECT src, src FROM e
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id
+    ),
+    cc AS (
+        SELECT id AS exact_canon, min(comp) AS near_canon
+        FROM reach GROUP BY id
+    )
+    SELECT CAST(m.doc_id AS BIGINT) AS doc_id,
+           CAST(coalesce(cc.near_canon, m.exact_canon) AS BIGINT)
+               AS canonical_id,
+           CASE WHEN m.doc_id = coalesce(cc.near_canon, m.exact_canon)
+                THEN 'T' ELSE 'F' END AS keep
+    FROM m LEFT JOIN cc ON m.exact_canon = cc.exact_canon
+    """,
+    doc="The CorpusDedup CLI's composed keep-list, end-to-end: exact "
+    "dedup on the normalized-text fingerprint, MinHash-LSH near-dup "
+    "pairs (threshold 0.8) over the exact SURVIVORS only, connected "
+    "components, then chain resolution doc -> exact_canon -> component "
+    "min — the subtle step: a byte-duplicate's canon may itself have "
+    "merged into a component, so resolution must go through the canon, "
+    "not the doc.  The oracle replays the whole chain (recursive-CTE "
+    "components) and gates every doc's canonical_id and keep flag",
+)
+def corpus_dedup_keeplist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import corpus_keeplist
+
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return corpus_keeplist(d, threshold=0.8).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        "keep",
     )
 
 
