@@ -233,3 +233,63 @@ def test_variant_store_scan_prunes_partitions(spark, tmp_path):
     assert got and all(
         r["map_key"] == 2 and r["chromosome"] == "3" for r in got
     )
+
+
+def test_chromosome_skew_does_not_concentrate_partitions(spark):
+    """SURVEY §7.4's chr1 >> chrMT skew, pinned: with 90% of variants on
+    ONE chromosome, the annotation path must not funnel the hot
+    chromosome through one task.  The binned interval join's key is
+    (chrom, bin) — a hot chromosome spreads over its position bins — so
+    even the non-broadcast shuffle path stays balanced, and AQE can
+    split/coalesce what remains.  A chromosome-keyed join would put 90%
+    of rows in one partition; assert the real max partition share stays
+    an order of magnitude below that."""
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark.operators.interval_join import (
+        point_in_interval_join,
+    )
+
+    n = 60_000
+    variants = spark.range(n).select(
+        F.col("id").alias("vid"),
+        F.when(F.col("id") % 10 != 0, F.lit("1"))
+        .otherwise(F.lit("MT"))
+        .alias("chrom"),
+        (F.col("id") * 1_663 % 100_000_000).alias("pos"),
+    )
+    genes = spark.range(2_000).select(
+        F.col("id").alias("gene_id"),
+        F.when(F.col("id") % 10 != 0, F.lit("1"))
+        .otherwise(F.lit("MT"))
+        .alias("gchrom"),
+        (F.col("id") * 49_999 % 99_000_000).alias("gstart"),
+        (F.col("id") * 49_999 % 99_000_000 + 250_000).alias("gstop"),
+    )
+    out = point_in_interval_join(
+        variants,
+        genes,
+        point_chrom="chrom",
+        point_pos="pos",
+        ivl_chrom="gchrom",
+        ivl_start="gstart",
+        ivl_end="gstop",
+        strategy="binned",
+        broadcast_intervals=False,  # force the shuffle path: worst case
+    )
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "NestedLoop" not in plan  # equi key even without broadcast
+    counts = [
+        r["count"]
+        for r in out.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    ]
+    total = sum(counts)
+    assert total > 10_000  # the join actually produced candidate pairs
+    # chromosome-keyed shuffling would give max share ~0.9; binning keeps
+    # the hot chromosome spread across its ~1000 position bins
+    assert max(counts) / total < 0.25, (max(counts), total, len(counts))
