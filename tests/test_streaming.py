@@ -148,6 +148,139 @@ def test_dedup_stream_matches_batch(spark, tmp_path):
     q.stop()
 
 
+def _write_batches(tmp_path, name, *frames):
+    """Write each frame as its own file so maxFilesPerTrigger=1 replays
+    them as separate micro-batches in write order (file source orders by
+    modification time, oldest first)."""
+    import time as _time
+
+    src = str(tmp_path / name)
+    for i, f in enumerate(frames):
+        f.coalesce(1).write.mode("append").parquet(src)
+        if i < len(frames) - 1:
+            _time.sleep(1.1)  # distinct mtimes -> stable batch order
+    return src
+
+
+def test_dedup_stream_drops_late_duplicates_within_watermark(
+    spark, tmp_path
+):
+    """Batch-twin contract under LATE data: duplicates re-delivered in a
+    later micro-batch, timestamps shifted ±90s, still inside the 1-hour
+    watermark horizon -> dropped.  Stream result == plain batch
+    dropDuplicates on the originals, and every survivor is the ORIGINAL
+    arrival (value column marks re-deliveries)."""
+    df = _mk_events(spark)
+    redelivered = df.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.col("ts") - F.expr("INTERVAL 90 SECONDS"),
+        )
+        .otherwise(F.col("ts") + F.expr("INTERVAL 90 SECONDS"))
+        .alias("ts"),
+        "user_id",
+        "event_type",
+        (F.col("value") + 1000).alias("value"),
+    )
+    src = _write_batches(tmp_path, "late_dup", df, redelivered)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = ev.dedup_stream(stream, keys=["event_id"], watermark="1 hour")
+    q = ev.run_stream_to_memory(out, "late_dup_test", output_mode="append")
+    got = {
+        r["event_id"]: r["value"]
+        for r in spark.sql("select * from late_dup_test").collect()
+    }
+    exp = {r["event_id"]: r["value"] for r in df.collect()}
+    assert got == exp  # no +1000 values: originals won, dups dropped
+    q.stop()
+
+
+def test_dedup_stream_reemits_after_watermark_horizon(spark, tmp_path):
+    """The honest boundary of dropDuplicatesWithinWatermark: key state is
+    PRUNED once the watermark passes ts + delay, so a duplicate arriving
+    beyond the horizon is re-emitted as a fresh event.  Four
+    micro-batches: original -> watermark advancer (+10h) -> one batch for
+    eviction to run under the advanced watermark (state cleanup happens
+    at batch END, after input dedup) -> duplicate; the duplicate
+    survives."""
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    b1 = spark.createDataFrame(
+        [(1, base, 1, "click", 1.0)], SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [(99, base + dt.timedelta(hours=10), 2, "view", 2.0)], SCHEMA
+    )
+    b3 = spark.createDataFrame(
+        [(98, base + dt.timedelta(hours=10, minutes=1), 2, "view", 3.0)],
+        SCHEMA,
+    )
+    b4 = spark.createDataFrame(
+        [(1, base + dt.timedelta(hours=10, minutes=2), 1, "click", 777.0)],
+        SCHEMA,
+    )
+    src = _write_batches(tmp_path, "horizon_dup", b1, b2, b3, b4)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = ev.dedup_stream(stream, keys=["event_id"], watermark="1 hour")
+    q = ev.run_stream_to_memory(out, "horizon_test", output_mode="append")
+    vals = sorted(
+        r["value"]
+        for r in spark.sql(
+            "select * from horizon_test where event_id = 1"
+        ).collect()
+    )
+    assert vals == [1.0, 777.0]  # beyond-horizon duplicate re-emitted
+    q.stop()
+
+
+def test_moving_avg_stateful_matches_batch_window(spark, tmp_path):
+    """The sliding-frame moving average (events_moving_avg query) and its
+    streaming twin (applyInPandasWithState, state = trailing k-1 values)
+    must agree row-for-row when the stream replays time-ordered
+    micro-batches — state carries the frame across the batch boundary."""
+    df = _mk_events(spark)
+    first = df.filter(F.col("ts") < dt.datetime(2024, 1, 1, 1, 0, 0))
+    second = df.filter(F.col("ts") >= dt.datetime(2024, 1, 1, 1, 0, 0))
+    assert first.count() > 0 and second.count() > 0
+    src = _write_batches(tmp_path, "mavg_batches", first, second)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = ev.moving_avg_stateful(stream, k=3)
+    q = ev.run_stream_to_memory(out, "mavg_test", output_mode="update")
+    got = {
+        (r["user_id"], r["event_id"]): r["mavg3"]
+        for r in spark.sql("select * from mavg_test").collect()
+    }
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    exp = {
+        (r["user_id"], r["event_id"]): r["mavg3"]
+        for r in df.select(
+            "user_id",
+            "event_id",
+            F.round(F.avg("value").over(w), 6).alias("mavg3"),
+        ).collect()
+    }
+    assert got == exp
+    q.stop()
+
+
 def _mk_cf2(spark):
     from variant_load_pipeline_spark.schemas import CF2_SCHEMA
 

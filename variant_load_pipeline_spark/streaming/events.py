@@ -169,6 +169,62 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def moving_avg_stateful(events: DataFrame, k: int = 3) -> DataFrame:
+    """Streaming twin of the ``events_moving_avg`` query: per-user k-event
+    moving average over the event stream via ``applyInPandasWithState``.
+
+    Sliding ROW frames are not expressible as a streaming windowed
+    aggregation (state would be unbounded per time window), but the frame
+    only ever needs the last ``k-1`` values per key — exactly what a
+    custom state store carries.  State: the tail of recent values;
+    per batch, a key's rows are processed in (ts, event_id) order and each
+    event emits the average of the trailing window ending at it.  Fed
+    time-ordered micro-batches (the replay/backfill case), the output
+    matches the batch window query row-for-row — asserted by test.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField(f"mavg{k}", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("tail", T.ArrayType(T.DoubleType()))]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        tail = list(state.get[0]) if state.exists else []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        uids, eids, avgs = [], [], []
+        for r in pdf.itertuples(index=False):
+            tail.append(float(r.value))
+            window = tail[-k:]
+            uids.append(key[0])
+            eids.append(r.event_id)
+            avgs.append(round(sum(window) / len(window), 6))
+        state.update((tail[-(k - 1):],))
+        yield pd.DataFrame(
+            {"user_id": uids, "event_id": eids, f"mavg{k}": avgs}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def zygosity_style_running_ratio(
     events: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
 ) -> DataFrame:
