@@ -431,6 +431,82 @@ def pack_chunks(
     ).drop("__rn")
 
 
+def bm25_scores(
+    df,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """BM25 relevance of every document against a fixed term set — the
+    ranked-retrieval complement of ``tfidf_top_terms`` (Robertson/Spärck
+    Jones probabilistic model, public formula):
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        idf(t)   = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+
+    Plan shape: one tokenize feeds BOTH the per-doc length table and the
+    term-filtered tf table (query terms are a tiny IN-list evaluated in
+    the scan, so the corpus-sized explode is filtered before any
+    shuffle); N/avgdl is a 1-row broadcast; df_t is |terms| rows.
+
+    Cross-term summation is ORDER-DEPENDENT in floats, so each per-term
+    score is rounded to integer MICRO-units first (floor(x·1e6 + 0.5),
+    the engine-portable half-up idiom) and the doc score is an exact
+    BIGINT sum — identical in any summation order, hence in the SQL
+    oracle.  Output: (id, bm25_micro) for docs matching >= 1 term.
+    """
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(
+                normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+            )
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
+    )
+    per_term = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            F.floor(
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+                )
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("micro"),
+        )
+    )
+    return per_term.groupBy(id_col).agg(
+        F.sum("micro").alias("bm25_micro")
+    )
+
+
 def word_ngrams(text: Column, k: int = 3) -> Column:
     """Raw (non-distinct, in-order) word k-gram array over normalized
     text — the repetition-signal counterpart of ``shingles`` (which

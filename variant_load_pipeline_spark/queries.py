@@ -1643,6 +1643,90 @@ def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 parameters shared by the Spark query and the oracle — edit together
+_BM25_TERMS = ["hash", "join", "vector", "spark", "window"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents
+    ),
+    t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM t
+        WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+        GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+    per_term AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                   ln(1.0 + (s.n_docs - d.dft + 0.5) / (d.dft + 0.5))
+                   * (tf.tf * ({_BM25_K1} + 1.0))
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * dl.dl
+                        / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                   * 1e6 + 0.5) AS BIGINT) AS micro
+        FROM tf
+        JOIN dft d ON tf.term = d.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats s
+    ),
+    scored AS (
+        -- SUM(BIGINT) is HUGEINT in DuckDB (-> float64 in pandas);
+        -- wrap back to BIGINT to hash like Spark's long
+        SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS bm25_micro
+        FROM per_term GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, bm25_micro,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT doc_id, bm25_micro,
+               ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS rk
+        FROM scored
+    ) WHERE rk <= 20
+    """,
+    doc="BM25 ranked retrieval (Robertson/Spärck Jones) of the top-20 "
+    f"documents for a fixed {len(_BM25_TERMS)}-term query — the "
+    "relevance-ranking complement of tfidf_top_terms.  Per-term scores "
+    "are rounded to integer micro-units BEFORE the cross-term sum, so "
+    "the doc score is an exact BIGINT sum identical in any summation "
+    "order — the float-determinism idiom that lets the oracle replay "
+    "ranking exactly.  Plan: one tokenize feeds dl and the IN-list-"
+    "filtered tf; N/avgdl is a 1-row broadcast",
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import bm25_scores
+
+    d = load(spark, sf_dir, "documents")
+    scored = bm25_scores(d, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
+    # top-k via orderBy+limit -> TakeOrderedAndProject (per-partition heap,
+    # k-row driver merge), then the rank is minted over the 20 survivors
+    # with the repo's non-foldable zero partition key — same idiom as
+    # q3_shipping_priority_topk: no data-sized global-window sort
+    top = scored.orderBy(
+        F.col("bm25_micro").desc(), F.col("doc_id")
+    ).limit(20)
+    w = W.partitionBy(F.col("bm25_micro") * F.lit(0)).orderBy(
+        F.col("bm25_micro").desc(), F.col("doc_id")
+    )
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "bm25_micro",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
 # Feature-hashing embedding oracle helpers: dense 64-dim count vectors as
 # 64 generated SUM(CASE) columns; dot products / norms as explicit BIGINT
 # term sums — exact integer arithmetic, so sqrt/divide/round replay
