@@ -1643,6 +1643,44 @@ def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_source_stats",
+    f"""
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                AS BIGINT) AS n_tokens,
+           CAST(ROUND(AVG(length(text)), 6) AS DOUBLE) AS avg_chars,
+           CAST(ROUND(1.0 - count(DISTINCT md5({_NORM_SQL}))::DOUBLE
+                / count(*), 6) AS DOUBLE) AS dup_ratio
+    FROM documents
+    GROUP BY source, lang
+    """,
+    doc="Per-(source, lang) corpus curation rollup over the documents "
+    "metadata columns: doc count, whitespace-token total, mean length, "
+    "and exact-duplicate ratio (1 - distinct normalized fingerprints / "
+    "docs) — the per-provenance dashboard a curation pipeline slices "
+    "before choosing mixing weights.  One scan, one groupBy on the "
+    "natural low-cardinality key",
+)
+def corpus_source_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import fingerprint, token_count
+
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+        F.round(
+            1.0
+            - F.count_distinct(fingerprint(F.col("text"))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
 # BM25 parameters shared by the Spark query and the oracle — edit together
 _BM25_TERMS = ["hash", "join", "vector", "spark", "window"]
 _BM25_K1 = 1.2
