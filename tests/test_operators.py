@@ -850,3 +850,121 @@ def test_pack_chunks_bins_and_positions(spark):
     assert got[(1, 0)] == (1, 0, 1)
     assert got[(1, 1)] == (1, 0, 2)
     assert len(got) == 7
+
+
+def test_paragraph_dedup_removes_cross_doc_paragraphs(spark):
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark.operators.dedup import paragraph_dedup
+
+    # shared = paragraph in docs 1 and 2; each doc also has a unique one
+    df = spark.createDataFrame(
+        [
+            (1, ["shared para", "only in one"]),
+            (2, ["shared para", "unique to two"]),
+            (3, ["standalone"]),
+            (4, []),
+        ],
+        "doc_id long, ps array<string>",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(df, F.col("ps")).collect()
+    }
+    assert out[1]["n_paras"] == 2 and out[1]["n_kept"] == 1
+    assert out[2]["n_paras"] == 2 and out[2]["n_kept"] == 1
+    assert out[3]["n_paras"] == 1 and out[3]["n_kept"] == 1
+    assert out[4]["n_paras"] == 0 and out[4]["n_kept"] == 0
+    import hashlib
+
+    assert out[4]["kept_fp"] == hashlib.md5(b"").hexdigest()
+    assert out[1]["kept_fp"] == hashlib.md5(b"only in one").hexdigest()
+    # a WITHIN-doc repeat is not a cross-doc duplicate: stays
+    df2 = spark.createDataFrame(
+        [(1, ["twice", "twice"]), (2, ["other"])],
+        "doc_id long, ps array<string>",
+    )
+    out2 = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(df2, F.col("ps")).collect()
+    }
+    assert out2[1]["n_kept"] == 2
+
+
+def test_word_blocks_unit(spark):
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark.functions.text import word_blocks
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "one two"),
+            (3, ""),
+            (4, None),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["b"]
+        for r in df.select("id", word_blocks(F.col("text"), 3).alias("b")).collect()
+    }
+    assert got[1] == ["a b c", "d e f", "g"]
+    assert got[2] == ["one two"]
+    assert got[3] == [] and got[4] == []
+
+
+def test_dup_spans_cross_doc_only(spark):
+    from variant_load_pipeline_spark.operators.dedup import dup_spans
+
+    df = spark.createDataFrame(
+        [
+            # docs 1/2 share the 5-gram "q w e r t"; doc 3 is disjoint
+            (1, "q w e r t y u"),
+            (2, "z q w e r t"),
+            (3, "alpha beta gamma delta epsilon zeta"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_spans(df, k=5).collect()}
+    assert out[1]["n_spans"] == 3 and out[1]["n_dup_spans"] == 1
+    assert out[2]["n_spans"] == 2 and out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] == 0
+    assert out[4]["n_spans"] == 0 and out[4]["dup_span_ratio"] == 0.0
+
+
+def test_gopher_rules_fire_individually(spark):
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark.functions.text import (
+        gopher_columns,
+        gopher_pass,
+    )
+
+    good = " ".join(
+        ["the", "be", "to", "of", "and", "that", "have", "with"]
+        + ["word"] * 50
+    )
+    rows = [
+        (1, good),  # passes everything
+        (2, "the be of " + "word " * 47),  # < 2 is wrong: has 3 stops, passes
+        (3, "word " * 60),  # no stopwords -> fail
+        (4, good + " ####### ### ####"),  # symbol ratio -> fail
+        (5, "xy " * 30),  # < 50 words -> fail
+        (6, good.replace("word", "supercalifragilistic")),  # mean len -> fail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    g = gopher_columns(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", g["n_words"].alias("nw"), gopher_pass(g).alias("p")
+        ).collect()
+    }
+    assert out[1]["p"] == "T"
+    assert out[2]["p"] == "T"
+    assert out[3]["p"] == "F"
+    assert out[4]["p"] == "F"
+    assert out[5]["p"] == "F"
+    assert out[6]["p"] == "F"

@@ -507,6 +507,101 @@ def bm25_scores(
     )
 
 
+# The Gopher rule-filter stop set [Rae et al. 2021, appendix A — public]:
+# a document must contain at least 2 of these to pass the stopword rule.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_columns(text: Column) -> dict[str, Column]:
+    """The Gopher composite quality-rule signals [Rae et al. 2021,
+    appendix A — public rules]: word count, mean word length,
+    symbol-to-word ratio ('#' and '...'), bullet/ellipsis line ratios,
+    alphabetic-word fraction, and required-stopword hits.  All JVM-side
+    column expressions; ratios rounded to 6 decimals so the flags (which
+    compare the ROUNDED values) replay identically in the SQL oracle."""
+    s = F.coalesce(text, F.lit(""))
+    w = words(s)
+    n_words = F.size(w)
+    nw_nz = F.when(n_words == 0, F.lit(1)).otherwise(n_words)
+    sum_len = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_hash = char_count(s, r"#")
+    # non-overlapping left-to-right '...' count — both regex engines
+    # consume greedily, so '....' counts once in each
+    n_ell = (
+        (F.length(s) - F.length(F.regexp_replace(s, r"\.\.\.", ""))) / 3
+    ).cast("int")
+    bp = boilerplate_columns(s)
+    alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    stop_hits: Column = F.lit(0)
+    for wd in GOPHER_STOPWORDS:
+        stop_hits = stop_hits + F.when(
+            word_occurrences(s, wd) > 0, F.lit(1)
+        ).otherwise(F.lit(0))
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(sum_len.cast("double") / nw_nz, 6),
+        "symbol_ratio": F.round((n_hash + n_ell).cast("double") / nw_nz, 6),
+        "bullet_line_ratio": bp["bullet_line_ratio"],
+        "ellipsis_line_ratio": bp["ellipsis_line_ratio"],
+        "alpha_word_ratio": F.round(alpha.cast("double") / nw_nz, 6),
+        "n_stop_hits": stop_hits,
+    }
+
+
+# Gopher thresholds (word-count window, mean-word-length window, max
+# symbol ratio, max bullet-line share, max ellipsis-line share, min
+# alphabetic-word fraction, min distinct stopword hits) — shared by the
+# Spark flag expression and the SQL oracle; edit together.
+GOPHER_LIMITS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "max_bullet_ratio": 0.9,
+    "max_ellipsis_ratio": 0.3,
+    "min_alpha_ratio": 0.8,
+    "min_stop_hits": 2,
+}
+
+
+def gopher_pass(g: dict[str, Column]) -> Column:
+    """'T'/'F' overall Gopher verdict from gopher_columns output — every
+    comparison is over the rounded signals, so both engines agree."""
+    L = GOPHER_LIMITS
+    ok = (
+        (g["n_words"] >= L["min_words"])
+        & (g["n_words"] <= L["max_words"])
+        & (g["mean_word_len"] >= L["min_mean_word_len"])
+        & (g["mean_word_len"] <= L["max_mean_word_len"])
+        & (g["symbol_ratio"] <= L["max_symbol_ratio"])
+        & (g["bullet_line_ratio"] < L["max_bullet_ratio"])
+        & (g["ellipsis_line_ratio"] < L["max_ellipsis_ratio"])
+        & (g["alpha_word_ratio"] >= L["min_alpha_ratio"])
+        & (g["n_stop_hits"] >= L["min_stop_hits"])
+    )
+    return F.when(ok, F.lit("T")).otherwise(F.lit("F"))
+
+
+def word_blocks(text: Column, k: int = 5) -> Column:
+    """Consecutive k-word blocks of the normalized text (last block may be
+    short) — the paragraph unit for corpora without newline structure.
+    Corpora WITH newlines should split on them instead (paragraph_dedup
+    takes the block array, not the raw text, so either unit plugs in).
+    Empty/NULL text -> empty array."""
+    w = F.split(normalize_text(F.coalesce(text, F.lit(""))), " ")
+    nb = F.ceil(F.size(w) / F.lit(float(k))).cast("int")
+    return F.when(
+        F.trim(F.coalesce(text, F.lit(""))) == "",
+        F.array().cast("array<string>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), nb - 1),
+            lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
+        )
+    )
+
+
 def word_ngrams(text: Column, k: int = 3) -> Column:
     """Raw (non-distinct, in-order) word k-gram array over normalized
     text — the repetition-signal counterpart of ``shingles`` (which

@@ -17,6 +17,7 @@ from ..functions.text import (
     shingle_hash,
     shingle_hash64,
     shingles,
+    word_ngrams,
 )
 
 # MinHash universal-hash parameters: h_i(x) = (a_i*(x mod P) + b_i) mod P.
@@ -643,3 +644,121 @@ def near_dup_pairs(
     return joined.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    blocks: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus paragraph-level deduplication [CCNet, Wenzek et al.
+    2020 — public]: any paragraph whose normalized fingerprint appears in
+    MORE THAN ONE document is removed from every document; survivors are
+    reassembled in original order.  ``blocks`` supplies the paragraph
+    array per row (newline paragraphs, or functions.text.word_blocks for
+    corpora without newline structure).
+
+    Output: (id, n_paras, n_kept, kept_fp) where kept_fp = md5 of the
+    kept paragraphs newline-joined (md5('') when nothing survives).
+
+    Scale: the only corpus-wide stage is a groupBy on the paragraph md5
+    (uniform 128-bit key — no skew); the duplicated-hash set is tiny
+    relative to the corpus (dup paragraphs are the point of removing
+    them), so it BROADCASTS into a left_anti join and the corpus-sized
+    side never shuffles on text.  Reassembly groups by the id — the
+    natural partitioning the next pipeline stage wants anyway.
+    """
+    base = df.select(F.col(id_col), blocks.alias("__ps"))
+    paras = base.select(
+        id_col, F.posexplode("__ps").alias("idx", "para")
+    ).withColumn("__h", F.md5(normalize_text(F.col("para"))))
+    dup = (
+        paras.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") > 1)
+        .select("__h")
+    )
+    kept = paras.join(F.broadcast(dup), "__h", "left_anti")
+    ka = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("idx", "para"))
+                    ),
+                    lambda x: x["para"],
+                ),
+                "\n",
+            )
+        ).alias("kept_fp"),
+    )
+    return (
+        base.select(id_col, F.size("__ps").alias("n_paras"))
+        .join(ka, id_col, "left")
+        .select(
+            id_col,
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            F.coalesce("kept_fp", F.md5(F.lit(""))).alias("kept_fp"),
+        )
+    )
+
+
+def dup_spans(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated k-gram spans — the scalable approximation
+    of exact-substring training-data dedup [Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — public]: a span (word
+    k-gram, distinct within its document) is duplicated when it occurs in
+    at least 2 documents.  Output per document: (id, n_spans,
+    n_dup_spans, dup_span_ratio).
+
+    Scale: grams are hashed to 64-bit immediately after the explode so
+    the corpus-frequency groupBy and the join back shuffle 8-byte keys,
+    never gram text; both stages key on a uniform hash — no skew.  The
+    suffix-array construction the paper uses is a single-node design;
+    hashed span counting is the standard distributed reformulation.
+    """
+    g = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), k))
+        ).alias("gram"),
+    ).select(id_col, shingle_hash64(F.col("gram")).alias("__h"))
+    freq = g.groupBy("__h").agg(
+        F.count_distinct(F.col(id_col)).alias("__nd")
+    )
+    per_doc = (
+        g.join(freq, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("__nd") > 1, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup_spans"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).cast("int").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0))
+            .cast("int")
+            .alias("n_dup_spans"),
+            F.round(
+                F.when(
+                    F.coalesce("n_spans", F.lit(0)) > 0,
+                    F.coalesce("n_dup_spans", F.lit(0)).cast("double")
+                    / F.col("n_spans"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_span_ratio"),
+        )
+    )

@@ -2250,5 +2250,6 @@ def c21_vcf_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Wave-4 registrations (must come last: shares this module registry)
+# Wave-4/5 registrations (must come last: shares this module registry)
 from . import queries_ext  # noqa: E402,F401
+from . import queries_corpus  # noqa: E402,F401

@@ -1,0 +1,439 @@
+"""Round-5 corpus-curation query wave: Gopher rule filtering, CCNet
+paragraph dedup, exact-substring span dedup, and hybrid (BM25 + dense)
+retrieval fusion — each a named public algorithm re-expressed Spark-first
+with a DuckDB oracle that replays it exactly.
+
+Registered into the shared queries registry (imported from .queries at
+the bottom of that module, same pattern as queries_ext).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .queries import (
+    _BM25_B,
+    _BM25_K1,
+    _BM25_TERMS,
+    _NORM_SQL,
+    load,
+    register,
+)
+from .functions.text import GOPHER_LIMITS, GOPHER_STOPWORDS
+
+# ---------------------------------------------------------------------------
+# Gopher composite rule filter [Rae et al. 2021 appendix A — public rules]
+# ---------------------------------------------------------------------------
+# Deterministic augmentation so every rule is exercised in both directions
+# on a corpus that natively lacks stopwords/symbols: docs at id%3==0 gain
+# the Gopher stop set (can pass), docs at id%11==0 gain symbol runs (trip
+# the symbol rule).  Mirrored verbatim in the oracle.
+_GOPHER_AUG_SQL = (
+    "COALESCE(text,'')"
+    " || CASE WHEN doc_id % 3 = 0"
+    " THEN ' the be to of and that have with' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0"
+    " THEN ' #### ... ... ...' ELSE '' END"
+)
+_GW_SQL = (
+    "CASE WHEN trim(regexp_replace(lower(s), '[^a-z0-9]+', ' ', 'g')) = ''"
+    " THEN [] ELSE string_split(trim(regexp_replace(lower(s),"
+    " '[^a-z0-9]+', ' ', 'g')), ' ') END"
+)
+_G_STOP_SQL = " + ".join(
+    f"CASE WHEN len(list_filter(w, x -> x = '{wd}')) > 0 THEN 1 ELSE 0 END"
+    for wd in GOPHER_STOPWORDS
+)
+_GL = GOPHER_LIMITS
+
+
+@register(
+    "gopher_quality_filter",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_GOPHER_AUG_SQL} AS s FROM documents
+    ),
+    t AS (SELECT doc_id, s, {_GW_SQL} AS w FROM d),
+    m AS (
+        SELECT doc_id, s, w, len(w) AS n_words,
+               CASE WHEN len(w) = 0 THEN 1 ELSE len(w) END AS nw_nz,
+               list_filter(string_split(s, chr(10)), x -> trim(x) <> '')
+                   AS lines
+        FROM t
+    ),
+    m2 AS (
+        SELECT doc_id, n_words,
+            CAST(ROUND(COALESCE(list_sum(list_transform(w,
+                x -> length(x))), 0)::DOUBLE / nw_nz, 6) AS DOUBLE)
+                AS mean_word_len,
+            CAST(ROUND((
+                (length(s) - length(replace(s, '#', '')))
+                + CAST((length(s) - length(regexp_replace(s,
+                      '\\.\\.\\.', '', 'g'))) / 3 AS INT)
+                )::DOUBLE / nw_nz, 6) AS DOUBLE) AS symbol_ratio,
+            CAST(ROUND(len(list_filter(lines,
+                x -> regexp_matches(trim(x), '^[-*•]')))::DOUBLE
+                / (CASE WHEN len(lines) = 0 THEN 1 ELSE len(lines) END),
+                6) AS DOUBLE) AS bullet_line_ratio,
+            CAST(ROUND(len(list_filter(lines,
+                x -> regexp_matches(trim(x), '\\.\\.\\.$')))::DOUBLE
+                / (CASE WHEN len(lines) = 0 THEN 1 ELSE len(lines) END),
+                6) AS DOUBLE) AS ellipsis_line_ratio,
+            CAST(ROUND(len(list_filter(w,
+                x -> regexp_matches(x, '[a-z]')))::DOUBLE / nw_nz, 6)
+                AS DOUBLE) AS alpha_word_ratio,
+            CAST({_G_STOP_SQL} AS INT) AS n_stop_hits
+        FROM m
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_words AS INT) AS n_words,
+           mean_word_len, symbol_ratio, bullet_line_ratio,
+           ellipsis_line_ratio, alpha_word_ratio, n_stop_hits,
+           CASE WHEN n_words >= {_GL["min_words"]}
+                 AND n_words <= {_GL["max_words"]}
+                 AND mean_word_len >= {_GL["min_mean_word_len"]}
+                 AND mean_word_len <= {_GL["max_mean_word_len"]}
+                 AND symbol_ratio <= {_GL["max_symbol_ratio"]}
+                 AND bullet_line_ratio < {_GL["max_bullet_ratio"]}
+                 AND ellipsis_line_ratio < {_GL["max_ellipsis_ratio"]}
+                 AND alpha_word_ratio >= {_GL["min_alpha_ratio"]}
+                 AND n_stop_hits >= {_GL["min_stop_hits"]}
+                THEN 'T' ELSE 'F' END AS pass
+    FROM m2
+    """,
+    doc="Gopher composite quality-rule filter [Rae et al. 2021 appendix "
+    "A]: word-count window, mean word length, symbol-to-word ratio, "
+    "bullet/ellipsis line shares, alphabetic-word fraction, required-"
+    "stopword hits, and the overall pass verdict.  All signals are one "
+    "scan of JVM column expressions; flags compare ROUNDED signals so "
+    "the oracle replays every rule decision bit-identically.  Docs gain "
+    "deterministic stopword/symbol augmentation so both verdicts and "
+    "every individual rule fire on this corpus",
+)
+def gopher_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import gopher_columns, gopher_pass
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(" the be to of and that have with"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" #### ... ... ...")
+            ).otherwise(F.lit("")),
+        ).alias("s"),
+    )
+    g = gopher_columns(F.col("s"))
+    return d.select(
+        "doc_id",
+        g["n_words"].cast("int").alias("n_words"),
+        g["mean_word_len"].alias("mean_word_len"),
+        g["symbol_ratio"].alias("symbol_ratio"),
+        g["bullet_line_ratio"].alias("bullet_line_ratio"),
+        g["ellipsis_line_ratio"].alias("ellipsis_line_ratio"),
+        g["alpha_word_ratio"].alias("alpha_word_ratio"),
+        g["n_stop_hits"].cast("int").alias("n_stop_hits"),
+        gopher_pass(g).alias("pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet paragraph dedup [Wenzek et al. 2020 — public]
+# ---------------------------------------------------------------------------
+_PARA_K = 5
+# paragraph unit: consecutive 5-word blocks of the normalized text (the
+# corpus has no newline structure; word_blocks stands in for newline
+# paragraphs — the operator takes the block array, so either unit plugs in)
+_PARA_BLOCKS_SQL = f"""
+    t AS (
+        SELECT doc_id,
+               CASE WHEN trim(COALESCE(text, '')) = '' THEN []
+                    ELSE string_split({_NORM_SQL}, ' ') END AS w
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, w,
+               unnest(range(0, CAST(ceil(len(w) / {_PARA_K}.0) AS BIGINT)))
+                   AS idx
+        FROM t
+    ),
+    p AS (
+        SELECT doc_id, idx,
+               array_to_string(
+                   w[idx*{_PARA_K}+1 : idx*{_PARA_K}+{_PARA_K}], ' ')
+                   AS para
+        FROM b
+    )
+"""
+
+
+@register(
+    "paragraph_dedup",
+    f"""
+    WITH {_PARA_BLOCKS_SQL},
+    dup AS (
+        SELECT md5(para) AS h FROM p
+        GROUP BY md5(para) HAVING count(DISTINCT doc_id) > 1
+    ),
+    kept AS (
+        SELECT doc_id, idx, para FROM p
+        WHERE md5(para) NOT IN (SELECT h FROM dup)
+    ),
+    ka AS (
+        SELECT doc_id, count(*) AS n_kept,
+               md5(string_agg(para, chr(10) ORDER BY idx)) AS kept_fp
+        FROM kept GROUP BY doc_id
+    )
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(CAST(ceil(len(t.w) / {_PARA_K}.0) AS BIGINT) AS INT)
+               AS n_paras,
+           CAST(COALESCE(ka.n_kept, 0) AS INT) AS n_kept,
+           COALESCE(ka.kept_fp, md5('')) AS kept_fp
+    FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id
+    """,
+    doc="CCNet-style cross-corpus paragraph deduplication [Wenzek et al. "
+    "2020]: any paragraph occurring in more than one document is removed "
+    "from all of them; survivors reassemble in original order (gated via "
+    "md5 of the newline-joined survivor text).  The duplicated-hash set "
+    "broadcasts into a left_anti join, so the corpus-sized side never "
+    "shuffles text; the only corpus-wide shuffle keys on the uniform "
+    "paragraph md5",
+)
+def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import word_blocks
+    from .operators.dedup import paragraph_dedup
+
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return paragraph_dedup(d, word_blocks(F.col("text"), _PARA_K)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_paras").cast("int").alias("n_paras"),
+        "n_kept",
+        "kept_fp",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup approximation [Lee et al. 2022 — public]
+# ---------------------------------------------------------------------------
+_SPAN_K = 5
+# 64-bit portable gram hash (functions.text.shingle_hash64 twin); the
+# HUGEINT dance wraps DuckDB's unsigned build into Spark's signed long
+_SPAN_H64_SQL = """CAST(
+    CAST(('0x'||substr(md5(gram),9,8))::BIGINT AS HUGEINT) * 4294967296
+    + ('0x'||substr(md5(gram),1,8))::BIGINT
+    - CASE WHEN ('0x'||substr(md5(gram),9,8))::BIGINT >= 2147483648
+           THEN CAST('18446744073709551616' AS HUGEINT)
+           ELSE CAST(0 AS HUGEINT) END
+    AS BIGINT)"""
+
+
+@register(
+    "dup_span_detect",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(w) >= {_SPAN_K} THEN
+                   list_distinct(list_transform(
+                       range(0, len(w) - {_SPAN_K - 1}),
+                       i -> array_to_string(w[i+1:i+{_SPAN_K}], ' ')))
+               ELSE [] END) AS gram
+        FROM t
+    ),
+    hh AS (SELECT doc_id, {_SPAN_H64_SQL} AS h FROM g),
+    f AS (SELECT h, count(DISTINCT doc_id) AS nd FROM hh GROUP BY h),
+    pd AS (
+        SELECT hh.doc_id, count(*) AS n_spans,
+               SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS n_dup_spans
+        FROM hh JOIN f ON hh.h = f.h
+        GROUP BY hh.doc_id
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(pd.n_spans, 0) AS INT) AS n_spans,
+           CAST(COALESCE(pd.n_dup_spans, 0) AS INT) AS n_dup_spans,
+           CAST(ROUND(CASE WHEN COALESCE(pd.n_spans, 0) > 0
+                THEN COALESCE(pd.n_dup_spans, 0)::DOUBLE / pd.n_spans
+                ELSE 0.0 END, 6) AS DOUBLE) AS dup_span_ratio
+    FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+    """,
+    doc="Cross-document duplicated span detection — the distributed "
+    "reformulation of exact-substring training-data dedup [Lee et al. "
+    "2022]: word 5-gram spans (distinct within a document) occurring in "
+    ">= 2 documents are flagged, with per-document counts and the "
+    "duplicated fraction.  Grams hash to 64-bit immediately after the "
+    "explode, so the frequency groupBy and the join back shuffle 8-byte "
+    "uniform keys, never gram text; the oracle replays the gram walk, "
+    "the signed-64 hash, and both aggregations",
+)
+def dup_span_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dup_spans
+
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return dup_spans(d, k=_SPAN_K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_spans",
+        "n_dup_spans",
+        "dup_span_ratio",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + dense cosine fused by Reciprocal Rank Fusion
+# [Cormack, Clarke & Büttcher SIGIR'09 — public]
+# ---------------------------------------------------------------------------
+_RRF_K = 60  # the standard RRF damping constant
+_RRF_TOPN = 20  # per-system candidate list depth
+_RRF_OUT = 10
+
+
+@register(
+    "rrf_hybrid_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents
+    ),
+    t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM t
+        WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+        GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+    per_term AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                   ln(1.0 + (s.n_docs - d.dft + 0.5) / (d.dft + 0.5))
+                   * (tf.tf * ({_BM25_K1} + 1.0))
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * dl.dl
+                        / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                   * 1e6 + 0.5) AS BIGINT) AS micro
+        FROM tf
+        JOIN dft d ON tf.term = d.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats s
+    ),
+    scored AS (
+        SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS bm25_micro
+        FROM per_term GROUP BY doc_id
+    ),
+    s20 AS (
+        SELECT doc_id AS id, rk FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY bm25_micro DESC, doc_id) AS rk
+            FROM scored
+        ) WHERE rk <= {_RRF_TOPN}
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dsims AS (
+        SELECT e.vec_id AS id,
+               ROUND(list_cosine_similarity(q.qv, e.embedding)::DOUBLE, 6)
+                   AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+    ),
+    d20 AS (
+        SELECT id, rk FROM (
+            SELECT id, ROW_NUMBER() OVER (ORDER BY sim DESC, id) AS rk
+            FROM dsims
+        ) WHERE rk <= {_RRF_TOPN}
+    ),
+    fused AS (
+        SELECT COALESCE(s.id, d.id) AS id,
+               COALESCE(CAST(floor(1000000.0 / ({_RRF_K} + s.rk))
+                        AS BIGINT), 0)
+               + COALESCE(CAST(floor(1000000.0 / ({_RRF_K} + d.rk))
+                          AS BIGINT), 0) AS rrf_micro
+        FROM s20 s FULL OUTER JOIN d20 d ON s.id = d.id
+    )
+    SELECT CAST(id AS BIGINT) AS id, rrf_micro, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT id, rrf_micro,
+               ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, id) AS rk
+        FROM fused
+    ) WHERE rk <= {_RRF_OUT}
+    """,
+    doc="Hybrid sparse+dense retrieval fused by Reciprocal Rank Fusion "
+    "[Cormack et al. SIGIR'09]: BM25 top-20 over the text corpus and "
+    "cosine top-20 over the parallel embedding column (same id space — "
+    "the RAG dual-index shape) full-outer-joined on id, score = sum of "
+    "floor(1e6/(60+rank)) per system — integer micro-units, so the fused "
+    "ordering is exact in both engines.  Per-system lists are bounded "
+    "(top-20 via per-partition heaps), so the fusion join is a "
+    "constant-size broadcast at any corpus scale",
+)
+def rrf_hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import bm25_scores
+    from .operators.similarity import dot
+
+    d = load(spark, sf_dir, "documents")
+    scored = bm25_scores(d, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
+    s_top = scored.orderBy(F.col("bm25_micro").desc(), F.col("doc_id")).limit(
+        _RRF_TOPN
+    )
+    wz = lambda c: W.partitionBy(F.col(c) * F.lit(0)).orderBy(
+        F.col(c).desc(), F.col("id")
+    )
+    s20 = (
+        s_top.select(F.col("doc_id").alias("id"), "bm25_micro")
+        .withColumn("rk", F.row_number().over(wz("bm25_micro")))
+        .select("id", F.col("rk").alias("srk"))
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), nrm.alias("qn")
+    )
+    dsims = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(
+                dot(F.col("qv"), F.col("embedding"))
+                / (F.col("qn") * nrm),
+                6,
+            ).alias("sim"),
+        )
+    )
+    d_top = dsims.orderBy(F.col("sim").desc(), F.col("id")).limit(_RRF_TOPN)
+    d20 = (
+        d_top.withColumn("rk", F.row_number().over(wz("sim")))
+        .select("id", F.col("rk").alias("drk"))
+    )
+
+    rrf = lambda rk: F.coalesce(
+        F.floor(F.lit(1000000.0) / (F.lit(_RRF_K) + F.col(rk))).cast(
+            "long"
+        ),
+        F.lit(0),
+    )
+    fused = (
+        s20.join(d20, "id", "full_outer")
+        .select("id", (rrf("srk") + rrf("drk")).alias("rrf_micro"))
+        .orderBy(F.col("rrf_micro").desc(), F.col("id"))
+        .limit(_RRF_OUT)
+    )
+    wf = W.partitionBy(F.col("rrf_micro") * F.lit(0)).orderBy(
+        F.col("rrf_micro").desc(), F.col("id")
+    )
+    return fused.withColumn("rk", F.row_number().over(wf)).select(
+        F.col("id").cast("long").alias("id"),
+        "rrf_micro",
+        F.col("rk").cast("long").alias("rk"),
+    )
