@@ -968,3 +968,61 @@ def test_gopher_rules_fire_individually(spark):
     assert out[4]["p"] == "F"
     assert out[5]["p"] == "F"
     assert out[6]["p"] == "F"
+
+
+def test_kmeans_deterministic_and_tiebreak(spark):
+    from variant_load_pipeline_spark.operators.clustering import (
+        assign_clusters,
+        int_vectors,
+        kmeans_fit_assign,
+    )
+    from pyspark.sql import functions as F
+
+    # two obvious blobs around (0,0) and (10,10)
+    rows = [
+        (0, [0.1, 0.2]), (1, [0.0, -0.1]), (2, [0.2, 0.0]),
+        (3, [10.0, 10.1]), (4, [9.9, 10.0]), (5, [10.2, 9.8]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_fit_assign(df, k=2, iters=2)
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
+    assert got[0] != got[3]
+    # repartitioning must not change the fit (determinism)
+    out2 = kmeans_fit_assign(df.repartition(5), k=2, iters=2)
+    assert {r["vec_id"]: r["cluster"] for r in out2.collect()} == got
+    # identical centroids -> the SMALLEST cluster id wins the tie
+    q = df.select("vec_id", int_vectors(F.col("embedding")).alias("qv"))
+    tied = assign_clusters(q, [(3, [0, 0]), (7, [0, 0])])
+    assert {r["cluster"] for r in tied.collect()} == {3}
+
+
+def test_semdedup_pairs_within_cluster_only(spark):
+    from variant_load_pipeline_spark.operators.clustering import (
+        kmeans_fit_assign,
+        semdedup_pairs,
+    )
+
+    # near-dup pair inside blob A; a cross-blob pair that would pass the
+    # threshold cannot exist (blobs are orthogonal-ish), and a planted
+    # high-cos pair split across blobs must NOT be emitted
+    rows = [
+        (0, [1.0, 0.0, 0.0]), (1, [0.99, 0.01, 0.0]),   # blob A near-dup
+        (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.99, 0.01]),   # blob B near-dup
+        (4, [0.7, 0.7, 0.0]),                            # between blobs
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = kmeans_fit_assign(df, k=2, iters=2)
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in semdedup_pairs(
+            assigned, threshold=0.9
+        ).collect()
+    }
+    assert (0, 1) in pairs and (2, 3) in pairs
+    # vec 4 has cos ~0.7 to everything -> below threshold, never paired
+    assert all(4 not in p for p in pairs)
+    # cross-cluster pairs are structurally excluded
+    cl = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    for a, b in pairs:
+        assert cl[a] == cl[b]

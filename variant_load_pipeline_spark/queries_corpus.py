@@ -437,3 +437,152 @@ def rrf_hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rrf_micro",
         F.col("rk").cast("long").alias("rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic integer k-means + SemDeDup [Abbas et al. 2023 — public]
+# ---------------------------------------------------------------------------
+_KM_K = 8
+_KM_ITERS = 2
+_KM_DIM = 64
+_KM_SCALE = 1000
+
+
+def _km_assign_sql(c_tbl: str) -> str:
+    return f"""
+    (SELECT vec_id, cl AS cluster, d2 FROM (
+        SELECT le.vec_id, c.cl,
+               SUM((le.val - c.cv)*(le.val - c.cv)) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY le.vec_id
+                   ORDER BY SUM((le.val - c.cv)*(le.val - c.cv)), c.cl)
+                   AS rn
+        FROM le JOIN {c_tbl} c ON le.dim = c.dim
+        GROUP BY le.vec_id, c.cl
+    ) WHERE rn = 1)"""
+
+
+def _km_chain_sql() -> str:
+    """The k-means CTE chain: le (long-form quantized vectors), seeds,
+    c0, then ITERS x (assign, update), then the final assignment aF.
+    The oracle's long form and Spark's dense form compute the identical
+    exact-integer fit."""
+    parts = [
+        f"""le AS (
+        SELECT vec_id, dim,
+               CAST(floor(CAST(embedding[dim+1] AS DOUBLE)*{_KM_SCALE})
+                    AS BIGINT) AS val
+        FROM (SELECT vec_id, unnest(range(0, {_KM_DIM})) AS dim, embedding
+              FROM embeddings)
+    )""",
+        f"""seeds AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
+        FROM embeddings ORDER BY vec_id LIMIT {_KM_K}
+    )""",
+        """c0 AS (SELECT s.cl, l.dim, l.val AS cv
+              FROM seeds s JOIN le l ON l.vec_id = s.vec_id)""",
+    ]
+    for i in range(_KM_ITERS):
+        parts.append(f"a{i+1} AS {_km_assign_sql(f'c{i}')}")
+        parts.append(
+            f"""c{i+1} AS (
+        SELECT a{i+1}.cluster AS cl, l.dim,
+               CAST(floor(SUM(l.val)::DOUBLE / COUNT(*)) AS BIGINT) AS cv
+        FROM a{i+1} JOIN le l ON l.vec_id = a{i+1}.vec_id
+        GROUP BY a{i+1}.cluster, l.dim
+    )"""
+        )
+    parts.append(f"aF AS {_km_assign_sql(f'c{_KM_ITERS}')}")
+    return ",\n".join(parts)
+
+
+@register(
+    "kmeans_embeddings",
+    f"""
+    WITH {_km_chain_sql()}
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(cluster AS INT) AS cluster,
+           CAST(d2 AS BIGINT) AS dist_sq
+    FROM aF
+    """,
+    doc=f"Deterministic Lloyd's k-means (k={_KM_K}, {_KM_ITERS} centroid "
+    "updates) over integer-quantized embeddings: seeds = the k smallest "
+    "ids, exact BIGINT distances, floor-of-mean centroid updates, ties "
+    "to the smallest cluster id — the whole fit is bit-reproducible, so "
+    "the oracle replays assignment/update/assignment CTE-by-CTE and "
+    "gates every vector's final cluster and distance.  Spark side is "
+    "dense (centroids ride the plan as literals, one JVM fold per "
+    "centroid); the oracle is long-form — same arithmetic",
+)
+def kmeans_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import kmeans_fit_assign
+
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = kmeans_fit_assign(
+        e, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("dist_sq").cast("long").alias("dist_sq"),
+    )
+
+
+_SEMDEDUP_T = 0.3
+
+
+@register(
+    "semdedup_pairs",
+    f"""
+    WITH {_km_chain_sql()},
+    qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)*{_KM_SCALE})
+                             AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    m AS (
+        SELECT a.vec_id, a.cluster, q.v,
+               list_dot_product(q.v, q.v) AS nn
+        FROM aF a JOIN qv q ON q.vec_id = a.vec_id
+    ),
+    pairs AS (
+        SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (sqrt(a.nn) * sqrt(b.nn)), 6) AS sim
+        FROM m a JOIN m b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    )
+    SELECT CAST(cluster AS INT) AS cluster,
+           CAST(id_a AS BIGINT) AS id_a,
+           CAST(id_b AS BIGINT) AS id_b,
+           CAST(sim AS DOUBLE) AS sim
+    FROM pairs WHERE sim >= {_SEMDEDUP_T}
+    """,
+    doc="SemDeDup [Abbas et al. 2023]: semantic near-duplicate pairs "
+    "found ONLY within a k-means cluster — candidate generation is an "
+    "equi-join on the cluster id, so the clustering (not a global "
+    "O(n^2) cross join) bounds the pair space; cross-cluster near-dups "
+    "are missed by design (the documented recall trade; at sf0.01 this "
+    "keeps 337 of 990 global pairs at sim>=0.3 while the one planted "
+    ">=0.5 pair IS captured).  Dot products and norms over the integer "
+    "milli-unit vectors are exact longs, so only the final "
+    "divide/sqrt/round is float and the oracle replays ranking exactly",
+)
+def semdedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import kmeans_fit_assign, semdedup_pairs
+
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    assigned = kmeans_fit_assign(
+        e, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE
+    )
+    return semdedup_pairs(assigned, threshold=_SEMDEDUP_T).select(
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("sim").cast("double").alias("sim"),
+    )
