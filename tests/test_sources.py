@@ -272,3 +272,49 @@ def test_cf2_gzip_transparent(spark, tmp_path):
     a = cf2_src.read_cf2(spark, str(plain)).collect()
     b = cf2_src.read_cf2(spark, str(gz)).collect()
     assert a == b and len(a) == 1
+
+
+def test_tar_shard_scan_and_sample_grouping(spark, tmp_path):
+    import io
+    import tarfile
+
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark.sources.tarshard import (
+        group_samples,
+        read_tar_shards,
+    )
+
+    def add(tf, name, data):
+        info = tarfile.TarInfo(name=name)
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+
+    p1 = str(tmp_path / "w-0.tar")
+    with tarfile.open(p1, "w") as tf:
+        d = tarfile.TarInfo(name="subdir/")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)  # dir entry: skipped
+        add(tf, "007.txt", b"hello world")
+        add(tf, "007.seg.png", b"\x89PNGfake")  # multi-dot extension
+        add(tf, "008.txt", b"")
+    # a gzip-compressed shard must read transparently (tarfile auto-detect)
+    p2 = str(tmp_path / "w-1.tar.gz")
+    with tarfile.open(p2, "w:gz") as tf:
+        add(tf, "009.txt", b"third shard doc")
+        add(tf, "009.cls", b"3")
+
+    m = read_tar_shards(spark, str(tmp_path / "w-*")).collect()
+    got = {(r["shard"], r["member"]): (r["size"], bytes(r["payload"])) for r in m}
+    assert got[("w-0.tar", "007.txt")] == (11, b"hello world")
+    assert got[("w-0.tar", "008.txt")] == (0, b"")
+    assert got[("w-1.tar.gz", "009.cls")] == (1, b"3")
+    assert len(got) == 5  # dir entry dropped
+
+    s = group_samples(read_tar_shards(spark, str(tmp_path / "w-*")))
+    rows = {r["key"]: r for r in s.collect()}
+    assert rows["007"]["n_parts"] == 2
+    assert bytes(rows["007"]["parts"]["seg.png"]) == b"\x89PNGfake"
+    assert rows["009"]["n_parts"] == 2
+    assert bytes(rows["009"]["parts"]["txt"]) == b"third shard doc"
+    assert rows["008"]["n_parts"] == 1

@@ -586,3 +586,83 @@ def semdedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         F.col("sim").cast("double").alias("sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style tar shard scan (multimodal container format)
+# ---------------------------------------------------------------------------
+_TAR_SHARDS = 4
+_TAR_CAP = 20_000  # fixture-writer bound, same convention as queries_ext
+
+
+@register(
+    "mm_tar_shard_samples",
+    """
+    WITH d AS (
+        SELECT doc_id, COALESCE(text, '') AS t FROM documents
+        ORDER BY doc_id LIMIT 20000
+    )
+    SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+           CAST(2 AS INT) AS n_parts,
+           CAST(doc_id % 4 AS INT) AS shard_idx,
+           md5(t) AS txt_md5,
+           CAST(doc_id % 7 AS INT) AS cls,
+           CAST(octet_length(encode(t)) AS INT) AS txt_len
+    FROM d
+    """,
+    doc="WebDataset-style tar shard round trip, end-to-end: documents "
+    "are packed into 4 real .tar shards (two members per sample: "
+    "<key>.txt payload + <key>.cls label, the WebDataset convention), "
+    "re-read through binaryFile + the mapInPandas ustar parser, grouped "
+    "into samples on the basename key, and gated on per-sample member "
+    "count, payload md5, parsed label, and byte length.  Parallelism = "
+    "shard count (each shard is one task), the WebDataset model",
+)
+def mm_tar_shard_samples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tarfile
+
+    from .queries_ext import _scan_path
+    from .sources.tarshard import group_samples, read_tar_shards
+
+    rows = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("t"))
+        .orderBy("doc_id")
+        .limit(_TAR_CAP)
+        .collect()
+    )
+    paths = [
+        _scan_path(sf_dir, f"shard-{i}.tar") for i in range(_TAR_SHARDS)
+    ]
+    tars = [tarfile.open(p, "w") for p in paths]
+    try:
+        for r in rows:
+            key = f"{r['doc_id']:08d}"
+            tf = tars[r["doc_id"] % _TAR_SHARDS]
+            for ext, data in (
+                ("txt", r["t"].encode("utf-8")),
+                ("cls", str(r["doc_id"] % 7).encode("ascii")),
+            ):
+                info = tarfile.TarInfo(name=f"{key}.{ext}")
+                info.size = len(data)
+                info.mtime = 0
+                import io
+
+                tf.addfile(info, io.BytesIO(data))
+    finally:
+        for tf in tars:
+            tf.close()
+
+    glob = _scan_path(sf_dir, "shard-*.tar")
+    members = read_tar_shards(spark, glob)
+    samples = group_samples(members)
+    return samples.select(
+        "key",
+        "n_parts",
+        F.regexp_extract(F.col("shard"), r"shard-(\d+)\.tar", 1)
+        .cast("int")
+        .alias("shard_idx"),
+        F.md5(F.col("parts")["txt"]).alias("txt_md5"),
+        F.col("parts")["cls"].cast("string").cast("int").alias("cls"),
+        F.length(F.col("parts")["txt"]).cast("int").alias("txt_len"),
+    )
