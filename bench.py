@@ -74,6 +74,14 @@ HEADLINE_V2 = [
     "sequence_packing",
     "emb_hashing_topk",
     "mm_jpeg_decode",
+    "gopher_quality_filter",
+    "paragraph_dedup",
+    "dup_span_detect",
+    "rrf_hybrid_topk",
+    "kmeans_embeddings",
+    "semdedup_pairs",
+    "mm_tar_shard_samples",
+    "bm25_topk",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -88,6 +96,9 @@ EAGER_CONSTRUCT = {
     "near_dup_components",
     "near_dup_components_star",
     "corpus_dedup_keeplist",
+    # the k-means fit loop (assign/update collects) runs at construction
+    "kmeans_embeddings",
+    "semdedup_pairs",
 }
 
 

@@ -293,3 +293,36 @@ def test_chromosome_skew_does_not_concentrate_partitions(spark):
     # chromosome-keyed shuffling would give max share ~0.9; binning keeps
     # the hot chromosome spread across its ~1000 position bins
     assert max(counts) / total < 0.25, (max(counts), total, len(counts))
+
+
+def test_paragraph_dedup_antijoin_is_broadcast(spark):
+    # the duplicated-hash set must broadcast into the anti join; the
+    # corpus-sized side never shuffles on paragraph text
+    plan = plan_of(spark, "paragraph_dedup")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_span_and_gopher_stay_jvm_side(spark):
+    for name in ("dup_span_detect", "gopher_quality_filter"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    # the rule filter is a pure per-row projection: one scan, no shuffle
+    assert "Exchange" not in plan_of(spark, "gopher_quality_filter")
+
+
+def test_semdedup_candidates_are_cluster_equi_join(spark):
+    # SemDeDup's whole point: clustering bounds the pair space, so the
+    # pair join must be a hash equi join on the cluster id — never a
+    # cross join over the corpus
+    plan = plan_of(spark, "semdedup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rrf_fusion_lists_are_take_ordered(spark):
+    # per-system candidate lists must come from per-partition heaps
+    # (TakeOrderedAndProject), not a global sort of the corpus
+    plan = plan_of(spark, "rrf_hybrid_topk")
+    assert "TakeOrderedAndProject" in plan

@@ -423,19 +423,31 @@ def rrf_hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     )
-    fused = (
-        s20.join(d20, "id", "full_outer")
-        .select("id", (rrf("srk") + rrf("drk")).alias("rrf_micro"))
-        .orderBy(F.col("rrf_micro").desc(), F.col("id"))
-        .limit(_RRF_OUT)
+    # fused is bounded by 2*TOPN rows by construction, so the final rank
+    # comes from a broadcast theta self-join (count of rows ordering
+    # before me), not a window: rrf_micro is non-nullable here, so the
+    # `col * 0` partition key would constant-fold into the partition-less
+    # global window the plan audit forbids
+    fused = s20.join(d20, "id", "full_outer").select(
+        "id", (rrf("srk") + rrf("drk")).alias("rrf_micro")
     )
-    wf = W.partitionBy(F.col("rrf_micro") * F.lit(0)).orderBy(
-        F.col("rrf_micro").desc(), F.col("id")
+    other = fused.select(
+        F.col("id").alias("o_id"), F.col("rrf_micro").alias("o_micro")
     )
-    return fused.withColumn("rk", F.row_number().over(wf)).select(
-        F.col("id").cast("long").alias("id"),
-        "rrf_micro",
-        F.col("rk").cast("long").alias("rk"),
+    ahead = (F.col("o_micro") > F.col("rrf_micro")) | (
+        (F.col("o_micro") == F.col("rrf_micro"))
+        & (F.col("o_id") < F.col("id"))
+    )
+    return (
+        fused.join(F.broadcast(other), ahead, "left")
+        .groupBy("id", "rrf_micro")
+        .agg((F.count("o_id") + 1).alias("rk"))
+        .filter(F.col("rk") <= _RRF_OUT)
+        .select(
+            F.col("id").cast("long").alias("id"),
+            "rrf_micro",
+            F.col("rk").cast("long").alias("rk"),
+        )
     )
 
 
