@@ -82,6 +82,8 @@ HEADLINE_V2 = [
     "semdedup_pairs",
     "mm_tar_shard_samples",
     "bm25_topk",
+    "source_mixing_sample",
+    "unigram_surprisal",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

@@ -1026,3 +1026,55 @@ def test_semdedup_pairs_within_cluster_only(spark):
     cl = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
     for a, b in pairs:
         assert cl[a] == cl[b]
+
+
+def test_temperature_mixing_rates_and_determinism(spark):
+    from variant_load_pipeline_spark.operators.sampling import (
+        temperature_mixing_sample,
+    )
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixing_sample(
+        df, stratum_col="source", key_col="doc_id", target_frac=0.5,
+        alpha=0.5, salt="t",
+    )
+    got = {(r["doc_id"]): (r["keep_prob"], r["keep"]) for r in out.collect()}
+    import math
+
+    z = math.sqrt(90) + math.sqrt(10)
+    # alpha=0.5 up-weights the small source to a full-keep rate (capped)
+    assert got[95][0] == 1.0
+    assert got[0][0] == round(0.5 * 100 * (math.sqrt(90) / z) / 90, 6)
+    assert all(v[1] == "T" for k, v in got.items() if k >= 90)
+    # hash-Bernoulli: identical verdicts under a different partitioning
+    out2 = temperature_mixing_sample(
+        df.repartition(7), stratum_col="source", key_col="doc_id",
+        target_frac=0.5, alpha=0.5, salt="t",
+    )
+    assert {
+        r["doc_id"]: (r["keep_prob"], r["keep"]) for r in out2.collect()
+    } == got
+
+
+def test_unigram_surprisal_ranks_rare_above_common(spark):
+    from variant_load_pipeline_spark.functions.text import unigram_surprisal
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common rare"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+    # corpus: common x5, rare x1 -> N=6, V=2
+    import math
+
+    m = lambda p: math.floor(-math.log(p) * 1e6 + 0.5)
+    mc, mr = m(6 / 8), m(2 / 8)
+    assert out[1]["surprisal_micro"] == 4 * mc
+    assert out[2]["surprisal_micro"] == mc + mr
+    assert out[2]["mean_surprisal"] > out[1]["mean_surprisal"]
+    assert 3 not in out  # empty doc has no tokens, no score

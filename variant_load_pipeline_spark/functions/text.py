@@ -614,3 +614,69 @@ def word_ngrams(text: Column, k: int = 3) -> Column:
             lambda i: F.array_join(F.slice(w, i + 1, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def unigram_surprisal(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Unigram language-model surprisal per document — the model-free
+    stand-in for the LM-perplexity quality filter of CCNet [Wenzek et al.
+    2020 — public technique]: train an add-1-smoothed unigram LM on the
+    corpus itself, score every document by total/mean token surprisal
+    -ln p(w), p(w) = (c_w + 1)/(N + V).  Outlier-high mean surprisal =
+    gibberish/rare-token soup; outlier-low = boilerplate loops.
+
+    Float determinism: per-TERM surprisal is rounded to integer
+    micro-nats (floor(x·1e6 + 0.5)) before the per-document sum, so the
+    document score is an exact BIGINT sum — identical in any summation
+    order, hence replayable in the SQL oracle (the bm25_scores idiom).
+
+    Plan shape: one tokenize feeds both the vocabulary counts and the
+    per-(doc, term) tf table; corpus constants (N, V) are a 1-row
+    broadcast; the tf-vocab join keys on the term — a shuffle whose skew
+    (stopwords) is AQE's standard case, and at trillion-token scale the
+    vocabulary is exactly what CAN'T broadcast, so the shuffle join is
+    the honest plan.
+
+    Output: (id, n_tokens, surprisal_micro, mean_surprisal).
+    """
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cw"))
+    consts = vocab.agg(
+        F.sum("cw").alias("nn"), F.count(F.lit(1)).alias("vv")
+    )
+    term_micro = F.floor(
+        -F.log((F.col("cw") + 1.0) / (F.col("nn") + F.col("vv")))
+        * 1e6
+        + 0.5
+    ).cast("long")
+    scored = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(consts))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * term_micro).alias("surprisal_micro"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "surprisal_micro",
+        F.round(
+            F.col("surprisal_micro").cast("double")
+            / F.col("n_tokens")
+            / 1e6,
+            6,
+        ).alias("mean_surprisal"),
+    )

@@ -71,3 +71,67 @@ def stratified_sample(
         .filter(F.col("__rk") <= per_stratum)
         .drop("__rk")
     )
+
+
+def temperature_mixing_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    target_frac: float = 0.5,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based source mixing [the multilingual sampling rule of
+    Conneau & Lample 2019 / Arivazhagan et al. 2019 — public]: sample
+    sources at p_s ∝ n_s^alpha (alpha < 1 up-weights small sources),
+    sized so the expected kept corpus is ``target_frac`` of the input.
+    Per-row keep probability: rate_s = min(1, T·p_s / n_s) with
+    T = target_frac·N; the decision is the deterministic key-hash
+    Bernoulli (stable under repartitioning / engine change).
+
+    Adds (keep_prob, keep) without filtering, so callers can audit both
+    verdicts.  Plan: one groupBy for the per-stratum counts (stratum
+    cardinality = #sources, tiny), broadcast back — the corpus-sized side
+    stays a map-side projection, no shuffle.
+
+    Oracle portability: rates are ROUNDED to 6 decimals before the
+    compare, and alpha=0.5 goes through sqrt (correctly rounded in both
+    engines) — other alphas use pow, whose last-ulp behavior is not
+    oracle-guaranteed.
+    """
+    n = F.col("__n").cast("double")
+    pw = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(alpha))
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__pw", pw)
+    )
+    totals = counts.agg(
+        F.sum("__n").alias("__n_tot"), F.sum("__pw").alias("__z")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            stratum_col,
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(target_frac)
+                    * F.col("__n_tot")
+                    * (F.col("__pw") / F.col("__z"))
+                    / F.col("__n"),
+                ),
+                6,
+            ).alias("keep_prob"),
+        )
+    )
+    u = hash_uniform(F.col(key_col), salt)
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .withColumn(
+            "keep",
+            F.when(u < F.col("keep_prob"), F.lit("T")).otherwise(
+                F.lit("F")
+            ),
+        )
+    )

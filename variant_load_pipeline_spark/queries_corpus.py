@@ -678,3 +678,112 @@ def mm_tar_shard_samples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("parts")["cls"].cast("string").cast("int").alias("cls"),
         F.length(F.col("parts")["txt"]).cast("int").alias("txt_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing [Conneau & Lample 2019 — public]
+# ---------------------------------------------------------------------------
+_MIX_FRAC = 0.5
+_MIX_SALT = "mix"
+_MIX_U_SQL = (
+    "(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '"
+    + _MIX_SALT
+    + "'), 1, 8))::BIGINT / 4294967296.0)"
+)
+
+
+@register(
+    "source_mixing_sample",
+    f"""
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT SUM(n) AS n_tot, SUM(sqrt(n)) AS z FROM c),
+    r AS (
+        SELECT c.source,
+               ROUND(LEAST(1.0,
+                   {_MIX_FRAC} * t.n_tot * (sqrt(c.n) / t.z) / c.n),
+                   6) AS keep_prob
+        FROM c CROSS JOIN t
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source,
+           CAST(r.keep_prob AS DOUBLE) AS keep_prob,
+           CASE WHEN {_MIX_U_SQL} < r.keep_prob THEN 'T' ELSE 'F' END
+               AS keep
+    FROM documents d JOIN r ON d.source = r.source
+    """,
+    doc="Temperature-based source mixing (the multilingual sampling rule, "
+    "alpha=0.5): per-source keep rate min(1, T*p_s/n_s) with p_s scaled "
+    "as sqrt(n_s) — small sources up-weighted — sized for an expected "
+    f"{_MIX_FRAC} of the corpus; the keep decision is the deterministic "
+    "key-hash Bernoulli.  One tiny per-source groupBy broadcasts back; "
+    "the corpus side stays a map-side projection.  Rates round to 6 "
+    "decimals before the compare so the oracle replays every verdict",
+)
+def source_mixing_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import temperature_mixing_sample
+
+    d = load(spark, sf_dir, "documents")
+    out = temperature_mixing_sample(
+        d,
+        stratum_col="source",
+        key_col="doc_id",
+        target_frac=_MIX_FRAC,
+        alpha=0.5,
+        salt=_MIX_SALT,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "keep_prob",
+        "keep",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM surprisal (CCNet perplexity-filter stand-in) [public]
+# ---------------------------------------------------------------------------
+@register(
+    "unigram_surprisal",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents
+    ),
+    t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+           GROUP BY doc_id, term),
+    vocab AS (SELECT term, count(*) AS cw FROM t GROUP BY term),
+    consts AS (SELECT SUM(cw) AS nn, count(*) AS vv FROM vocab),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+               CAST(SUM(tf.tf * CAST(floor(
+                   -ln((v.cw + 1.0) / (c.nn + c.vv)) * 1e6 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS surprisal_micro
+        FROM tf JOIN vocab v ON tf.term = v.term CROSS JOIN consts c
+        GROUP BY tf.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, surprisal_micro,
+           CAST(ROUND(surprisal_micro::DOUBLE / n_tokens / 1e6, 6)
+                AS DOUBLE) AS mean_surprisal
+    FROM scored
+    """,
+    doc="Unigram LM surprisal per document — the model-free stand-in for "
+    "CCNet's LM-perplexity quality filter: add-1-smoothed unigram model "
+    "trained on the corpus itself, documents scored by total/mean token "
+    "surprisal -ln((c_w+1)/(N+V)).  Per-term scores round to integer "
+    "micro-nats BEFORE the per-doc sum (exact BIGINT — summation-order "
+    "free), so the oracle replays scoring exactly.  One tokenize feeds "
+    "both the vocabulary and tf; N/V is a 1-row broadcast; the tf-vocab "
+    "join shuffles on the term — at trillion-token scale the vocabulary "
+    "is exactly what can't broadcast, and stopword skew is AQE's case",
+)
+def unigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import unigram_surprisal
+
+    d = load(spark, sf_dir, "documents")
+    return unigram_surprisal(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "surprisal_micro",
+        "mean_surprisal",
+    )
