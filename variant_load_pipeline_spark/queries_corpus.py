@@ -787,3 +787,108 @@ def unigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "surprisal_micro",
         "mean_surprisal",
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal pipeline chain: tar shards -> sample grouping -> PNG decode
+# ---------------------------------------------------------------------------
+@register(
+    "mm_tar_png_pipeline",
+    """
+    WITH g AS (
+        SELECT CAST(p_partkey AS BIGINT) AS media_id,
+               CAST(4 + p_partkey % 13 AS INT) AS width,
+               CAST(4 + p_partkey % 11 AS INT) AS height
+        FROM part WHERE p_partkey % 40 = 2
+        ORDER BY p_partkey LIMIT 20000
+    )
+    SELECT g.media_id, g.width, g.height, 3 AS n_channels,
+           ROUND(AVG(CAST((g.media_id + 3 * x.x + 5 * y.y + 11 * ch.ch)
+                          % 256 AS DOUBLE)), 6) AS mean_intensity,
+           CAST(g.media_id % 7 AS INT) AS cls
+    FROM g
+    CROSS JOIN LATERAL (SELECT unnest(range(0, g.width)) AS x) x
+    CROSS JOIN LATERAL (SELECT unnest(range(0, g.height)) AS y) y
+    CROSS JOIN (SELECT unnest(range(0, 3)) AS ch) ch
+    GROUP BY g.media_id, g.width, g.height
+    """,
+    doc="The full multimodal ingest chain, end-to-end: deterministic RGB "
+    "images (pixel = (id + 3x + 5y + 11c) mod 256) are PNG-encoded and "
+    "packed into 2 real WebDataset tar shards as <id>.png + <id>.cls "
+    "samples, re-read through binaryFile + the ustar parser, grouped on "
+    "the sample key, and the .png member decoded by the pure-stdlib PNG "
+    "codec inside mapInPandas — tar scan, sample grouping, and real "
+    "image decode composed in one plan; the oracle computes geometry, "
+    "exact pixel mean, and the label in SQL",
+)
+def mm_tar_png_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io
+    import tarfile
+
+    import numpy as np
+
+    from .multimodal.binary_ops import decode_images
+    from .multimodal.png import encode_png
+    from .queries_ext import _scan_path
+    from .sources.tarshard import group_samples, read_tar_shards
+
+    rows = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 40 == 2)
+        .select(
+            F.col("p_partkey").cast("long").alias("media_id"),
+            (4 + F.col("p_partkey") % 13).cast("int").alias("width"),
+            (4 + F.col("p_partkey") % 11).cast("int").alias("height"),
+        )
+        .orderBy("media_id")
+        .limit(_TAR_CAP)
+        .collect()
+    )
+    n_shards = 2
+    paths = [
+        _scan_path(sf_dir, f"imgshard-{i}.tar") for i in range(n_shards)
+    ]
+    tars = [tarfile.open(p, "w") for p in paths]
+    try:
+        for r in rows:
+            mid, w, h = r["media_id"], r["width"], r["height"]
+            y, x, c = np.meshgrid(
+                np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+            )
+            img = ((mid + 3 * x + 5 * y + 11 * c) % 256).astype("uint8")
+            tf = tars[mid % n_shards]
+            for ext, data in (
+                ("png", encode_png(img)),
+                ("cls", str(mid % 7).encode("ascii")),
+            ):
+                info = tarfile.TarInfo(name=f"{mid:012d}.{ext}")
+                info.size = len(data)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(data))
+    finally:
+        for tf in tars:
+            tf.close()
+
+    samples = group_samples(
+        read_tar_shards(spark, _scan_path(sf_dir, "imgshard-*.tar"))
+    )
+    media = samples.select(
+        F.col("key").cast("long").alias("media_id"),
+        F.col("parts")["png"].alias("payload"),
+        F.col("parts")["cls"].cast("string").cast("int").alias("cls"),
+    )
+    # decode_images projects to its own schema; the parsed label rejoins
+    # on the sample id (both sides partitioned by it already)
+    labels = media.select("media_id", "cls")
+    return (
+        decode_images(media.select("media_id", "payload"), codec="png")
+        .join(labels, "media_id")
+        .select(
+            "media_id",
+            "width",
+            "height",
+            "n_channels",
+            "mean_intensity",
+            "cls",
+        )
+    )
