@@ -84,6 +84,7 @@ HEADLINE_V2 = [
     "bm25_topk",
     "source_mixing_sample",
     "unigram_surprisal",
+    "ann_pq_adc_topk",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -101,6 +102,7 @@ EAGER_CONSTRUCT = {
     # the k-means fit loop (assign/update collects) runs at construction
     "kmeans_embeddings",
     "semdedup_pairs",
+    "ann_pq_adc_topk",
 }
 
 

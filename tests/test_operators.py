@@ -1078,3 +1078,46 @@ def test_unigram_surprisal_ranks_rare_above_common(spark):
     assert out[2]["surprisal_micro"] == mc + mr
     assert out[2]["mean_surprisal"] > out[1]["mean_surprisal"]
     assert 3 not in out  # empty doc has no tokens, no score
+
+
+def test_pq_encode_shape_and_adc_sanity(spark):
+    import math
+
+    from variant_load_pipeline_spark.operators.clustering import (
+        pq_adc_topk,
+        pq_fit_encode,
+    )
+    from pyspark.sql import functions as F
+
+    # 3 well-separated groups in 4-dim, m=2 subspaces: PQ's ADC must rank
+    # same-group vectors nearest despite the 8x compression
+    import random
+
+    rng = random.Random(7)
+    centers = [[0, 0, 0, 0], [10, 10, 10, 10], [-10, 10, -10, 10]]
+    rows = []
+    for i in range(60):
+        c = centers[i % 3]
+        rows.append(
+            (i, [v + rng.uniform(-0.5, 0.5) for v in c])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    encoded, codebooks = pq_fit_encode(df, m=2, ksub=4, iters=2)
+    assert len(codebooks) == 2
+    first = encoded.select("codes").first()["codes"]
+    assert len(first) == 2
+    qrows = (
+        encoded.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("qid"), "qv")
+        .collect()
+    )
+    top = pq_adc_topk(encoded, qrows, codebooks, k=5).collect()
+    by_q: dict = {}
+    for r in top:
+        by_q.setdefault(r["qid"], []).append(r["nid"])
+    for qid, nids in by_q.items():
+        # all 5 nearest by ADC are from the query's own group
+        assert all(n % 3 == qid % 3 for n in nids), (qid, nids)
+    # determinism under repartitioning
+    encoded2, cb2 = pq_fit_encode(df.repartition(7), m=2, ksub=4, iters=2)
+    assert cb2 == codebooks

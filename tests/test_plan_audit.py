@@ -326,3 +326,18 @@ def test_rrf_fusion_lists_are_take_ordered(spark):
     # (TakeOrderedAndProject), not a global sort of the corpus
     plan = plan_of(spark, "rrf_hybrid_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_source_mixing_rates_broadcast_back(spark):
+    # the per-source rate table must broadcast; the corpus side stays a
+    # map-side projection (no shuffle of the documents on the join key)
+    plan = plan_of(spark, "source_mixing_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_surprisal_no_python_and_no_cross_join(spark):
+    plan = plan_of(spark, "unigram_surprisal")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

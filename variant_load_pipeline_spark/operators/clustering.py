@@ -45,20 +45,28 @@ def _dist2(qv: Column, centroid: list[int]) -> Column:
     )
 
 
+def _argmin_exprs(
+    qv: Column, centroids: list[tuple[int, list[int]]]
+) -> tuple[Column, Column]:
+    """(cluster, dist_sq) expressions: argmin exact squared distance over
+    the centroid list, ties to the SMALLEST cluster id (centroids must be
+    sorted by id; array_position returns the first minimum)."""
+    cents = sorted(centroids)
+    dists = F.array(*[_dist2(qv, c) for _, c in cents])
+    pos = F.array_position(dists, F.array_min(dists)).cast("int")
+    cl_arr = F.array(*[F.lit(int(cl)) for cl, _ in cents])
+    return F.element_at(cl_arr, pos), F.array_min(dists)
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: list[tuple[int, list[int]]],
     qv_col: str = "qv",
 ) -> DataFrame:
-    """Adds (cluster, dist_sq): argmin exact squared distance over the
-    centroid list, ties to the SMALLEST cluster id (centroids must be
-    sorted by id; array_position returns the first minimum)."""
-    cents = sorted(centroids)
-    dists = F.array(*[_dist2(F.col(qv_col), c) for _, c in cents])
-    pos = F.array_position(dists, F.array_min(dists)).cast("int")
-    cl_arr = F.array(*[F.lit(int(cl)) for cl, _ in cents])
-    return df.withColumn("dist_sq", F.array_min(dists)).withColumn(
-        "cluster", F.element_at(cl_arr, pos)
+    """Adds (cluster, dist_sq) — see _argmin_exprs."""
+    cluster, dist_sq = _argmin_exprs(F.col(qv_col), centroids)
+    return df.withColumn("dist_sq", dist_sq).withColumn(
+        "cluster", cluster
     )
 
 
@@ -82,12 +90,29 @@ def kmeans_fit_assign(
     base = df.select(
         F.col(id_col), int_vectors(F.col(vec_col), scale).alias("qv")
     ).persist()
-    seed_rows = base.orderBy(id_col).limit(k).collect()
-    cents = [(i, list(r["qv"])) for i, r in enumerate(seed_rows)]
+    cents = fit_centroids(base, k=k, iters=iters, id_col=id_col)
+    return assign_clusters(base, cents)
+
+
+def fit_centroids(
+    base: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    qv_col: str = "qv",
+) -> list[tuple[int, list[int]]]:
+    """The Lloyd's loop of kmeans_fit_assign, exposed for reuse (PQ fits
+    one codebook per subspace): seeds = qv of the k smallest ids, then
+    ``iters`` rounds of exact assign + floor-of-mean update.  Returns the
+    sorted (cluster_id, centroid) list; empty clusters drop out."""
+    seed_rows = base.select(id_col, qv_col).orderBy(id_col).limit(k).collect()
+    cents = [(i, list(r[qv_col])) for i, r in enumerate(seed_rows)]
     for _ in range(iters):
-        assigned = assign_clusters(base, cents)
+        assigned = assign_clusters(base, cents, qv_col=qv_col)
         upd = (
-            assigned.select("cluster", F.posexplode("qv").alias("dim", "val"))
+            assigned.select(
+                "cluster", F.posexplode(qv_col).alias("dim", "val")
+            )
             .groupBy("cluster", "dim")
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
@@ -102,7 +127,7 @@ def kmeans_fit_assign(
             (cl, [dims[d] for d in range(dim)])
             for cl, dims in sorted(by_cl.items())
         ]
-    return assign_clusters(base, cents)
+    return cents
 
 
 def semdedup_pairs(
@@ -148,4 +173,120 @@ def semdedup_pairs(
         pairs.withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("cluster", "id_a", "id_b", "sim")
+    )
+
+
+def pq_fit_encode(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> tuple[DataFrame, list[list[tuple[int, list[int]]]]]:
+    """Product Quantization fit + encode [Jégou, Douze & Schmid, TPAMI
+    2011 — public]: the vector splits into ``m`` subvectors; each
+    subspace gets its own ``ksub``-centroid codebook (the deterministic
+    integer k-means above); a vector compresses to ``m`` small codes —
+    64 dims × 4 bytes becomes 8 bytes, the 32× memory cut that lets a
+    100 TB embedding corpus fit its ANN index in executor memory.
+
+    Returns (encoded, codebooks): encoded = (id, qv, codes array<int>
+    length m); codebooks[s] = the subspace-s (cluster_id, centroid)
+    list.  Codes are cluster IDS (gaps possible after empty-cluster
+    dropout), not positions.
+
+    The fit collects only centroid state (m·ksub·d_sub ints — the
+    MODEL); encoding is one pure-JVM pass with the codebooks as plan
+    literals.
+    """
+    base = df.select(
+        F.col(id_col), int_vectors(F.col(vec_col), scale).alias("qv")
+    ).persist()
+    dim = len(base.select("qv").first()["qv"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    codebooks = []
+    for s in range(m):
+        sub = base.select(
+            id_col, F.slice("qv", s * d_sub + 1, d_sub).alias("qv")
+        )
+        codebooks.append(
+            fit_centroids(sub, k=ksub, iters=iters, id_col=id_col)
+        )
+    codes = F.array(
+        *[
+            _argmin_exprs(
+                F.slice(F.col("qv"), s * d_sub + 1, d_sub), codebooks[s]
+            )[0]
+            for s in range(m)
+        ]
+    )
+    return base.withColumn("codes", codes), codebooks
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    query_rows: list,
+    codebooks: list[list[tuple[int, list[int]]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric Distance Computation top-k over PQ codes [same paper]:
+    per query, precompute the m×ksub table of exact squared distances
+    from each query subvector to each centroid (driver-side — it is
+    query-local model state, ksub·m ints per query), broadcast the
+    tables, and score every corpus vector by m table lookups on its
+    codes — no float math, no full-vector reads, the plan ANN engines
+    run at serving scale.
+
+    ``query_rows`` are collected Rows with (qid, qv) — the query set is
+    the bounded side by definition.  Output: (qid, nid, adc_dist, rk)
+    with exact-integer ordering, ties to the smaller nid.
+    """
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0][1])
+    spark = encoded.sparkSession
+    SENTINEL = 1 << 62  # for cluster ids dropped during the fit
+    qdata = []
+    for r in query_rows:
+        qv = list(r["qv"])
+        tbl = []
+        for s in range(m):
+            sub = qv[s * d_sub : (s + 1) * d_sub]
+            row = [SENTINEL] * (
+                max(cl for cl, _ in codebooks[s]) + 1
+            )
+            for cl, cent in codebooks[s]:
+                row[cl] = sum(
+                    (a - b) * (a - b) for a, b in zip(sub, cent)
+                )
+            tbl.append(row)
+        qdata.append((r["qid"], tbl))
+    queries = spark.createDataFrame(
+        qdata, "qid long, tbl array<array<bigint>>"
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("tbl"),
+            F.col("codes"),
+            lambda t, c: F.element_at(t, c + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql.window import Window as W
+
+    scored = (
+        encoded.select(F.col(id_col).alias("nid"), "codes")
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", dist.alias("adc_dist"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("adc_dist"), F.col("nid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
     )

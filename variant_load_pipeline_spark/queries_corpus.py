@@ -892,3 +892,137 @@ def mm_tar_png_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cls",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product Quantization ANN [Jégou, Douze & Schmid TPAMI 2011 — public]
+# ---------------------------------------------------------------------------
+_PQ_M = 8
+_PQ_DSUB = _KM_DIM // _PQ_M
+_PQ_K = 16
+_PQ_ITERS = 2
+
+
+def _pq_assign_sql(le: str, c_tbl: str) -> str:
+    return f"""
+    (SELECT vec_id, cl AS cluster FROM (
+        SELECT {le}.vec_id, c.cl,
+               ROW_NUMBER() OVER (PARTITION BY {le}.vec_id
+                   ORDER BY SUM(({le}.val - c.cv)*({le}.val - c.cv)), c.cl)
+                   AS rn
+        FROM {le} JOIN {c_tbl} c ON {le}.dim = c.dim
+        GROUP BY {le}.vec_id, c.cl
+    ) WHERE rn = 1)"""
+
+
+def _pq_chain_sql() -> str:
+    """The full PQ oracle chain: per subspace, a k-means codebook fit
+    (same exact-integer arithmetic as fit_centroids) + final code
+    assignment; then per-query ADC distance tables against the final
+    centroids and the table-lookup sum.  ~7 CTEs per subspace, all
+    generated from one template — the Spark side computes the identical
+    model with dense expressions."""
+    parts = [
+        f"""seeds AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
+        FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}
+    )""",
+        """qids AS (SELECT vec_id AS qid FROM embeddings
+               WHERE vec_id % 50 = 0)""",
+    ]
+    pers = []
+    for s in range(_PQ_M):
+        off = s * _PQ_DSUB
+        le = f"le{s}"
+        parts.append(
+            f"""{le} AS (
+        SELECT vec_id, dim,
+               CAST(floor(CAST(embedding[{off} + dim + 1] AS DOUBLE)
+                    * {_KM_SCALE}) AS BIGINT) AS val
+        FROM (SELECT vec_id, unnest(range(0, {_PQ_DSUB})) AS dim,
+                     embedding FROM embeddings)
+    )"""
+        )
+        parts.append(
+            f"""c0_{s} AS (SELECT sd.cl, l.dim, l.val AS cv
+        FROM seeds sd JOIN {le} l ON l.vec_id = sd.vec_id)"""
+        )
+        for i in range(_PQ_ITERS):
+            parts.append(f"a{i+1}_{s} AS {_pq_assign_sql(le, f'c{i}_{s}')}")
+            parts.append(
+                f"""c{i+1}_{s} AS (
+        SELECT a.cluster AS cl, l.dim,
+               CAST(floor(SUM(l.val)::DOUBLE / COUNT(*)) AS BIGINT) AS cv
+        FROM a{i+1}_{s} a JOIN {le} l ON l.vec_id = a.vec_id
+        GROUP BY a.cluster, l.dim
+    )"""
+            )
+        cf = f"c{_PQ_ITERS}_{s}"
+        parts.append(f"aF_{s} AS {_pq_assign_sql(le, cf)}")
+        parts.append(
+            f"""dt{s} AS (
+        SELECT q.qid, c.cl, SUM((l.val - c.cv)*(l.val - c.cv)) AS d
+        FROM qids q
+        JOIN {le} l ON l.vec_id = q.qid
+        JOIN {cf} c ON c.dim = l.dim
+        GROUP BY q.qid, c.cl
+    )"""
+        )
+        pers.append(
+            f"""SELECT dt.qid, a.vec_id AS nid, dt.d
+        FROM aF_{s} a JOIN dt{s} dt ON dt.cl = a.cluster"""
+        )
+    union = "\nUNION ALL\n".join(pers)
+    parts.append(
+        f"""adc AS (
+        SELECT qid, nid, CAST(SUM(d) AS BIGINT) AS adc_dist
+        FROM ({union})
+        WHERE qid <> nid
+        GROUP BY qid, nid
+    )"""
+    )
+    return ",\n".join(parts)
+
+
+@register(
+    "ann_pq_adc_topk",
+    f"""
+    WITH {_pq_chain_sql()}
+    SELECT qid, nid, adc_dist, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT qid, nid, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY adc_dist, nid) AS rk
+        FROM adc
+    ) WHERE rk <= 5
+    """,
+    doc=f"Product Quantization ANN with Asymmetric Distance Computation "
+    f"[Jégou et al. 2011]: vectors split into {_PQ_M} subspaces, each "
+    f"with its own {_PQ_K}-centroid integer-k-means codebook — a vector "
+    f"compresses to {_PQ_M} byte-codes (32x memory cut, what lets a "
+    "100 TB embedding corpus index in executor memory); queries score "
+    f"the corpus by {_PQ_M} table lookups per vector (broadcast per-"
+    "query distance tables, exact BIGINT sums).  The oracle replays the "
+    "8 per-subspace codebook fits CTE-by-CTE, the encoding, the ADC "
+    "tables, and the ranking — the entire model, not just the result",
+)
+def ann_pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import pq_adc_topk, pq_fit_encode
+
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    encoded, codebooks = pq_fit_encode(
+        e, m=_PQ_M, ksub=_PQ_K, iters=_PQ_ITERS, scale=_KM_SCALE
+    )
+    query_rows = (
+        encoded.filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("qid"), "qv")
+        .collect()
+    )
+    out = pq_adc_topk(encoded, query_rows, codebooks, k=5)
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("nid").cast("long").alias("nid"),
+        F.col("adc_dist").cast("long").alias("adc_dist"),
+        F.col("rk").cast("long").alias("rk"),
+    )
