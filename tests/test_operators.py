@@ -1121,3 +1121,90 @@ def test_pq_encode_shape_and_adc_sanity(spark):
     # determinism under repartitioning
     encoded2, cb2 = pq_fit_encode(df.repartition(7), m=2, ksub=4, iters=2)
     assert cb2 == codebooks
+
+
+# ---------------------------------------------------------------------------
+# as-of join (operators/asof_join)
+# ---------------------------------------------------------------------------
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", 100.0, 10.0),
+            (2, "u1", 200.0, 20.0),
+            (3, "u1", 300.0, 30.0),
+            (4, "u2", 50.0, 40.0),   # no prior right row for u2
+            (5, "u3", 500.0, 50.0),  # u3 has no right rows at all
+        ],
+        ["event_id", "user", "t", "val"],
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (101, "u1", 100.0, 1.5),   # equal-ts: must match event 1
+            (102, "u1", 150.0, 2.5),
+            (103, "u1", 150.0, 3.5),   # same ts as 102: larger seq wins
+            (104, "u1", 299.0, 4.5),
+            (105, "u2", 60.0, 5.5),    # after u2's only left row
+        ],
+        ["event_id", "user", "t", "val"],
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    return left, right
+
+
+def test_asof_backward_semantics(spark):
+    from variant_load_pipeline_spark.operators.asof_join import asof_join
+
+    left, right = _asof_frames(spark)
+    out = asof_join(
+        left, right, on="user", left_ts="t", right_ts="t",
+        left_seq="event_id", right_seq="event_id",
+        right_cols=["event_id", "val"],
+    )
+    got = {r["event_id"]: (r["asof_event_id"], r["asof_val"])
+           for r in out.collect()}
+    assert got[1] == (101, 1.5)      # equality matches
+    assert got[2] == (103, 3.5)      # right-stream tie -> larger seq
+    assert got[3] == (104, 4.5)
+    assert got[4] == (None, None)    # right row is in the future
+    assert got[5] == (None, None)    # keyless
+    assert out.count() == left.count()
+
+
+def test_asof_forward_and_tolerance(spark):
+    from variant_load_pipeline_spark.operators.asof_join import asof_join
+
+    left, right = _asof_frames(spark)
+    fwd = asof_join(
+        left, right, on="user", left_ts="t", right_ts="t",
+        left_seq="event_id", right_seq="event_id",
+        right_cols=["event_id"], direction="forward",
+    )
+    got = {r["event_id"]: r["asof_event_id"] for r in fwd.collect()}
+    assert got[1] == 101             # equality matches forward too
+    assert got[2] == 104             # next right at 299
+    assert got[3] is None            # nothing at/after 300
+    assert got[4] == 105
+    # tolerance: event 3 (t=300) matched to 104 (t=299) only within >=1s
+    tol = asof_join(
+        left, right, on="user", left_ts="t", right_ts="t",
+        left_seq="event_id", right_seq="event_id",
+        right_cols=["event_id"], tolerance_seconds=0,
+    )
+    got_tol = {r["event_id"]: r["asof_event_id"] for r in tol.collect()}
+    assert got_tol[3] is None        # 1s lag > 0s tolerance
+    assert got_tol[1] == 101         # 0s lag survives
+
+
+def test_asof_plan_has_no_join(spark):
+    # the scale contract: one shuffle on the key, a window sweep, NO join
+    # node (a range-join formulation would show BroadcastNestedLoop/SortMerge)
+    from variant_load_pipeline_spark.operators.asof_join import asof_join
+
+    left, right = _asof_frames(spark)
+    out = asof_join(
+        left, right, on="user", left_ts="t", right_ts="t",
+        right_cols=["val"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange") <= 2  # one per union branch at most

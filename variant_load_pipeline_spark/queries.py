@@ -2253,3 +2253,4 @@ def c21_vcf_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Wave-4/5 registrations (must come last: shares this module registry)
 from . import queries_ext  # noqa: E402,F401
 from . import queries_corpus  # noqa: E402,F401
+from . import queries_events  # noqa: E402,F401

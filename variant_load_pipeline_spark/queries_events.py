@@ -1,0 +1,182 @@
+"""Event-analytics query wave: as-of temporal join and funnel analysis
+over the events table — the time-ordered operators a telemetry/feature
+pipeline runs next to the corpus operators.
+
+Registered into the shared queries registry (imported from .queries at
+the bottom of that module, same pattern as queries_ext/queries_corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.asof_join import asof_join
+from .queries import load_events, register
+
+# ---------------------------------------------------------------------------
+# As-of join: clicks matched to the most recent prior error per user
+# ---------------------------------------------------------------------------
+_ASOF_TOL = 7200  # seconds
+
+
+@register(
+    "events_asof_join",
+    f"""
+    WITH l AS (
+        SELECT user_id, ts, event_id, value FROM events
+        WHERE event_type = 'click'
+    ),
+    r AS (
+        SELECT user_id, ts, event_id, value FROM events
+        WHERE event_type = 'error'
+    ),
+    u AS (
+        SELECT user_id, ts AS uts, 1 AS side_left, event_id AS seq,
+               event_id AS l_event_id, value AS l_value,
+               CAST(NULL AS TIMESTAMP) AS r_ts,
+               CAST(NULL AS DOUBLE) AS r_value,
+               CAST(NULL AS BIGINT) AS r_event_id
+        FROM l
+        UNION ALL
+        SELECT user_id, ts, 0, event_id, NULL, NULL, ts, value, event_id
+        FROM r
+    ),
+    s AS (
+        SELECT user_id, uts, side_left, l_event_id, l_value,
+               LAST_VALUE(r_ts IGNORE NULLS) OVER w AS m_ts,
+               LAST_VALUE(r_value IGNORE NULLS) OVER w AS m_value,
+               LAST_VALUE(r_event_id IGNORE NULLS) OVER w AS m_event_id
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY uts, side_left, seq
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT CAST(l_event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(epoch_us(uts) AS BIGINT) AS ts_us,
+           CAST(ROUND(l_value, 6) AS DOUBLE) AS value,
+           CAST(CASE WHEN epoch(uts) - epoch(m_ts) <= {_ASOF_TOL}
+                     THEN epoch_us(m_ts) END AS BIGINT) AS asof_ts_us,
+           CAST(CASE WHEN epoch(uts) - epoch(m_ts) <= {_ASOF_TOL}
+                     THEN ROUND(m_value, 6) END AS DOUBLE) AS asof_value,
+           CAST(CASE WHEN epoch(uts) - epoch(m_ts) <= {_ASOF_TOL}
+                     THEN m_event_id END AS BIGINT) AS asof_event_id
+    FROM s WHERE side_left = 1
+    """,
+    doc="As-of temporal join (operators/asof_join.asof_join): every click "
+    "event matched to the user's most recent error at-or-before it, within "
+    "a 2-hour tolerance.  Implemented as the union-tag + single-shuffle "
+    "running-window sweep (no join node, no range-join blowup); the oracle "
+    "replays the identical sweep with LAST_VALUE IGNORE NULLS.  Equal-ts "
+    "ties: right-before-left (equality matches), right stream tie-broken "
+    "by event_id — bit-deterministic in both engines",
+)
+def events_asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        clicks,
+        errors,
+        on="user_id",
+        left_seq="event_id",
+        right_seq="event_id",
+        right_cols=["value", "event_id"],
+        tolerance_seconds=_ASOF_TOL,
+    )
+    return joined.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round("value", 6).alias("value"),
+        F.unix_micros(F.col("asof_ts")).alias("asof_ts_us"),
+        F.round("asof_value", 6).alias("asof_value"),
+        F.col("asof_event_id").cast("long").alias("asof_event_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel: signup -> first click after signup -> first purchase after click
+# ---------------------------------------------------------------------------
+@register(
+    "events_funnel",
+    """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    su AS (
+        SELECT user_id, MIN(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    cl AS (
+        SELECT e.user_id, MIN(e.ts) AS click_ts
+        FROM events e JOIN su USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts >= su.signup_ts
+        GROUP BY e.user_id
+    ),
+    pu AS (
+        SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        FROM events e JOIN cl USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= cl.click_ts
+        GROUP BY e.user_id
+    )
+    SELECT CAST(u.user_id AS BIGINT) AS user_id,
+           CAST(epoch_us(su.signup_ts) AS BIGINT) AS signup_us,
+           CAST(epoch_us(cl.click_ts) AS BIGINT) AS click_us,
+           CAST(epoch_us(pu.purchase_ts) AS BIGINT) AS purchase_us,
+           CAST(CASE WHEN pu.user_id IS NOT NULL THEN 3
+                     WHEN cl.user_id IS NOT NULL THEN 2
+                     WHEN su.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage
+    FROM users u
+    LEFT JOIN su USING (user_id)
+    LEFT JOIN cl USING (user_id)
+    LEFT JOIN pu USING (user_id)
+    """,
+    doc="Ordered-funnel analysis: per user, first signup, first click at-"
+    "or-after the signup, first purchase at-or-after that click, and the "
+    "deepest stage reached.  Three conditional-min aggregations chained by "
+    "equi-joins on the SAME key (user_id) — co-partitioned end to end, no "
+    "window over whole-user-history needed",
+)
+def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    users = ev.select("user_id").distinct()
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    cl = (
+        ev.filter(F.col("event_type") == "click")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cl, "user_id")
+        .filter(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        users.join(su, "user_id", "left")
+        .join(cl.select("user_id", "click_ts"), "user_id", "left")
+        .join(pu.select("user_id", "purchase_ts"), "user_id", "left")
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.unix_micros("signup_ts").alias("signup_us"),
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+            F.when(F.col("purchase_ts").isNotNull(), 3)
+            .when(F.col("click_ts").isNotNull(), 2)
+            .when(F.col("signup_ts").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("stage"),
+        )
+    )
