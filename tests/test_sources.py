@@ -318,3 +318,50 @@ def test_tar_shard_scan_and_sample_grouping(spark, tmp_path):
     assert rows["009"]["n_parts"] == 2
     assert bytes(rows["009"]["parts"]["txt"]) == b"third shard doc"
     assert rows["008"]["n_parts"] == 1
+
+
+def test_jsonl_source_modes(spark, tmp_path):
+    import gzip
+
+    from py4j.protocol import Py4JJavaError
+
+    from variant_load_pipeline_spark.sources.jsonl import read_jsonl
+
+    lines = [
+        '{"id": 1, "t": "alpha"}',
+        '{"id": 2, "t": "beta"',          # malformed: unclosed object
+        '{"id": 3, "t": "gamma", "extra": 9}',  # extra field ignored
+        'not json at all',
+    ]
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+
+    # PERMISSIVE: malformed lines surface in the corrupt channel
+    df = read_jsonl(spark, str(p), "id long, t string")
+    rows = sorted(
+        df.select("id", "t", "_corrupt_record").collect(),
+        key=lambda r: (r["id"] is None, r["id"] or 0, r["_corrupt_record"] or ""),
+    )
+    assert [(r["id"], r["t"]) for r in rows[:2]] == [(1, "alpha"), (3, "gamma")]
+    corrupt_raws = {rows[2]["_corrupt_record"], rows[3]["_corrupt_record"]}
+    assert rows[2]["id"] is None and rows[3]["id"] is None
+    assert corrupt_raws == {lines[1], "not json at all"}
+
+    # DROPMALFORMED: only clean rows remain, no corrupt column
+    dropped = read_jsonl(spark, str(p), "id long, t string", mode="DROPMALFORMED")
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
+    assert "_corrupt_record" not in dropped.columns
+
+    # FAILFAST: raises on the first malformed line
+    try:
+        read_jsonl(spark, str(p), "id long, t string", mode="FAILFAST").collect()
+        raise AssertionError("FAILFAST should have raised")
+    except Py4JJavaError:
+        pass
+
+    # gzip transparency — same parse through .jsonl.gz
+    pg = tmp_path / "docs2.jsonl.gz"
+    with gzip.open(pg, "wt") as fh:
+        fh.write('{"id": 7, "t": "zeta"}\n')
+    got = read_jsonl(spark, str(pg), "id long, t string").collect()
+    assert [(r["id"], r["t"]) for r in got] == [(7, "zeta")]

@@ -1026,3 +1026,111 @@ def ann_pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("adc_dist").cast("long").alias("adc_dist"),
         F.col("rk").cast("long").alias("rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JSONL corpus source: real spark.read.json scan with a corrupt-record
+# channel, fixture generated deterministically from the documents table
+# ---------------------------------------------------------------------------
+# Line layout is built by CONCAT (not a JSON serializer) in BOTH engines,
+# so the oracle replays the exact bytes; text is sanitized to [a-z0-9 ]
+# first, which makes it JSON-safe without any escaping rules to mirror.
+_JSONL_SAN_SQL = (
+    "regexp_replace(lower(COALESCE(text, '')), '[^a-z0-9 ]', '', 'g')"
+)
+_JSONL_LINE_SQL = (
+    "'{\"doc_id\": ' || doc_id || ', \"lang\": \"' || COALESCE(lang, '')"
+    " || '\", \"n_chars\": ' || COALESCE(n_chars, 0)"
+    " || ', \"text\": \"' || san || '\"}'"
+)
+
+
+@register(
+    "jsonl_docs_scan",
+    f"""
+    WITH d AS (
+        SELECT doc_id, lang, n_chars, {_JSONL_SAN_SQL} AS san
+        FROM documents ORDER BY doc_id LIMIT 20000
+    ),
+    lines AS (
+        SELECT doc_id, lang, n_chars, san, {_JSONL_LINE_SQL} AS line,
+               doc_id % 7 = 3 AS corrupt
+        FROM d
+    )
+    SELECT CAST(CASE WHEN NOT corrupt THEN doc_id END AS BIGINT) AS doc_id,
+           CASE WHEN NOT corrupt THEN COALESCE(lang, '') END AS lang,
+           CAST(CASE WHEN NOT corrupt THEN COALESCE(n_chars, 0) END
+                AS BIGINT) AS n_chars,
+           CASE WHEN NOT corrupt THEN md5(san) END AS text_fp,
+           CASE WHEN corrupt THEN 'T' ELSE 'F' END AS corrupt,
+           CASE WHEN corrupt
+                THEN md5(substr(line, 1, length(line) - 1)) END AS corrupt_fp
+    FROM lines
+    """,
+    doc="JSONL corpus scan (sources/jsonl.read_jsonl): documents rendered "
+    "to newline-delimited JSON (every doc_id%7==3 line truncated to a "
+    "malformed record), then read back through spark.read.json with an "
+    "explicit schema and the PERMISSIVE corrupt-record channel — parsed "
+    "fields, text round-trip fingerprint, and per-line corrupt raw "
+    "fingerprints all oracle-replayed.  Explicit schema = no inference "
+    "pass at 100 TB; corrupt lines become data, not job failures",
+)
+def jsonl_docs_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_ext import _SCAN_CAP, _scan_path
+    from .sources.jsonl import read_jsonl
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(_SCAN_CAP)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.regexp_replace(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                "[^a-z0-9 ]",
+                "",
+            ).alias("san"),
+        )
+    )
+    line = F.concat(
+        F.lit('{"doc_id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "lang": "'),
+        F.coalesce(F.col("lang"), F.lit("")),
+        F.lit('", "n_chars": '),
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("string"),
+        F.lit(', "text": "'),
+        F.col("san"),
+        F.lit('"}'),
+    )
+    emitted = F.when(
+        F.col("doc_id") % 7 == 3, F.expr("substring(l, 1, length(l) - 1)")
+    ).otherwise(F.col("l"))
+    rows = [
+        r["out"]
+        for r in d.withColumn("l", line)
+        .select(emitted.alias("out"))
+        .collect()
+    ]
+    path = _scan_path(sf_dir, "docs.jsonl")
+    with open(path, "w") as fh:
+        fh.write("\n".join(rows) + ("\n" if rows else ""))
+    parsed = read_jsonl(
+        spark,
+        path,
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    return parsed.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.when(
+            F.col("_corrupt_record").isNull(), F.md5(F.col("text"))
+        ).alias("text_fp"),
+        F.when(F.col("_corrupt_record").isNotNull(), F.lit("T"))
+        .otherwise(F.lit("F"))
+        .alias("corrupt"),
+        F.md5(F.col("_corrupt_record")).alias("corrupt_fp"),
+    )
