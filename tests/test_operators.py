@@ -1208,3 +1208,58 @@ def test_asof_plan_has_no_join(spark):
     assert "Join" not in plan
     assert "Window" in plan
     assert plan.count("Exchange") <= 2  # one per union branch at most
+
+
+def test_quality_percentile_cutoff_property(spark):
+    # percentile_disc(0.1): strictly-below-cutoff mass is < 10% per lang,
+    # and at-or-above-cutoff (keep='T') mass is >= 90%
+    from variant_load_pipeline_spark.queries import registry
+
+    out = registry()["quality_percentile_filter"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        below = sum(1 for r in rs if r["score"] < r["cutoff"])
+        kept = sum(1 for r in rs if r["keep"] == "T")
+        assert below < 0.1 * n + 1e-9, lang
+        assert kept >= 0.9 * n - 1e-9, lang
+        assert all((r["keep"] == "T") == (r["score"] >= r["cutoff"]) for r in rs)
+
+
+def test_count_min_never_underestimates(spark):
+    # CMS invariant: estimate >= exact for EVERY term, not only the top-k
+    from variant_load_pipeline_spark.queries import registry
+
+    out = registry()["heavy_hitter_terms"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r["overestimate"] >= 0 for r in rows)
+    assert all(r["cm_estimate"] >= r["exact_count"] for r in rows)
+    # heavy hitters on this corpus are far above the collision noise floor:
+    # the top term's estimate is within 50% of exact
+    top = rows[0]
+    assert top["cm_estimate"] <= top["exact_count"] * 1.5
+
+
+def test_linear_counting_estimate_tracks_exact(spark):
+    from variant_load_pipeline_spark.queries import registry
+
+    out = registry()["distinct_ngram_estimate"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    for r in out.collect():
+        assert 0 < r["occupied"] <= r["m"]
+        assert r["occupied"] <= r["exact_distinct"]
+        # with occupancy far below saturation the LC estimate is tight
+        if r["occupied"] < r["m"] // 2:
+            assert abs(r["lc_estimate"] - r["exact_distinct"]) <= max(
+                5, 0.05 * r["exact_distinct"]
+            )

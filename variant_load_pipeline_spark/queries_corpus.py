@@ -1134,3 +1134,284 @@ def jsonl_docs_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("corrupt"),
         F.md5(F.col("_corrupt_record")).alias("corrupt_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-language percentile quality cutoff (percentile_disc semantics,
+# computed scale-safe over DISTINCT scores, never a whole-partition window)
+# ---------------------------------------------------------------------------
+_QPF_DECILE = 1  # keep docs at/above the per-lang 10th length percentile
+
+
+@register(
+    "quality_percentile_filter",
+    f"""
+    WITH d AS (
+        SELECT doc_id, COALESCE(lang, '') AS lang,
+               COALESCE(n_chars, 0) AS score
+        FROM documents
+    ),
+    c AS (SELECT lang, score, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+    t AS (SELECT lang, SUM(cnt) AS n_total FROM c GROUP BY 1),
+    r AS (
+        SELECT c.lang, score,
+               SUM(cnt) OVER (PARTITION BY c.lang ORDER BY score
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               t.n_total
+        FROM c JOIN t USING (lang)
+    ),
+    cut AS (
+        SELECT lang, MIN(score) AS cutoff
+        FROM r WHERE cum * 10 >= n_total * {_QPF_DECILE} GROUP BY lang
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang,
+           CAST(d.score AS BIGINT) AS score,
+           CAST(cut.cutoff AS BIGINT) AS cutoff,
+           CASE WHEN d.score >= cut.cutoff THEN 'T' ELSE 'F' END AS keep
+    FROM d JOIN cut USING (lang)
+    """,
+    doc="Per-language exact percentile_disc(0.1) quality cutoff: the "
+    "smallest score whose cumulative count reaches 10% of the language "
+    "(integer comparison cum*10 >= n — no float percentile boundary). "
+    "Scale-safe: the running sum windows over DISTINCT (lang, score) "
+    "pairs (bounded cardinality), never over the document partition, and "
+    "the per-lang cutoffs broadcast back — the corpus itself is touched "
+    "by exactly one groupBy and one broadcast-join scan",
+)
+def quality_percentile_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("score"),
+    )
+    c = d.groupBy("lang", "score").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.groupBy("lang").agg(F.sum("cnt").alias("n_total"))
+    r = c.join(t, "lang").withColumn(
+        "cum",
+        F.sum("cnt").over(
+            W.partitionBy("lang")
+            .orderBy("score")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    cut = (
+        r.filter(F.col("cum") * 10 >= F.col("n_total") * _QPF_DECILE)
+        .groupBy("lang")
+        .agg(F.min("score").alias("cutoff"))
+    )
+    return d.join(F.broadcast(cut), "lang").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("score").cast("long").alias("score"),
+        F.col("cutoff").cast("long").alias("cutoff"),
+        F.when(F.col("score") >= F.col("cutoff"), F.lit("T"))
+        .otherwise(F.lit("F"))
+        .alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters [Cormode & Muthukrishnan 2005 — public]
+# ---------------------------------------------------------------------------
+_CM_D = 4      # hash rows
+_CM_W = 512    # columns per row
+_CM_TOPK = 20
+# portable row hash: 32-bit md5 prefix of 'cm<i>:<term>', mod width
+_CM_COL_SQL = (
+    "('0x' || substr(md5('cm' || {i} || ':' || term), 1, 8))::BIGINT"
+    f" % {_CM_W}"
+)
+
+
+@register(
+    "heavy_hitter_terms",
+    f"""
+    WITH w AS (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents
+    ),
+    words AS (SELECT term FROM w WHERE term <> ''),
+    cells AS (
+        SELECT i, {'('}CASE
+            {' '.join(f"WHEN i = {i} THEN " + _CM_COL_SQL.format(i=i) for i in range(_CM_D))}
+        END{')'} AS col, COUNT(*) AS cnt
+        FROM words CROSS JOIN (SELECT unnest(range({_CM_D})) AS i)
+        GROUP BY 1, 2
+    ),
+    exact AS (SELECT term, COUNT(*) AS exact_count FROM words GROUP BY 1),
+    est AS (
+        SELECT e.term, MIN(c.cnt) AS cm_estimate
+        FROM exact e
+        CROSS JOIN (SELECT unnest(range({_CM_D})) AS i) r
+        JOIN cells c ON c.i = r.i AND c.col = ({'('}CASE
+            {' '.join(f"WHEN r.i = {i} THEN " + _CM_COL_SQL.format(i=i).replace('term', 'e.term') for i in range(_CM_D))}
+        END{')'})
+        GROUP BY e.term
+    )
+    SELECT e.term, CAST(e.exact_count AS BIGINT) AS exact_count,
+           CAST(s.cm_estimate AS BIGINT) AS cm_estimate,
+           CAST(s.cm_estimate - e.exact_count AS BIGINT) AS overestimate
+    FROM exact e JOIN est s USING (term)
+    ORDER BY e.exact_count DESC, e.term
+    LIMIT {_CM_TOPK}
+    """,
+    doc=f"Count-Min sketch heavy hitters [Cormode & Muthukrishnan 2005]: "
+    f"term frequencies summarized into a fixed {_CM_D}x{_CM_W} counter "
+    "grid (bounded memory regardless of vocabulary size — the sketch is "
+    "what survives when the exact term groupBy no longer fits), estimate "
+    "= min over rows, verified against the exact counts: overestimate "
+    ">= 0 always, bounded by the sketch width.  Hashes are portable md5 "
+    "prefixes so the oracle rebuilds the identical grid cell-by-cell",
+)
+def heavy_hitter_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import normalize_text, shingle_hash
+
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(normalize_text(F.col("text")), " ")
+            ).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+
+    def col_for(i: int, term: F.Column) -> F.Column:
+        return shingle_hash(
+            F.concat(F.lit(f"cm{i}:"), term)
+        ) % _CM_W
+
+    cells = (
+        words.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        col_for(i, F.col("term")).alias("col"),
+                    )
+                    for i in range(_CM_D)
+                ])
+            ).alias("c")
+        )
+        .select("c.i", "c.col")
+        .groupBy("i", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = words.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = exact.select(
+        "term",
+        "exact_count",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    col_for(i, F.col("term")).alias("col"),
+                )
+                for i in range(_CM_D)
+            ])
+        ).alias("p"),
+    ).select("term", "exact_count", "p.i", "p.col")
+    est = (
+        probes.join(F.broadcast(cells), ["i", "col"])
+        .groupBy("term", "exact_count")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    return (
+        est.select(
+            "term",
+            F.col("exact_count").cast("long").alias("exact_count"),
+            F.col("cm_estimate").cast("long").alias("cm_estimate"),
+            (F.col("cm_estimate") - F.col("exact_count"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+        .orderBy(F.col("exact_count").desc(), "term")
+        .limit(_CM_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear-counting distinct estimation [Whang et al. 1990 — public]
+# ---------------------------------------------------------------------------
+_LC_M = 65536  # bitmap buckets
+
+
+@register(
+    "distinct_ngram_estimate",
+    f"""
+    WITH d AS (
+        SELECT source, {_NORM_SQL} AS norm FROM documents
+    ),
+    t AS (
+        SELECT source, unnest(string_split(norm, ' ')) AS tok,
+               generate_subscripts(string_split(norm, ' '), 1) AS pos,
+               string_split(norm, ' ') AS toks
+        FROM d
+    ),
+    g AS (
+        SELECT source,
+               array_to_string(toks[pos:pos+2], ' ') AS gram
+        FROM t WHERE pos + 2 <= len(toks)
+    ),
+    h AS (
+        SELECT DISTINCT source,
+               ('0x' || substr(md5(gram), 1, 8))::BIGINT % {_LC_M} AS bucket
+        FROM g
+    ),
+    occ AS (SELECT source, COUNT(*) AS occupied FROM h GROUP BY source),
+    ex AS (SELECT source, COUNT(DISTINCT gram) AS exact_distinct FROM g
+           GROUP BY source)
+    SELECT o.source, CAST({_LC_M} AS BIGINT) AS m,
+           CAST(o.occupied AS BIGINT) AS occupied,
+           CAST(ROUND({_LC_M} * ln({_LC_M}::DOUBLE
+                / ({_LC_M} - o.occupied))) AS BIGINT) AS lc_estimate,
+           CAST(e.exact_distinct AS BIGINT) AS exact_distinct
+    FROM occ o JOIN ex e USING (source)
+    """,
+    doc="Linear-counting distinct estimation [Whang et al. 1990]: word-"
+    f"trigram cardinality per source from a {_LC_M}-bucket hash bitmap — "
+    "estimate = m*ln(m/empty), verified against the exact distinct.  The "
+    "bitmap is the fixed-memory scale path (the per-source state is 64k "
+    "bits no matter how many trigrams 100 TB holds); the exact half is "
+    "the oracle-verified baseline.  Portable md5 bucket hash; the one "
+    "float op (ln) is rounded to an integer estimate, far coarser than "
+    "any libm ulp difference",
+)
+def distinct_ngram_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import normalize_text
+
+    d = load(spark, sf_dir, "documents").select(
+        "source", normalize_text(F.col("text")).alias("norm")
+    )
+    toks = d.select("source", F.split("norm", " ").alias("toks"))
+    g = toks.select(
+        "source",
+        F.explode(
+            F.when(
+                F.size("toks") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.array_join(F.slice("toks", i, 3), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    h = g.select(
+        "source",
+        (F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+         % _LC_M).alias("bucket"),
+    ).distinct()
+    occ = h.groupBy("source").agg(F.count(F.lit(1)).alias("occupied"))
+    ex = g.groupBy("source").agg(
+        F.count_distinct("gram").alias("exact_distinct")
+    )
+    m = float(_LC_M)
+    return occ.join(ex, "source").select(
+        "source",
+        F.lit(_LC_M).cast("long").alias("m"),
+        F.col("occupied").cast("long").alias("occupied"),
+        F.round(m * F.log(F.lit(m) / (F.lit(m) - F.col("occupied"))))
+        .cast("long")
+        .alias("lc_estimate"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    )
