@@ -680,3 +680,130 @@ def unigram_surprisal(
             6,
         ).alias("mean_surprisal"),
     )
+
+
+def bigram_backoff_surprisal(
+    train,
+    score,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+):
+    """Bigram Stupid-Backoff surprisal [Brants et al. 2007, "Large
+    Language Models in Machine Translation" — public]: a bigram LM with
+    score-based (not normalized) backoff, trained on ``train`` and
+    scoring ``score`` — the held-out-perplexity quality signal one step
+    up from :func:`unigram_surprisal`.
+
+    Per adjacent token pair (w1, w2):
+
+    * seen bigram:    p = c2(w1,w2) / c1(w1)
+    * unseen bigram:  p = alpha * c1(w2) / N        (unigram backoff)
+    * unseen unigram: p = alpha / (N + V)           (OOV floor)
+
+    Float determinism: the per-pair surprisal -ln(p) rounds to integer
+    micro-nats BEFORE the per-document BIGINT sum (the unigram_surprisal
+    idiom) — summation-order free, oracle-replayable.
+
+    Plan shape: bigram generation is a per-row array transform (no
+    window, no shuffle); the score-side pair stream joins the bigram
+    counts on the pair key and the unigram counts on each word — three
+    vocabulary-keyed shuffle joins, which is the honest plan at
+    trillion-token scale where no count table broadcasts.  Stopword-pair
+    skew is AQE's standard skew-join case.
+
+    Output: (id, n_pairs, surprisal_micro, mean_surprisal); documents
+    with < 2 tokens score 0 over 0 pairs.
+    """
+    from pyspark.sql import functions as F
+
+    def pairs_of(df):
+        toks = df.select(
+            F.col(id_col),
+            F.split(
+                normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+            ).alias("toks"),
+        ).withColumn(
+            "toks", F.filter("toks", lambda t: t != F.lit(""))
+        )
+        return toks.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.size("toks") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - 1),
+                        lambda i: F.struct(
+                            F.element_at("toks", i).alias("w1"),
+                            F.element_at("toks", i + 1).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<w1:string,w2:string>>")
+                )
+            ).alias("p"),
+        ).select(id_col, "p.w1", "p.w2")
+
+    train_pairs = pairs_of(train)
+    c2 = train_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    train_toks = train.select(
+        F.explode(
+            F.split(
+                normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+            )
+        ).alias("term")
+    ).filter(F.col("term") != "")
+    c1 = train_toks.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    consts = c1.agg(F.sum("c1").alias("nn"), F.count(F.lit(1)).alias("vv"))
+
+    sp = pairs_of(score)
+    j = (
+        sp.join(c2, ["w1", "w2"], "left")
+        .join(
+            c1.select(F.col("term").alias("w1"), F.col("c1").alias("c1_w1")),
+            "w1",
+            "left",
+        )
+        .join(
+            c1.select(F.col("term").alias("w2"), F.col("c1").alias("c1_w2")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(consts))
+    )
+    p = (
+        F.when(
+            F.col("c2").isNotNull(),
+            F.col("c2").cast("double") / F.col("c1_w1"),
+        )
+        .when(
+            F.col("c1_w2").isNotNull(),
+            F.lit(alpha) * F.col("c1_w2") / F.col("nn"),
+        )
+        .otherwise(F.lit(alpha) / (F.col("nn") + F.col("vv")))
+    )
+    micro = F.floor(-F.log(p) * 1e6 + 0.5).cast("long")
+    scored = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(micro).alias("surprisal_micro"),
+    )
+    return (
+        score.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("surprisal_micro", F.lit(0))
+            .cast("long")
+            .alias("surprisal_micro"),
+            F.round(
+                F.when(
+                    F.coalesce("n_pairs", F.lit(0)) > 0,
+                    F.col("surprisal_micro").cast("double")
+                    / F.col("n_pairs")
+                    / 1e6,
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("mean_surprisal"),
+        )
+    )

@@ -1415,3 +1415,91 @@ def distinct_ngram_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lc_estimate"),
         F.col("exact_distinct").cast("long").alias("exact_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram Stupid-Backoff surprisal [Brants et al. 2007 — public]
+# ---------------------------------------------------------------------------
+_BB_TOKS_SQL = (
+    f"list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '')"
+)
+
+
+@register(
+    "bigram_backoff_surprisal",
+    f"""
+    WITH tr AS (
+        SELECT doc_id, {_BB_TOKS_SQL} AS toks FROM documents
+        WHERE doc_id % 2 = 0
+    ),
+    sc AS (
+        SELECT doc_id, {_BB_TOKS_SQL} AS toks FROM documents
+        WHERE doc_id % 2 = 1
+    ),
+    trp AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> [toks[i], toks[i+1]])) AS pr
+        FROM tr
+    ),
+    c2 AS (
+        SELECT pr[1] AS w1, pr[2] AS w2, COUNT(*) AS c2 FROM trp
+        GROUP BY 1, 2
+    ),
+    trt AS (SELECT unnest(toks) AS term FROM tr),
+    c1 AS (SELECT term, COUNT(*) AS c1 FROM trt GROUP BY 1),
+    consts AS (SELECT SUM(c1) AS nn, COUNT(*) AS vv FROM c1),
+    scp AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> [toks[i], toks[i+1]])) AS pr
+        FROM sc
+    ),
+    scored AS (
+        SELECT s.doc_id,
+               COUNT(*) AS n_pairs,
+               SUM(CAST(floor(-ln(
+                   CASE WHEN c2.c2 IS NOT NULL
+                        THEN c2.c2::DOUBLE / u1.c1
+                        WHEN u2.c1 IS NOT NULL
+                        THEN 0.4 * u2.c1 / k.nn
+                        ELSE 0.4 / (k.nn + k.vv) END
+                   ) * 1e6 + 0.5) AS BIGINT)) AS surprisal_micro
+        FROM scp s
+        LEFT JOIN c2 ON c2.w1 = s.pr[1] AND c2.w2 = s.pr[2]
+        LEFT JOIN c1 u1 ON u1.term = s.pr[1]
+        LEFT JOIN c1 u2 ON u2.term = s.pr[2]
+        CROSS JOIN consts k
+        GROUP BY s.doc_id
+    )
+    SELECT CAST(sc.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(scored.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(scored.surprisal_micro, 0) AS BIGINT)
+               AS surprisal_micro,
+           CAST(ROUND(CASE WHEN COALESCE(scored.n_pairs, 0) > 0
+                THEN scored.surprisal_micro::DOUBLE / scored.n_pairs / 1e6
+                ELSE 0.0 END, 6) AS DOUBLE) AS mean_surprisal
+    FROM sc LEFT JOIN scored USING (doc_id)
+    """,
+    doc="Bigram Stupid-Backoff surprisal [Brants et al. 2007] "
+    "(functions/text.bigram_backoff_surprisal): LM trained on the even-"
+    "id half of the corpus, odd-id half scored as true held-out data — "
+    "seen bigram c2/c1, unseen bigram 0.4*c1(w2)/N, OOV floor "
+    "0.4/(N+V), per-pair micro-nat rounding before the exact BIGINT "
+    "sum.  Bigrams are per-row array transforms (no window shuffle); "
+    "the three count joins key on vocabulary — the honest trillion-"
+    "token plan where no count table broadcasts",
+)
+def bigram_backoff_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import bigram_backoff_surprisal
+
+    d = load(spark, sf_dir, "documents")
+    out = bigram_backoff_surprisal(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_pairs",
+        "surprisal_micro",
+        "mean_surprisal",
+    )

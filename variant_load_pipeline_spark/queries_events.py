@@ -180,3 +180,57 @@ def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity week, counted per
+# weeks-since-cohort offset
+# ---------------------------------------------------------------------------
+_WEEK = 604800  # seconds
+
+
+@register(
+    "events_retention_cohorts",
+    f"""
+    WITH w AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch(ts) / {_WEEK}) AS BIGINT) AS wk
+        FROM events
+    ),
+    c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY user_id),
+    a AS (
+        SELECT DISTINCT w.user_id, c.cohort_wk, w.wk - c.cohort_wk AS wk_offset
+        FROM w JOIN c USING (user_id)
+    )
+    SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk,
+           CAST(wk_offset AS BIGINT) AS wk_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a GROUP BY cohort_wk, wk_offset
+    """,
+    doc="Cohort retention matrix: users bucketed by first-activity epoch "
+    "week, distinct (user, week-offset) activity counted per cohort — "
+    "the classic retention triangle.  Integer epoch-week arithmetic "
+    "(no calendar/timezone rules to mirror); both aggregations and the "
+    "join key on user_id, so the whole pipeline is co-partitioned on "
+    "one shuffle key",
+)
+def events_retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = ev.select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / _WEEK).cast("long").alias("wk"),
+    )
+    c = w.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    a = (
+        w.join(c, "user_id")
+        .select(
+            "user_id",
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("wk_offset"),
+        )
+        .distinct()
+    )
+    return a.groupBy(
+        F.col("cohort_wk").cast("long").alias("cohort_wk"),
+        F.col("wk_offset").cast("long").alias("wk_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
