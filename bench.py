@@ -85,6 +85,14 @@ HEADLINE_V2 = [
     "source_mixing_sample",
     "unigram_surprisal",
     "ann_pq_adc_topk",
+    "events_asof_join",
+    "events_funnel",
+    "events_retention_cohorts",
+    "quality_percentile_filter",
+    "heavy_hitter_terms",
+    "distinct_ngram_estimate",
+    "bigram_backoff_surprisal",
+    "jsonl_docs_scan",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -103,6 +111,8 @@ EAGER_CONSTRUCT = {
     "kmeans_embeddings",
     "semdedup_pairs",
     "ann_pq_adc_topk",
+    # driver-side fixture render + write happens at construction
+    "jsonl_docs_scan",
 }
 
 

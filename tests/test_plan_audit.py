@@ -341,3 +341,33 @@ def test_unigram_surprisal_no_python_and_no_cross_join(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_query_has_no_join_node(spark):
+    # the as-of operator's whole point: a single-shuffle window sweep,
+    # never a range join (BNLJ) or an equi-join + argmax
+    plan = plan_of(spark, "events_asof_join")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_percentile_cutoffs_broadcast_back(spark):
+    # per-lang cutoffs must broadcast; the documents side is one scan
+    plan = plan_of(spark, "quality_percentile_filter")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the running sum windows over (lang, DISTINCT score), after an agg —
+    # never a window over the raw documents partition
+    assert plan.index("Window") > plan.index("HashAggregate")
+
+
+def test_sketch_queries_stay_jvm_side(spark):
+    for name in (
+        "heavy_hitter_terms",
+        "distinct_ngram_estimate",
+        "bigram_backoff_surprisal",
+    ):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
