@@ -93,6 +93,7 @@ HEADLINE_V2 = [
     "distinct_ngram_estimate",
     "bigram_backoff_surprisal",
     "jsonl_docs_scan",
+    "mmr_diverse_topk",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -113,6 +114,8 @@ EAGER_CONSTRUCT = {
     "ann_pq_adc_topk",
     # driver-side fixture render + write happens at construction
     "jsonl_docs_scan",
+    # the greedy k-step loop (localCheckpoint per pick) runs eagerly
+    "mmr_diverse_topk",
 }
 
 

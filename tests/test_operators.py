@@ -1263,3 +1263,48 @@ def test_linear_counting_estimate_tracks_exact(spark):
             assert abs(r["lc_estimate"] - r["exact_distinct"]) <= max(
                 5, 0.05 * r["exact_distinct"]
             )
+
+
+def test_mmr_select_diversifies_across_clusters(spark):
+    # two tight candidate clusters; pure relevance top-3 stays inside
+    # cluster A, MMR must cross over to cluster B by step 2 or 3
+    from variant_load_pipeline_spark.operators.similarity import mmr_select
+
+    # rel: cluster A = {1,2,3} rel ~ .99, cluster B = {10,11} rel ~ .80
+    pool = spark.createDataFrame(
+        [(0, 1, 990000), (0, 2, 985000), (0, 3, 980000),
+         (0, 10, 800000), (0, 11, 795000)],
+        ["qid", "nid", "rel_micro"],
+    )
+    intra, inter = 999000, 100000
+    sims_rows = []
+    cl = {1: "A", 2: "A", 3: "A", 10: "B", 11: "B"}
+    for a in cl:
+        for b in cl:
+            if a != b:
+                sims_rows.append(
+                    (0, a, b, intra if cl[a] == cl[b] else inter)
+                )
+    sims = spark.createDataFrame(sims_rows, ["qid", "a", "b", "sim_micro"])
+    sel = {r["step"]: r["nid"] for r in mmr_select(pool, sims, k=3).collect()}
+    assert sel[1] == 1                      # pure relevance first
+    assert cl[sel[2]] == "B"                # diversity kicks in
+    # step 3 goes back to A: every remaining B/A candidate now has an
+    # intra-cluster selected neighbor, so relevance decides -> nid 2
+    assert sel[3] == 2
+    assert len(set(sel.values())) == 3
+
+
+def test_mmr_select_tie_breaks_to_smaller_id(spark):
+    from variant_load_pipeline_spark.operators.similarity import mmr_select
+
+    pool = spark.createDataFrame(
+        [(0, 5, 100), (0, 7, 100), (0, 9, 100)],
+        ["qid", "nid", "rel_micro"],
+    )
+    sims = spark.createDataFrame(
+        [(0, a, b, 50) for a in (5, 7, 9) for b in (5, 7, 9) if a != b],
+        ["qid", "a", "b", "sim_micro"],
+    )
+    sel = {r["step"]: r["nid"] for r in mmr_select(pool, sims, k=3).collect()}
+    assert sel == {1: 5, 2: 7, 3: 9}

@@ -350,3 +350,103 @@ def cosine_topk_pandas(
     return sims.withColumn("rk", F2.row_number().over(w)).filter(
         F2.col("rk") <= k
     )
+
+
+def mmr_select(
+    pool: DataFrame,
+    sims: DataFrame,
+    k: int = 4,
+    lam_tenths: int = 7,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified selection [Carbonell &
+    Goldstein 1998 — public]: from each query's candidate pool, pick k
+    items greedily, each step maximizing
+
+        lam * relevance  -  (1 - lam) * max-similarity-to-selected
+
+    — the standard diversity re-rank between retrieval and training-set
+    assembly (near-identical top hits collapse to one representative).
+
+    Inputs (all scores INTEGER micro-units so every argmax is exact and
+    oracle-replayable; lam = lam_tenths/10 keeps the combination integer:
+    score = lam_tenths*rel - (10-lam_tenths)*maxsim):
+
+    * pool: (qid, nid, rel_micro) — per-query candidates with relevance
+    * sims: (qid, a, b, sim_micro) — pairwise similarity among the pool
+
+    Output: (qid, step, nid), step = 1..k in pick order.  Step 1 is the
+    pure-relevance argmax; ties always break to the smaller nid.
+
+    Scale shape: the greedy loop is inherently sequential in k, so the
+    driver iterates k times — but each step is one DISTRIBUTED
+    anti-join + groupBy-max + per-qid row_number over ALL queries at
+    once; the driver holds no data and k is a small constant.  Pool and
+    sims are persisted once (every step re-reads both).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    if not 1 <= lam_tenths <= 10:
+        raise ValueError("lam_tenths must be in [1, 10]")
+    pool = pool.persist(StorageLevel.MEMORY_AND_DISK)
+    sims = sims.persist(StorageLevel.MEMORY_AND_DISK)
+    w = W.partitionBy("qid")
+    first = (
+        pool.withColumn(
+            "__rn",
+            F.row_number().over(
+                w.orderBy(F.col("rel_micro").desc(), F.col("nid"))
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("qid", F.lit(1).alias("step"), "nid")
+    )
+    selected = first.localCheckpoint(eager=True)
+    for step in range(2, k + 1):
+        # explicit renames: pool/sims/selected share lineage (sims is a
+        # pool self-join), so qualified-attribute joins would be ambiguous
+        rem = pool.join(
+            selected.select("qid", "nid"), ["qid", "nid"], "left_anti"
+        ).select(
+            F.col("qid").alias("rq"),
+            F.col("nid").alias("rnid"),
+            "rel_micro",
+        )
+        s = sims.select(
+            F.col("qid").alias("sq"),
+            F.col("a").alias("sa"),
+            F.col("b").alias("sb"),
+            "sim_micro",
+        )
+        selb = selected.select(
+            F.col("qid").alias("selq"), F.col("nid").alias("seln")
+        )
+        cand = (
+            rem.join(
+                s, (F.col("rq") == F.col("sq")) & (F.col("rnid") == F.col("sa"))
+            )
+            .join(
+                selb,
+                (F.col("sq") == F.col("selq")) & (F.col("sb") == F.col("seln")),
+            )
+            .groupBy(F.col("rq").alias("qid"), F.col("rnid").alias("nid"))
+            .agg(
+                F.max("sim_micro").alias("maxsim"),
+                F.max("rel_micro").alias("rel_micro"),
+            )
+        )
+        score = (
+            F.lit(lam_tenths) * F.col("rel_micro")
+            - F.lit(10 - lam_tenths) * F.col("maxsim")
+        )
+        pick = (
+            cand.withColumn(
+                "__rn",
+                F.row_number().over(
+                    w.orderBy(score.desc(), F.col("nid"))
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select("qid", F.lit(step).alias("step"), "nid")
+        )
+        selected = selected.union(pick).localCheckpoint(eager=True)
+    return selected

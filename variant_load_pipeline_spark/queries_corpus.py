@@ -1503,3 +1503,200 @@ def bigram_backoff_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "surprisal_micro",
         "mean_surprisal",
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k [Carbonell & Goldstein 1998 — public]
+# ---------------------------------------------------------------------------
+_MMR_POOL = 12
+_MMR_K = 4
+_MMR_LAM = 7  # lambda in tenths: score = 7*rel - 3*maxsim
+# Exact replica of the Spark float pipeline (similarity.dot): per-element
+# FLOAT multiply, sequential DOUBLE fold, norms multiplied before the
+# divide.  list_cosine_similarity would compute in float32 and flip the
+# 6th decimal at micro-unit boundaries — measured, not hypothetical.
+_MMR_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1),"
+    " i -> CAST({a}[i] * {b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+
+
+def _mmr_cos_micro(a: str, b: str) -> str:
+    cos = (
+        f"({_MMR_DOT.format(a=a, b=b)}"
+        f" / (sqrt({_MMR_DOT.format(a=a, b=a)})"
+        f" * sqrt({_MMR_DOT.format(a=b, b=b)})))"
+    )
+    return f"CAST(floor(ROUND({cos}, 6) * 1e6 + 0.5) AS BIGINT)"
+
+
+@register(
+    "mmr_diverse_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        WHERE vec_id % 100 = 0
+    ),
+    scored0 AS (
+        SELECT q.qid, e.vec_id AS nid,
+               {_mmr_cos_micro('q.qv', 'e.embedding')} AS rel_micro
+        FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+        SELECT qid, nid, rel_micro,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY rel_micro DESC, nid) AS rn
+        FROM scored0
+    ),
+    pool AS (SELECT qid, nid, rel_micro FROM ranked WHERE rn <= {_MMR_POOL}),
+    sims AS (
+        SELECT a.qid, a.nid AS a, b.nid AS b,
+               {_mmr_cos_micro('ea.embedding', 'eb.embedding')} AS sim_micro
+        FROM pool a
+        JOIN pool b ON a.qid = b.qid AND a.nid <> b.nid
+        JOIN embeddings ea ON ea.vec_id = a.nid
+        JOIN embeddings eb ON eb.vec_id = b.nid
+    ),
+    p1 AS (
+        SELECT qid, nid FROM (
+            SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY rel_micro DESC, nid) AS rn FROM pool
+        ) WHERE rn = 1
+    ),
+    s2 AS (
+        SELECT c.qid, c.nid,
+               {_MMR_LAM} * c.rel_micro - {10 - _MMR_LAM} * s1.sim_micro
+                   AS score
+        FROM pool c
+        JOIN p1 ON c.qid = p1.qid AND c.nid <> p1.nid
+        JOIN sims s1 ON s1.qid = c.qid AND s1.a = c.nid AND s1.b = p1.nid
+    ),
+    p2 AS (
+        SELECT qid, nid FROM (
+            SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY score DESC, nid) AS rn FROM s2
+        ) WHERE rn = 1
+    ),
+    s3 AS (
+        SELECT c.qid, c.nid,
+               {_MMR_LAM} * c.rel_micro
+               - {10 - _MMR_LAM} * GREATEST(s1.sim_micro, sx2.sim_micro)
+                   AS score
+        FROM pool c
+        JOIN p1 ON c.qid = p1.qid AND c.nid <> p1.nid
+        JOIN p2 ON c.qid = p2.qid AND c.nid <> p2.nid
+        JOIN sims s1 ON s1.qid = c.qid AND s1.a = c.nid AND s1.b = p1.nid
+        JOIN sims sx2 ON sx2.qid = c.qid AND sx2.a = c.nid AND sx2.b = p2.nid
+    ),
+    p3 AS (
+        SELECT qid, nid FROM (
+            SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY score DESC, nid) AS rn FROM s3
+        ) WHERE rn = 1
+    ),
+    s4 AS (
+        SELECT c.qid, c.nid,
+               {_MMR_LAM} * c.rel_micro
+               - {10 - _MMR_LAM} * GREATEST(s1.sim_micro, sx2.sim_micro,
+                                            sx3.sim_micro) AS score
+        FROM pool c
+        JOIN p1 ON c.qid = p1.qid AND c.nid <> p1.nid
+        JOIN p2 ON c.qid = p2.qid AND c.nid <> p2.nid
+        JOIN p3 ON c.qid = p3.qid AND c.nid <> p3.nid
+        JOIN sims s1 ON s1.qid = c.qid AND s1.a = c.nid AND s1.b = p1.nid
+        JOIN sims sx2 ON sx2.qid = c.qid AND sx2.a = c.nid AND sx2.b = p2.nid
+        JOIN sims sx3 ON sx3.qid = c.qid AND sx3.a = c.nid AND sx3.b = p3.nid
+    ),
+    p4 AS (
+        SELECT qid, nid FROM (
+            SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY score DESC, nid) AS rn FROM s4
+        ) WHERE rn = 1
+    ),
+    sel AS (
+        SELECT qid, 1 AS step, nid FROM p1
+        UNION ALL SELECT qid, 2, nid FROM p2
+        UNION ALL SELECT qid, 3, nid FROM p3
+        UNION ALL SELECT qid, 4, nid FROM p4
+    )
+    SELECT CAST(sel.qid AS BIGINT) AS qid, CAST(sel.step AS INT) AS step,
+           CAST(sel.nid AS BIGINT) AS nid,
+           CAST(pool.rel_micro AS BIGINT) AS rel_micro
+    FROM sel JOIN pool ON pool.qid = sel.qid AND pool.nid = sel.nid
+    """,
+    doc="Maximal-Marginal-Relevance diversified top-k [Carbonell & "
+    "Goldstein 1998] (operators/similarity.mmr_select): per query, a "
+    f"{_MMR_POOL}-candidate cosine pool is greedily re-ranked into "
+    f"{_MMR_K} picks maximizing 0.7*relevance - 0.3*max-sim-to-selected "
+    "— the diversity re-rank between retrieval and training-set "
+    "assembly.  All scores integer micro-units, ties to the smaller id; "
+    "the greedy loop is k driver-iterated DISTRIBUTED steps (anti-join "
+    "+ groupBy-max over every query at once, nothing collected); the "
+    "oracle unrolls all four steps CTE-by-CTE",
+)
+def mmr_diverse_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import dot, mmr_select
+
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    nrm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    corpus = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nv"),
+        nrm.alias("nn"),
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        nrm.alias("qn"),
+    )
+
+    def micro(sim6):
+        return F.floor(sim6 * 1e6 + 0.5).cast("long")
+
+    rel6 = F.round(
+        dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+    )
+    ranked = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", micro(rel6).alias("rel_micro"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(
+                    F.col("rel_micro").desc(), F.col("nid")
+                )
+            ),
+        )
+    )
+    pool = ranked.filter(F.col("rn") <= _MMR_POOL).select(
+        "qid", "nid", "rel_micro"
+    )
+    pa = pool.select("qid", F.col("nid").alias("a"))
+    pb = pool.select(F.col("qid").alias("qid_b"), F.col("nid").alias("b"))
+    ea = corpus.select(
+        F.col("nid").alias("a"), F.col("nv").alias("va"), F.col("nn").alias("na")
+    )
+    eb = corpus.select(
+        F.col("nid").alias("b"), F.col("nv").alias("vb"), F.col("nn").alias("nb")
+    )
+    sim6 = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    sims = (
+        pa.join(pb, (pa.qid == pb.qid_b) & (pa.a != pb.b))
+        .select("qid", "a", "b")
+        .join(ea, "a")
+        .join(eb, "b")
+        .select("qid", "a", "b", micro(sim6).alias("sim_micro"))
+    )
+    sel = mmr_select(pool, sims, k=_MMR_K, lam_tenths=_MMR_LAM)
+    return sel.join(pool, ["qid", "nid"]).select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("step").cast("int").alias("step"),
+        F.col("nid").cast("long").alias("nid"),
+        F.col("rel_micro").cast("long").alias("rel_micro"),
+    )
