@@ -361,3 +361,76 @@ def test_genic_status_bucketed_matches_batch_join(spark):
     }
     assert a == b
     assert a[99_990] == "GENIC" and a[99_989] == "INTERGENIC"
+
+
+def _mk_asof_events(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows, eid = [], 0
+    for u in (1, 2):
+        for minutes, etype in (
+            (0, "error"), (5, "click"), (10, "error"), (10, "click"),
+            (70, "click"), (90, "error"), (95, "click"), (200, "click"),
+        ):
+            rows.append(
+                (eid, base + dt.timedelta(minutes=minutes + u), u,
+                 etype, float(minutes + eid))
+            )
+            eid += 1
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_asof_stateful_matches_batch_sweep(spark, tmp_path):
+    """The streaming as-of twin (state = latest right row per key) must
+    match the batch union+window sweep row-for-row when micro-batches
+    replay in time order — including matches that CROSS the batch
+    boundary (an error in batch 1 matched by a click in batch 2)."""
+    from variant_load_pipeline_spark.operators.asof_join import asof_join
+
+    df = _mk_asof_events(spark)
+    cut = dt.datetime(2024, 1, 1, 1, 0, 0)
+    first = df.filter(F.col("ts") < cut)
+    second = df.filter(F.col("ts") >= cut)
+    assert first.count() > 0 and second.count() > 0
+    # a batch-1 error must be the standing match for a batch-2 click
+    assert first.filter(F.col("event_type") == "error").count() > 0
+    src = _write_batches(tmp_path, "asof_batches", first, second)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = ev.asof_stateful(stream, tolerance_seconds=3600)
+    q = ev.run_stream_to_memory(out, "asof_test", output_mode="append")
+    got = {
+        r["event_id"]: (r["asof_ts_us"], r["asof_value"], r["asof_event_id"])
+        for r in spark.sql("select * from asof_test").collect()
+    }
+
+    clicks = df.filter(F.col("event_type") == "click")
+    errors = df.filter(F.col("event_type") == "error")
+    exp_df = asof_join(
+        clicks, errors, on="user_id",
+        left_seq="event_id", right_seq="event_id",
+        right_cols=["value", "event_id"],
+        tolerance_seconds=3600,
+    )
+    exp = {
+        r["event_id"]: (
+            None if r["asof_ts"] is None
+            else int(r["asof_ts"].replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000),
+            r["asof_value"],
+            r["asof_event_id"],
+        )
+        for r in exp_df.collect()
+    }
+    assert set(got) == set(exp)
+    for eid in exp:
+        assert got[eid] == exp[eid], eid
+    # the tolerance actually fired somewhere (the 200-minute click)
+    assert any(v[0] is None for v in exp.values())
+    # and at least one match crossed the micro-batch boundary
+    boundary = {
+        r["event_id"] for r in clicks.filter(F.col("ts") >= cut).collect()
+    }
+    assert any(got[e][0] is not None for e in boundary)
+    q.stop()

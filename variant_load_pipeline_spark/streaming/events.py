@@ -285,3 +285,95 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def asof_stateful(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "error",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Streaming twin of the batch as-of join (operators/asof_join,
+    `events_asof_join` query): left-type events are matched to the most
+    recent right-type event at-or-before them, per user.
+
+    The batch operator is a union + running-window sweep; the streaming
+    form is its incremental version, and the state it needs is O(1) per
+    key — only the LATEST right-side row (ts, value, event_id), not a
+    buffer.  Per micro-batch a key's rows are processed in (ts,
+    side-right-first, event_id) order: right rows advance the state, left
+    rows emit the current match (ties at equal ts: right before left, so
+    equality matches — the batch sweep's exact ordering).  Fed
+    time-ordered micro-batches, output matches `events_asof_join`
+    row-for-row across batch boundaries — asserted by test.
+
+    State timestamps are stored as integer microseconds (no timestamp
+    round-tripping through the state store).
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("asof_ts_us", T.LongType()),
+            T.StructField("asof_value", T.DoubleType()),
+            T.StructField("asof_event_id", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("r_ts_us", T.LongType()),
+            T.StructField("r_value", T.DoubleType()),
+            T.StructField("r_event_id", T.LongType()),
+        ]
+    )
+    tol_us = (
+        None if tolerance_seconds is None else tolerance_seconds * 1_000_000
+    )
+
+    def update(key, pdfs, state: GroupState):
+        last = state.get if state.exists else None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf[pdf["event_type"].isin([left_type, right_type])]
+        # itertuples renames underscore-prefixed columns; use plain names
+        pdf["ts_us_"] = pdf["ts"].astype("int64") // 1000
+        pdf["right_first_"] = (pdf["event_type"] == left_type).astype(int)
+        pdf = pdf.sort_values(["ts_us_", "right_first_", "event_id"])
+        out = {k: [] for k in (
+            "user_id", "event_id", "ts_us",
+            "asof_ts_us", "asof_value", "asof_event_id",
+        )}
+        for r in pdf.itertuples(index=False):
+            ts_us = int(r.ts_us_)
+            if r.event_type == right_type:
+                last = (ts_us, float(r.value), int(r.event_id))
+                continue
+            match = last
+            if match is not None and tol_us is not None and (
+                ts_us - match[0] > tol_us
+            ):
+                match = None
+            out["user_id"].append(key[0])
+            out["event_id"].append(int(r.event_id))
+            out["ts_us"].append(ts_us)
+            out["asof_ts_us"].append(match[0] if match else None)
+            out["asof_value"].append(match[1] if match else None)
+            out["asof_event_id"].append(match[2] if match else None)
+        if last is not None:
+            state.update(tuple(last))
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
