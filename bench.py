@@ -94,6 +94,8 @@ HEADLINE_V2 = [
     "bigram_backoff_surprisal",
     "jsonl_docs_scan",
     "mmr_diverse_topk",
+    "j_salted_skew_join",
+    "histogram_quantile_estimate",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

@@ -1308,3 +1308,29 @@ def test_mmr_select_tie_breaks_to_smaller_id(spark):
     )
     sel = {r["step"]: r["nid"] for r in mmr_select(pool, sims, k=3).collect()}
     assert sel == {1: 5, 2: 7, 3: 9}
+
+
+def test_salted_join_equals_plain_join(spark):
+    from variant_load_pipeline_spark.operators.windows import salted_join
+
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [(i, rng.choice([0, 0, 0, 1, 2, 3]), float(i)) for i in range(600)],
+        ["lid", "k", "v"],
+    )
+    right = spark.createDataFrame(
+        [(0, "hot"), (1, "a"), (2, "b"), (5, "unmatched")], ["k", "tag"]
+    )
+    for salt in (1, 4, 16):
+        got = salted_join(left, right, on="k", salt=salt).select(
+            "lid", "k", "tag"
+        )
+        exp = left.join(right, "k").select("lid", "k", "tag")
+        assert got.exceptAll(exp).count() == 0
+        assert exp.exceptAll(got).count() == 0
+    # left joins preserve unmatched probe rows exactly once
+    lj = salted_join(left, right, on="k", salt=4, how="left")
+    assert lj.count() == left.count()
+    assert lj.filter(F.col("tag").isNull()).count() == left.filter(
+        F.col("k") == 3
+    ).count()

@@ -97,3 +97,48 @@ def bucketed_row_number(
         .withColumn(out_col, (F.col("__off") + F.col("__rn")).cast("long"))
         .drop("__rn", "__off")
     )
+
+
+def salted_join(
+    left,
+    right,
+    on: list[str] | str,
+    salt: int = 8,
+    how: str = "inner",
+    salt_source=None,
+):
+    """Skew-salted equi-join: the explicit form of AQE's skew-join split,
+    for when a handful of hot keys (the chr1 >> chrMT case, SURVEY §7.4;
+    stopword terms; null-ish default keys) would funnel into one reducer.
+
+    The big/skewed ``left`` side gets a deterministic salt in [0, salt)
+    derived from ``salt_source`` (default: a hash of all left columns, so
+    rows of the SAME hot key spread across ``salt`` partitions); the
+    small ``right`` side is replicated ``salt`` times via explode —
+    ``salt``× more right rows shuffled, in exchange for the hot key's
+    probe work splitting across ``salt`` reducers.  Join keys become
+    (key..., salt); the result is EXACTLY the plain equi-join's (the salt
+    never changes which rows match, only where they meet).
+
+    Use when the build side is small enough to replicate but too big (or
+    too many distinct keys) to broadcast outright, and the probe side is
+    skewed.  With AQE on, prefer AQE first; salting is the portable,
+    planner-independent fallback and the form that also works inside
+    streaming joins where AQE cannot re-plan.
+    """
+    from pyspark.sql import functions as F
+
+    keys = [on] if isinstance(on, str) else list(on)
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    src = (
+        salt_source
+        if salt_source is not None
+        else F.xxhash64(*[F.col(c) for c in left.columns])
+    )
+    l_s = left.withColumn("__salt", F.pmod(src, F.lit(salt)).cast("int"))
+    r_s = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<int>")),
+    )
+    return l_s.join(r_s, [*keys, "__salt"], how).drop("__salt")

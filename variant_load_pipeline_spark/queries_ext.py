@@ -4594,3 +4594,198 @@ def j10_sample_detail_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return insert_if_not_exists(
         incoming, existing, keys=["rgd_id", "sample_id"]
     )
+
+
+# ===========================================================================
+# Skew-salted join: explicit salting, plain-join oracle (identical result)
+# ===========================================================================
+@register(
+    "j_salted_skew_join",
+    """
+    WITH l AS (
+        SELECT CASE WHEN l_orderkey % 10 < 5 THEN 0
+                    ELSE l_orderkey % 1000 END AS k,
+               l_extendedprice AS price
+        FROM lineitem
+    ),
+    d AS (
+        SELECT DISTINCT l_orderkey % 1000 AS k,
+               CASE WHEN l_orderkey % 1000 % 7 = 0 THEN 'gold'
+                    WHEN l_orderkey % 1000 % 7 < 4 THEN 'silver'
+                    ELSE 'bronze' END AS tier
+        FROM lineitem
+    )
+    SELECT d.tier, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(l.price), 2) AS DOUBLE) AS revenue
+    FROM l JOIN d ON l.k = d.k
+    GROUP BY d.tier
+    """,
+    doc="Skew-salted equi-join (operators/windows.salted_join): half the "
+    "probe side lands on one hot key (k=0), the classic reducer funnel; "
+    "the salted form spreads it across 8 salt partitions by widening the "
+    "join key to (k, salt) and exploding the small dim 8x.  The oracle "
+    "is the PLAIN join — salting must not change a single matched row.  "
+    "Exact 2-dp decimal sum, so aggregation order cannot leak in",
+)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    l = li.select(
+        F.when(F.col("l_orderkey") % 10 < 5, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 1000)
+        .alias("k"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    d = li.select((F.col("l_orderkey") % 1000).alias("k")).distinct().select(
+        "k",
+        F.when(F.col("k") % 7 == 0, F.lit("gold"))
+        .when(F.col("k") % 7 < 4, F.lit("silver"))
+        .otherwise(F.lit("bronze"))
+        .alias("tier"),
+    )
+    joined = salted_join(l, d, on="k", salt=8)
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("price"), 2).cast("double").alias("revenue"),
+    )
+
+
+# ===========================================================================
+# Histogram quantile sketch: fixed equi-width bins, interpolated estimate,
+# exact-percentile verification (completes the sketch family: CMS counts,
+# linear-counting cardinality, histogram quantiles)
+# ===========================================================================
+_HQ_BINS = 128
+
+
+@register(
+    "histogram_quantile_estimate",
+    f"""
+    WITH d AS (
+        SELECT l_returnflag AS flag, CAST(l_extendedprice AS DOUBLE) AS x
+        FROM lineitem
+    ),
+    st AS (
+        SELECT flag, MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n
+        FROM d GROUP BY flag
+    ),
+    b AS (
+        SELECT d.flag,
+               CAST(LEAST({_HQ_BINS - 1}, FLOOR((d.x - st.mn)
+                   / ((st.mx - st.mn) / {_HQ_BINS}))) AS INT) AS bin
+        FROM d JOIN st USING (flag) WHERE st.mx > st.mn
+    ),
+    bc AS (SELECT flag, bin, COUNT(*) AS cnt FROM b GROUP BY flag, bin),
+    cum AS (
+        SELECT flag, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY flag ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM bc
+    ),
+    est AS (
+        SELECT c.flag, q.q,
+               MIN(st.mn + ((st.mx - st.mn) / {_HQ_BINS})
+                   * (c.bin + (st.n * q.q / 100.0 - (c.cum - c.cnt))
+                              / c.cnt)) AS est_v
+        FROM cum c
+        JOIN st USING (flag)
+        CROSS JOIN (SELECT UNNEST([50, 95]) AS q) q
+        WHERE c.cum * 100 >= st.n * q.q
+        GROUP BY c.flag, q.q
+    ),
+    dv AS (SELECT flag, x, COUNT(*) AS cnt FROM d GROUP BY flag, x),
+    dcum AS (
+        SELECT flag, x,
+               SUM(cnt) OVER (PARTITION BY flag ORDER BY x
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM dv
+    ),
+    ex AS (
+        SELECT dc.flag, q.q, MIN(dc.x) AS exact_v
+        FROM dcum dc
+        JOIN st USING (flag)
+        CROSS JOIN (SELECT UNNEST([50, 95]) AS q) q
+        WHERE dc.cum * 100 >= st.n * q.q
+        GROUP BY dc.flag, q.q
+    )
+    SELECT est.flag, CAST(est.q AS INT) AS q,
+           CAST(ROUND(est.est_v, 4) AS DOUBLE) AS est_v,
+           CAST(ROUND(ex.exact_v, 4) AS DOUBLE) AS exact_v
+    FROM est JOIN ex ON est.flag = ex.flag AND est.q = ex.q
+    """,
+    doc=f"Histogram quantile sketch: {_HQ_BINS} equi-width bins per "
+    "group, p50/p95 by within-bin linear interpolation, verified against "
+    "the exact percentile_disc (distinct-value running sums).  The "
+    f"sketch state is {_HQ_BINS} counters per group no matter how many "
+    "rows 100 TB holds — the mergeable fixed-memory quantile path; the "
+    "exact half reuses the scale-safe distinct-score percentile plan.  "
+    "Identical double expression trees on both engines",
+)
+def histogram_quantile_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").cast("double").alias("x"),
+    )
+    st = li.groupBy("flag").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / _HQ_BINS
+    b = (
+        li.join(F.broadcast(st), "flag")
+        .filter(F.col("mx") > F.col("mn"))
+        .select(
+            "flag",
+            F.least(
+                F.lit(_HQ_BINS - 1),
+                F.floor((F.col("x") - F.col("mn")) / width),
+            ).cast("int").alias("bin"),
+        )
+    )
+    bc = b.groupBy("flag", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = W.partitionBy("flag").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = bc.withColumn("cum", F.sum("cnt").over(wb))
+    qs = spark.range(2).select(
+        F.when(F.col("id") == 0, 50).otherwise(95).alias("q")
+    )
+    est = (
+        cum.join(F.broadcast(st), "flag")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") * 100 >= F.col("n") * F.col("q"))
+        .groupBy("flag", "q")
+        .agg(
+            F.min(
+                F.col("mn")
+                + width
+                * (
+                    F.col("bin")
+                    + (
+                        F.col("n") * F.col("q") / 100.0
+                        - (F.col("cum") - F.col("cnt"))
+                    )
+                    / F.col("cnt")
+                )
+            ).alias("est_v")
+        )
+    )
+    dv = li.groupBy("flag", "x").agg(F.count(F.lit(1)).alias("cnt"))
+    wd = W.partitionBy("flag").orderBy("x").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    dcum = dv.withColumn("cum", F.sum("cnt").over(wd))
+    ex = (
+        dcum.join(F.broadcast(st.select("flag", "n")), "flag")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") * 100 >= F.col("n") * F.col("q"))
+        .groupBy("flag", "q")
+        .agg(F.min("x").alias("exact_v"))
+    )
+    return est.join(ex, ["flag", "q"]).select(
+        "flag",
+        F.col("q").cast("int").alias("q"),
+        F.round("est_v", 4).alias("est_v"),
+        F.round("exact_v", 4).alias("exact_v"),
+    )
