@@ -200,7 +200,21 @@ def pq_fit_encode(
     The fit collects only centroid state (m·ksub·d_sub ints — the
     MODEL); encoding is one pure-JVM pass with the codebooks as plan
     literals.
+
+    All ``m`` subspaces fit in ONE fused loop: the vector explodes once
+    into (id, subspace, subvector) rows; assignment is a broadcast JOIN
+    against the (s, cluster, centroid) table with a min(struct(dist,
+    cluster)) argmin — the model rides as DATA, not as plan literals.
+    The literal-expression alternative (m·ksub inlined distance folds)
+    generates ~1 MB of task binary and pays whole-stage-codegen compile
+    on every fresh plan; the join form is constant-size codegen and one
+    driver action per Lloyd's round (1 + iters + 1 total instead of
+    m·(1 + iters)).  Math is bit-identical to fitting each subspace
+    separately (same seeds, same (dist, cluster) argmin tie-break, same
+    floor-of-mean), so oracles replaying the per-subspace fits are
+    unaffected.
     """
+    spark = df.sparkSession
     base = df.select(
         F.col(id_col), int_vectors(F.col(vec_col), scale).alias("qv")
     ).persist()
@@ -208,23 +222,92 @@ def pq_fit_encode(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d_sub = dim // m
-    codebooks = []
-    for s in range(m):
-        sub = base.select(
-            id_col, F.slice("qv", s * d_sub + 1, d_sub).alias("qv")
+    subs = base.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("qv", s * d_sub + 1, d_sub).alias("qsub"),
+                )
+                for s in range(m)
+            ])
+        ).alias("e"),
+    ).select(id_col, "e.s", F.col("e.qsub").alias("qsub")).persist()
+
+    def assign_join(cents_by_s):
+        rows = [
+            (s, int(cl), [int(v) for v in cvec])
+            for s in range(m)
+            for cl, cvec in cents_by_s[s]
+        ]
+        cdf = spark.createDataFrame(
+            rows, "s int, cluster int, cvec array<bigint>"
         )
-        codebooks.append(
-            fit_centroids(sub, k=ksub, iters=iters, id_col=id_col)
+        d = F.aggregate(
+            F.zip_with("qsub", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
-    codes = F.array(
-        *[
-            _argmin_exprs(
-                F.slice(F.col("qv"), s * d_sub + 1, d_sub), codebooks[s]
-            )[0]
+        return (
+            subs.join(F.broadcast(cdf), "s")
+            .withColumn("__d", d)
+            .groupBy(id_col, "s")
+            .agg(
+                F.min(F.struct(F.col("__d"), F.col("cluster"))).alias("mm"),
+                F.first("qsub").alias("qsub"),
+            )
+            .select(
+                id_col, "s", F.col("mm.cluster").alias("cluster"), "qsub"
+            )
+        )
+
+    # seeds: one collect; subspace s seeds = the same k smallest ids'
+    # s-th slices (exactly what per-subspace fit_centroids would pick)
+    seed_rows = base.select(id_col, "qv").orderBy(id_col).limit(ksub).collect()
+    cents: list[list[tuple[int, list[int]]]] = [
+        [
+            (i, list(r["qv"])[s * d_sub : (s + 1) * d_sub])
+            for i, r in enumerate(seed_rows)
+        ]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        upd = (
+            assign_join(cents)
+            .select("s", "cluster", F.posexplode("qsub").alias("dim", "val"))
+            .groupBy("s", "cluster", "dim")
+            .agg(F.sum("val").alias("sv"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_s: list[dict[int, dict[int, int]]] = [{} for _ in range(m)]
+        for r in upd:
+            # floor-of-mean in exact arithmetic (mirrors fit_centroids)
+            by_s[r["s"]].setdefault(r["cluster"], {})[r["dim"]] = (
+                r["sv"] // r["n"]
+            )
+        cents = [
+            [
+                (cl, [dims[d] for d in range(d_sub)])
+                for cl, dims in sorted(by_s[s].items())
+            ]
             for s in range(m)
         ]
+    codebooks = [sorted(c) for c in cents]
+    # encode through the same join-based assignment: codes assemble by
+    # subspace order (one groupBy on the id — the shuffle the code table
+    # wants to be partitioned by anyway), joined back to the vectors
+    codes_df = (
+        assign_join(codebooks)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "cluster"))),
+                lambda x: x["cluster"].cast("int"),
+            ).alias("codes")
+        )
     )
-    return base.withColumn("codes", codes), codebooks
+    return base.join(codes_df, id_col), codebooks
 
 
 def pq_adc_topk(

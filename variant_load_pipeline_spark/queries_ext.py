@@ -4789,3 +4789,108 @@ def histogram_quantile_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("est_v", 4).alias("est_v"),
         F.round("exact_v", 4).alias("exact_v"),
     )
+
+
+# ===========================================================================
+# Bloom-filter join pruning: portable k-hash bloom, exact-membership verify
+# ===========================================================================
+_BF_M = 8192  # bits
+_BF_K = 3     # hashes
+_BF_POS_SQL = "('0x' || substr(md5('bf' || {i} || ':' || {key}), 1, 8))::BIGINT % " + str(_BF_M)
+
+
+@register(
+    "bloom_prejoin_filter",
+    f"""
+    WITH dim AS (
+        SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey % 50 = 0
+    ),
+    bits AS (
+        SELECT DISTINCT pos FROM dim
+        CROSS JOIN (SELECT UNNEST(range({_BF_K})) AS i) r,
+        LATERAL (SELECT CASE
+            {' '.join(f"WHEN r.i = {i} THEN " + _BF_POS_SQL.format(i=i, key='dim.k') for i in range(_BF_K))}
+        END AS pos) p
+    ),
+    probe AS (
+        SELECT l_orderkey AS k FROM lineitem
+    ),
+    probed AS (
+        SELECT probe.k,
+               {' AND '.join('EXISTS (SELECT 1 FROM bits WHERE bits.pos = ' + _BF_POS_SQL.format(i=i, key='probe.k') + ')' for i in range(_BF_K))}
+                   AS bloom_pass,
+               EXISTS (SELECT 1 FROM dim WHERE dim.k = probe.k) AS member
+        FROM probe
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass,
+           CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_member,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT member THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_positive,
+           CAST(SUM(CASE WHEN member AND NOT bloom_pass THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_negative
+    FROM probed
+    """,
+    doc=f"Bloom-filter join pruning: the build side's keys set {_BF_K} "
+    f"portable md5 bit positions in an {_BF_M}-bit filter; probe rows "
+    "pass only if ALL their positions are set — the semi-join pushdown "
+    "that lets a 100 TB probe side drop non-matching rows at the scan "
+    "before shuffling anything.  Verified against exact membership: "
+    "false negatives must be ZERO (bloom guarantee), false positives "
+    "bounded by the m/n/k design point.  The bit table is a distinct-"
+    "position set that broadcasts; probing is three broadcast lookups",
+)
+def bloom_prejoin_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import shingle_hash
+
+    dim = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+
+    def pos_for(i: int, key) -> F.Column:
+        return shingle_hash(
+            F.concat(F.lit(f"bf{i}:"), key.cast("string"))
+        ) % _BF_M
+
+    bits = (
+        dim.select(
+            F.explode(
+                F.array(*[pos_for(i, F.col("k")) for i in range(_BF_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probe = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    probed = probe
+    for i in range(_BF_K):
+        probed = probed.join(
+            F.broadcast(bits.select(F.col("pos").alias(f"p{i}"))),
+            pos_for(i, F.col("k")) == F.col(f"p{i}"),
+            "left",
+        )
+    probed = probed.withColumn(
+        "bloom_pass",
+        F.expr(" AND ".join(f"p{i} IS NOT NULL" for i in range(_BF_K))),
+    ).drop(*[f"p{i}" for i in range(_BF_K)])
+    member = dim.select(F.col("k"), F.lit(1).alias("__m"))
+    probed = probed.join(F.broadcast(member), "k", "left").withColumn(
+        "member", F.col("__m").isNotNull()
+    )
+    return probed.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_pass"),
+        F.sum(F.when(F.col("member"), 1).otherwise(0)).alias("n_member"),
+        F.sum(
+            F.when(F.col("bloom_pass") & ~F.col("member"), 1).otherwise(0)
+        ).alias("n_false_positive"),
+        F.sum(
+            F.when(F.col("member") & ~F.col("bloom_pass"), 1).otherwise(0)
+        ).alias("n_false_negative"),
+    )
