@@ -96,6 +96,8 @@ HEADLINE_V2 = [
     "mmr_diverse_topk",
     "j_salted_skew_join",
     "histogram_quantile_estimate",
+    "bloom_prejoin_filter",
+    "zorder_layout_stats",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

@@ -1334,3 +1334,63 @@ def test_salted_join_equals_plain_join(spark):
     assert lj.filter(F.col("tag").isNull()).count() == left.filter(
         F.col("k") == 3
     ).count()
+
+
+def test_zorder_index_bit_interleave(spark):
+    import pytest
+
+    from variant_load_pipeline_spark.operators.windows import zorder_index
+
+    df = spark.createDataFrame(
+        [(5, 3), (0, 0), (4095, 4095), (1, 0), (0, 1)], ["x", "y"]
+    )
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn(
+            "z", zorder_index([F.col("x"), F.col("y")], bits=12)
+        ).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for b in range(12):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y)
+    assert got[(5, 3)] == 27
+    assert got[(4095, 4095)] == (1 << 24) - 1
+    with pytest.raises(ValueError):
+        zorder_index([F.col("x")])
+    with pytest.raises(ValueError):
+        zorder_index([F.col("x"), F.col("y")], bits=32)
+
+
+def test_zorder_buckets_are_local_rectangles(spark):
+    # the layout property the operator exists for: bucketing by the top
+    # z bits yields small rectangles on BOTH dims, unlike bucketing by a
+    # single column which leaves the other dimension unconstrained
+    from variant_load_pipeline_spark.operators.windows import zorder_index
+
+    rng = random.Random(11)
+    pts = [(rng.randrange(4096), rng.randrange(4096)) for _ in range(4000)]
+    df = spark.createDataFrame(pts, ["x", "y"]).withColumn(
+        "z", zorder_index([F.col("x"), F.col("y")], bits=12)
+    )
+    stats = (
+        df.withColumn("bucket", F.shiftright("z", 16))
+        .groupBy("bucket")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") > 5)
+        .collect()
+    )
+    assert stats
+    for r in stats:
+        # 256 buckets over a 4096^2 space: each covers a 256x512 tile
+        assert r["sx"] <= 256 and r["sy"] <= 512, r

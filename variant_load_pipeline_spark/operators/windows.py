@@ -142,3 +142,34 @@ def salted_join(
         F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<int>")),
     )
     return l_s.join(r_s, [*keys, "__salt"], how).drop("__salt")
+
+
+def zorder_index(cols, bits: int = 12):
+    """Z-order (Morton) index over n integer columns: bit b of column j
+    lands at output bit ``b*n + j`` — the space-filling-curve key behind
+    multi-dimension data CLUSTERING at rest (Delta/Iceberg OPTIMIZE
+    ZORDER).  Sort or range-partition 100 TB by this key and each output
+    file covers a small hyper-rectangle of the column space, so min/max
+    file statistics prune scans on ANY indexed column, not just the
+    leading sort key.
+
+    Inputs must already be non-negative and < 2^bits (mask/mod upstream
+    — keeping the reduction explicit keeps the expression oracle-
+    replayable).  Pure integer shift/mask arithmetic, identical in any
+    engine; output fits a BIGINT for n*bits <= 63.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs >= 2 columns")
+    if n * bits > 63:
+        raise ValueError("n*bits must fit a signed 64-bit int")
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, c in enumerate(cols):
+            out = out + F.shiftleft(
+                F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1)),
+                b * n + j,
+            ).cast("long")
+    return out

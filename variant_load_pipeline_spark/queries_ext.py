@@ -4894,3 +4894,60 @@ def bloom_prejoin_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("member") & ~F.col("bloom_pass"), 1).otherwise(0)
         ).alias("n_false_negative"),
     )
+
+
+# ===========================================================================
+# Z-order layout clustering: Morton index + per-bucket rectangle stats
+# ===========================================================================
+_ZO_BITS = 12
+_ZO_SHIFT = 16  # bucket = z >> shift -> 256 buckets over 24 z bits
+
+
+def _zo_sql(x: str, y: str, bits: int = _ZO_BITS) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"(({x} >> {b}) & 1) * {1 << (2 * b)}")
+        terms.append(f"(({y} >> {b}) & 1) * {1 << (2 * b + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "zorder_layout_stats",
+    f"""
+    WITH d AS (
+        SELECT l_partkey % 4096 AS x, l_suppkey % 4096 AS y FROM lineitem
+    ),
+    z AS (SELECT x, y, {_zo_sql('x', 'y')} AS zi FROM d),
+    b AS (SELECT x, y, zi >> {_ZO_SHIFT} AS bucket FROM z)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+           CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+    FROM b GROUP BY bucket
+    """,
+    doc="Z-order layout clustering (operators/windows.zorder_index): "
+    "Morton-interleave two 12-bit dimensions, bucket by the top z bits "
+    "(the file boundary a ZORDER table OPTIMIZE would draw), and report "
+    "each bucket's covered rectangle — small min/max spreads on BOTH "
+    "columns are exactly what makes file-statistics pruning work on "
+    "either predicate at 100 TB.  Pure shift/mask integer arithmetic, "
+    "bit-identical in the oracle",
+)
+def zorder_layout_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import zorder_index
+
+    d = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 4096).alias("x"),
+        (F.col("l_suppkey") % 4096).alias("y"),
+    )
+    z = d.withColumn(
+        "zi", zorder_index([F.col("x"), F.col("y")], bits=_ZO_BITS)
+    )
+    b = z.withColumn("bucket", F.shiftright(F.col("zi"), _ZO_SHIFT))
+    return b.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").cast("long").alias("min_x"),
+        F.max("x").cast("long").alias("max_x"),
+        F.min("y").cast("long").alias("min_y"),
+        F.max("y").cast("long").alias("max_y"),
+    )
