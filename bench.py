@@ -98,6 +98,9 @@ HEADLINE_V2 = [
     "histogram_quantile_estimate",
     "bloom_prejoin_filter",
     "zorder_layout_stats",
+    "pagerank_cosupply",
+    "q18_large_orders",
+    "events_type_pivot",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -120,6 +123,8 @@ EAGER_CONSTRUCT = {
     "jsonl_docs_scan",
     # the greedy k-step loop (localCheckpoint per pick) runs eagerly
     "mmr_diverse_topk",
+    # power-iteration loop localCheckpoints per round at construction
+    "pagerank_cosupply",
 }
 
 

@@ -4951,3 +4951,191 @@ def zorder_layout_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").cast("long").alias("min_y"),
         F.max("y").cast("long").alias("max_y"),
     )
+
+
+# ===========================================================================
+# PageRank (exact-integer power iteration) over the co-supply graph
+# ===========================================================================
+_PR_SCALE = 1_000_000_000
+_PR_ITERS = 3
+_PR_TOPK = 20
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    i_{out} AS (
+        SELECT e0.v AS u, SUM({prev}.r // deg.d) AS inc
+        FROM e0 JOIN {prev} ON e0.u = {prev}.u JOIN deg ON e0.u = deg.u
+        GROUP BY e0.v
+    ),
+    {out} AS (
+        SELECT u, {_PR_SCALE * 15 // 100} + (85 * inc) // 100 AS r
+        FROM i_{out}
+    )"""
+
+
+@register(
+    "pagerank_cosupply",
+    f"""
+    WITH sp AS (
+        SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+    ),
+    e0 AS (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM sp a JOIN sp b ON a.o = b.o AND a.s <> b.s
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM e0 GROUP BY u),
+    r0 AS (SELECT u, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg),
+    {','.join(_pr_iter_sql(f'r{i}', f'r{i + 1}') for i in range(_PR_ITERS))}
+    SELECT CAST(u AS BIGINT) AS supplier, CAST(r AS BIGINT) AS rank_scaled
+    FROM r{_PR_ITERS}
+    ORDER BY r DESC, u LIMIT {_PR_TOPK}
+    """,
+    doc="PageRank over the supplier co-supply graph (suppliers linked "
+    "when they serve the same order), 3 exact-integer power "
+    "iterations: contributions are floor(rank/degree), damping is "
+    "integer 15/85 percent — every iteration is one equi-join + one "
+    "groupBy on the node id (the canonical distributed graph step; "
+    "lineage kept O(1) by per-round localCheckpoint), and the whole "
+    "computation is replayed CTE-by-CTE by the oracle.  Top-20 via "
+    "per-partition heaps, not a global sort",
+)
+def pagerank_cosupply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = sp.select(F.col("o"), F.col("s").alias("u"))
+    b = sp.select(F.col("o").alias("o2"), F.col("s").alias("v"))
+    edges = (
+        a.join(b, (a.o == b.o2) & (F.col("u") != F.col("v")))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ranks = deg.select("u", F.lit(_PR_SCALE).cast("long").alias("r"))
+    ed = edges.join(deg, "u")  # (u, v, d): static over iterations
+    from pyspark.storagelevel import StorageLevel
+
+    ed = ed.persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(_PR_ITERS):
+        inc = (
+            ed.join(ranks, "u")
+            .select("v", F.expr("r div d").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = inc.select(
+            F.col("v").alias("u"),
+            (
+                F.lit(_PR_SCALE * 15 // 100)
+                + F.expr("(85 * inc) div 100")
+            ).cast("long").alias("r"),
+        ).localCheckpoint(eager=True)
+    return (
+        ranks.select(
+            F.col("u").cast("long").alias("supplier"),
+            F.col("r").cast("long").alias("rank_scaled"),
+        )
+        .orderBy(F.col("rank_scaled").desc(), "supplier")
+        .limit(_PR_TOPK)
+    )
+
+
+# ===========================================================================
+# Large-order HAVING query (TPC-H Q18 shape) + event-type pivot
+# ===========================================================================
+_Q18_QTY = 120
+
+
+@register(
+    "q18_large_orders",
+    f"""
+    WITH big AS (
+        SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > {_Q18_QTY}
+    )
+    SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+           CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(ROUND(o.o_totalprice, 2) AS DOUBLE) AS o_totalprice,
+           CAST(ROUND(big.sum_qty, 2) AS DOUBLE) AS sum_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): HAVING over a "
+    "map-side-combinable sum picks the big orders FIRST — the filtered "
+    "key set is what joins to orders/customer, so the expensive "
+    "lineitem aggregation happens once, pre-join, and the join probes "
+    "shrink to the qualifying keys.  Customer is the broadcast dim",
+)
+def q18_large_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > _Q18_QTY)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_type_pivot",
+    f"""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           {', '.join(
+        "CAST(ROUND(AVG(CASE WHEN event_type = '" + t + "' THEN value END), 6)"
+        " AS DOUBLE) AS avg_" + t for t in _PIVOT_TYPES)},
+           {', '.join(
+        "CAST(COUNT(CASE WHEN event_type = '" + t + "' THEN 1 END)"
+        " AS BIGINT) AS n_" + t for t in _PIVOT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+    doc="Event-type pivot: per-user wide matrix of avg value + count per "
+    "event type.  Spark's pivot() with an EXPLICIT value list — no "
+    "distinct-values discovery pass over 100 TB, and the plan stays one "
+    "partial-aggregable groupBy (conditional aggregation), which is "
+    "exactly what the oracle writes by hand",
+)
+def events_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import load_events
+
+    ev = load_events(spark, sf_dir)
+    p = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg"),
+            F.count("value").alias("n"),
+        )
+    )
+    return p.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        *[F.col(f"{t}_avg").alias(f"avg_{t}") for t in _PIVOT_TYPES],
+        *[
+            F.coalesce(F.col(f"{t}_n"), F.lit(0))
+            .cast("long")
+            .alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+    )
