@@ -101,6 +101,9 @@ HEADLINE_V2 = [
     "pagerank_cosupply",
     "q18_large_orders",
     "events_type_pivot",
+    "edit_distance_dup_pairs",
+    "containment_pairs",
+    "schema_evolution_scan",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -125,6 +128,8 @@ EAGER_CONSTRUCT = {
     "mmr_diverse_topk",
     # power-iteration loop localCheckpoints per round at construction
     "pagerank_cosupply",
+    # distributed two-generation parquet write happens at construction
+    "schema_evolution_scan",
 }
 
 

@@ -1700,3 +1700,178 @@ def mmr_diverse_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nid").cast("long").alias("nid"),
         F.col("rel_micro").cast("long").alias("rel_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy duplicate pairs (banded levenshtein join)
+# ---------------------------------------------------------------------------
+_ED_PREFIX = 4
+_ED_MAXLEN = 40
+_ED_MAXDIST = 3
+
+
+@register(
+    "edit_distance_dup_pairs",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               substr({_NORM_SQL}, 1, {_ED_MAXLEN}) AS head
+        FROM documents WHERE {_NORM_SQL} <> ''
+    ),
+    k AS (
+        SELECT doc_id, head, substr(head, 1, {_ED_PREFIX}) AS pfx,
+               length(head) AS ln
+        FROM d
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.head AS ha, b.head AS hb
+        FROM k a JOIN k b
+          ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+         AND abs(a.ln - b.ln) <= {_ED_MAXDIST}
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(levenshtein(ha, hb) AS INT) AS edit_dist
+    FROM cand WHERE levenshtein(ha, hb) <= {_ED_MAXDIST}
+    """,
+    doc="Edit-distance fuzzy duplicate pairs over document heads: "
+    f"candidates come from a ({_ED_PREFIX}-char-prefix) equi-join plus "
+    f"a length band (|len diff| <= {_ED_MAXDIST} — a NECESSARY "
+    "condition for the distance bound, so no true pair is lost to the "
+    "band), then exact levenshtein verifies.  The all-pairs "
+    "formulation is quadratic; prefix-bucketing makes candidate "
+    "generation an equi-join — the same LSH-shaped plan as MinHash, "
+    "with the known recall trade (pairs editing INSIDE the prefix are "
+    "missed; shrink the prefix or add a suffix index to recover them)",
+)
+def edit_distance_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import normalize_text
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.substring(
+                normalize_text(F.col("text")), 1, _ED_MAXLEN
+            ).alias("head"),
+        )
+        .filter(F.col("head") != "")
+    )
+    k = d.select(
+        "doc_id",
+        "head",
+        F.substring("head", 1, _ED_PREFIX).alias("pfx"),
+        F.length("head").alias("ln"),
+    )
+    a = k.select(
+        F.col("doc_id").alias("id_a"), F.col("head").alias("ha"),
+        "pfx", F.col("ln").alias("la"),
+    )
+    b = k.select(
+        F.col("doc_id").alias("id_b"), F.col("head").alias("hb"),
+        F.col("pfx").alias("pfx_b"), F.col("ln").alias("lb"),
+    )
+    cand = a.join(
+        b,
+        (F.col("pfx") == F.col("pfx_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("la") - F.col("lb")) <= _ED_MAXDIST),
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.levenshtein("ha", "hb").cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= _ED_MAXDIST)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment (asymmetric overlap: quote/partial-duplicate detection)
+# ---------------------------------------------------------------------------
+@register(
+    "containment_pairs",
+    f"""
+    WITH d AS (
+        SELECT doc_id, list_distinct(list_filter(
+            string_split({_NORM_SQL}, ' '), x -> x <> '')) AS w
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    t AS (SELECT doc_id, unnest(w) AS term FROM d),
+    n AS (SELECT doc_id, len(w) AS nw FROM d),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT CAST(p.id_a AS BIGINT) AS id_a, CAST(p.id_b AS BIGINT) AS id_b,
+           CAST(ROUND(p.inter::DOUBLE / LEAST(na.nw, nb.nw), 6) AS DOUBLE)
+               AS containment
+    FROM pairs p
+    JOIN n na ON na.doc_id = p.id_a
+    JOIN n nb ON nb.doc_id = p.id_b
+    WHERE p.inter * 10 >= LEAST(na.nw, nb.nw) * 9
+      AND p.inter::DOUBLE / LEAST(na.nw, nb.nw) >= 0.9
+    """,
+    doc="Containment pairs — the ASYMMETRIC overlap |A∩B|/min(|A|,|B|) "
+    "that resemblance (Jaccard) misses: a short document quoted whole "
+    "inside a long one scores ~1.0 here but low Jaccard, the partial-"
+    "duplicate case of training-data dedup [Broder 1997's containment, "
+    "public].  Candidate pairs come from the shared-term inverted-index "
+    "join with the count aggregated BEFORE any per-pair set math; the "
+    "integer pre-filter (inter*10 >= min*9) prunes in exact arithmetic "
+    "and the float threshold only confirms",
+)
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import normalize_text
+
+    d = (
+        load(spark, sf_dir, "documents")
+        # this synthetic corpus shares a ~60-word vocabulary, so EVERY
+        # term is a hot term and the inverted-index join degenerates
+        # toward all-pairs; the subset keeps the oracle exact while
+        # bounding the blowup.  On a real (Zipf) corpus the guard is
+        # df-pruning the index's head terms — same recall trade as the
+        # LSH hot-bucket guards
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.filter(
+                    F.split(normalize_text(F.col("text")), " "),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("w"),
+        )
+    )
+    t = d.select("doc_id", F.explode("w").alias("term"))
+    n = d.select("doc_id", F.size("w").alias("nw"))
+    a = t.select(F.col("doc_id").alias("id_a"), "term")
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("term").alias("term_b"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("term") == F.col("term_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = n.select(F.col("doc_id").alias("id_a"), F.col("nw").alias("na"))
+    nb = n.select(F.col("doc_id").alias("id_b"), F.col("nw").alias("nb"))
+    out = (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("mn", F.least("na", "nb"))
+        .filter(F.col("inter") * 10 >= F.col("mn") * 9)
+        .withColumn(
+            "containment",
+            F.round(F.col("inter").cast("double") / F.col("mn"), 6),
+        )
+        .filter(F.col("inter").cast("double") / F.col("mn") >= 0.9)
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "containment",
+    )

@@ -5139,3 +5139,59 @@ def events_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _PIVOT_TYPES
         ],
     )
+
+
+# ===========================================================================
+# Schema evolution: mergeSchema read across parquet parts that gained a
+# column mid-stream (the corpus-grew-a-field case every long-lived
+# pipeline hits)
+# ===========================================================================
+@register(
+    "schema_evolution_scan",
+    """
+    SELECT CAST(l_orderkey AS BIGINT) AS okey,
+           CAST(l_linenumber AS BIGINT) AS lnum,
+           CAST(l_partkey AS BIGINT) AS a,
+           CAST(NULL AS BIGINT) AS b
+    FROM lineitem WHERE l_orderkey % 2 = 0
+    UNION ALL
+    SELECT CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT),
+           CAST(l_partkey AS BIGINT), CAST(l_suppkey AS BIGINT)
+    FROM lineitem WHERE l_orderkey % 2 = 1
+    """,
+    doc="Schema-evolution scan: two parquet generations written "
+    "DISTRIBUTED (no driver collect) — the older one without column b, "
+    "the newer one with it — read back as ONE table via "
+    "mergeSchema+recursiveFileLookup; old rows surface b as NULL.  "
+    "mergeSchema pays a footer-merge pass, which is why it is an "
+    "explicit option: turn it on for evolving corpora, leave the "
+    "default (first-footer) for frozen ones.  Oracle re-derives the "
+    "union from the source table",
+)
+def schema_evolution_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    root = _scan_path(sf_dir, "schema_evo")
+    old = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lnum"),
+        F.col("l_partkey").alias("a"),
+    )
+    new = li.filter(F.col("l_orderkey") % 2 == 1).select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lnum"),
+        F.col("l_partkey").alias("a"),
+        F.col("l_suppkey").alias("b"),
+    )
+    old.write.mode("overwrite").parquet(f"{root}/gen=1")
+    new.write.mode("overwrite").parquet(f"{root}/gen=2")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(root)
+    )
+    return merged.select(
+        F.col("okey").cast("long").alias("okey"),
+        F.col("lnum").cast("long").alias("lnum"),
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+    )
