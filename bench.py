@@ -104,6 +104,7 @@ HEADLINE_V2 = [
     "edit_distance_dup_pairs",
     "containment_pairs",
     "schema_evolution_scan",
+    "bpe_learn_merges",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -130,6 +131,8 @@ EAGER_CONSTRUCT = {
     "pagerank_cosupply",
     # distributed two-generation parquet write happens at construction
     "schema_evolution_scan",
+    # per-round top-pair collect + checkpoint happens at construction
+    "bpe_learn_merges",
 }
 
 

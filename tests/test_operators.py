@@ -1394,3 +1394,26 @@ def test_zorder_buckets_are_local_rectangles(spark):
     for r in stats:
         # 256 buckets over a 4096^2 space: each covers a 256x512 tile
         assert r["sx"] <= 256 and r["sy"] <= 512, r
+
+
+def test_bpe_merge_application_is_boundary_safe(spark):
+    # the fold must merge left-to-right, non-overlapping, and never
+    # across token boundaries — the exact cases plain string replace
+    # gets wrong ('ba b' must NOT merge 'a b')
+    from variant_load_pipeline_spark.queries import registry
+
+    out = registry()["bpe_learn_merges"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    merges = [r for r in rows if r["kind"] == "merge"]
+    toks = [r for r in rows if r["kind"] == "token"]
+    assert len(merges) == 2 and len(toks) == 15
+    assert all(len(m["tok"]) >= 2 for m in merges)
+    # the learned merges must actually appear in the final vocabulary
+    # (directly, or inside a later merge that consumed them)
+    tokset = {t["tok"] for t in toks}
+    m1 = merges[0]["tok"]
+    assert any(m1 in t for t in tokset | {merges[1]["tok"]})
+    # merge counts are corpus-frequency-ordered: step-1 count >= step-2
+    assert merges[0]["cnt"] >= merges[1]["cnt"]

@@ -1875,3 +1875,165 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         "containment",
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning [Sennrich et al. 2016 — public]: the actual trainer
+# step (not just tokenization with fixed rules)
+# ---------------------------------------------------------------------------
+_BPE_MERGES = 2
+_BPE_TOPK = 15
+_BPE_FOLD = (
+    "list_reduce(string_split({seq}, ' '), (acc, x) -> CASE"
+    " WHEN (acc = {a} OR ends_with(acc, ' ' || {a})) AND x = {b}"
+    " THEN substr(acc, 1, length(acc) - length({a})) || {a} || {b}"
+    " ELSE acc || ' ' || x END)"
+)
+_BPE_PAIRS = (
+    "SELECT pr, SUM(freq) AS cnt FROM ("
+    " SELECT freq, unnest(list_transform(range(1, len(tk)),"
+    "  i -> tk[i] || ' ' || tk[i+1])) AS pr"
+    " FROM (SELECT freq, string_split(seq, ' ') AS tk FROM {src})"
+    ") GROUP BY pr"
+)
+
+
+@register(
+    "bpe_learn_merges",
+    f"""
+    WITH w AS (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word
+        FROM documents
+    ),
+    wf AS (SELECT word, COUNT(*) AS freq FROM w WHERE word <> ''
+           GROUP BY word),
+    s0 AS (
+        SELECT word, freq,
+               trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+        FROM wf
+    ),
+    p1 AS ({_BPE_PAIRS.format(src='s0')}),
+    t1 AS (
+        SELECT pr, cnt, string_split(pr, ' ')[1] AS a,
+               string_split(pr, ' ')[2] AS b
+        FROM p1 ORDER BY cnt DESC, pr LIMIT 1
+    ),
+    s1 AS (
+        SELECT word, freq,
+               {_BPE_FOLD.format(seq='s0.seq', a='t1.a', b='t1.b')} AS seq
+        FROM s0 CROSS JOIN t1
+    ),
+    p2 AS ({_BPE_PAIRS.format(src='s1')}),
+    t2 AS (
+        SELECT pr, cnt, string_split(pr, ' ')[1] AS a,
+               string_split(pr, ' ')[2] AS b
+        FROM p2 ORDER BY cnt DESC, pr LIMIT 1
+    ),
+    s2 AS (
+        SELECT word, freq,
+               {_BPE_FOLD.format(seq='s1.seq', a='t2.a', b='t2.b')} AS seq
+        FROM s1 CROSS JOIN t2
+    ),
+    tok AS (
+        SELECT tok, SUM(freq) AS cnt FROM (
+            SELECT freq, unnest(string_split(seq, ' ')) AS tok FROM s2
+        ) GROUP BY tok ORDER BY cnt DESC, tok LIMIT {_BPE_TOPK}
+    )
+    SELECT 'merge' AS kind, CAST(1 AS INT) AS step, a || b AS tok,
+           CAST(cnt AS BIGINT) AS cnt FROM t1
+    UNION ALL
+    SELECT 'merge', 2, a || b, CAST(cnt AS BIGINT) FROM t2
+    UNION ALL
+    SELECT 'token', 0, tok, CAST(cnt AS BIGINT) FROM tok
+    """,
+    doc=f"BPE merge learning [Sennrich et al. 2016] — the TRAINER step: "
+    "words decompose to space-joined symbol sequences, the corpus-"
+    f"weighted most frequent adjacent symbol pair is merged, {_BPE_MERGES} "
+    "rounds, then the learned-vocabulary token counts.  Merge "
+    "application is a left-to-right non-overlapping fold anchored at "
+    "the accumulator TAIL (boundary-safe where plain string replace is "
+    "not: 'ba b' must not merge).  Per round the distributed work is "
+    "one pair-count groupBy over the VOCABULARY (words pre-aggregated "
+    "with frequencies — the corpus itself is scanned once); the driver "
+    "holds one (pair, count) row per round, the model.  Ties break to "
+    "the lexicographically smaller pair in both engines",
+)
+def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import normalize_text
+
+    w = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(normalize_text(F.col("text")), " ")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    wf = w.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    s = wf.withColumn(
+        "seq", F.trim(F.regexp_replace("word", "(.)", "$1 "))
+    ).persist()
+
+    def pair_counts(df):
+        toks = F.split("seq", " ")
+        # guard: Spark's sequence(1, 0) DESCENDS, so a single-token seq
+        # must short-circuit to an empty pair list
+        prs = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i),
+                    F.lit(" "),
+                    F.element_at(toks, i + 1),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            df.select("freq", F.explode(prs).alias("pr"))
+            .groupBy("pr")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+
+    def apply_merge(df, a: str, b: str):
+        merged = a + b
+        toks = F.split("seq", " ")
+        first = F.element_at(toks, 1)
+        rest = F.slice(
+            toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))
+        )
+        fn = lambda acc, x: F.when(
+            ((acc == F.lit(a)) | acc.endswith(" " + a)) & (x == F.lit(b)),
+            F.regexp_replace(acc, f"(^| ){a}$", f"$1{merged}"),
+        ).otherwise(F.concat(acc, F.lit(" "), x))
+        return df.withColumn("seq", F.aggregate(rest, first, fn))
+
+    merges = []
+    for step in range(1, _BPE_MERGES + 1):
+        top = (
+            pair_counts(s)
+            .orderBy(F.col("cnt").desc(), "pr")
+            .limit(1)
+            .collect()[0]
+        )
+        a, b = top["pr"].split(" ")
+        merges.append((step, a + b, int(top["cnt"])))
+        s = apply_merge(s, a, b).localCheckpoint(eager=True)
+    tok = (
+        s.select("freq", F.explode(F.split("seq", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(_BPE_TOPK)
+        .select(
+            F.lit("token").alias("kind"),
+            F.lit(0).cast("int").alias("step"),
+            "tok",
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )
+    mdf = spark.createDataFrame(
+        merges, "step int, tok string, cnt long"
+    ).select(F.lit("merge").alias("kind"), "step", "tok", "cnt")
+    return mdf.unionByName(tok)
