@@ -105,6 +105,7 @@ HEADLINE_V2 = [
     "containment_pairs",
     "schema_evolution_scan",
     "bpe_learn_merges",
+    "events_interval_join",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

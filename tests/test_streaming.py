@@ -434,3 +434,43 @@ def test_asof_stateful_matches_batch_sweep(spark, tmp_path):
     }
     assert any(got[e][0] is not None for e in boundary)
     q.stop()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (watermark-bounded state) must produce
+    the same pair set as the batch range join on the same events —
+    including pairs whose two sides arrive in DIFFERENT micro-batches."""
+    df = _mk_asof_events(spark)
+    clicks = df.filter(F.col("event_type") == "click")
+    errors = df.filter(F.col("event_type") == "error")
+    cut = dt.datetime(2024, 1, 1, 1, 0, 0)
+    src_c = _write_batches(
+        tmp_path, "ssj_clicks",
+        clicks.filter(F.col("ts") < cut), clicks.filter(F.col("ts") >= cut),
+    )
+    src_e = _write_batches(
+        tmp_path, "ssj_errors",
+        errors.filter(F.col("ts") < cut), errors.filter(F.col("ts") >= cut),
+    )
+    sc = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src_c)
+    se = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src_e)
+    out = ev.interval_join_events(sc, se, lag_seconds=5400)
+    q = ev.run_stream_to_memory(out, "ssj_test", output_mode="append")
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("select * from ssj_test").collect()
+    }
+    exp_df = ev.interval_join_events(clicks, errors, lag_seconds=5400)
+    exp = {
+        (r["l_event_id"], r["r_event_id"]) for r in exp_df.collect()
+    }
+    assert got == exp and exp
+    # at least one pair crossed micro-batches (error in b1, click in b2)
+    late_clicks = {
+        r["event_id"] for r in clicks.filter(F.col("ts") >= cut).collect()
+    }
+    early_errors = {
+        r["event_id"] for r in errors.filter(F.col("ts") < cut).collect()
+    }
+    assert any(l in late_clicks and r in early_errors for l, r in exp)
+    q.stop()

@@ -234,3 +234,51 @@ def events_retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cohort_wk").cast("long").alias("cohort_wk"),
         F.col("wk_offset").cast("long").alias("wk_offset"),
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window interval join (batch twin of the stream-stream join)
+# ---------------------------------------------------------------------------
+_IVJ_LAG = 5400  # seconds
+
+
+@register(
+    "events_interval_join",
+    f"""
+    SELECT CAST(l.user_id AS BIGINT) AS user_id,
+           CAST(epoch_us(l.ts) AS BIGINT) AS l_ts_us,
+           CAST(l.event_id AS BIGINT) AS l_event_id,
+           CAST(epoch_us(r.ts) AS BIGINT) AS r_ts_us,
+           CAST(r.event_id AS BIGINT) AS r_event_id,
+           CAST(ROUND(r.value, 6) AS DOUBLE) AS r_value
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'error'
+     AND r.ts <= l.ts
+     AND r.ts >= l.ts - INTERVAL {_IVJ_LAG} SECONDS
+    """,
+    doc="Trailing-window interval join (streaming/events."
+    "interval_join_events): every click paired with ALL of the user's "
+    "errors in the prior 90 minutes — the keep-all-matches temporal "
+    "join next to as-of's keep-best.  Equality on user_id keeps it a "
+    "hash join with a range residual; the SAME function runs as a "
+    "watermark-bounded stream-stream join (state evicted past the "
+    "interval edge), equivalence-tested across micro-batch boundaries",
+)
+def events_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.events import interval_join_events
+
+    ev = load_events(spark, sf_dir)
+    out = interval_join_events(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "error"),
+        lag_seconds=_IVJ_LAG,
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros("l_ts").alias("l_ts_us"),
+        F.col("l_event_id").cast("long").alias("l_event_id"),
+        F.unix_micros("r_ts").alias("r_ts_us"),
+        F.col("r_event_id").cast("long").alias("r_event_id"),
+        F.round("r_value", 6).alias("r_value"),
+    )

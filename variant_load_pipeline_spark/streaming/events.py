@@ -377,3 +377,52 @@ def asof_stateful(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def interval_join_events(
+    left: DataFrame,
+    right: DataFrame,
+    lag_seconds: int = 3600,
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream (or batch) interval join: every left event paired
+    with the same user's right events from the trailing ``lag_seconds``
+    window — right.ts in [left.ts - lag, left.ts].
+
+    This is the OTHER temporal-join shape next to as-of: as-of keeps one
+    best match via ordered state; the interval join keeps ALL matches in
+    a bounded time range, and in streaming mode the range condition +
+    watermarks are exactly what lets the engine BOUND the join state
+    (each side's buffer is evicted once the watermark passes the
+    interval edge — an unconstrained stream-stream join would buffer
+    forever).  Batch frames take the same range-join condition; the
+    equality on user_id keeps it a hash join with a range residual,
+    never a pure theta join.
+    """
+    l, r = left, right
+    if l.isStreaming:
+        l = l.withWatermark("ts", watermark)
+    if r.isStreaming:
+        r = r.withWatermark("ts", watermark)
+    l = l.select(
+        F.col("user_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("value").alias("l_value"),
+    )
+    r = r.select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    cond = (
+        (l.user_id == r.r_user_id)
+        & (r.r_ts <= l.l_ts)
+        & (r.r_ts >= l.l_ts - F.expr(f"INTERVAL {lag_seconds} SECONDS"))
+    )
+    return l.join(r, cond, how).select(
+        "user_id", "l_ts", "l_event_id", "l_value",
+        "r_ts", "r_event_id", "r_value",
+    )
