@@ -499,3 +499,55 @@ def test_cli_corpus_sample_and_quality(spark, tmp_path):
     assert {"n_tokens", "dup_line_ratio", "n_urls", "lang", "bpe_tokens"} <= cols
     assert q.count() == 200
     assert q.filter(F.col("n_urls") == 1).count() == 200
+
+
+def test_cli_corpus_decontaminate(spark, tmp_path):
+    src = str(tmp_path / "docs3")
+    bench = str(tmp_path / "bench3")
+    leak = "the held out benchmark question about spark planners"
+    spark.createDataFrame(
+        [
+            (0, "clean training document with its own words entirely"),
+            (1, f"prefix {leak} suffix"),      # contains a bench 4-gram
+            (2, "another clean one nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [(100, leak)], "doc_id long, text string"
+    ).write.parquet(bench)
+    out = str(tmp_path / "decon")
+    main(
+        ["--tool", "CorpusDecontaminate", "--docs", src, "--bench", bench,
+         "--k", "4", "--out", out],
+        spark,
+    )
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[1]["contaminated"] == "T" and rows[1]["n_shared_grams"] >= 1
+    assert rows[0]["contaminated"] == "F" and rows[2]["contaminated"] == "F"
+
+
+def test_cli_corpus_tokenize(spark, tmp_path):
+    src = str(tmp_path / "docs4")
+    spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(37))) for i in range(20)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "packed")
+    main(
+        ["--tool", "CorpusTokenize", "--docs", src, "--max-tokens", "16",
+         "--overlap", "4", "--budget", "32", "--out", out],
+        spark,
+    )
+    p = spark.read.parquet(out)
+    assert {"doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text",
+            "shard", "bin_id", "bin_pos"} <= set(p.columns)
+    # 37 tokens, stride 12 -> chunks at 0,12,24 + remainder handling
+    per_doc = p.groupBy("doc_id").count().collect()
+    assert all(r["count"] >= 3 for r in per_doc)
+    assert p.filter(F.col("n_chunk_tokens") > 16).count() == 0
+    # packing respects the per-shard budget up to one-chunk overflow
+    bins = p.groupBy("shard", "bin_id").agg(
+        F.sum("n_chunk_tokens").alias("tok")
+    ).collect()
+    assert all(r["tok"] <= 32 + 16 for r in bins)

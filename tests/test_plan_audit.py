@@ -371,3 +371,31 @@ def test_sketch_queries_stay_jvm_side(spark):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_bloom_filter_probes_broadcast(spark):
+    plan = plan_of(spark, "bloom_prejoin_filter")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_is_not_nested_loop(spark):
+    # equality on user_id must anchor a hash/merge join; the time-range
+    # predicate rides as a residual, never a BNLJ over the corpus
+    plan = plan_of(spark, "events_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_broadcasts_customer_dim(spark):
+    plan = plan_of(spark, "q18_large_orders")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_and_salted_stay_jvm_side(spark):
+    for name in ("zorder_layout_stats", "j_salted_skew_join"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name

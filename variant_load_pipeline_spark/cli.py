@@ -397,6 +397,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--docs")
     p.add_argument("--threshold", type=float)
+    p.add_argument("--bench")
+    p.add_argument("--k", type=int)
+    p.add_argument("--max-tokens", dest="max_tokens", type=int)
+    p.add_argument("--overlap", type=int)
+    p.add_argument("--budget", type=int)
     p.add_argument("--fraction", type=float)
     p.add_argument("--stratum-col", dest="stratum_col")
     p.add_argument("--per-stratum", dest="per_stratum", type=int)
@@ -604,3 +609,65 @@ def _corpus_quality(spark, args) -> None:
         bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
     )
     out.write.mode("overwrite").parquet(args.out)
+
+
+@tool("CorpusDecontaminate")
+def _corpus_decontaminate(spark, args) -> None:
+    """documents parquet + benchmark parquet -> per-doc contamination
+    report (doc_id, n_shared_grams, contaminated): training docs sharing
+    any word k-gram with the held-out benchmark set are flagged.  The
+    benchmark gram set dedups small and BROADCASTS; the corpus side
+    meets it map-side and never shuffles on the gram key (the
+    decontaminate query's oracle-gated plan, parameterized over a real
+    benchmark file)."""
+    from .functions.text import word_ngrams
+
+    k = args.k if args.k is not None else 4
+    docs = _read(spark, args.docs)
+    bench = _read(spark, args.bench)
+    grams = lambda df: df.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), k)).alias("gram")
+    )
+    bg = grams(bench).select("gram").distinct()
+    tg = grams(docs).distinct()
+    hits = (
+        tg.join(F.broadcast(bg), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("int").alias(
+                "n_shared_grams"
+            ),
+            F.when(F.coalesce("n_shared", F.lit(0)) > 0, F.lit("T"))
+            .otherwise(F.lit("F"))
+            .alias("contaminated"),
+        )
+    )
+    out.write.mode("overwrite").parquet(args.out)
+
+
+@tool("CorpusTokenize")
+def _corpus_tokenize(spark, args) -> None:
+    """documents parquet -> packed training sequences parquet: chunk
+    into token-budget windows with overlap (doc_chunking), then greedily
+    pack chunks into fixed-budget bins per shard (sequence_packing) —
+    the curated-corpus-to-training-batches step, both halves oracle-
+    gated as queries."""
+    from .functions.text import chunk_documents, pack_chunks
+
+    docs = _read(spark, args.docs)
+    chunks = chunk_documents(
+        docs,
+        max_tokens=args.max_tokens if args.max_tokens is not None else 512,
+        overlap=args.overlap if args.overlap is not None else 64,
+    )
+    packed = pack_chunks(
+        chunks,
+        token_budget=args.budget if args.budget is not None else 2048,
+    )
+    packed.write.mode("overwrite").parquet(args.out)
