@@ -106,6 +106,8 @@ HEADLINE_V2 = [
     "schema_evolution_scan",
     "bpe_learn_merges",
     "events_interval_join",
+    "events_props_parse",
+    "sql_interface_rollup",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

@@ -275,3 +275,18 @@ def test_load_counters_dot_rsid_is_novel(spark):
     assert got[7]["novel_rows"] == 2
     assert got[7]["rows_loaded"] == 3
     assert got[8]["dbsnp_rows"] == 1 and got[8]["novel_rows"] == 0
+
+
+def test_register_views_sql_front_door(spark):
+    from variant_load_pipeline_spark.session import TABLES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001", suffix="_t")
+    for t in TABLES:
+        assert spark.sql(f"SELECT COUNT(*) AS n FROM {t}_t").collect()[0]["n"] >= 0
+    row = spark.sql(
+        "SELECT COUNT(*) AS n FROM lineitem_t l JOIN orders_t o"
+        " ON l.l_orderkey = o.o_orderkey"
+    ).collect()[0]
+    assert row["n"] > 0
+    # events view exposes real timestamps
+    assert dict(spark.table("events_t").dtypes)["ts"] == "timestamp"

@@ -282,3 +282,78 @@ def events_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id").cast("long").alias("r_event_id"),
         F.round("r_value", 6).alias("r_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured JSON property column: schema'd parse + aggregate
+# ---------------------------------------------------------------------------
+@register(
+    "events_props_parse",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+               AS sum_k,
+           CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured property column: the events table's JSON `props` "
+    "string parsed with an EXPLICIT schema (from_json — no inference "
+    "pass, malformed objects become NULL instead of errors) and "
+    "aggregated per event type.  Integer sum, so no float-order leakage; "
+    "the n_null column pins the malformed-input policy on both engines",
+)
+def events_props_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = load_events(spark, sf_dir)
+    parsed = ev.withColumn(
+        "k",
+        F.from_json(
+            F.col("props"), T.StructType([T.StructField("k", T.IntegerType())])
+        )["k"],
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").cast("int").alias("min_k"),
+        F.max("k").cast("int").alias("max_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL front door: the same engine through spark.sql over registered views
+# ---------------------------------------------------------------------------
+@register(
+    "sql_interface_rollup",
+    """
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(value), 6) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    doc="The SQL front door: the events table registered as a temp view "
+    "and queried through spark.sql TEXT — same Catalyst plan as the "
+    "DataFrame form, proving a reference user can bring plain SQL to "
+    "this engine unchanged.  (All 10 tables register via "
+    "session.register_views.)",
+)
+def sql_interface_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_events(spark, sf_dir).createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT event_type,
+               date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss')
+                   AS hour,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 6) AS total_value
+        FROM events_v
+        GROUP BY event_type, date_trunc('hour', ts)
+        """
+    )

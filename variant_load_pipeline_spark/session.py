@@ -59,3 +59,25 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def register_views(spark, sf_dir: str, suffix: str = "") -> None:
+    """Register every testdata parquet table as a temp view so plain
+    spark.sql() text works against the engine (the SQL front door next
+    to the DataFrame API).  The events view goes through load_events'
+    timestamp normalization so SQL sees proper TIMESTAMP values."""
+    from .queries import load, load_events
+
+    for name in TABLES:
+        df = (
+            load_events(spark, sf_dir)
+            if name == "events"
+            else load(spark, sf_dir, name)
+        )
+        df.createOrReplaceTempView(name + suffix)
