@@ -1705,7 +1705,7 @@ def mmr_diverse_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Edit-distance fuzzy duplicate pairs (banded levenshtein join)
 # ---------------------------------------------------------------------------
-_ED_PREFIX = 4
+_ED_PREFIX = 8
 _ED_MAXLEN = 40
 _ED_MAXDIST = 3
 
