@@ -264,3 +264,37 @@ def test_consume_first_match_equals_greedy_reference(_spark, lrows, rrows):
             exp.append((k, i, pools[k][idx][1]))
             consumed[k] += 1
     assert got == sorted(exp)
+
+
+def test_new_query_results_are_partitioning_invariant(spark):
+    """Determinism contract: results must not depend on the shuffle
+    partition count (catches accidental first()/limit-without-order/
+    float-order dependence in the newest operator wave)."""
+    from variant_load_pipeline_spark.queries import registry
+
+    names = [
+        "events_asof_join",
+        "events_funnel",
+        "quality_percentile_filter",
+        "heavy_hitter_terms",
+        "bigram_backoff_surprisal",
+        "pagerank_cosupply",
+        "mmr_diverse_topk",
+        "zorder_layout_stats",
+    ]
+    reg = registry()
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("5", orig):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                df = reg[n].spark_fn(spark, "/root/testdata/sf0.001")
+                rows = frozenset(
+                    tuple(r) for r in df.collect()
+                )
+                results.setdefault(n, []).append(rows)
+        for n, (a, b) in results.items():
+            assert a == b, f"{n} is partitioning-dependent"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
