@@ -108,6 +108,10 @@ HEADLINE_V2 = [
     "events_interval_join",
     "events_props_parse",
     "sql_interface_rollup",
+    "q4_priority_exists",
+    "q14_promo_revenue_share",
+    "events_resample_ffill",
+    "dq_validation_report",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

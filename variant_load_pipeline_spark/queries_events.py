@@ -357,3 +357,101 @@ def sql_interface_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type, date_trunc('hour', ts)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample: hourly grid per user, forward-filled
+# ---------------------------------------------------------------------------
+_RS_SLOT = 3600  # seconds
+
+
+@register(
+    "events_resample_ffill",
+    f"""
+    WITH b AS (
+        SELECT user_id, CAST(FLOOR(epoch(ts) / {_RS_SLOT}) AS BIGINT) AS slot,
+               ts, event_id, value
+        FROM events
+    ),
+    lastv AS (
+        SELECT user_id, slot, value FROM (
+            SELECT user_id, slot, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, slot
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM b
+        ) WHERE rn = 1
+    ),
+    span AS (
+        SELECT user_id, MIN(slot) AS s0, MAX(slot) AS s1 FROM b
+        GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(range(s0, s1 + 1)) AS slot FROM span
+    ),
+    filled AS (
+        SELECT g.user_id, g.slot, lv.value AS raw_value,
+               LAST_VALUE(lv.value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.slot
+                   ROWS UNBOUNDED PRECEDING) AS ffill
+        FROM grid g LEFT JOIN lastv lv
+          ON lv.user_id = g.user_id AND lv.slot = g.slot
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, CAST(slot AS BIGINT) AS slot,
+           CAST(ROUND(ffill, 6) AS DOUBLE) AS value,
+           CASE WHEN raw_value IS NULL THEN 'T' ELSE 'F' END AS gap_filled
+    FROM filled
+    """,
+    doc="Time-series resampling: per user, an hourly slot grid spanning "
+    "their activity (sequence + explode — no driver-side calendar), the "
+    "slot's LAST event value (deterministic (ts, event_id) tie-break), "
+    "gaps forward-filled with last-value-ignore-nulls.  The grid explode "
+    "is the only row multiplication and is bounded by the time span; "
+    "everything shuffles once on user_id",
+)
+def events_resample_ffill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_events(spark, sf_dir)
+    b = ev.select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / _RS_SLOT).cast("long").alias("slot"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    lastv = (
+        b.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "slot").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "slot", "value")
+    )
+    grid = (
+        b.groupBy("user_id")
+        .agg(F.min("slot").alias("s0"), F.max("slot").alias("s1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("s0"), F.col("s1"))).alias("slot"),
+        )
+    )
+    filled = grid.join(lastv, ["user_id", "slot"], "left").withColumn(
+        "ffill",
+        F.last("value", ignorenulls=True).over(
+            W.partitionBy("user_id")
+            .orderBy("slot")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return filled.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("slot").cast("long").alias("slot"),
+        F.round("ffill", 6).alias("value"),
+        F.when(F.col("value").isNull(), F.lit("T"))
+        .otherwise(F.lit("F"))
+        .alias("gap_filled"),
+    )

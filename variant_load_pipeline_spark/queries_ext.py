@@ -5195,3 +5195,169 @@ def schema_evolution_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").cast("long").alias("a"),
         F.col("b").cast("long").alias("b"),
     )
+
+
+# ===========================================================================
+# TPC-H shapes q4 (EXISTS semi-join priority counts) and q14 (conditional
+# revenue share), adapted to this dataset's columns
+# ===========================================================================
+@register(
+    "q4_priority_exists",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+    )
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: orders having at least one late-shipping line "
+    "(EXISTS -> left-semi join, so each order counts ONCE no matter how "
+    "many lines qualify), counted per priority.  The semi join keys on "
+    "o_orderkey with the date comparison as a residual — a hash join, "
+    "and the aggregation is partial-aggregable",
+)
+def q4_priority_exists_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    """
+    SELECT CAST(ROUND(100.00 * SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN l.l_extendedprice * (1 - l.l_discount)
+                    ELSE 0 END) / SUM(l.l_extendedprice * (1 - l.l_discount)),
+               4) AS DOUBLE) AS promo_share_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    doc="TPC-H Q14 shape: promo revenue share — conditional aggregation "
+    "over the lineitem-part join with part BROADCAST (the dimension "
+    "side).  Single global ratio; both sums run in one partial-"
+    "aggregable pass.  (Float sums agree because both engines reduce "
+    "the same per-partition partials — pinned by the partitioning-"
+    "invariance test class, and rounded to 4 dp.)",
+)
+def q14_promo_revenue_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_share_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ===========================================================================
+# Data-quality validation report (deequ-style expectations, one pass)
+# ===========================================================================
+@register(
+    "dq_validation_report",
+    """
+    WITH m AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_ok,
+               SUM(CASE WHEN l_quantity < 0 OR l_quantity > 60
+                        THEN 1 ELSE 0 END) AS qty_oob,
+               SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                        THEN 1 ELSE 0 END) AS disc_oob,
+               COUNT(DISTINCT l_orderkey || '#' || l_linenumber) AS n_keys,
+               SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                   AS ship_null
+        FROM lineitem
+    )
+    SELECT chk.check_name,
+           CAST(chk.metric AS BIGINT) AS metric,
+           CAST(chk.threshold AS BIGINT) AS threshold,
+           CASE WHEN chk.metric <= chk.threshold THEN 'T' ELSE 'F' END
+               AS pass
+    FROM m, LATERAL (
+        SELECT * FROM (VALUES
+            ('rows_nonzero',        CASE WHEN m.n > 0 THEN 0 ELSE 1 END, 0),
+            ('orderkey_not_null',   m.null_ok,                          0),
+            ('quantity_in_range',   m.qty_oob,                          0),
+            ('discount_in_range',   m.disc_oob,                         0),
+            ('line_key_unique',     m.n - m.n_keys,                     0),
+            ('shipdate_not_null',   m.ship_null,                        0)
+        ) AS v(check_name, metric, threshold)
+    ) chk
+    """,
+    doc="Data-quality validation report (the deequ-style expectations "
+    "pass a pipeline runs before trusting an input drop): null checks, "
+    "range checks, composite-key uniqueness, all computed in ONE "
+    "aggregation scan and emitted as (check, metric, threshold, pass) "
+    "rows.  Uniqueness = count minus distinct-key count, no self-join",
+)
+def dq_validation_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias(
+            "null_ok"
+        ),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 0) | (F.col("l_quantity") > 60), 1
+            ).otherwise(0)
+        ).alias("qty_oob"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+            ).otherwise(0)
+        ).alias("disc_oob"),
+        F.count_distinct(
+            F.concat_ws("#", "l_orderkey", "l_linenumber")
+        ).alias("n_keys"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0)).alias(
+            "ship_null"
+        ),
+    )
+
+    def chk(name: str, metric, threshold: int = 0):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            metric.cast("long").alias("metric"),
+            F.lit(threshold).cast("long").alias("threshold"),
+        )
+
+    # the report stays distributed: the 1-row metrics frame explodes
+    # into check rows — no driver collect anywhere
+    checks = m.select(
+        F.explode(
+            F.array(
+                chk("rows_nonzero", F.when(F.col("n") > 0, 0).otherwise(1)),
+                chk("orderkey_not_null", F.col("null_ok")),
+                chk("quantity_in_range", F.col("qty_oob")),
+                chk("discount_in_range", F.col("disc_oob")),
+                chk("line_key_unique", F.col("n") - F.col("n_keys")),
+                chk("shipdate_not_null", F.col("ship_null")),
+            )
+        ).alias("c")
+    ).select("c.check_name", "c.metric", "c.threshold")
+    return checks.select(
+        "check_name",
+        "metric",
+        "threshold",
+        F.when(F.col("metric") <= F.col("threshold"), F.lit("T"))
+        .otherwise(F.lit("F"))
+        .alias("pass"),
+    )
