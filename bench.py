@@ -112,6 +112,7 @@ HEADLINE_V2 = [
     "q14_promo_revenue_share",
     "events_resample_ffill",
     "dq_validation_report",
+    "mm_image_dhash_pairs",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -140,6 +141,8 @@ EAGER_CONSTRUCT = {
     "schema_evolution_scan",
     # per-round top-pair collect + checkpoint happens at construction
     "bpe_learn_merges",
+    # driver-side PNG fixture encode happens at construction
+    "mm_image_dhash_pairs",
 }
 
 

@@ -595,3 +595,35 @@ def test_mp4_metadata_nonftyp_leading_boxes():
     assert m["clean_eof"] == "T" and m["duration_ms"] == 5000
     # plausible single box but no moov: not a stream
     assert mp4.mp4_metadata(free)["clean_eof"] == "F"
+
+
+def test_image_dhash_invariances(spark):
+    import numpy as np
+
+    from variant_load_pipeline_spark.multimodal.binary_ops import image_dhash
+    from variant_load_pipeline_spark.multimodal.png import encode_png
+
+    y, x, c = np.meshgrid(
+        np.arange(16), np.arange(20), np.arange(3), indexing="ij"
+    )
+    base = ((7 + 3 * x + 5 * y + 11 * c) % 200).astype("uint8")
+    brighter = (base + 40).astype("uint8")       # uniform brightness shift
+    noisy = base.copy()
+    noisy[3, 4, :] += 5                          # one-pixel perturbation
+    inverted = (199 - base).astype("uint8")      # gradient flip
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(encode_png(base))),
+            (1, bytearray(encode_png(brighter))),
+            (2, bytearray(encode_png(noisy))),
+            (3, bytearray(encode_png(inverted))),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    # dHash is gradient-based: uniform brightness shifts are invisible
+    assert got[0] == got[1]
+    # a tiny perturbation moves at most a few bits
+    assert bin((got[0] ^ got[2]) & (2**64 - 1)).count("1") <= 4
+    # inverting the image flips (nearly) every gradient
+    assert bin((got[0] ^ got[3]) & (2**64 - 1)).count("1") >= 48

@@ -2037,3 +2037,114 @@ def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges, "step int, tok string, cnt long"
     ).select(F.lit("merge").alias("kind"), "step", "tok", "cnt")
     return mdf.unionByName(tok)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dHash + image near-dup pairs (multimodal x dedup)
+# ---------------------------------------------------------------------------
+_DH_CAP = 20000
+_DH_HAM = 10
+# generator pixel: (m + 3x + 5y + 11c) % 256; integer-mean grayscale
+_DH_G = (
+    "((({m} + 3*({x}) + 5*({y})) % 256)"
+    " + (({m} + 3*({x}) + 5*({y}) + 11) % 256)"
+    " + (({m} + 3*({x}) + 5*({y}) + 22) % 256)) // 3"
+)
+
+
+@register(
+    "mm_image_dhash_pairs",
+    f"""
+    WITH g AS (
+        SELECT CAST(p_partkey AS BIGINT) AS m,
+               CAST(4 + p_partkey % 13 AS INT) AS w,
+               CAST(4 + p_partkey % 11 AS INT) AS h
+        FROM part WHERE p_partkey % 40 = 2
+        ORDER BY p_partkey LIMIT {_DH_CAP}
+    ),
+    bits AS (
+        SELECT g.m, j.j, i.i,
+               CASE WHEN
+                   ({_DH_G.format(m='g.m', x='((i.i+1)*g.w)//9', y='(j.j*g.h)//8')})
+                 > ({_DH_G.format(m='g.m', x='(i.i*g.w)//9', y='(j.j*g.h)//8')})
+               THEN 1 ELSE 0 END AS bit
+        FROM g
+        CROSS JOIN (SELECT unnest(range(8)) AS j) j
+        CROSS JOIN (SELECT unnest(range(8)) AS i) i
+    ),
+    hs AS (
+        SELECT m, SUM(CAST(bit AS HUGEINT)
+                      * (CAST(1 AS HUGEINT) << CAST(j*8 + i AS INT))) AS hu
+        FROM bits GROUP BY m
+    ),
+    hashes AS (
+        SELECT m, CAST(hu - CASE WHEN hu >= (CAST(1 AS HUGEINT) << 63)
+                                 THEN (CAST(1 AS HUGEINT) << 64)
+                                 ELSE CAST(0 AS HUGEINT) END AS BIGINT)
+                   AS dhash
+        FROM hs
+    )
+    SELECT CAST(a.m AS BIGINT) AS id_a, CAST(b.m AS BIGINT) AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.m < b.m
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= {_DH_HAM}
+    """,
+    doc="Perceptual image dedup end-to-end: deterministic RGB images are "
+    "PNG-encoded, decoded by the REAL pure-stdlib codec inside "
+    "mapInPandas, dHashed (9x8 nearest-grid gradient bits -> 64-bit "
+    "signature, the image-side SimHash), and paired by hamming "
+    f"distance <= {_DH_HAM} via bit_count(xor).  The oracle recomputes "
+    "every grayscale sample, every gradient bit, and the two's-"
+    "complement packing from the pixel generator — the decode+hash "
+    "pipeline is verified bit-for-bit.  At corpus scale the pair step "
+    "is the banded/multi-index join of the SimHash family, not this "
+    "exhaustive demo join",
+)
+def mm_image_dhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from .multimodal.binary_ops import image_dhash
+    from .multimodal.png import encode_png
+
+    rows = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 40 == 2)
+        .select(
+            F.col("p_partkey").cast("long").alias("media_id"),
+            (4 + F.col("p_partkey") % 13).cast("int").alias("width"),
+            (4 + F.col("p_partkey") % 11).cast("int").alias("height"),
+        )
+        .orderBy("media_id")
+        .limit(_DH_CAP)
+        .collect()
+    )
+    payloads = []
+    for r in rows:
+        mid, w, h = r["media_id"], r["width"], r["height"]
+        y, x, c = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+        )
+        img = ((mid + 3 * x + 5 * y + 11 * c) % 256).astype("uint8")
+        payloads.append((mid, bytearray(encode_png(img))))
+    media = spark.createDataFrame(
+        payloads, "media_id long, payload binary"
+    ).repartition(spark.sparkContext.defaultParallelism)
+    hashes = image_dhash(media)
+    a = hashes.select(
+        F.col("media_id").alias("id_a"), F.col("dhash").alias("ha")
+    )
+    b = hashes.select(
+        F.col("media_id").alias("id_b"), F.col("dhash").alias("hb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _DH_HAM)
+    )
