@@ -107,8 +107,32 @@ def fit_centroids(
     sorted (cluster_id, centroid) list; empty clusters drop out."""
     seed_rows = base.select(id_col, qv_col).orderBy(id_col).limit(k).collect()
     cents = [(i, list(r[qv_col])) for i, r in enumerate(seed_rows)]
+    spark = base.sparkSession
     for _ in range(iters):
-        assigned = assign_clusters(base, cents, qv_col=qv_col)
+        # assignment by broadcast JOIN against the centroid table with a
+        # min(struct(dist, cluster)) argmin — same math as the literal-
+        # expression assign_clusters (same tie-break), but the model
+        # rides as data, so codegen stays constant-size however large
+        # k*dim grows (the pq_fit_encode lesson)
+        cdf = spark.createDataFrame(
+            [(int(cl), [int(v) for v in cv]) for cl, cv in cents],
+            "cluster int, cvec array<bigint>",
+        )
+        d = F.aggregate(
+            F.zip_with(qv_col, "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            base.crossJoin(F.broadcast(cdf))
+            .withColumn("__d", d)
+            .groupBy(id_col)
+            .agg(
+                F.min(F.struct(F.col("__d"), F.col("cluster"))).alias("mm"),
+                F.first(qv_col).alias(qv_col),
+            )
+            .select(id_col, F.col("mm.cluster").alias("cluster"), qv_col)
+        )
         upd = (
             assigned.select(
                 "cluster", F.posexplode(qv_col).alias("dim", "val")
