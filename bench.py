@@ -113,6 +113,7 @@ HEADLINE_V2 = [
     "events_resample_ffill",
     "dq_validation_report",
     "mm_image_dhash_pairs",
+    "mm_audio_ahash_pairs",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -143,6 +144,8 @@ EAGER_CONSTRUCT = {
     "bpe_learn_merges",
     # driver-side PNG fixture encode happens at construction
     "mm_image_dhash_pairs",
+    # driver-side WAV fixture encode happens at construction
+    "mm_audio_ahash_pairs",
 }
 
 

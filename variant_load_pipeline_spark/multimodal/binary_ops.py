@@ -579,3 +579,59 @@ def image_dhash(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def audio_energy_hash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_frames: int = 65,
+) -> DataFrame:
+    """Audio energy-gradient fingerprint — the audio analog of image
+    dHash (the same family as spectral fingerprints, minus the FFT so
+    the whole pipeline stays exactly integer-replayable): PCM decode,
+    first channel, ``n_frames`` equal frames of the leading
+    ``n_frames * (n // n_frames)`` samples, per-frame SUM of |sample|,
+    bit f set iff frame f+1 is strictly louder than frame f — a
+    ``n_frames - 1``-bit signature robust to uniform gain-free edits.
+    Defaults give 64 bits packed into a BIGINT (bit 63 -> negative,
+    the shared 64-bit convention); hamming = bit_count(xor).
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    from .wav import decode_wav  # noqa: PLC0415
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("ahash", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = {id_col: [], "n_samples": [], "ahash": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                samples, _rate = decode_wav(bytes(payload))
+                ch0 = samples[:, 0].astype("int64")
+                n = ch0.shape[0]
+                frame_len = n // n_frames
+                e = (
+                    np.abs(ch0[: n_frames * frame_len])
+                    .reshape(n_frames, frame_len)
+                    .sum(axis=1)
+                )
+                bits = (e[1:] > e[:-1]).astype(np.uint64)
+                weights = np.uint64(1) << np.arange(
+                    n_frames - 1, dtype=np.uint64
+                )
+                hv = np.int64(np.uint64((bits * weights).sum()))
+                out[id_col].append(int(mid))
+                out["n_samples"].append(int(n))
+                out["ahash"].append(int(hv))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)

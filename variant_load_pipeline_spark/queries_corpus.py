@@ -2148,3 +2148,120 @@ def mm_image_dhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= _DH_HAM)
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio energy-fingerprint near-dup pairs (multimodal x dedup, audio leg)
+# ---------------------------------------------------------------------------
+_AH_FRAMES = 65
+_AH_HAM = 10
+_AH_CAP = 20000
+
+
+@register(
+    "mm_audio_ahash_pairs",
+    f"""
+    WITH g AS (
+        SELECT CAST(p_partkey AS BIGINT) AS m,
+               CAST(p_partkey % 5 AS BIGINT) AS grp,
+               CAST(p_partkey % 3 AS BIGINT) AS jit,
+               CAST(4000 + (p_partkey % 5) * 500 AS INT) AS n
+        FROM part WHERE p_partkey % 40 = 7
+        ORDER BY p_partkey LIMIT {_AH_CAP}
+    ),
+    sm AS (
+        SELECT g.m, g.n, t.t,
+               abs(((g.grp * 991 + t.t * t.t
+                     + CASE WHEN t.t % 131 = 0 THEN g.jit * 1500
+                            ELSE 0 END) % 4001) - 2000) AS a
+        FROM g, LATERAL (SELECT unnest(range(g.n)) AS t) t
+        WHERE t.t < (g.n // {_AH_FRAMES}) * {_AH_FRAMES}
+    ),
+    fe AS (
+        SELECT m, CAST(t // (n // {_AH_FRAMES}) AS INT) AS fr,
+               SUM(a) AS e
+        FROM sm GROUP BY m, CAST(t // (n // {_AH_FRAMES}) AS INT)
+    ),
+    bits AS (
+        SELECT m, fr,
+               CASE WHEN LEAD(e) OVER (PARTITION BY m ORDER BY fr) > e
+                    THEN 1 ELSE 0 END AS bit
+        FROM fe
+    ),
+    hs AS (
+        SELECT m, SUM(CAST(bit AS HUGEINT)
+                      * (CAST(1 AS HUGEINT) << fr)) AS hu
+        FROM bits WHERE fr < {_AH_FRAMES - 1} GROUP BY m
+    ),
+    hashes AS (
+        SELECT m, CAST(hu - CASE WHEN hu >= (CAST(1 AS HUGEINT) << 63)
+                                 THEN (CAST(1 AS HUGEINT) << 64)
+                                 ELSE CAST(0 AS HUGEINT) END AS BIGINT)
+                   AS ahash
+        FROM hs
+    )
+    SELECT CAST(a.m AS BIGINT) AS id_a, CAST(b.m AS BIGINT) AS id_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.m < b.m
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= {_AH_HAM}
+    """,
+    doc="Audio near-dup fingerprinting end-to-end: deterministic 16-bit "
+    "PCM clips are WAV-encoded, decoded by the REAL stdlib decoder "
+    "inside mapInPandas, energy-hashed (64 frame-loudness gradient bits "
+    "— the audio dHash; FFT-free so it stays exactly integer) and "
+    f"paired at hamming <= {_AH_HAM}.  The oracle recomputes every "
+    "|sample|, every frame energy, and the bit packing from the signal "
+    "generator — decode + fingerprint verified sample-exactly.  At "
+    "corpus scale pairing goes through the multi-index banding of the "
+    "SimHash family, not this exhaustive demo join",
+)
+def mm_audio_ahash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from .multimodal.binary_ops import audio_energy_hash
+    from .multimodal.wav import encode_wav
+
+    rows = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 40 == 7)
+        .select(
+            F.col("p_partkey").cast("long").alias("media_id"),
+            (F.col("p_partkey") % 5).cast("long").alias("grp"),
+            (F.col("p_partkey") % 3).cast("long").alias("jit"),
+            (4000 + (F.col("p_partkey") % 5) * 500).cast("int").alias("n"),
+        )
+        .orderBy("media_id")
+        .limit(_AH_CAP)
+        .collect()
+    )
+    payloads = []
+    for r in rows:
+        mid, n = r["media_id"], r["n"]
+        t = np.arange(n, dtype=np.int64)
+        # same group -> same envelope; jitter nudges sparse samples so
+        # same-group clips land NEAR each other, not identical
+        jitter = np.where(t % 131 == 0, r["jit"] * 1500, 0)
+        s = ((r["grp"] * 991 + t * t + jitter) % 4001 - 2000).astype("<i2")
+        payloads.append((mid, bytearray(encode_wav(s, 16000))))
+    media = spark.createDataFrame(
+        payloads, "media_id long, payload binary"
+    ).repartition(spark.sparkContext.defaultParallelism)
+    hashes = audio_energy_hash(media, n_frames=_AH_FRAMES)
+    a = hashes.select(
+        F.col("media_id").alias("id_a"), F.col("ahash").alias("ha")
+    )
+    b = hashes.select(
+        F.col("media_id").alias("id_b"), F.col("ahash").alias("hb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _AH_HAM)
+    )
