@@ -114,6 +114,7 @@ HEADLINE_V2 = [
     "dq_validation_report",
     "mm_image_dhash_pairs",
     "mm_audio_ahash_pairs",
+    "rollup_incremental_refresh",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -146,6 +147,8 @@ EAGER_CONSTRUCT = {
     "mm_image_dhash_pairs",
     # driver-side WAV fixture encode happens at construction
     "mm_audio_ahash_pairs",
+    # the split-point min/max scalar collect happens at construction
+    "rollup_incremental_refresh",
 }
 
 
