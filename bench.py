@@ -115,6 +115,7 @@ HEADLINE_V2 = [
     "mm_image_dhash_pairs",
     "mm_audio_ahash_pairs",
     "rollup_incremental_refresh",
+    "null_semantics_suite",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

@@ -298,3 +298,31 @@ def test_new_query_results_are_partitioning_invariant(spark):
             assert a == b, f"{n} is partitioning-dependent"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_surprisal_and_containment_bounds(spark):
+    from variant_load_pipeline_spark.queries import registry
+
+    reg = registry()
+    bs = reg["bigram_backoff_surprisal"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert bs
+    for r in bs:
+        # surprisal of a probability <= 1 is non-negative; mean consistent
+        assert r["surprisal_micro"] >= 0
+        if r["n_pairs"] > 0:
+            # Spark rounds HALF_UP, Python's round() is banker's — allow
+            # the half-ulp divergence at exact .5 boundaries
+            assert abs(
+                r["mean_surprisal"]
+                - round(r["surprisal_micro"] / r["n_pairs"] / 1e6, 6)
+            ) <= 1e-6
+        else:
+            assert r["mean_surprisal"] == 0.0
+    cp = reg["containment_pairs"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    for r in cp:
+        assert 0.9 <= r["containment"] <= 1.0
+        assert r["id_a"] < r["id_b"]

@@ -5361,3 +5361,56 @@ def dq_validation_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("F"))
         .alias("pass"),
     )
+
+
+# ===========================================================================
+# NULL-semantics suite: the ANSI null rules a migrating user relies on
+# ===========================================================================
+@register(
+    "null_semantics_suite",
+    """
+    WITH d AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_totalprice END AS price,
+               CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                    ELSE o_orderpriority END AS prio
+        FROM orders
+    )
+    SELECT COALESCE(prio, '<null>') AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(price) AS BIGINT) AS n_price,
+           CAST(ROUND(SUM(price), 2) AS DOUBLE) AS sum_price,
+           CAST(ROUND(AVG(price), 6) AS DOUBLE) AS avg_price,
+           CAST(COUNT(DISTINCT price) AS BIGINT) AS n_distinct_price,
+           CAST(SUM(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_price
+    FROM d GROUP BY COALESCE(prio, '<null>')
+    """,
+    doc="NULL-semantics parity suite: COUNT(*) vs COUNT(col), SUM/AVG "
+    "ignoring NULLs, COUNT(DISTINCT) excluding NULLs, and NULL group "
+    "keys grouping together — the ANSI rules a user migrating hand-"
+    "written SQL relies on, pinned across both engines in one query",
+)
+def null_semantics_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    d = o.select(
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_totalprice")
+        ).alias("price"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ).alias("prio"),
+    )
+    return d.groupBy(
+        F.coalesce("prio", F.lit("<null>")).alias("prio")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("price").alias("n_price"),
+        F.round(F.sum("price"), 2).alias("sum_price"),
+        F.round(F.avg("price"), 6).alias("avg_price"),
+        F.count_distinct("price").alias("n_distinct_price"),
+        F.sum(F.when(F.col("price").isNull(), 1).otherwise(0)).alias(
+            "n_null_price"
+        ),
+    )
