@@ -116,6 +116,7 @@ HEADLINE_V2 = [
     "mm_audio_ahash_pairs",
     "rollup_incremental_refresh",
     "null_semantics_suite",
+    "bucketed_join_revenue",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -150,6 +151,8 @@ EAGER_CONSTRUCT = {
     "mm_audio_ahash_pairs",
     # the split-point min/max scalar collect happens at construction
     "rollup_incremental_refresh",
+    # first call writes the bucketed tables at construction
+    "bucketed_join_revenue",
 }
 
 

@@ -399,3 +399,11 @@ def test_zorder_and_salted_stay_jvm_side(spark):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    # the whole point of bucketing: the orderkey join runs shuffle-free
+    plan = plan_of(spark, "bucketed_join_revenue")
+    assert "SortMergeJoin" in plan
+    join_part = plan.split("HashAggregate")[0]
+    assert "Exchange hashpartitioning" not in join_part, join_part[-2000:]

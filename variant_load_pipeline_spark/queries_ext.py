@@ -5414,3 +5414,54 @@ def null_semantics_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_null_price"
         ),
     )
+
+
+# ===========================================================================
+# Bucketed (SMB) join: pre-bucketed tables join with NO shuffle exchange
+# ===========================================================================
+_BKT_N = 8
+
+
+@register(
+    "bucketed_join_revenue",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc=f"Bucketed sort-merge join: both tables are written bucketBy("
+    f"{_BKT_N}, orderkey) + sortBy into the catalog, so the join needs "
+    "NO shuffle exchange on either side — the co-located-join layout "
+    "for fact-fact joins repeated across a 100 TB pipeline (pay the "
+    "bucketed write once, skip the orderkey shuffle on every "
+    "subsequent join).  The plan audit pins SortMergeJoin with zero "
+    "hash-partitioning exchanges; the oracle is the plain join",
+)
+def bucketed_join_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    token = re.sub(r"[^A-Za-z0-9]", "_", sf_dir.strip("/"))
+    t_li, t_o = f"li_bkt_{token}", f"o_bkt_{token}"
+    for t, src, key in (
+        (t_li, load(spark, sf_dir, "lineitem"), "l_orderkey"),
+        (t_o, load(spark, sf_dir, "orders"), "o_orderkey"),
+    ):
+        if not spark.catalog.tableExists(t):
+            (
+                src.write.bucketBy(_BKT_N, key)
+                .sortBy(key)
+                .option("path", f"/tmp/vlp_bucketed_{t}")
+                .mode("overwrite")
+                .saveAsTable(t)
+            )
+    li = spark.table(t_li).hint("merge")
+    o = spark.table(t_o).hint("merge")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(rev), 2).alias("revenue"),
+    )
