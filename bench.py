@@ -117,6 +117,8 @@ HEADLINE_V2 = [
     "rollup_incremental_refresh",
     "null_semantics_suite",
     "bucketed_join_revenue",
+    "per_group_linreg",
+    "source_kl_divergence",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

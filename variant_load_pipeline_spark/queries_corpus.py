@@ -2265,3 +2265,147 @@ def mm_audio_ahash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= _AH_HAM)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group linear regression (exact 2x2 normal equations)
+# ---------------------------------------------------------------------------
+@register(
+    "per_group_linreg",
+    """
+    WITH d AS (
+        SELECT source,
+               CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+                                    x -> x <> '')) AS BIGINT) AS x,
+               CAST(COALESCE(n_chars, 0) AS BIGINT) AS y
+        FROM documents
+    ),
+    s AS (
+        SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM d GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n,
+           CAST(ROUND((n * sxy - sx * sy)::DOUBLE
+                / (n * sxx - sx * sx), 6) AS DOUBLE) AS slope,
+           CAST(ROUND((sy * sxx - sx * sxy)::DOUBLE
+                / (n * sxx - sx * sx), 6) AS DOUBLE) AS intercept
+    FROM s WHERE n * sxx - sx * sx <> 0
+    """,
+    doc="Per-group OLS linear regression (chars-per-token line per "
+    "source) by exact 2x2 normal equations: all moments are BIGINT sums "
+    "in ONE partial-aggregable pass, so the fit is a closed-form divide "
+    "of exact integers — a grouped model fit with no iteration, no "
+    "driver state, and bit-identical replays.  The pattern scales to "
+    "any per-key scalar regression at 100 TB (moments merge "
+    "associatively)",
+)
+def per_group_linreg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                lambda t: t != F.lit(""),
+            )
+        ).cast("long").alias("x"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("y"),
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.filter(det != 0).select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double") / det,
+            6,
+        ).alias("slope"),
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+            .cast("double") / det,
+            6,
+        ).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution shift: per-source KL divergence vs the corpus unigram LM
+# ---------------------------------------------------------------------------
+@register(
+    "source_kl_divergence",
+    f"""
+    WITH t AS (
+        SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents
+    ),
+    tt AS (SELECT source, term FROM t WHERE term <> ''),
+    sc AS (SELECT source, term, COUNT(*) AS c FROM tt GROUP BY 1, 2),
+    stot AS (SELECT source, SUM(c) AS ns FROM sc GROUP BY source),
+    gc AS (SELECT term, SUM(c) AS g FROM sc GROUP BY term),
+    gtot AS (SELECT SUM(g) AS ng, COUNT(*) AS v FROM gc),
+    terms AS (
+        SELECT sc.source, sc.c, st.ns, gc.g, gt.ng, gt.v
+        FROM sc
+        JOIN stot st USING (source)
+        JOIN gc USING (term)
+        CROSS JOIN gtot gt
+    ),
+    scored AS (
+        SELECT source,
+               SUM(CAST(floor(
+                   (c::DOUBLE / ns)
+                   * ln((c::DOUBLE / ns)
+                        / ((g + 1.0) / (ng + v)))
+                   * 1e9 + 0.5) AS BIGINT)) AS kl_nano
+        FROM terms GROUP BY source
+    )
+    SELECT source, CAST(kl_nano AS BIGINT) AS kl_nano,
+           CAST(ROUND(kl_nano / 1e9, 6) AS DOUBLE) AS kl_nats
+    FROM scored
+    """,
+    doc="Distribution-shift monitor: KL(source unigram dist || add-1-"
+    "smoothed corpus dist) per source — the drift metric a corpus "
+    "curation pipeline tracks per ingest batch.  Per-term contributions "
+    "round to integer NANO-nats before the exact BIGINT sum (the "
+    "surprisal idiom), so the score is summation-order free and "
+    "replayed exactly.  One tokenize feeds both distributions; the "
+    "per-term join keys on the vocabulary",
+)
+def source_kl_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import normalize_text
+
+    tt = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(
+                F.split(normalize_text(F.col("text")), " ")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    sc = tt.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    stot = sc.groupBy("source").agg(F.sum("c").alias("ns"))
+    gc = sc.groupBy("term").agg(F.sum("c").alias("g"))
+    gtot = gc.agg(F.sum("g").alias("ng"), F.count(F.lit(1)).alias("v"))
+    terms = (
+        sc.join(stot, "source")
+        .join(gc, "term")
+        .crossJoin(F.broadcast(gtot))
+    )
+    p = F.col("c").cast("double") / F.col("ns")
+    q = (F.col("g") + 1.0) / (F.col("ng") + F.col("v"))
+    nano = F.floor(p * F.log(p / q) * 1e9 + 0.5).cast("long")
+    scored = terms.groupBy("source").agg(F.sum(nano).alias("kl_nano"))
+    return scored.select(
+        "source",
+        F.col("kl_nano").cast("long").alias("kl_nano"),
+        F.round(F.col("kl_nano") / 1e9, 6).alias("kl_nats"),
+    )
