@@ -119,6 +119,7 @@ HEADLINE_V2 = [
     "bucketed_join_revenue",
     "per_group_linreg",
     "source_kl_divergence",
+    "allpairs_jaccard_join",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

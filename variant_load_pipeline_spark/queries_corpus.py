@@ -2409,3 +2409,104 @@ def source_kl_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kl_nano").cast("long").alias("kl_nano"),
         F.round(F.col("kl_nano") / 1e9, 6).alias("kl_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact all-pairs similarity join via prefix filtering [Bayardo et al.
+# 2007, Chaudhuri et al. 2006 — public]
+# ---------------------------------------------------------------------------
+_AP_T_NUM, _AP_T_DEN = 4, 5  # jaccard threshold 4/5, exact integers
+
+
+@register(
+    "allpairs_jaccard_join",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split({_NORM_SQL}, ' '),
+                                         x -> x <> '')) AS w
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_filter(a.w, x -> list_contains(b.w, x))) AS inter,
+               len(a.w) + len(b.w)
+                 - len(list_filter(a.w, x -> list_contains(b.w, x)))
+                   AS un
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(ROUND(inter::DOUBLE / un, 6) AS DOUBLE) AS jaccard
+    FROM pairs WHERE inter * {_AP_T_DEN} >= un * {_AP_T_NUM}
+    """,
+    doc="EXACT all-pairs similarity join by prefix filtering [Bayardo "
+    "et al. 2007]: tokens globally ordered rarest-first, each document "
+    "indexes only its first |d| - ceil(t·|d|) + 1 tokens, and candidate "
+    "pairs come from an equi-join on those prefix tokens — the theorem "
+    "guarantees any pair with jaccard >= t shares a prefix token, so "
+    "recall is EXACT (unlike LSH).  The threshold compares exact "
+    f"integers (inter·{_AP_T_DEN} >= union·{_AP_T_NUM}).  The oracle "
+    "is the brute-force ALL-PAIRS definition — equality of the two "
+    "result sets IS the exactness proof, re-checked on every run.  "
+    "Rare-token prefixes keep the inverted index's hot lists short; "
+    "document-frequency ordering is what bounds the candidate blowup",
+)
+def allpairs_jaccard_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import normalize_text
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.filter(
+                    F.split(normalize_text(F.col("text")), " "),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("w"),
+        )
+    )
+    toks = d.select("doc_id", F.size("w").alias("s"), F.explode("w").alias("term"))
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(dfreq, "term").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy("df", "term")
+        ),
+    )
+    # prefix length = s - ceil(t*s) + 1, with ceil(4s/5) = (4s+4) div 5
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("s") - F.floor((4 * F.col("s") + 4) / 5) + 1
+    ).select("doc_id", "term")
+    cand = (
+        prefix.select(F.col("doc_id").alias("id_a"), "term")
+        .join(
+            prefix.select(F.col("doc_id").alias("id_b"), F.col("term").alias("term_b")),
+            (F.col("term") == F.col("term_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
+    j = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("wa", "wb"))
+    un = F.size(F.array_union("wa", "wb"))
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            inter.alias("inter"),
+            un.alias("un"),
+        )
+        .filter(F.col("inter") * _AP_T_DEN >= F.col("un") * _AP_T_NUM)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter").cast("double") / F.col("un"), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
