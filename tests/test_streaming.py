@@ -474,3 +474,36 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert any(l in late_clicks and r in early_errors for l, r in exp)
     q.stop()
+
+
+def test_idempotent_sink_survives_redelivery(spark, tmp_path):
+    """Replaying the SAME batch id must leave the store unchanged
+    (exactly-once effective semantics), and a later batch must supersede
+    an earlier row with the same key."""
+    path = str(tmp_path / "sink")
+    sink = ev.idempotent_batch_sink(path)
+    b0 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 10, "click", 1.0)], SCHEMA
+    )
+    b1 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2), 10, "click", 2.0),
+         (2, dt.datetime(2024, 1, 2), 11, "view", 3.0)], SCHEMA
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    first = sorted(
+        (r["event_id"], r["value"])
+        for r in ev.read_sink_latest(spark, path).collect()
+    )
+    # redeliver batch 1 (restart replay) — store must be unchanged
+    sink(b1, 1)
+    again = sorted(
+        (r["event_id"], r["value"])
+        for r in ev.read_sink_latest(spark, path).collect()
+    )
+    assert first == again
+    # event 1 re-emitted in batch 1 supersedes its batch-0 row
+    assert dict(again)[1] == 2.0
+    assert len(again) == 2
+    # raw store holds both generations; the latest-wins view collapses
+    assert spark.read.parquet(path).count() == 3

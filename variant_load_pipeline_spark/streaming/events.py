@@ -426,3 +426,42 @@ def interval_join_events(
         "user_id", "l_ts", "l_event_id", "l_value",
         "r_ts", "r_event_id", "r_value",
     )
+
+
+def idempotent_batch_sink(path: str):
+    """foreachBatch sink with EXACTLY-ONCE effective semantics: each
+    micro-batch overwrites its own deterministic ``batch=<id>`` parquet
+    partition, so a redelivered batch (restart replay from the
+    checkpoint, speculative re-execution) overwrites itself instead of
+    appending duplicates — the standard idempotent-sink recipe when the
+    target store has no transactional MERGE.
+
+    Use: ``stream.writeStream.foreachBatch(idempotent_batch_sink(path))``.
+    """
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    return sink
+
+
+def read_sink_latest(
+    spark, path: str, keys: list[str] | None = None
+) -> DataFrame:
+    """Read an idempotent_batch_sink store back as ONE logical table:
+    per key, the row from the HIGHEST batch wins (late re-emissions of a
+    key supersede older ones); within a batch ties break by event_id.
+    The batch column comes free from partition discovery.
+    """
+    from pyspark.sql.window import Window as W
+
+    keys = keys or ["event_id"]
+    df = spark.read.parquet(path)
+    w = W.partitionBy(*keys).orderBy(
+        F.col("batch").desc(), F.col("event_id").desc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
