@@ -120,6 +120,7 @@ HEADLINE_V2 = [
     "per_group_linreg",
     "source_kl_divergence",
     "allpairs_jaccard_join",
+    "weighted_sample_es",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

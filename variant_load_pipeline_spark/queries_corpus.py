@@ -2510,3 +2510,85 @@ def allpairs_jaccard_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement [Efraimidis & Spirakis 2006]
+# ---------------------------------------------------------------------------
+_ES_K = 25
+_ES_SALT = "es1"
+# u in (0, 1]: (h + 1) / 2^32 from the portable 32-bit hash
+_ES_U_SQL = (
+    f"((('0x' || substr(md5('{_ES_SALT}:' || doc_id), 1, 8))::BIGINT + 1)"
+    " / 4294967296.0)"
+)
+
+
+@register(
+    "weighted_sample_es",
+    f"""
+    WITH d AS (
+        SELECT doc_id, COALESCE(lang, '') AS lang,
+               CAST(GREATEST(COALESCE(n_chars, 0), 1) AS BIGINT) AS wt
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, lang, wt,
+               CAST(floor(pow({_ES_U_SQL}, 1.0 / wt) * 1e9 + 0.5)
+                    AS BIGINT) AS es_key
+        FROM d
+    ),
+    ranked AS (
+        SELECT doc_id, lang, wt, es_key,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY es_key DESC, doc_id) AS rk
+        FROM keyed
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(wt AS BIGINT) AS wt,
+           CAST(es_key AS BIGINT) AS es_key, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {_ES_K}
+    """,
+    doc="Weighted sampling WITHOUT replacement per language "
+    f"[Efraimidis & Spirakis 2006]: key = u^(1/w) with u the "
+    "deterministic hash-uniform in (0,1], top-k keys = the weighted "
+    "sample — longer documents proportionally likelier, repartition- "
+    "and rerun-stable because the randomness is a salted key hash, and "
+    "engine-exact because keys round to integer nano-units BEFORE "
+    "ranking (both engines rank identical integers; ties to smaller "
+    "id).  Per-group top-k runs as per-partition heaps, no global sort",
+)
+def weighted_sample_es_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import shingle_hash
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(1))
+        .cast("long")
+        .alias("wt"),
+    )
+    u = (
+        shingle_hash(
+            F.concat(F.lit(f"{_ES_SALT}:"), F.col("doc_id").cast("string"))
+        )
+        + 1
+    ) / F.lit(4294967296.0)
+    es_key = F.floor(
+        F.pow(u, F.lit(1.0) / F.col("wt")) * 1e9 + 0.5
+    ).cast("long")
+    ranked = d.withColumn("es_key", es_key).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("lang").orderBy(
+                F.col("es_key").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rk") <= _ES_K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("wt").cast("long").alias("wt"),
+        F.col("es_key").cast("long").alias("es_key"),
+        F.col("rk").cast("int").alias("rk"),
+    )
