@@ -121,6 +121,7 @@ HEADLINE_V2 = [
     "source_kl_divergence",
     "allpairs_jaccard_join",
     "weighted_sample_es",
+    "corpus_curation_verdict",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

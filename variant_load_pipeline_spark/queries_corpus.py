@@ -2592,3 +2592,116 @@ def weighted_sample_es_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("es_key").cast("long").alias("es_key"),
         F.col("rk").cast("int").alias("rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed per-document curation verdict (the final keep/drop decision)
+# ---------------------------------------------------------------------------
+_CV_MIN_TOK, _CV_MAX_TOK = 20, 5000
+_CV_MIN_TTR = 0.3  # distinct-token ratio floor (repetition guard)
+_CV_MWL_LO, _CV_MWL_HI = 2.0, 12.0
+
+
+@register(
+    "corpus_curation_verdict",
+    f"""
+    WITH d AS (
+        SELECT doc_id, COALESCE(lang, '') AS lang,
+               list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '')
+                   AS w,
+               md5({_NORM_SQL}) AS fp
+        FROM documents
+    ),
+    canon AS (SELECT fp, MIN(doc_id) AS canon_id FROM d GROUP BY fp),
+    m AS (
+        SELECT d.doc_id, d.lang, d.fp, c.canon_id,
+               len(d.w) AS n_tok,
+               len(list_distinct(d.w)) AS n_distinct,
+               COALESCE(list_sum(list_transform(d.w, x -> length(x))), 0)
+                   AS sum_len
+        FROM d JOIN canon c USING (fp)
+    ),
+    f AS (
+        SELECT doc_id,
+            CASE WHEN doc_id = canon_id THEN 'T' ELSE 'F' END AS f_canonical,
+            CASE WHEN n_tok >= {_CV_MIN_TOK} AND n_tok <= {_CV_MAX_TOK}
+                 THEN 'T' ELSE 'F' END AS f_length,
+            CASE WHEN n_tok > 0 AND n_distinct * 10 >= n_tok * 3
+                 THEN 'T' ELSE 'F' END AS f_diversity,
+            CASE WHEN lang <> '' THEN 'T' ELSE 'F' END AS f_lang,
+            CASE WHEN n_tok > 0
+                  AND sum_len >= {_CV_MWL_LO} * n_tok
+                  AND sum_len <= {_CV_MWL_HI} * n_tok
+                 THEN 'T' ELSE 'F' END AS f_wordlen
+        FROM m
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           f_canonical, f_length, f_diversity, f_lang, f_wordlen,
+           CASE WHEN f_canonical = 'T' AND f_length = 'T'
+                 AND f_diversity = 'T' AND f_lang = 'T' AND f_wordlen = 'T'
+                THEN 'T' ELSE 'F' END AS keep
+    FROM f
+    """,
+    doc="Composed per-document curation verdict — the final keep/drop "
+    "decision with one flag per rule: exact-dedup canonical, token-"
+    "count window, type-token diversity floor (integer comparison — no "
+    "float threshold), known language, mean-word-length band.  One "
+    "tokenize feeds every rule; the only shuffle is the fingerprint "
+    "canonical groupBy.  Each rule is independently visible so curation "
+    "loss is attributable per reason, which is how mixing decisions "
+    "get debugged",
+)
+def corpus_curation_verdict_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import normalize_text
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        F.filter(
+            F.split(normalize_text(F.col("text")), " "),
+            lambda t: t != F.lit(""),
+        ).alias("w"),
+        F.md5(normalize_text(F.col("text"))).alias("fp"),
+    )
+    canon = d.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
+    m = d.join(canon, "fp").select(
+        "doc_id",
+        "lang",
+        "canon_id",
+        F.size("w").alias("n_tok"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        F.coalesce(
+            F.aggregate(
+                F.transform("w", F.length),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0),
+        ).alias("sum_len"),
+    )
+    tf = lambda c: F.when(c, F.lit("T")).otherwise(F.lit("F"))
+    f = m.select(
+        "doc_id",
+        tf(F.col("doc_id") == F.col("canon_id")).alias("f_canonical"),
+        tf(
+            (F.col("n_tok") >= _CV_MIN_TOK) & (F.col("n_tok") <= _CV_MAX_TOK)
+        ).alias("f_length"),
+        tf(
+            (F.col("n_tok") > 0)
+            & (F.col("n_distinct") * 10 >= F.col("n_tok") * 3)
+        ).alias("f_diversity"),
+        tf(F.col("lang") != "").alias("f_lang"),
+        tf(
+            (F.col("n_tok") > 0)
+            & (F.col("sum_len") >= _CV_MWL_LO * F.col("n_tok"))
+            & (F.col("sum_len") <= _CV_MWL_HI * F.col("n_tok"))
+        ).alias("f_wordlen"),
+    )
+    allpass = (
+        (F.col("f_canonical") == "T")
+        & (F.col("f_length") == "T")
+        & (F.col("f_diversity") == "T")
+        & (F.col("f_lang") == "T")
+        & (F.col("f_wordlen") == "T")
+    )
+    return f.select("*", tf(allpass).alias("keep"))
