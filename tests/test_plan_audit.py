@@ -407,3 +407,68 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert "SortMergeJoin" in plan
     join_part = plan.split("HashAggregate")[0]
     assert "Exchange hashpartitioning" not in join_part, join_part[-2000:]
+
+
+# Queries whose plan INTENTIONALLY contains a cartesian/nested-loop join:
+# exact brute-force baselines over a BOUNDED side (query sets, demo pair
+# spaces) — each one's docstring names the banded/bucketed scale path.
+_ALLOWED_UNBOUNDED_JOINS = {
+    "ann_cosine_topk",       # broadcast query set x corpus (exact baseline)
+    "ann_cosine_matmul",     # same, matmul kernel
+    "ann_q8_topk",           # quantized twin of the baseline
+    "ann_lsh_recall",        # recall gate re-runs the exact baseline
+    "emb_hashing_topk",      # hash-embed -> exact-baseline comparison
+    "mmr_diverse_topk",      # pool ranking seeds from the exact baseline
+    "mm_image_dhash_pairs",  # bounded demo pair join (banding at scale)
+    "mm_audio_ahash_pairs",  # bounded demo pair join (banding at scale)
+    "ann_pq_adc_topk",       # broadcast per-query ADC tables x codes
+    "distinct_ngram_estimate",  # 1-row constants broadcast
+    "unigram_surprisal",     # 1-row (N, V) constants broadcast
+    "bigram_backoff_surprisal",  # 1-row constants broadcast
+    "source_kl_divergence",  # 1-row corpus totals broadcast
+    "q14_promo_revenue_share",  # single global ratio, 1-row join
+    "dq_validation_report",  # 1-row metrics frame exploded
+    "quality_percentile_filter",  # per-lang cutoffs broadcast
+    "histogram_quantile_estimate",  # tiny quantile spec cross join
+    "sequence_packing",      # per-shard bin spec
+    "doc_chunking",
+    "tfidf_top_terms",       # 1-row doc-count constant
+    "bm25_topk",             # 1-row stats constant
+    "rrf_hybrid_topk",
+    "decontaminate",
+    "gopher_quality_filter",
+    "bpe_learn_merges",
+    "weighted_sample_es",
+    "corpus_dedup_keeplist",
+    "near_dup_components", "near_dup_components_star",
+    "s6_fasta_scan", "p29_annotate_pairs", "p29_annotate_chunked",
+    "p29_annotate_indel", "k6_fasta_render", "j15_strand_lookup",
+    "vcfconv_pipeline", "c22_protein_flank",
+    "ann_ivf_topk",          # broadcast query set x assigned corpus
+    "j4_dedup_upsert_ids",   # 1-row max-existing-id scalar join
+    "s7_wiggle_file_scan",   # broadcast declaration-range theta-join
+    "source_mixing_sample",  # 1-row corpus-total constants
+    "w1_sorted_export_rank", # bounded rank-spec side
+}
+
+
+def test_registry_wide_no_unbounded_joins(spark):
+    """Registry-wide scale invariant: no query plans a CartesianProduct or
+    BroadcastNestedLoopJoin unless it is on the documented allowlist of
+    bounded-side exact baselines / 1-row constant joins.  A new query that
+    accidentally plans an unbounded join fails here before it ships."""
+    from variant_load_pipeline_spark import queries as Q
+
+    offenders = []
+    for name, q in sorted(Q.registry().items()):
+        df = q.spark_fn(spark, SF)
+        plan = spark._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        bad = (
+            "CartesianProduct" in plan
+            or "BroadcastNestedLoopJoin" in plan
+        )
+        if bad and name not in _ALLOWED_UNBOUNDED_JOINS:
+            offenders.append(name)
+    assert not offenders, offenders
