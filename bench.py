@@ -122,6 +122,9 @@ HEADLINE_V2 = [
     "allpairs_jaccard_join",
     "weighted_sample_es",
     "corpus_curation_verdict",
+    "nb_lang_classifier",
+    "knn_label_predict",
+    "scd2_history",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

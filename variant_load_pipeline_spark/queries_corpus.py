@@ -2705,3 +2705,237 @@ def corpus_curation_verdict_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("f_wordlen") == "T")
     )
     return f.select("*", tf(allpass).alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes language classifier: exact-integer train + predict
+# ---------------------------------------------------------------------------
+@register(
+    "nb_lang_classifier",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, COALESCE(lang, '') AS lang, doc_id % 4 = 0 AS heldout,
+               unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents
+    ),
+    t AS (SELECT * FROM toks WHERE term <> ''),
+    cls AS (
+        SELECT lang, COUNT(*) AS n_tok FROM t WHERE NOT heldout GROUP BY lang
+    ),
+    vocab AS (SELECT COUNT(DISTINCT term) AS v FROM t WHERE NOT heldout),
+    cw AS (
+        SELECT lang, term, COUNT(*) AS c FROM t WHERE NOT heldout
+        GROUP BY lang, term
+    ),
+    docs AS (
+        SELECT doc_id, lang AS true_lang, term FROM t WHERE heldout
+    ),
+    scored AS (
+        SELECT d.doc_id, d.true_lang, c.lang,
+               SUM(CAST(floor(ln((COALESCE(cw.c, 0) + 1.0)
+                       / (c.n_tok + v.v)) * 1e6 + 0.5) AS BIGINT))
+                   AS logp_micro
+        FROM docs d
+        CROSS JOIN cls c
+        CROSS JOIN vocab v
+        LEFT JOIN cw ON cw.lang = c.lang AND cw.term = d.term
+        GROUP BY d.doc_id, d.true_lang, c.lang
+    ),
+    pred AS (
+        SELECT doc_id, true_lang, lang AS pred_lang, logp_micro,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY logp_micro DESC, lang) AS rk
+        FROM scored
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, true_lang, pred_lang,
+           CAST(logp_micro AS BIGINT) AS logp_micro,
+           CASE WHEN true_lang = pred_lang THEN 'T' ELSE 'F' END AS correct
+    FROM pred WHERE rk = 1
+    """,
+    doc="Multinomial Naive Bayes language classifier, trained and "
+    "evaluated IN the engine: add-1 word likelihoods from the 3/4 "
+    "training split, held-out quarter scored by exact micro-nat log-"
+    "probability sums (summation-order free), argmax with "
+    "lexicographic tie-break.  Train is two groupBys; predict is one "
+    "vocabulary-keyed join + per-doc-per-class sum — the plan shape of "
+    "any bag-of-words scoring at 100 TB.  The oracle replays training "
+    "counts, every smoothed likelihood, and every argmax",
+)
+def nb_lang_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import normalize_text
+
+    t = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+            (F.col("doc_id") % 4 == 0).alias("heldout"),
+            F.explode(
+                F.split(normalize_text(F.col("text")), " ")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    train = t.filter(~F.col("heldout"))
+    cls = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_tok"))
+    vocab = train.agg(F.count_distinct("term").alias("v"))
+    cw = train.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    docs = t.filter(F.col("heldout")).select(
+        "doc_id", F.col("lang").alias("true_lang"), "term"
+    )
+    scored = (
+        docs.crossJoin(F.broadcast(cls.select(F.col("lang").alias("cl"), "n_tok")))
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            cw.select(
+                F.col("lang").alias("cl2"),
+                F.col("term").alias("term2"),
+                "c",
+            ),
+            (F.col("cl") == F.col("cl2")) & (F.col("term") == F.col("term2")),
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", F.col("cl").alias("lang"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                        / (F.col("n_tok") + F.col("v"))
+                    )
+                    * 1e6
+                    + 0.5
+                ).cast("long")
+            ).alias("logp_micro")
+        )
+    )
+    pred = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(
+                F.col("logp_micro").desc(), F.col("lang")
+            )
+        ),
+    ).filter(F.col("rk") == 1)
+    return pred.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "true_lang",
+        F.col("lang").alias("pred_lang"),
+        F.col("logp_micro").cast("long").alias("logp_micro"),
+        F.when(F.col("true_lang") == F.col("lang"), F.lit("T"))
+        .otherwise(F.lit("F"))
+        .alias("correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-NN label prediction over embeddings (majority of top-k cosine)
+# ---------------------------------------------------------------------------
+_KNN_K = 5
+
+
+@register(
+    "knn_label_predict",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv, label AS true_label
+        FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    corpus AS (
+        SELECT vec_id AS nid, embedding AS nv, label
+        FROM embeddings WHERE vec_id % 20 <> 0
+    ),
+    sims AS (
+        SELECT q.qid, q.true_label, c.nid, c.label,
+               ROUND(list_cosine_similarity(q.qv, c.nv)::DOUBLE, 6) AS sim
+        FROM q CROSS JOIN corpus c
+    ),
+    topk AS (
+        SELECT qid, true_label, label FROM (
+            SELECT qid, true_label, label,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY sim DESC, nid) AS rk
+            FROM sims
+        ) WHERE rk <= {_KNN_K}
+    ),
+    votes AS (
+        SELECT qid, true_label, label, COUNT(*) AS n
+        FROM topk GROUP BY qid, true_label, label
+    )
+    SELECT CAST(qid AS BIGINT) AS qid,
+           CAST(true_label AS INT) AS true_label,
+           CAST(label AS INT) AS pred_label,
+           CAST(n AS BIGINT) AS votes,
+           CASE WHEN true_label = label THEN 'T' ELSE 'F' END AS correct
+    FROM (
+        SELECT qid, true_label, label, n,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY n DESC, label) AS vrk
+        FROM votes
+    ) WHERE vrk = 1
+    """,
+    doc=f"k-NN classification over embeddings: every 20th vector held "
+    f"out, labeled by the majority of its {_KNN_K} nearest training "
+    "neighbors (exact cosine, ties to smaller id; vote ties to smaller "
+    "label).  The exact-baseline plan — broadcast query block against "
+    "the corpus — with the IVF/PQ/LSH variants as the documented scale "
+    "path for the neighbor search; the vote aggregation itself keys on "
+    "the query id and is partial-aggregable",
+)
+def knn_label_predict_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import dot
+
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    nrm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    q = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        nrm.alias("qn"),
+        F.col("label").alias("true_label"),
+    )
+    corpus = e.filter(F.col("vec_id") % 20 != 0).select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nv"),
+        nrm.alias("nn"),
+        "label",
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .select(
+            "qid",
+            "true_label",
+            "nid",
+            "label",
+            F.round(
+                dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    topk = sims.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+        ),
+    ).filter(F.col("rk") <= _KNN_K)
+    votes = topk.groupBy("qid", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pred = votes.withColumn(
+        "vrk",
+        F.row_number().over(
+            W.partitionBy("qid").orderBy(F.col("n").desc(), F.col("label"))
+        ),
+    ).filter(F.col("vrk") == 1)
+    return pred.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("true_label").cast("int").alias("true_label"),
+        F.col("label").cast("int").alias("pred_label"),
+        F.col("n").cast("long").alias("votes"),
+        F.when(F.col("true_label") == F.col("label"), F.lit("T"))
+        .otherwise(F.lit("F"))
+        .alias("correct"),
+    )

@@ -517,3 +517,84 @@ def rollup_incremental_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sv", 6).alias("total_value"),
         F.col("max_ts_us").cast("long").alias("max_ts_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 history: change events -> validity intervals per key
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_history",
+    """
+    WITH src AS (
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(value) AS BIGINT) AS attr
+        FROM events WHERE event_type = 'signup' OR event_type = 'purchase'
+    ),
+    ordered AS (
+        SELECT user_id, ts, event_id, attr,
+               LAG(attr) OVER w AS prev_attr
+        FROM src
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, ts, event_id, attr FROM ordered
+        WHERE prev_attr IS NULL OR attr <> prev_attr
+    ),
+    versions AS (
+        SELECT user_id, attr,
+               epoch_us(ts) AS valid_from_us,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS valid_to_us,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS version
+        FROM changes
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(version AS INT) AS version,
+           CAST(attr AS BIGINT) AS attr,
+           CAST(valid_from_us AS BIGINT) AS valid_from_us,
+           CAST(valid_to_us AS BIGINT) AS valid_to_us,
+           CASE WHEN valid_to_us IS NULL THEN 'T' ELSE 'F' END AS is_current
+    FROM versions
+    """,
+    doc="Slowly-Changing-Dimension Type 2 history build: a change stream "
+    "collapses to one row per distinct consecutive attribute value, with "
+    "[valid_from, valid_to) microsecond intervals chained by LEAD and an "
+    "open-ended current row — the dimension-history table a warehouse "
+    "maintains, built in two windows over one key-partitioned shuffle "
+    "(no self-join, no per-key driver loop)",
+)
+def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_events(spark, sf_dir)
+    src = ev.filter(
+        (F.col("event_type") == "signup") | (F.col("event_type") == "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor("value").cast("long").alias("attr"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = src.withColumn("prev_attr", F.lag("attr").over(w))
+    changes = ordered.filter(
+        F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr"))
+    )
+    versions = changes.select(
+        "user_id",
+        "attr",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("valid_to_us"),
+        F.row_number().over(w).alias("version"),
+    )
+    return versions.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("version").cast("int").alias("version"),
+        F.col("attr").cast("long").alias("attr"),
+        F.col("valid_from_us").cast("long").alias("valid_from_us"),
+        F.col("valid_to_us").cast("long").alias("valid_to_us"),
+        F.when(F.col("valid_to_us").isNull(), F.lit("T"))
+        .otherwise(F.lit("F"))
+        .alias("is_current"),
+    )
