@@ -125,6 +125,7 @@ HEADLINE_V2 = [
     "nb_lang_classifier",
     "knn_label_predict",
     "scd2_history",
+    "item_pair_lift",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -161,6 +162,8 @@ EAGER_CONSTRUCT = {
     "rollup_incremental_refresh",
     # first call writes the bucketed tables at construction
     "bucketed_join_revenue",
+    # the basket-count scalar collect happens at construction
+    "item_pair_lift",
 }
 
 

@@ -5465,3 +5465,88 @@ def bucketed_join_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum(rev), 2).alias("revenue"),
     )
+
+
+# ===========================================================================
+# Association rules: co-order item pairs with support/confidence/lift
+# ===========================================================================
+_AR_MINSUP = 5
+_AR_TOPK = 30
+
+
+@register(
+    "item_pair_lift",
+    f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey % 200 AS item
+        FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM b),
+    ic AS (SELECT item, COUNT(*) AS c FROM b GROUP BY item),
+    pc AS (
+        SELECT x.item AS a, y.item AS bi, COUNT(*) AS cab
+        FROM b x JOIN b y ON x.o = y.o AND x.item < y.item
+        GROUP BY x.item, y.item
+        HAVING COUNT(*) >= {_AR_MINSUP}
+    )
+    SELECT CAST(a AS BIGINT) AS item_a, CAST(bi AS BIGINT) AS item_b,
+           CAST(cab AS BIGINT) AS support,
+           CAST(ROUND(cab::DOUBLE / ca.c, 6) AS DOUBLE) AS confidence,
+           CAST(ROUND(n.n_baskets * cab::DOUBLE / (ca.c * cb.c), 6)
+                AS DOUBLE) AS lift
+    FROM pc
+    JOIN ic ca ON ca.item = pc.a
+    JOIN ic cb ON cb.item = pc.bi
+    CROSS JOIN n
+    ORDER BY ROUND(n.n_baskets * cab::DOUBLE / (ca.c * cb.c), 6) DESC,
+             a, bi
+    LIMIT {_AR_TOPK}
+    """,
+    doc="Market-basket association rules (the A-priori pair pass): items "
+    "co-ordered in the same basket, pairs pruned by minimum support "
+    f"({_AR_MINSUP} baskets) BEFORE any statistics — the downward-"
+    "closure pruning that bounds the pair space at scale — then "
+    "confidence and lift against the single-item supports.  The basket "
+    "self-join keys on the order id; item supports broadcast back.  "
+    "Top pairs by rounded lift, deterministic (a, b) tie-break",
+)
+def item_pair_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"),
+            (F.col("l_partkey") % 200).alias("item"),
+        )
+        .distinct()
+    )
+    n = b.select("o").distinct().count()
+    ic = b.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    x = b.select("o", F.col("item").alias("a"))
+    y = b.select(F.col("o").alias("o2"), F.col("item").alias("bi"))
+    pc = (
+        x.join(y, (x.o == y.o2) & (F.col("a") < F.col("bi")))
+        .groupBy("a", "bi")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= _AR_MINSUP)
+    )
+    ca = ic.select(F.col("item").alias("a"), F.col("c").alias("ca"))
+    cb = ic.select(F.col("item").alias("bi"), F.col("c").alias("cb"))
+    lift = F.round(
+        F.lit(n) * F.col("cab").cast("double") / (F.col("ca") * F.col("cb")),
+        6,
+    )
+    return (
+        pc.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "bi")
+        .select(
+            F.col("a").cast("long").alias("item_a"),
+            F.col("bi").cast("long").alias("item_b"),
+            F.col("cab").cast("long").alias("support"),
+            F.round(F.col("cab").cast("double") / F.col("ca"), 6).alias(
+                "confidence"
+            ),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "item_a", "item_b")
+        .limit(_AR_TOPK)
+    )
