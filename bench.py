@@ -126,6 +126,8 @@ HEADLINE_V2 = [
     "knn_label_predict",
     "scd2_history",
     "item_pair_lift",
+    "chi2_lang_source",
+    "mad_outlier_flags",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

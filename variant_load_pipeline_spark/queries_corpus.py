@@ -2939,3 +2939,171 @@ def knn_label_predict_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("F"))
         .alias("correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (lang x source contingency)
+# ---------------------------------------------------------------------------
+@register(
+    "chi2_lang_source",
+    """
+    WITH d AS (
+        SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source
+        FROM documents
+    ),
+    o AS (SELECT lang, source, COUNT(*) AS o FROM d GROUP BY lang, source),
+    r AS (SELECT lang, SUM(o) AS r FROM o GROUP BY lang),
+    c AS (SELECT source, SUM(o) AS c FROM o GROUP BY source),
+    n AS (SELECT SUM(o) AS n FROM o),
+    cells AS (
+        SELECT o.lang, o.source, o.o, r.r, c.c, n.n,
+               CAST(floor(
+                   ((o.o - r.r * c.c / n.n::DOUBLE)
+                    * (o.o - r.r * c.c / n.n::DOUBLE))
+                   / (r.r * c.c / n.n::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                   AS term_micro
+        FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n
+    )
+    SELECT CAST(SUM(term_micro) AS BIGINT) AS chi2_micro,
+           CAST((COUNT(DISTINCT lang) - 1)
+                * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM cells
+    """,
+    doc="Chi-square independence test over the lang x source contingency "
+    "table — 'is language mix independent of provenance?', the "
+    "statistical check behind source-balance monitoring.  Observed/"
+    "expected cells from three partial-aggregable groupBys; per-cell "
+    "terms round to integer micro-units before the exact BIGINT sum "
+    "(summation-order free; only present cells contribute, identically "
+    "in both engines).  Compare chi2 to the critical value for dof "
+    "downstream",
+)
+def chi2_lang_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+    )
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    r = o.groupBy("lang").agg(F.sum("o").alias("r"))
+    c = o.groupBy("source").agg(F.sum("o").alias("c"))
+    n = o.agg(F.sum("o").alias("n"))
+    e = F.col("r") * F.col("c") / F.col("n").cast("double")
+    term = F.floor(
+        (F.col("o") - e) * (F.col("o") - e) / e * 1e6 + 0.5
+    ).cast("long")
+    cells = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(n))
+        .select("lang", "source", term.alias("term_micro"), "n")
+    )
+    return cells.agg(
+        F.sum("term_micro").cast("long").alias("chi2_micro"),
+        (
+            (F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1)
+        ).cast("long").alias("dof"),
+        F.max("n").cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: per-language median + MAD flags (exact order statistics)
+# ---------------------------------------------------------------------------
+@register(
+    "mad_outlier_flags",
+    """
+    WITH d AS (
+        SELECT doc_id, COALESCE(lang, '') AS lang,
+               COALESCE(n_chars, 0) AS score
+        FROM documents
+    ),
+    sc AS (SELECT lang, score, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+    st AS (SELECT lang, SUM(cnt) AS n FROM sc GROUP BY lang),
+    scum AS (
+        SELECT sc.lang, score,
+               SUM(cnt) OVER (PARTITION BY sc.lang ORDER BY score
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               st.n
+        FROM sc JOIN st USING (lang)
+    ),
+    med AS (
+        SELECT lang, MIN(score) AS med FROM scum
+        WHERE cum * 2 >= n GROUP BY lang
+    ),
+    dev AS (
+        SELECT d.lang, abs(d.score - med.med) AS adev, COUNT(*) AS cnt
+        FROM d JOIN med USING (lang) GROUP BY d.lang, abs(d.score - med.med)
+    ),
+    dcum AS (
+        SELECT dev.lang, adev,
+               SUM(cnt) OVER (PARTITION BY dev.lang ORDER BY adev
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               st.n
+        FROM dev JOIN st USING (lang)
+    ),
+    mad AS (
+        SELECT lang, MIN(adev) AS mad FROM dcum
+        WHERE cum * 2 >= n GROUP BY lang
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang,
+           CAST(d.score AS BIGINT) AS score,
+           CAST(med.med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad,
+           CASE WHEN abs(d.score - med.med) > 3 * mad.mad
+                THEN 'T' ELSE 'F' END AS outlier
+    FROM d JOIN med USING (lang) JOIN mad USING (lang)
+    """,
+    doc="Robust outlier flags per language: exact median and median-"
+    "absolute-deviation by the distinct-score running-sum percentile "
+    "plan (never a whole-partition window), docs beyond 3 MADs "
+    "flagged.  All integer comparisons — median/MAD are exact order "
+    "statistics, the outlier threshold is 3*mad vs |score-med|, no "
+    "floats anywhere.  The robust alternative to mean/stddev flags, "
+    "immune to the very outliers it hunts",
+)
+def mad_outlier_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("score"),
+    )
+    st = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+    def disc_median(df, val_col, out_name):
+        sc = df.groupBy("lang", val_col).agg(F.count(F.lit(1)).alias("cnt"))
+        cum = sc.join(st, "lang").withColumn(
+            "cum",
+            F.sum("cnt").over(
+                W.partitionBy("lang")
+                .orderBy(val_col)
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        return (
+            cum.filter(F.col("cum") * 2 >= F.col("n"))
+            .groupBy("lang")
+            .agg(F.min(val_col).alias(out_name))
+        )
+
+    med = disc_median(d, "score", "med")
+    dd = d.join(F.broadcast(med), "lang").withColumn(
+        "adev", F.abs(F.col("score") - F.col("med"))
+    )
+    mad = disc_median(dd, "adev", "mad")
+    return (
+        d.join(F.broadcast(med), "lang")
+        .join(F.broadcast(mad), "lang")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            F.col("score").cast("long").alias("score"),
+            F.col("med").cast("long").alias("med"),
+            F.col("mad").cast("long").alias("mad"),
+            F.when(
+                F.abs(F.col("score") - F.col("med")) > 3 * F.col("mad"),
+                F.lit("T"),
+            )
+            .otherwise(F.lit("F"))
+            .alias("outlier"),
+        )
+    )
