@@ -449,6 +449,9 @@ _ALLOWED_UNBOUNDED_JOINS = {
     "s7_wiggle_file_scan",   # broadcast declaration-range theta-join
     "source_mixing_sample",  # 1-row corpus-total constants
     "w1_sorted_export_rank", # bounded rank-spec side
+    "chi2_lang_source",      # 1-row grand-total constant
+    "knn_label_predict",     # broadcast held-out query block x corpus
+    "nb_lang_classifier",    # broadcast class/vocab model constants
 }
 
 
