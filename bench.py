@@ -128,6 +128,7 @@ HEADLINE_V2 = [
     "item_pair_lift",
     "chi2_lang_source",
     "mad_outlier_flags",
+    "langid_confusion_matrix",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

@@ -3107,3 +3107,59 @@ def mad_outlier_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("outlier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix of predictions vs labels
+# ---------------------------------------------------------------------------
+def _langid_confusion_sql() -> str:
+    from .queries import _lang_id_sql
+
+    inner = _lang_id_sql()
+    return f"""
+    WITH preds AS ({inner}),
+    lab AS (
+        SELECT doc_id, COALESCE(lang, '') AS true_lang FROM documents
+    )
+    SELECT lab.true_lang, preds.lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CASE WHEN lab.true_lang = preds.lang_pred THEN 'T' ELSE 'F' END
+               AS correct
+    FROM preds JOIN lab USING (doc_id)
+    GROUP BY lab.true_lang, preds.lang_pred
+    """
+
+
+@register(
+    "langid_confusion_matrix",
+    _langid_confusion_sql(),
+    doc="Language-ID evaluation: the confusion matrix of the marker-word "
+    "classifier's predictions against the labeled lang column — the "
+    "model-eval artifact next to the classifier itself (which cells "
+    "leak where tells you which marker lists to grow).  Prediction SQL "
+    "is shared verbatim with the lang_id_scores oracle; the matrix is "
+    "one partial-aggregable groupBy on (true, pred)",
+)
+def langid_confusion_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import text
+
+    d = load(spark, sf_dir, "documents")
+    preds = d.select(
+        "doc_id", text.lang_id(F.col("text")).alias("lang_pred")
+    )
+    lab = d.select(
+        "doc_id", F.coalesce(F.col("lang"), F.lit("")).alias("true_lang")
+    )
+    return (
+        preds.join(lab, "doc_id")
+        .groupBy("true_lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "true_lang",
+            "lang_pred",
+            F.col("n").cast("long").alias("n"),
+            F.when(F.col("true_lang") == F.col("lang_pred"), F.lit("T"))
+            .otherwise(F.lit("F"))
+            .alias("correct"),
+        )
+    )
