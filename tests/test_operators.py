@@ -1417,3 +1417,62 @@ def test_bpe_merge_application_is_boundary_safe(spark):
     assert any(m1 in t for t in tokset | {merges[1]["tok"]})
     # merge counts are corpus-frequency-ordered: step-1 count >= step-2
     assert merges[0]["cnt"] >= merges[1]["cnt"]
+
+
+def test_funnel_ignores_out_of_order_events(spark, tmp_path):
+    # a click BEFORE the signup must not advance the funnel; a purchase
+    # before the first qualifying click must not either
+    import datetime as dt
+
+    from variant_load_pipeline_spark.queries import registry
+
+    rows = [
+        # u1: click(t1) -> signup(t2) -> purchase(t3): click doesn't count,
+        # and the purchase (before any qualifying click) doesn't either
+        (1, dt.datetime(2024, 1, 1, 0, 0), 1, "click", 1.0),
+        (2, dt.datetime(2024, 1, 1, 1, 0), 1, "signup", 1.0),
+        (3, dt.datetime(2024, 1, 1, 2, 0), 1, "purchase", 1.0),
+        # u2: full ordered funnel
+        (4, dt.datetime(2024, 1, 1, 0, 0), 2, "signup", 1.0),
+        (5, dt.datetime(2024, 1, 1, 1, 0), 2, "click", 1.0),
+        (6, dt.datetime(2024, 1, 1, 2, 0), 2, "purchase", 1.0),
+        # u3: never signed up
+        (7, dt.datetime(2024, 1, 1, 0, 0), 3, "click", 1.0),
+    ]
+    src = str(tmp_path / "funnel_events")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    ).write.parquet(f"{src}/events.parquet")
+    out = {
+        r["user_id"]: r["stage"]
+        for r in registry()["events_funnel"].spark_fn(spark, src).collect()
+    }
+    assert out == {1: 1, 2: 3, 3: 0}
+
+
+def test_resample_forward_fill_gaps(spark, tmp_path):
+    import datetime as dt
+
+    from variant_load_pipeline_spark.queries import registry
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 10), 1, "view", 5.0),
+        # 3-hour gap
+        (2, dt.datetime(2024, 1, 1, 3, 40), 1, "view", 9.0),
+    ]
+    src = str(tmp_path / "rs_events")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    ).write.parquet(f"{src}/events.parquet")
+    out = sorted(
+        (r["slot"], r["value"], r["gap_filled"])
+        for r in registry()["events_resample_ffill"].spark_fn(
+            spark, src
+        ).collect()
+    )
+    # 4 hourly slots; middle two forward-filled with 5.0
+    assert len(out) == 4
+    assert [v for _, v, _ in out] == [5.0, 5.0, 5.0, 9.0]
+    assert [g for _, _, g in out] == ["F", "T", "T", "F"]
