@@ -129,6 +129,7 @@ HEADLINE_V2 = [
     "chi2_lang_source",
     "mad_outlier_flags",
     "langid_confusion_matrix",
+    "triangle_count_cosupply",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -167,6 +168,8 @@ EAGER_CONSTRUCT = {
     "bucketed_join_revenue",
     # the basket-count scalar collect happens at construction
     "item_pair_lift",
+    # the edge localCheckpoint happens at construction
+    "triangle_count_cosupply",
 }
 
 
