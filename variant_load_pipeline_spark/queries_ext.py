@@ -5562,8 +5562,9 @@ def item_pair_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
     ),
     e AS (
-        SELECT DISTINCT a.s AS u, b.s AS v
+        SELECT a.s AS u, b.s AS v
         FROM sp a JOIN sp b ON a.o = b.o AND a.s < b.s
+        GROUP BY a.s, b.s HAVING COUNT(*) >= 5
     ),
     tri AS (
         SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -5599,10 +5600,15 @@ def triangle_count_cosupply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = sp.select("o", F.col("s").alias("u"))
     b = sp.select(F.col("o").alias("o2"), F.col("s").alias("v"))
+    # robust edges only: pairs co-supplying >= 5 orders — thresholding is
+    # both the semantically meaningful graph (one shared order is noise)
+    # and what keeps the dense-corpus triangle space bounded
     e = (
         a.join(b, (a.o == b.o2) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 5)
         .select("u", "v")
-        .distinct()
         .localCheckpoint(eager=True)
     )
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
