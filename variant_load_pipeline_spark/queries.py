@@ -1387,15 +1387,24 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    grams = lambda df: df.select(
-        "doc_id", F.explode(word_ngrams(F.col("text"), _DECON_K)).alias("gram")
-    )
+    from pyspark.storagelevel import StorageLevel
+
+    # gram ONCE over the whole corpus and persist: the bench/train split
+    # filters the same exploded table instead of re-scanning + re-
+    # shingling documents twice (the near_dup_pairs fusion lesson — at
+    # corpus scale the gram scan IS the dominant cost)
+    all_grams = d.select(
+        "doc_id",
+        F.explode(word_ngrams(F.col("text"), _DECON_K)).alias("gram"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bench = (
-        grams(d.filter(F.col("doc_id") % 50 == 0)).select("gram").distinct()
+        all_grams.filter(F.col("doc_id") % 50 == 0)
+        .select("gram")
+        .distinct()
     )
     train = d.filter(F.col("doc_id") % 50 != 0)
     hits = (
-        grams(train)
+        all_grams.filter(F.col("doc_id") % 50 != 0)
         .distinct()
         .join(F.broadcast(bench), "gram", "left_semi")
         .groupBy("doc_id")
