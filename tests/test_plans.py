@@ -290,3 +290,22 @@ def test_register_views_sql_front_door(spark):
     assert row["n"] > 0
     # events view exposes real timestamps
     assert dict(spark.table("events_t").dtypes)["ts"] == "timestamp"
+
+
+def test_bench_headline_names_resolve(spark):
+    # a renamed/deleted query must fail HERE, not silently drop out of
+    # the driver's BENCH run (bench.run_group skips unknown names)
+    import bench
+
+    from variant_load_pipeline_spark.queries import registry
+
+    reg = registry()
+    missing = [
+        n for n in bench.HEADLINE + bench.HEADLINE_V2 if n not in reg
+    ]
+    assert not missing, missing
+    stray = [n for n in bench.EAGER_CONSTRUCT if n not in reg]
+    assert not stray, stray
+    # no duplicates across the two groups (totals must not double-count)
+    both = bench.HEADLINE + bench.HEADLINE_V2
+    assert len(both) == len(set(both))
