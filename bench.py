@@ -130,6 +130,7 @@ HEADLINE_V2 = [
     "mad_outlier_flags",
     "langid_confusion_matrix",
     "triangle_count_cosupply",
+    "hll_distinct_merge",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

@@ -3163,3 +3163,164 @@ def langid_confusion_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with register merge [Flajolet et al. 2007 — public]
+# ---------------------------------------------------------------------------
+_HLL_M = 256   # registers (b = 8)
+_HLL_WBITS = 24
+# alpha as a full expression so both engines evaluate the identical IEEE
+# ops (never a pre-rounded literal that could differ in print precision)
+_HLL_ALPHA = "(0.7213 / (1.0 + 1.079 / 256.0))"
+_HLL_GRAMS = (
+    "SELECT source, array_to_string(toks[pos:pos+2], ' ') AS gram FROM ("
+    " SELECT source, string_split(norm, ' ') AS toks,"
+    "        generate_subscripts(string_split(norm, ' '), 1) AS pos"
+    f" FROM (SELECT source, {_NORM_SQL} AS norm FROM documents)"
+    ") WHERE pos + 2 <= len(toks)"
+)
+
+
+@register(
+    "hll_distinct_merge",
+    f"""
+    WITH g AS ({_HLL_GRAMS}),
+    h AS (
+        SELECT source,
+               ('0x' || substr(md5(gram), 1, 8))::BIGINT AS hv
+        FROM g
+    ),
+    r AS (
+        SELECT source, hv % {_HLL_M} AS j,
+               CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+                    ELSE {_HLL_WBITS}
+                         - CAST(floor(log2(hv // {_HLL_M})) AS INT)
+               END AS rho
+        FROM h
+    ),
+    regs AS (
+        SELECT source, j, MAX(rho) AS m FROM r GROUP BY source, j
+        UNION ALL
+        SELECT '*ALL*' AS source, j, MAX(rho) AS m FROM r GROUP BY j
+    ),
+    s AS (
+        SELECT source,
+               SUM(CAST(1 AS BIGINT) << ({_HLL_WBITS + 1} - m)) AS s_present,
+               COUNT(*) AS n_present
+        FROM regs GROUP BY source
+    ),
+    est AS (
+        SELECT source, n_present,
+               {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+               * (CAST(1 AS BIGINT) << {_HLL_WBITS + 1})
+               / (s_present
+                  + ({_HLL_M} - n_present)
+                    * (CAST(1 AS BIGINT) << {_HLL_WBITS + 1})) AS e_raw
+        FROM s
+    ),
+    fixed AS (
+        SELECT source, n_present,
+               CASE WHEN e_raw <= 2.5 * {_HLL_M}
+                     AND n_present < {_HLL_M}
+                    THEN {_HLL_M} * ln({_HLL_M}::DOUBLE
+                                       / ({_HLL_M} - n_present))
+                    ELSE e_raw END AS e
+        FROM est
+    ),
+    ex AS (
+        SELECT source, COUNT(DISTINCT gram) AS exact_distinct FROM g
+        GROUP BY source
+        UNION ALL
+        SELECT '*ALL*', COUNT(DISTINCT gram) FROM g
+    )
+    SELECT f.source, CAST(f.n_present AS INT) AS occupied,
+           CAST(floor(f.e + 0.5) AS BIGINT) AS hll_estimate,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+    FROM fixed f JOIN ex ON ex.source = f.source
+    """,
+    doc="HyperLogLog cardinality with REGISTER MERGE [Flajolet et al. "
+    f"2007]: {_HLL_M} registers of max leading-zero ranks per source, "
+    "plus the '*ALL*' row built by MERGING the per-source registers "
+    "(max per register) — the mergeability that lets 1000 executors "
+    "sketch independently and combine in O(m).  The harmonic sum uses "
+    "a common-denominator EXACT BIGINT (sum of 1<<(25-M_j)) so no "
+    "float-summation order exists to disagree on; small-range linear-"
+    "counting correction included.  Verified against exact distincts "
+    "per source and globally",
+)
+def hll_distinct_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import normalize_text, shingle_hash
+
+    d = load(spark, sf_dir, "documents").select(
+        "source", normalize_text(F.col("text")).alias("norm")
+    )
+    toks = d.select("source", F.split("norm", " ").alias("toks"))
+    g = toks.select(
+        "source",
+        F.explode(
+            F.when(
+                F.size("toks") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.array_join(F.slice("toks", i, 3), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    h = g.select("source", shingle_hash(F.col("gram")).alias("hv"))
+    w = F.floor(F.col("hv") / _HLL_M).cast("long")
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS) - F.floor(F.log2(w)).cast("int")
+    )
+    r = h.select("source", (F.col("hv") % _HLL_M).alias("j"), rho.alias("rho"))
+    reg_s = r.groupBy("source", "j").agg(F.max("rho").alias("m"))
+    reg_all = (
+        r.groupBy("j")
+        .agg(F.max("rho").alias("m"))
+        .select(F.lit("*ALL*").alias("source"), "j", "m")
+    )
+    regs = reg_s.unionByName(reg_all)
+    s = regs.groupBy("source").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS + 1} - m)")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    denom = F.col("s_present") + (
+        F.lit(_HLL_M) - F.col("n_present")
+    ) * F.lit(1 << (_HLL_WBITS + 1)).cast("long")
+    e_raw = (
+        alpha
+        * F.lit(_HLL_M)
+        * F.lit(_HLL_M)
+        * F.lit(1 << (_HLL_WBITS + 1)).cast("long")
+        / denom
+    )
+    e = F.when(
+        (e_raw <= 2.5 * _HLL_M) & (F.col("n_present") < _HLL_M),
+        F.lit(float(_HLL_M))
+        * F.log(
+            F.lit(float(_HLL_M))
+            / (F.lit(_HLL_M) - F.col("n_present")).cast("double")
+        ),
+    ).otherwise(e_raw)
+    est = s.select(
+        "source",
+        F.col("n_present").cast("int").alias("occupied"),
+        F.floor(e + 0.5).cast("long").alias("hll_estimate"),
+    )
+    ex_s = g.groupBy("source").agg(
+        F.count_distinct("gram").alias("exact_distinct")
+    )
+    ex_all = g.agg(
+        F.count_distinct("gram").alias("exact_distinct")
+    ).select(F.lit("*ALL*").alias("source"), "exact_distinct")
+    ex = ex_s.unionByName(ex_all)
+    return est.join(ex, "source").select(
+        "source",
+        "occupied",
+        "hll_estimate",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    )
