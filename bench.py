@@ -131,6 +131,7 @@ HEADLINE_V2 = [
     "langid_confusion_matrix",
     "triangle_count_cosupply",
     "hll_distinct_merge",
+    "event_pattern_mining",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

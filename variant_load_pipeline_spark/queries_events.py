@@ -598,3 +598,60 @@ def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("F"))
         .alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining: most frequent event-type trigrams
+# ---------------------------------------------------------------------------
+@register(
+    "event_pattern_mining",
+    """
+    WITH o AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS t2,
+               LEAD(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pat AS (
+        SELECT event_type || '>' || t2 || '>' || t3 AS pattern,
+               user_id
+        FROM o WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    )
+    SELECT pattern,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM pat GROUP BY pattern
+    ORDER BY n_occurrences DESC, pattern LIMIT 15
+    """,
+    doc="Sequential pattern mining: the most frequent 3-step event-type "
+    "sequences across user timelines (LEAD windows over one user_id-"
+    "partitioned shuffle — the contiguous-subsequence form; gap-allowed "
+    "PrefixSpan generalizes the same counting).  Occurrence and "
+    "distinct-user support both reported; top-15 via per-partition "
+    "heaps with deterministic pattern tie-break",
+)
+def event_pattern_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    pat = o.select(
+        F.concat_ws(">", "event_type", "t2", "t3").alias("pattern"),
+        "user_id",
+    )
+    return (
+        pat.groupBy("pattern")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "pattern")
+        .limit(15)
+    )
