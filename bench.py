@@ -132,6 +132,7 @@ HEADLINE_V2 = [
     "triangle_count_cosupply",
     "hll_distinct_merge",
     "event_pattern_mining",
+    "jl_projection_recall",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

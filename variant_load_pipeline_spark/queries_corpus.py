@@ -3324,3 +3324,169 @@ def hll_distinct_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hll_estimate",
         F.col("exact_distinct").cast("long").alias("exact_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection dimensionality reduction (Johnson-Lindenstrauss)
+# with ANN recall preservation measurement
+# ---------------------------------------------------------------------------
+_JL_DIM = 16
+_JL_K = 5
+# deterministic +/-1 projection matrix entry for (out-dim k, in-dim i)
+_JL_SIGN_SQL = (
+    "CASE WHEN ('0x' || substr(md5('jl' || {k} || '_' || {i}), 1, 8))"
+    "::BIGINT % 2 = 0 THEN 1 ELSE -1 END"
+)
+
+
+@register(
+    "jl_projection_recall",
+    f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    proj AS (
+        SELECT vec_id,
+               list_transform(range({_JL_DIM}), k ->
+                   list_reduce(
+                       list_transform(range(1, len(qv) + 1),
+                           i -> qv[i] * ({_JL_SIGN_SQL.format(k='k', i='(i-1)')})),
+                       (acc, x) -> acc + x)) AS pv
+        FROM e
+    ),
+    q AS (SELECT vec_id AS qid, qv, pv FROM proj JOIN e USING (vec_id)
+          WHERE vec_id % 100 = 0),
+    exact AS (
+        SELECT qid, nid, rk FROM (
+            SELECT q.qid, e2.vec_id AS nid,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                       list_reduce(list_transform(range(1, len(q.qv) + 1),
+                           i -> (q.qv[i] - e2.qv[i]) * (q.qv[i] - e2.qv[i])),
+                           (acc, x) -> acc + x) ASC, e2.vec_id) AS rk
+            FROM q JOIN e e2 ON e2.vec_id <> q.qid
+        ) WHERE rk <= {_JL_K}
+    ),
+    approx AS (
+        SELECT qid, nid, rk FROM (
+            SELECT q.qid, p2.vec_id AS nid,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                       list_reduce(list_transform(range(1, {_JL_DIM} + 1),
+                           i -> (q.pv[i] - p2.pv[i]) * (q.pv[i] - p2.pv[i])),
+                           (acc, x) -> acc + x) ASC, p2.vec_id) AS rk
+            FROM q JOIN proj p2 ON p2.vec_id <> q.qid
+        ) WHERE rk <= {_JL_K}
+    )
+    SELECT CAST(ex.qid AS BIGINT) AS qid,
+           CAST(COUNT(ap.nid) AS INT) AS n_recalled,
+           CAST({_JL_K} AS INT) AS k
+    FROM exact ex
+    LEFT JOIN approx ap ON ap.qid = ex.qid AND ap.nid = ex.nid
+    GROUP BY ex.qid
+    """,
+    doc="Johnson-Lindenstrauss random projection: 64-d integer vectors "
+    f"projected to {_JL_DIM}-d by a deterministic ±1 hash matrix — "
+    "EXACT BIGINT dot products, so the projection (not just its "
+    "quality) replays bit-for-bit — and per-query recall@5 of "
+    "projected-space nearest neighbors against full-space truth.  4× "
+    "fewer bytes per vector at measured recall cost: the dimensionality "
+    "lever next to the int8-quantization one, and the JL lemma says "
+    "the distortion bound is data-independent",
+)
+def jl_projection_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import int_vectors
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", int_vectors(F.col("embedding"), 1000).alias("qv")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def sign(k: int, i) -> F.Column:
+        from .functions.text import shingle_hash
+
+        return F.when(
+            shingle_hash(
+                F.concat(F.lit(f"jl{k}_"), i.cast("string"))
+            ) % 2 == 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1)).cast("long")
+
+    # projection: pv[k] = sum_i qv[i] * sign(k, i) — exact longs; signs
+    # depend only on (k, i), built as one aggregate per output dim
+    def proj_col():
+        return F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    "qv",
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("qv") - 1),
+                        lambda i: sign(k, i),
+                    ),
+                    lambda a, s: a * s,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for k in range(_JL_DIM)
+        ])
+
+    proj = e.withColumn("pv", proj_col())
+    q = proj.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("qv").alias("qqv"),
+        F.col("pv").alias("qpv"),
+    )
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    exact = (
+        F.broadcast(q.select("qid", "qqv"))
+        .crossJoin(e.select(F.col("vec_id").alias("nid"), F.col("qv").alias("nv")))
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", sqdist(F.col("qqv"), F.col("nv")).alias("d"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy("d", "nid")
+            ),
+        )
+        .filter(F.col("rk") <= _JL_K)
+    )
+    approx = (
+        F.broadcast(q.select("qid", "qpv"))
+        .crossJoin(
+            proj.select(F.col("vec_id").alias("nid"), F.col("pv").alias("npv"))
+        )
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", sqdist(F.col("qpv"), F.col("npv")).alias("d"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy("d", "nid")
+            ),
+        )
+        .filter(F.col("rk") <= _JL_K)
+    )
+    return (
+        exact.select("qid", "nid")
+        .join(
+            approx.select(
+                F.col("qid").alias("aqid"), F.col("nid").alias("anid")
+            ),
+            (F.col("qid") == F.col("aqid")) & (F.col("nid") == F.col("anid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("anid").alias("n_recalled"))
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            F.col("n_recalled").cast("int").alias("n_recalled"),
+            F.lit(_JL_K).cast("int").alias("k"),
+        )
+    )
