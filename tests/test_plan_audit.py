@@ -452,6 +452,7 @@ _ALLOWED_UNBOUNDED_JOINS = {
     "chi2_lang_source",      # 1-row grand-total constant
     "knn_label_predict",     # broadcast held-out query block x corpus
     "nb_lang_classifier",    # broadcast class/vocab model constants
+    "jl_projection_recall",  # broadcast query block x corpus (exact baseline)
 }
 
 
