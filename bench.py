@@ -133,6 +133,7 @@ HEADLINE_V2 = [
     "hll_distinct_merge",
     "event_pattern_mining",
     "jl_projection_recall",
+    "window_functions_suite",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

@@ -5634,3 +5634,65 @@ def triangle_count_cosupply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_tri").desc(), "node")
         .limit(20)
     )
+
+
+# ===========================================================================
+# Window-function parity suite: the whole ranked-window surface at once
+# ===========================================================================
+@register(
+    "window_functions_suite",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS okey,
+           o_orderpriority AS prio,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS pct_rank,
+           CAST(ROUND(CUME_DIST() OVER w, 6) AS DOUBLE) AS cume,
+           CAST(LAG(o_orderkey, 2) OVER w AS BIGINT) AS lag2,
+           CAST(LEAD(o_orderkey, 3) OVER w AS BIGINT) AS lead3,
+           CAST(FIRST_VALUE(o_orderkey) OVER w AS BIGINT) AS first_k,
+           CAST(NTH_VALUE(o_orderkey, 5) OVER
+                (PARTITION BY o_orderpriority
+                 ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS nth5,
+           CAST(ROUND(SUM(o_totalprice) OVER
+                (PARTITION BY o_orderpriority
+                 ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING), 2)
+                AS DOUBLE) AS sliding_sum
+    FROM orders
+    WHERE o_orderkey % 100 < 3
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey)
+    """,
+    doc="Window-function parity suite: row_number / rank / dense_rank / "
+    "ntile / percent_rank / cume_dist / lag / lead / first_value / "
+    "nth_value / sliding ROWS frame, all over one deterministic ordering "
+    "(rounded price, id tie-break) — the entire ranked-window surface a "
+    "migrating SQL user relies on, pinned in a single query against the "
+    "oracle",
+)
+def window_functions_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 < 3)
+    order_cols = [F.round("o_totalprice", 2).desc(), F.col("o_orderkey")]
+    w = W.partitionBy("o_orderpriority").orderBy(*order_cols)
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ws = w.rowsBetween(-2, 1)
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.lag("o_orderkey", 2).over(w).cast("long").alias("lag2"),
+        F.lead("o_orderkey", 3).over(w).cast("long").alias("lead3"),
+        F.first("o_orderkey").over(w).cast("long").alias("first_k"),
+        F.nth_value("o_orderkey", 5).over(wf).cast("long").alias("nth5"),
+        F.round(F.sum("o_totalprice").over(ws), 2).alias("sliding_sum"),
+    )
