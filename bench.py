@@ -134,6 +134,7 @@ HEADLINE_V2 = [
     "event_pattern_mining",
     "jl_projection_recall",
     "window_functions_suite",
+    "set_operations_suite",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

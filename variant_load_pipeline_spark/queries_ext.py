@@ -5696,3 +5696,75 @@ def window_functions_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 5).over(wf).cast("long").alias("nth5"),
         F.round(F.sum("o_totalprice").over(ws), 2).alias("sliding_sum"),
     )
+
+
+# ===========================================================================
+# Set-operation parity suite: INTERSECT/EXCEPT/UNION, ALL vs DISTINCT
+# ===========================================================================
+@register(
+    "set_operations_suite",
+    """
+    WITH a AS (
+        SELECT o_orderkey % 1000 AS k FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    b AS (
+        SELECT o_orderkey % 1000 AS k FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    parts AS (
+        SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT
+                                          SELECT k FROM b)
+        UNION ALL
+        SELECT 'intersect_all', k FROM (SELECT k FROM a INTERSECT ALL
+                                        SELECT k FROM b)
+        UNION ALL
+        SELECT 'except', k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+        UNION ALL
+        SELECT 'except_all', k FROM (SELECT k FROM a EXCEPT ALL
+                                     SELECT k FROM b)
+        UNION ALL
+        SELECT 'union_distinct', k FROM (SELECT k FROM a UNION
+                                         SELECT k FROM b)
+    )
+    SELECT op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM parts GROUP BY op
+    """,
+    doc="Set-operation parity suite: INTERSECT vs INTERSECT ALL "
+    "(multiplicity = min of the two sides), EXCEPT vs EXCEPT ALL "
+    "(multiplicity subtraction), UNION-distinct — the bag-vs-set "
+    "semantics every migrated SQL workload leans on, checksummed per "
+    "operator in one query",
+)
+def set_operations_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        (F.col("o_orderkey") % 1000).alias("k")
+    )
+    b = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        (F.col("o_orderkey") % 1000).alias("k")
+    )
+    parts = (
+        a.intersect(b).select(F.lit("intersect").alias("op"), "k")
+        .unionByName(
+            a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "k")
+        )
+        .unionByName(
+            a.exceptAll(b).select(F.lit("except_all").alias("op"), "k")
+        )
+        .unionByName(
+            a.distinct()
+            .exceptAll(b.distinct())
+            .select(F.lit("except").alias("op"), "k")
+        )
+        .unionByName(
+            a.union(b).distinct().select(
+                F.lit("union_distinct").alias("op"), "k"
+            )
+        )
+    )
+    return parts.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("k").alias("n_distinct"),
+        F.sum("k").cast("long").alias("sum_k"),
+    )
