@@ -103,18 +103,22 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_id(text: Column) -> Column:
     """argmax language by marker score; ties broken by language name order;
-    'und' (undetermined) when all scores are 0."""
+    'und' (undetermined) when all scores are 0.
+
+    Expression shape matters here: the obvious when-chain fold nests the
+    running best INSIDE each next comparison, doubling the tree per
+    language (2^L copies of every score, each a regex count — measured
+    ~13 s/5k docs).  Scores materialize ONCE into an array instead;
+    argmax = array_position of the max, whose first-match rule IS the
+    earliest-name tie-break (languages sorted ascending)."""
+    langs = sorted(LANG_MARKERS)
     scores = lang_scores(text)
-    best_lang = F.lit("und")
-    best_score: Column = F.lit(0).cast("long")
-    # iterate in reverse-sorted order so earlier names win ties with >=
-    for lang in sorted(LANG_MARKERS, reverse=True):
-        s = scores[f"score_{lang}"]
-        take = s >= best_score
-        strict = s > 0
-        best_lang = F.when(take & strict, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(take, s).otherwise(best_score)
-    return best_lang
+    arr = F.array(*[scores[f"score_{lang}"] for lang in langs])
+    mx = F.array_max(arr)
+    names = F.array(*[F.lit(lang) for lang in langs])
+    return F.when(
+        mx > 0, F.element_at(names, F.array_position(arr, mx).cast("int"))
+    ).otherwise(F.lit("und"))
 
 
 def fingerprint(text: Column) -> Column:

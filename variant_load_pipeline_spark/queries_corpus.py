@@ -3144,15 +3144,14 @@ def langid_confusion_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import text
 
     d = load(spark, sf_dir, "documents")
-    preds = d.select(
-        "doc_id", text.lang_id(F.col("text")).alias("lang_pred")
-    )
-    lab = d.select(
-        "doc_id", F.coalesce(F.col("lang"), F.lit("")).alias("true_lang")
+    # label and prediction in ONE projection — a self-join on doc_id
+    # would rescan and re-score the corpus for no reason
+    both = d.select(
+        F.coalesce(F.col("lang"), F.lit("")).alias("true_lang"),
+        text.lang_id(F.col("text")).alias("lang_pred"),
     )
     return (
-        preds.join(lab, "doc_id")
-        .groupBy("true_lang", "lang_pred")
+        both.groupBy("true_lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             "true_lang",
