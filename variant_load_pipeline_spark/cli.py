@@ -594,10 +594,12 @@ def _corpus_quality(spark, args) -> None:
         lang_id,
         pii_counts,
         quality_columns,
+        words,
     )
 
-    docs = _read(spark, args.docs)
-    q = quality_columns(F.col("text"))
+    # tokenize once per row; stopword + all language scores read `_w`
+    docs = _read(spark, args.docs).withColumn("_w", words(F.col("text")))
+    q = quality_columns(F.col("text"), words_col=F.col("_w"))
     b = boilerplate_columns(F.col("text"))
     p = pii_counts(F.col("text"))
     out = docs.select(
@@ -605,7 +607,7 @@ def _corpus_quality(spark, args) -> None:
         *[c.alias(k) for k, c in q.items()],
         *[c.alias(k) for k, c in b.items()],
         *[c.alias(k) for k, c in p.items()],
-        lang_id(F.col("text")).alias("lang"),
+        lang_id(F.col("text"), words_col=F.col("_w")).alias("lang"),
         bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
     )
     out.write.mode("overwrite").parquet(args.out)

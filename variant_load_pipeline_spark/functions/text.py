@@ -62,11 +62,30 @@ def word_occurrences(text: Column, word: str) -> Column:
     return F.size(F.filter(words(text), lambda x: x == F.lit(word)))
 
 
-def quality_columns(text: Column) -> dict[str, Column]:
+def marker_hits(warr: Column, markers: list[str]) -> Column:
+    """Total occurrences of any word in `markers` — ONE pass over the
+    word array (the markers within a language are distinct, so a
+    membership filter-count equals the sum of per-marker counts).
+
+    This is the single-pass replacement for summing 8 `word_occurrences`
+    terms: each of those re-derived `words(text)` (a full regexp_replace
+    + split of the document) and codegen does not CSE it away — measured
+    at 32 redundant text scans per row across 4 languages.
+    """
+    return F.size(F.filter(warr, lambda x: x.isin(*markers))).cast("long")
+
+
+def quality_columns(
+    text: Column, words_col: Column | None = None
+) -> dict[str, Column]:
     """Length / punctuation / stopword / digit ratio features.
 
     Ratios are rounded to 6 decimals so Spark and the SQL oracle hash
     identically on float output.
+
+    Pass `words_col` (a pre-materialized `words(text)` column, e.g. hoisted
+    with ``withColumn``) to score stopwords in one array pass instead of
+    re-deriving the word array per stopword.
     """
     s = F.coalesce(text, F.lit(""))
     n = F.length(s)
@@ -76,9 +95,8 @@ def quality_columns(text: Column) -> dict[str, Column]:
     punct = char_count(s, r"[!-/:-@\[-`{-~]")
     digits = char_count(s, r"[0-9]")
     upper = char_count(s, r"[A-Z]")
-    stop_hits: Column = F.lit(0)
-    for w in STOPWORDS_EN:
-        stop_hits = stop_hits + word_occurrences(s, w)
+    warr = words_col if words_col is not None else words(s)
+    stop_hits = marker_hits(warr, STOPWORDS_EN)
     return {
         "n_chars": n,
         "n_tokens": tokens,
@@ -90,35 +108,47 @@ def quality_columns(text: Column) -> dict[str, Column]:
     }
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    """Marker-word hit count per language (the lang-ID signal)."""
-    out: dict[str, Column] = {}
-    for lang, words in LANG_MARKERS.items():
-        score: Column = F.lit(0)
-        for w in words:
-            score = score + word_occurrences(text, w)
-        out[f"score_{lang}"] = score.cast("long")
-    return out
+def lang_scores(
+    text: Column, words_col: Column | None = None
+) -> dict[str, Column]:
+    """Marker-word hit count per language (the lang-ID signal).
+
+    One `marker_hits` membership pass per language over the word array
+    (4 passes total) instead of 8 per-marker filters each re-deriving
+    `words(text)` (32 full regex scans of the document — the old shape,
+    measured ~12 s/5k docs in `langid_confusion_matrix`).  Pass
+    `words_col` to reuse a hoisted word-array column so the text is
+    tokenized once per row rather than once per language.
+    """
+    warr = words_col if words_col is not None else words(text)
+    return {
+        f"score_{lang}": marker_hits(warr, markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
 
 
-def lang_id(text: Column) -> Column:
-    """argmax language by marker score; ties broken by language name order;
-    'und' (undetermined) when all scores are 0.
+def lang_id_from_scores(scores: dict[str, Column]) -> Column:
+    """argmax language from a `lang_scores` dict; ties broken by language
+    name order; 'und' (undetermined) when all scores are 0.
 
     Expression shape matters here: the obvious when-chain fold nests the
     running best INSIDE each next comparison, doubling the tree per
-    language (2^L copies of every score, each a regex count — measured
-    ~13 s/5k docs).  Scores materialize ONCE into an array instead;
-    argmax = array_position of the max, whose first-match rule IS the
-    earliest-name tie-break (languages sorted ascending)."""
+    language (2^L copies of every score).  Scores materialize ONCE into
+    an array instead; argmax = array_position of the max, whose
+    first-match rule IS the earliest-name tie-break (languages sorted
+    ascending)."""
     langs = sorted(LANG_MARKERS)
-    scores = lang_scores(text)
     arr = F.array(*[scores[f"score_{lang}"] for lang in langs])
     mx = F.array_max(arr)
     names = F.array(*[F.lit(lang) for lang in langs])
     return F.when(
         mx > 0, F.element_at(names, F.array_position(arr, mx).cast("int"))
     ).otherwise(F.lit("und"))
+
+
+def lang_id(text: Column, words_col: Column | None = None) -> Column:
+    """argmax language by marker score (see `lang_id_from_scores`)."""
+    return lang_id_from_scores(lang_scores(text, words_col=words_col))
 
 
 def fingerprint(text: Column) -> Column:

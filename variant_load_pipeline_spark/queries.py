@@ -2073,14 +2073,20 @@ def _lang_id_sql() -> str:
     "(both sides share the marker table)",
 )
 def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    d = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        # Hoist the tokenization: one regexp_replace+split per row.  The
+        # projection boundary survives Catalyst's CollapseProject because
+        # `_w` is non-cheap and referenced by every score — without it,
+        # each language score would re-tokenize the document.
+        .withColumn("_w", text.words(F.col("text")))
     )
-    scores = text.lang_scores(F.col("text"))
+    scores = text.lang_scores(F.col("text"), words_col=F.col("_w"))
     return d.select(
         "doc_id",
         *[scores[f"score_{l}"].alias(f"score_{l}") for l in sorted(text.LANG_MARKERS)],
-        text.lang_id(F.col("text")).alias("lang_pred"),
+        text.lang_id_from_scores(scores).alias("lang_pred"),
     )
 
 

@@ -3143,12 +3143,15 @@ def _langid_confusion_sql() -> str:
 def langid_confusion_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import text
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").withColumn(
+        "_w", text.words(F.col("text"))
+    )
     # label and prediction in ONE projection — a self-join on doc_id
-    # would rescan and re-score the corpus for no reason
+    # would rescan and re-score the corpus for no reason; the hoisted
+    # `_w` column tokenizes each document exactly once
     both = d.select(
         F.coalesce(F.col("lang"), F.lit("")).alias("true_lang"),
-        text.lang_id(F.col("text")).alias("lang_pred"),
+        text.lang_id(F.col("text"), words_col=F.col("_w")).alias("lang_pred"),
     )
     return (
         both.groupBy("true_lang", "lang_pred")
