@@ -221,21 +221,26 @@ def main() -> None:
     timings_v2 = run_group(HEADLINE_V2)
 
     total = round(sum(timings.values()), 3)
+    # Key order matters: the round driver records only the TAIL of stdout
+    # (~2000 chars), and the full record with 90+ per-query timings is
+    # longer than that.  The big maps go FIRST and every scalar the driver
+    # needs (metric/value/value_v2/sf) goes LAST so truncation from the
+    # front can never eat the totals (BENCH_r05 lost `value` this way).
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
                 "queries_v2": timings_v2,
-                "value_v2": round(sum(timings_v2.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "repeats": repeats,
-                "aggregation": "median",
                 "timing_note": "eager-construct queries "
                 + ",".join(sorted(EAGER_CONSTRUCT))
                 + " timed construct+execute; rest execute-only",
+                "metric": "headline_queries_total_runtime",
+                "unit": "sec",
+                "repeats": repeats,
+                "aggregation": "median",
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "value": total,
+                "value_v2": round(sum(timings_v2.values()), 3),
             }
         )
     )
