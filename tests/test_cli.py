@@ -551,3 +551,77 @@ def test_cli_corpus_tokenize(spark, tmp_path):
         F.sum("n_chunk_tokens").alias("tok")
     ).collect()
     assert all(r["tok"] <= 32 + 16 for r in bins)
+
+
+def test_cli_variant_rat_loader_from_db(spark, tmp_path):
+    """VariantRatLoaderFromDb.java:93-272 composed: null-tolerant dedup
+    against the store (matched rows REUSE ids and are NOT re-inserted),
+    fresh rows draw new ids, every row lands in sample_detail, and the
+    ClinVar clinvar_id merge-update (VariantProcessingBase.java:344-378)
+    stamps element symbols onto the inserted variants."""
+    variants_in = str(tmp_path / "incoming")
+    existing = str(tmp_path / "store")
+    elements = str(tmp_path / "elements")
+    out = str(tmp_path / "reloaded")
+
+    cols = (
+        "chromosome string, start_pos long, end_pos long, ref_nuc string,"
+        " var_nuc string, variant_type string, rs_id string,"
+        " zygosity_status string, total_depth int"
+    )
+    spark.createDataFrame(
+        [
+            # matches store row 11 exactly
+            ("1", 100, 101, "A", "G", "snv", "rs1", "homozygous", 20),
+            # null var_nuc matches null var_nuc in store (null-tolerant, :220-250)
+            ("1", 200, 203, "AC", None, "del", None, "heterozygous", 9),
+            # case-insensitive allele compare -> matches store row 13
+            ("2", 300, 301, "t", "c", "snv", "rs3", "homozygous", 5),
+            # no store match -> fresh insert
+            ("2", 400, 401, "G", "T", "snv", None, "heterozygous", 7),
+        ],
+        cols,
+    ).write.parquet(variants_in)
+    spark.createDataFrame(
+        [
+            (11, "1", 100, 101, "A", "G", "snv"),
+            (12, "1", 200, 203, "AC", None, "del"),
+            (13, "2", 300, 301, "T", "C", "snv"),
+        ],
+        "rgd_id long, chromosome string, start_pos long, end_pos long,"
+        " ref_nuc string, var_nuc string, variant_type string",
+    ).write.parquet(existing)
+    spark.createDataFrame(
+        [(14, "CLINVAR", "RCV000011"), (11, "CLINVAR", "RCV000001"),
+         (13, "OMIM", "600100")],
+        "rgd_id long, source string, symbol string",
+    ).write.parquet(elements)
+
+    main(
+        [
+            "--tool", "VariantRatLoaderFromDb",
+            "--variants", variants_in, "--existing", existing,
+            "--elements", elements,
+            "--sample-id", "1", "--map-key", "38", "--out", out,
+        ],
+        spark,
+    )
+
+    variant = spark.read.parquet(f"{out}/variant").collect()
+    vmd = spark.read.parquet(f"{out}/variant_map_data").collect()
+    detail = spark.read.parquet(f"{out}/variant_sample_detail").collect()
+
+    # only the unmatched row is inserted (varBatch takes id==0 rows only)
+    assert len(variant) == 1 and len(vmd) == 1
+    new_id = variant[0]["rgd_id"]
+    assert new_id == 14  # max(existing)=13, offset 14
+    assert vmd[0]["chromosome"] == "2" and vmd[0]["start_pos"] == 400
+    assert vmd[0]["map_key"] == 38
+    # clinvar_id merge-update stamped the CLINVAR element symbol
+    assert variant[0]["clinvar_id"] == "RCV000011"
+    # every incoming row reaches sample_detail; matched rows reuse store ids
+    got = {r["rgd_id"]: r for r in detail}
+    assert set(got) == {11, 12, 13, 14}
+    assert all(r["sample_id"] == 1 for r in detail)
+    assert got[11]["zygosity_status"] == "homozygous"
+    assert got[13]["total_depth"] == 5

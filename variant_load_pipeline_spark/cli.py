@@ -210,9 +210,29 @@ def _variant_load3(spark, args) -> None:
         df.write.mode("overwrite").parquet(f"{args.out}/{name}")
 
 
-# VariantRatLoaderFromDb = the same load plan driven from an existing variant
-# table (J5 null-tolerant dedup happens inside assign_ids' upsert join)
-TOOLS["VariantRatLoaderFromDb"] = TOOLS["VariantLoad3"]
+@tool("VariantRatLoaderFromDb")
+def _variant_rat_loader_from_db(spark, args) -> None:
+    """VariantRatLoaderFromDb.java:93-272: re-load variant-shaped rows from
+    a prior per-sample table (--variants) against the store (--existing)
+    with the ClinVar null-tolerant dedup (J5), insert unmatched rows into
+    VARIANT/VARIANT_MAP_DATA, every row into VARIANT_SAMPLE_DETAIL, then
+    apply the clinvar_id batched UPDATE (K5) from genomic elements
+    (--elements, VariantProcessingBase.java:344-378)."""
+    from .plans.load import SampleInfo, run_reload_from_db
+
+    tables = run_reload_from_db(
+        _read(spark, args.variants),
+        _read(spark, args.existing) if args.existing else None,
+        SampleInfo(
+            sample_id=args.sample_id, gender=args.gender, map_key=args.map_key
+        ),
+        elements=_read(spark, args.elements) if args.elements else None,
+        chr_filter=args.chr,
+    )
+    for name, df in tables.items():
+        if name.startswith("_"):
+            continue
+        df.write.mode("overwrite").parquet(f"{args.out}/{name}")
 
 
 @tool("VariantPostProcessing")
@@ -380,6 +400,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--protein-seqs", dest="protein_seqs")
     p.add_argument("--existing")
     p.add_argument("--existing-vt", dest="existing_vt")
+    p.add_argument("--elements")
     p.add_argument("--target")
     p.add_argument("--updates")
     p.add_argument("--keys")

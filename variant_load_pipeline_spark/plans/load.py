@@ -262,6 +262,129 @@ def read_variant_store(
     return df
 
 
+_SAMPLE_DETAIL_COLS = [
+    ("total_depth", "int"),
+    ("var_freq", "int"),
+    ("zygosity_status", "string"),
+    ("zygosity_percent_read", "int"),
+    ("zygosity_poss_error", "string"),
+    ("zygosity_ref_allele", "string"),
+    ("zygosity_num_allele", "int"),
+    ("zygosity_in_pseudo", "string"),
+    ("quality_score", "int"),
+]
+
+
+def run_reload_from_db(
+    incoming: DataFrame,
+    existing: DataFrame | None,
+    sample: SampleInfo,
+    elements: DataFrame | None = None,
+    chr_filter: str | None = None,
+    species_type_key: int = 3,
+) -> dict[str, DataFrame]:
+    """VariantRatLoaderFromDb composed end-to-end: re-load variant-shaped
+    rows from a prior per-sample table into the store.
+
+    Reference semantics (VariantRatLoaderFromDb.java):
+
+    * run()/runClinVar() (:93-272) match each incoming row against the
+      already-loaded (variant ⋈ variant_map_data) slice with the
+      NULL-TOLERANT key compare (:128-145 and :220-250): var_nuc
+      null==null matches, ref_nuc/var_nuc compare case-insensitively.
+      Matched rows REUSE the store id; unmatched rows draw a fresh id and
+      are batch-inserted into VARIANT (:309-326) + VARIANT_MAP_DATA
+      (:328-342); EVERY incoming row lands in VARIANT_SAMPLE_DETAIL
+      (:246-266, :352-374).
+    * The ClinVar path finishes with insertClinvarIds
+      (VariantProcessingBase.java:344-378): a batched
+      ``UPDATE variant SET clinvar_id = symbol`` from genomic elements
+      whose source == 'CLINVAR' — here the K5 merge_update on rgd_id.
+
+    Spark-first: the per-(sample, chromosome) JVM loop becomes one
+    declarative plan — dedup_upsert is a single null-safe left join whose
+    store side prunes to (map_key, chromosome) partitions, and the
+    ClinVar update is a broadcast-able merge join, not 10k-row JDBC
+    batches.  ``incoming`` carries the 6-key + rs_id + whatever sample-
+    detail columns the source table had; absent detail columns surface as
+    typed nulls (the reference's JDBC mapper does the same for missing
+    fields).
+    """
+    df = incoming
+    if chr_filter is not None:
+        df = df.filter(F.col("chromosome") == chr_filter)
+    for col, typ in _SAMPLE_DETAIL_COLS:
+        if col not in df.columns:
+            df = df.withColumn(col, F.lit(None).cast(typ))
+    if "rs_id" not in df.columns:
+        df = df.withColumn("rs_id", F.lit(None).cast("string"))
+    if "genic_status" not in df.columns:
+        df = df.withColumn("genic_status", F.lit(None).cast("string"))
+    if "padding_base" not in df.columns:
+        df = df.withColumn("padding_base", F.lit(None).cast("string"))
+
+    if existing is None or len(existing.take(1)) == 0:
+        from ..operators.windows import bucketed_row_number
+
+        ids = bucketed_row_number(
+            df,
+            order_keys=["start_pos", "end_pos", "ref_nuc", "var_nuc"],
+            bucket="chromosome",
+        )
+        ids = (
+            ids.withColumn("rgd_id", F.col("__rank"))
+            .drop("__rank")
+            .withColumn("id_source", F.lit("new"))
+        )
+    else:
+        ids = dedup_upsert(df, existing)
+
+    # only unmatched rows are inserted into variant/variant_map_data
+    # (varBatch collects id==0 rows only, :145-155); sample detail takes
+    # every row (:156-170)
+    fresh = ids.filter(F.col("id_source") == "new")
+    variant = fresh.select(
+        "rgd_id",
+        "ref_nuc",
+        "variant_type",
+        "var_nuc",
+        "rs_id",
+        F.lit(None).cast("string").alias("clinvar_id"),
+        F.lit(species_type_key).alias("species_type_key"),
+    ).dropDuplicates(["rgd_id"])
+    if elements is not None:
+        from ..operators.upsert import merge_update
+
+        clinvar = (
+            elements.filter(F.upper(F.col("source")) == "CLINVAR")
+            .select("rgd_id", F.col("symbol").alias("clinvar_id"))
+        )
+        variant = merge_update(
+            variant, clinvar, keys=["rgd_id"], set_cols=["clinvar_id"]
+        )
+    map_data = fresh.select(
+        "rgd_id",
+        "chromosome",
+        "start_pos",
+        "end_pos",
+        "padding_base",
+        "genic_status",
+        F.lit(sample.map_key).alias("map_key"),
+    ).dropDuplicates(["rgd_id", "map_key", "chromosome", "start_pos"])
+    sample_detail = ids.select(
+        "rgd_id",
+        F.lit(sample.source).alias("source"),
+        F.lit(sample.sample_id).alias("sample_id"),
+        *[F.col(c) for c, _ in _SAMPLE_DETAIL_COLS],
+    ).dropDuplicates(["rgd_id", "sample_id"])
+    return {
+        "variant": variant,
+        "variant_map_data": map_data,
+        "variant_sample_detail": sample_detail,
+        "_ids": ids,
+    }
+
+
 def load_counters(annotated: DataFrame) -> DataFrame:
     """A7: dbSnp vs novel counts per sample.  rs_id flows through CF2
     verbatim, so a missing VCF ID arrives as the literal '.' — counted as
