@@ -625,3 +625,53 @@ def test_cli_variant_rat_loader_from_db(spark, tmp_path):
     assert all(r["sample_id"] == 1 for r in detail)
     assert got[11]["zygosity_status"] == "homozygous"
     assert got[13]["total_depth"] == 5
+
+
+def test_cli_dbsnp2vcf_hgvs_derivation(spark, tmp_path):
+    """DbSnp2Vcf.java getRefAndVarNuc (:216-285) + handleStrandedness
+    (:193-213) wired into the export tool: ref/alt derive from the HGVS
+    change per variation type, '-' strand reverse-complements, unsupported
+    changes are skipped, output is the sorted VCF."""
+    variants = str(tmp_path / "dbsnp")
+    out = str(tmp_path / "vcf")
+    spark.createDataFrame(
+        [
+            ("1", 100, "rs1", "single nucleotide variant", "C>T", "+", 10),
+            # same-as-ref name: C= -> ref=var=C
+            ("1", 150, "rs2", "single nucleotide variant", "C=", "+", 5),
+            # minus strand: delCT reverse-complements to AG
+            ("1", 200, "rs3", "deletion", "delCT", "-", None),
+            ("2", 50, "rs4", "duplication", "dupAA", "+", 7),
+            # ins under duplication type doubles like dup (:249-262)
+            ("2", 60, "rs5", "duplication", "insG", "+", None),
+            ("2", 70, "rs6", "insertion", "insT", "+", 3),
+            # unsupported change for the type -> skipped
+            ("2", 80, "rs7", "deletion", "C>T", "+", 4),
+            # minus-strand snv flips both alleles
+            ("3", 10, "rs8", "single nucleotide variant", "A>G", "-", 1),
+        ],
+        "chromosome string, position long, id string, var_type string,"
+        " nuc_change string, strand string, depth long",
+    ).write.parquet(variants)
+
+    main(["--tool", "DbSnp2Vcf", "--variants", variants, "--out", out], spark)
+
+    import glob as _glob
+
+    lines = []
+    for f in sorted(_glob.glob(f"{out}/part-*")):
+        with open(f) as fh:
+            lines += [l.rstrip("\n") for l in fh]
+    data = [l.split("\t") for l in lines if l and not l.startswith("#")]
+    by_id = {r[2]: r for r in data}
+    assert set(by_id) == {"rs1", "rs2", "rs3", "rs4", "rs5", "rs6", "rs8"}
+    assert by_id["rs1"][3:5] == ["C", "T"]
+    assert by_id["rs2"][3:5] == ["C", "C"]
+    assert by_id["rs3"][3:5] == ["AG", "-"]       # revcomp(CT)=AG, del keeps '-'
+    assert by_id["rs4"][3:5] == ["AA", "AAAA"]
+    assert by_id["rs5"][3:5] == ["G", "GG"]
+    assert by_id["rs6"][3:5] == ["-", "T"]
+    assert by_id["rs8"][3:5] == ["T", "C"]        # revcomp(A)=T, revcomp(G)=C
+    # sorted: chromosome asc, position asc
+    keys = [(r[0], int(r[1])) for r in data]
+    assert keys == sorted(keys)

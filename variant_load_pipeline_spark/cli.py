@@ -43,8 +43,52 @@ def _export_variants_vcf(spark, args) -> None:
     export_vcf(_read(spark, args.variants), args.out, compress=args.gzip)
 
 
-for _name in ("ClinVar2Vcf", "DbSnp2Vcf", "GwasCat2Vcf"):
+for _name in ("ClinVar2Vcf", "GwasCat2Vcf"):
     TOOLS[_name] = _export_variants_vcf
+
+
+@tool("DbSnp2Vcf")
+def _dbsnp2vcf(spark, args) -> None:
+    """DbSnp2Vcf.java: dbSNP variant rows -> sorted VCF, deriving ref/alt
+    from the HGVS nucleotide change per variation type (getRefAndVarNuc
+    :216-285) with '-'-strand reverse-complement (handleStrandedness
+    :193-213) and the varNuc ACGT validation (isValid :178-190).
+
+    When the input already carries ref/alt columns (no ``nuc_change``),
+    falls back to the generic pre-derived export path."""
+    from .functions import scalar
+    from .plans.export import export_vcf
+
+    df = _read(spark, args.variants)
+    if "nuc_change" in df.columns:
+        rv = scalar.dbsnp_ref_var(
+            F.col("var_type"),
+            F.col("nuc_change"),
+            F.col("strand") if "strand" in df.columns else None,
+        )
+        df = df.select(
+            "chromosome",
+            "position",
+            "id",
+            rv["ref_nuc"].alias("ref"),
+            rv["var_nuc"].alias("alt"),
+            (
+                F.col("depth")
+                if "depth" in df.columns
+                else F.lit(None).cast("long")
+            ).alias("depth"),
+        )
+        # unsupported (type, change) rows are skipped (getRefAndVarNuc
+        # returns false); varNuc must be ACGT (or the '-' placeholder)
+        df = df.filter(
+            F.col("ref").isNotNull()
+            & F.col("alt").isNotNull()
+            & (
+                (F.col("alt") == "-")
+                | scalar.is_valid_nuc(F.col("alt"), "ACGT")
+            )
+        )
+    export_vcf(df, args.out, compress=args.gzip)
 
 
 @tool("Txt2Vcf")

@@ -303,6 +303,70 @@ def parse_hgvs_change(hgvs: Column) -> dict[str, Column]:
     return {"ref_nuc": ref, "var_nuc": var}
 
 
+def dbsnp_ref_var(
+    var_type: Column, nuc_change: Column, strand: Column | None = None
+) -> dict[str, Column]:
+    """Type-aware dbSNP/ClinVar HGVS ref/var derivation with strand flip.
+
+    Parity: DbSnp2Vcf.java getRefAndVarNuc (:216-285) — the switch on
+    variation type — plus handleStrandedness (:193-213):
+
+    * 'single nucleotide variant': ``C>T`` -> (C, T); ``C=`` (same-as-ref
+      names) -> (C, C); anything else is unsupported.
+    * 'deletion': ``delCT`` -> (CT, '-').
+    * 'duplication': ``dupAA`` -> (AA, AAAA); an ``ins`` change under the
+      duplication type is treated the same way (:249-262).
+    * 'insertion': ``insT`` -> ('-', T).
+    * strand '-': both alleles reverse-complemented unless they are the
+      literal '-' placeholder (:204-210).
+
+    Unsupported (type, change) combinations yield NULL alleles — the
+    reference returns false and skips the row; filter on
+    ``ref_nuc IS NOT NULL`` to replicate.
+    """
+    sub_ref = F.regexp_extract(nuc_change, r"^([ACGT]+)>([ACGT]+)$", 1)
+    sub_var = F.regexp_extract(nuc_change, r"^([ACGT]+)>([ACGT]+)$", 2)
+    eq_ref = F.regexp_extract(nuc_change, r"^([ACGT]+)=$", 1)
+    del_seq = F.regexp_extract(nuc_change, r"^del([ACGT]+)$", 1)
+    dup_seq = F.regexp_extract(nuc_change, r"^dup([ACGT]+)$", 1)
+    ins_seq = F.regexp_extract(nuc_change, r"^ins([ACGT]+)$", 1)
+    null_s = F.lit(None).cast("string")
+    is_snv = var_type == "single nucleotide variant"
+    ref = (
+        F.when(is_snv & (sub_ref != ""), sub_ref)
+        .when(is_snv & (eq_ref != ""), eq_ref)
+        .when((var_type == "deletion") & (del_seq != ""), del_seq)
+        .when((var_type == "duplication") & (dup_seq != ""), dup_seq)
+        .when((var_type == "duplication") & (ins_seq != ""), ins_seq)
+        .when((var_type == "insertion") & (ins_seq != ""), F.lit("-"))
+        .otherwise(null_s)
+    )
+    var = (
+        F.when(is_snv & (sub_var != ""), sub_var)
+        .when(is_snv & (eq_ref != ""), eq_ref)
+        .when((var_type == "deletion") & (del_seq != ""), F.lit("-"))
+        .when(
+            (var_type == "duplication") & (dup_seq != ""),
+            F.concat(dup_seq, dup_seq),
+        )
+        .when(
+            (var_type == "duplication") & (ins_seq != ""),
+            F.concat(ins_seq, ins_seq),
+        )
+        .when((var_type == "insertion") & (ins_seq != ""), ins_seq)
+        .otherwise(null_s)
+    )
+    if strand is not None:
+        minus = strand == "-"
+        ref = F.when(minus & (ref != "-"), reverse_complement(ref)).otherwise(
+            ref
+        )
+        var = F.when(minus & (var != "-"), reverse_complement(var)).otherwise(
+            var
+        )
+    return {"ref_nuc": ref, "var_nuc": var}
+
+
 # -- C20: position digit-clean ----------------------------------------------
 def clean_position(pos: Column) -> Column:
     """'1,079' -> 1079.  Parity: Txt2Vcf.java:225-234."""
