@@ -1476,3 +1476,62 @@ def test_resample_forward_fill_gaps(spark, tmp_path):
     assert len(out) == 4
     assert [v for _, v, _ in out] == [5.0, 5.0, 5.0, 9.0]
     assert [g for _, _, g in out] == ["F", "T", "T", "F"]
+
+
+class TestFullMerge:
+    """operators.upsert.merge: Delta-style MERGE as one full-outer join."""
+
+    def _frames(self, spark):
+        target = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "k long, name string, score long",
+        )
+        source = spark.createDataFrame(
+            [(2, "B", 200, False), (3, "C", 300, True), (4, "d", 400, False)],
+            "k long, name string, score long, del boolean",
+        )
+        return target, source
+
+    def test_all_arms(self, spark):
+        from variant_load_pipeline_spark.operators.upsert import (
+            merge,
+            merge_source_col,
+        )
+
+        target, source = self._frames(spark)
+        out = merge(
+            target,
+            source,
+            keys=["k"],
+            update_cols=["name", "score"],
+            delete_condition=merge_source_col("del"),
+        )
+        got = {r["k"]: (r["name"], r["score"]) for r in out.collect()}
+        # 1: not matched by source -> unchanged; 2: matched update;
+        # 3: matched + del -> gone; 4: source-only -> insert
+        assert got == {1: ("a", 10), 2: ("B", 200), 4: ("d", 400)}
+
+    def test_no_insert_no_delete(self, spark):
+        from variant_load_pipeline_spark.operators.upsert import merge
+
+        target, source = self._frames(spark)
+        out = merge(
+            target, source, keys=["k"], update_cols=["score"], insert=False
+        )
+        got = {r["k"]: (r["name"], r["score"]) for r in out.collect()}
+        # updates only touch score; no inserts, deletes not requested
+        assert got == {1: ("a", 10), 2: ("b", 200), 3: ("c", 300)}
+
+    def test_null_safe_keys(self, spark):
+        from variant_load_pipeline_spark.operators.upsert import merge
+
+        target = spark.createDataFrame(
+            [(None, 1), (5, 2)], "k long, score long"
+        )
+        source = spark.createDataFrame(
+            [(None, 100)], "k long, score long"
+        )
+        out = merge(target, source, keys=["k"], update_cols=["score"])
+        got = {r["k"]: r["score"] for r in out.collect()}
+        # NULL key matches NULL key (eqNullSafe), like the ClinVar dedup
+        assert got == {None: 100, 5: 2}

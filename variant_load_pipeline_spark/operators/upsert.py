@@ -117,3 +117,91 @@ def merge_update(
     for c in set_cols:
         out = out.withColumn(c, F.coalesce(F.col(f"__u_{c}"), F.col(c)))
     return out.drop(*[f"__u_{c}" for c in set_cols])
+
+
+def merge_source_col(name: str):
+    """Reference a SOURCE column inside ``merge``'s ``delete_condition``
+    (target columns are referenced by their plain names)."""
+    return F.col(f"__s_{name}")
+
+
+def merge(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+    delete_condition=None,
+    insert: bool = True,
+) -> DataFrame:
+    """Full MERGE semantics — Delta-style ``MERGE INTO`` expressed as ONE
+    full-outer join + conditional projection, no union and no second
+    shuffle:
+
+    * WHEN MATCHED AND ``delete_condition`` THEN DELETE
+    * WHEN MATCHED THEN UPDATE SET ``update_cols`` from the source row
+    * WHEN NOT MATCHED [BY TARGET] THEN INSERT (when ``insert``)
+    * WHEN NOT MATCHED BY SOURCE: row kept unchanged
+
+    Unites K4 (insert-if-not-exists, VariantLoad3's anti-join) and K5
+    (batched UPDATE, UpdateVariantStatus.java:50-65) in a single pass:
+    separately they cost an anti join plus a left join — two shuffles on
+    the same key; here both arms ride one join whose sides co-partition.
+
+    ``source`` rows must be unique per key and carry every target column
+    needed for inserts plus the ``update_cols``.  ``delete_condition`` is
+    a Column over the joined row: target columns by name, source columns
+    via ``merge_source_col`` — evaluated only for matched pairs.
+    """
+    update_cols = update_cols or []
+    tcols = target.columns
+    s = source.select(
+        *[F.col(k).alias(f"__sk_{k}") for k in keys],
+        *[
+            F.col(c).alias(f"__s_{c}")
+            for c in source.columns
+            if c not in keys
+        ],
+        F.lit(True).alias("__s_present"),
+    ).dropDuplicates([f"__sk_{k}" for k in keys])
+    t = target.withColumn("__t_present", F.lit(True))
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__sk_{k}"))
+        cond = c if cond is None else (cond & c)
+    j = t.join(s, cond, "full_outer")
+    matched = F.col("__t_present").isNotNull() & F.col(
+        "__s_present"
+    ).isNotNull()
+    t_only = F.col("__s_present").isNull()
+    if delete_condition is not None:
+        j = j.filter(
+            ~(matched & F.coalesce(delete_condition, F.lit(False)))
+        )
+    if not insert:
+        j = j.filter(F.col("__t_present").isNotNull())
+    out_cols = []
+    for c in tcols:
+        if c in keys:
+            # key survives from whichever side is present
+            out_cols.append(
+                F.coalesce(F.col(c), F.col(f"__sk_{c}")).alias(c)
+            )
+        elif c in update_cols:
+            # matched -> source value; insert -> source value; else target
+            out_cols.append(
+                F.when(t_only, F.col(c))
+                .otherwise(F.col(f"__s_{c}"))
+                .alias(c)
+            )
+        else:
+            src = (
+                F.col(f"__s_{c}")
+                if f"__s_{c}" in j.columns
+                else F.lit(None).cast(dict(target.dtypes)[c])
+            )
+            out_cols.append(
+                F.when(F.col("__t_present").isNotNull(), F.col(c))
+                .otherwise(src)
+                .alias(c)
+            )
+    return j.select(*out_cols)

@@ -3574,6 +3574,88 @@ def k5_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "merge_full_upsert",
+    f"""
+    WITH v AS ({_VARIANT_SQL}),
+    t AS (
+        SELECT okey, lnum, MIN(chrom) AS chrom, MIN(pos) AS pos,
+               'GENIC' AS genic_status, CAST(0 AS BIGINT) AS score
+        FROM v WHERE lnum <= 4 GROUP BY okey, lnum
+    ),
+    s AS (
+        SELECT okey, lnum, MIN(chrom) AS chrom, MIN(pos) AS pos,
+               'INTERGENIC' AS genic_status,
+               CAST(MIN(pos) % 100 AS BIGINT) AS score,
+               okey % 10 = 0 AS del
+        FROM v WHERE okey % 2 = 0 GROUP BY okey, lnum
+    )
+    SELECT CAST(COALESCE(t.okey, s.okey) AS BIGINT) AS okey,
+           CAST(COALESCE(t.lnum, s.lnum) AS INT) AS lnum,
+           CASE WHEN t.okey IS NOT NULL THEN t.chrom ELSE s.chrom END AS chrom,
+           CAST(CASE WHEN t.okey IS NOT NULL THEN t.pos ELSE s.pos END
+                AS BIGINT) AS pos,
+           CASE WHEN s.okey IS NULL THEN t.genic_status
+                ELSE s.genic_status END AS genic_status,
+           CASE WHEN s.okey IS NULL THEN t.score ELSE s.score END AS score
+    FROM t FULL OUTER JOIN s ON t.okey = s.okey AND t.lnum = s.lnum
+    WHERE NOT (t.okey IS NOT NULL AND s.okey IS NOT NULL AND s.del)
+    """,
+    doc="Full MERGE semantics in ONE pass (operators.upsert.merge): "
+    "matched+delete-predicate rows drop, matched rows update their SET "
+    "columns, source-only rows insert, target-only rows pass through -- "
+    "a single full-outer join + conditional projection instead of the "
+    "anti-join (K4) + left-join (K5) two-shuffle composition.  The "
+    "oracle replays the identical FULL OUTER JOIN arm by arm",
+)
+def merge_full_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.upsert import merge, merge_source_col
+
+    v = _variant_cols(load(spark, sf_dir, "lineitem"))
+    # the synthetic lineitem is NOT unique on (okey, lnum) — dedup both
+    # merge sides deterministically (MIN), the merge() uniqueness contract
+    target = (
+        v.filter(F.col("lnum") <= 4)
+        .groupBy(
+            F.col("okey").cast("long").alias("okey"),
+            F.col("lnum").cast("int").alias("lnum"),
+        )
+        .agg(F.min("chrom").alias("chrom"), F.min("pos").alias("pos"))
+        .select(
+            "okey",
+            "lnum",
+            "chrom",
+            F.col("pos").cast("long").alias("pos"),
+            F.lit("GENIC").alias("genic_status"),
+            F.lit(0).cast("long").alias("score"),
+        )
+    )
+    source = (
+        v.filter(F.col("okey") % 2 == 0)
+        .groupBy(
+            F.col("okey").cast("long").alias("okey"),
+            F.col("lnum").cast("int").alias("lnum"),
+        )
+        .agg(F.min("chrom").alias("chrom"), F.min("pos").alias("pos"))
+        .select(
+            "okey",
+            "lnum",
+            "chrom",
+            F.col("pos").cast("long").alias("pos"),
+            F.lit("INTERGENIC").alias("genic_status"),
+            (F.col("pos") % 100).cast("long").alias("score"),
+            (F.col("okey") % 10 == 0).alias("del"),
+        )
+    )
+    return merge(
+        target,
+        source,
+        keys=["okey", "lnum"],
+        update_cols=["genic_status", "score"],
+        delete_condition=merge_source_col("del"),
+    )
+
+
 # ===========================================================================
 # Analytic widening, wave 2: ratio aggregate, correlated-min subquery,
 # distinct-count with composite anti pattern
