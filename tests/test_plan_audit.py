@@ -422,6 +422,7 @@ _ALLOWED_UNBOUNDED_JOINS = {
     "mm_image_dhash_pairs",  # bounded demo pair join (banding at scale)
     "mm_audio_ahash_pairs",  # bounded demo pair join (banding at scale)
     "ann_pq_adc_topk",       # broadcast per-query ADC tables x codes
+    "ann_pq_persisted_topk",  # same ADC query shape, reloaded index
     "distinct_ngram_estimate",  # 1-row constants broadcast
     "unigram_surprisal",     # 1-row (N, V) constants broadcast
     "bigram_backoff_surprisal",  # 1-row constants broadcast

@@ -334,6 +334,54 @@ def pq_fit_encode(
     return base.join(codes_df, id_col), codebooks
 
 
+def write_pq_index(
+    encoded: DataFrame,
+    codebooks: list[list[tuple[int, list[int]]]],
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Persist a PQ index as named parquet tables — the production
+    retrieval lifecycle (build once, query many; FAISS's write_index
+    analog, relational).  Two tables under ``path``:
+
+    * ``codes``: (id, qv, codes) — the big side; a plain parquet layout
+      whose row-group pruning serves id-scoped rebuilds, re-shardable to
+      any cluster size on reload.
+    * ``codebooks``: (s, cluster, centroid) — the MODEL, m·ksub rows,
+      one file (coalesce(1): it is driver-collected on every reload
+      anyway, and one footer beats a directory listing of 32 shards).
+    """
+    spark = encoded.sparkSession
+    encoded.select(id_col, "qv", "codes").write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+    rows = [
+        (s, int(cl), [int(x) for x in cv])
+        for s, book in enumerate(codebooks)
+        for cl, cv in book
+    ]
+    spark.createDataFrame(
+        rows, "s int, cluster int, centroid array<bigint>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def read_pq_index(
+    spark, path: str
+) -> tuple[DataFrame, list[list[tuple[int, list[int]]]]]:
+    """Reload a persisted PQ index: the codes table stays distributed;
+    the codebook table (m·ksub rows — model state) collects to the
+    driver in the same (cluster, centroid)-sorted form ``pq_fit_encode``
+    returns, so a query answered from the reloaded index is
+    bit-identical to one answered from the just-fit index."""
+    encoded = spark.read.parquet(f"{path}/codes")
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r["s"] for r in cb_rows) + 1
+    books: list[list[tuple[int, list[int]]]] = [[] for _ in range(m)]
+    for r in cb_rows:
+        books[r["s"]].append((int(r["cluster"]), list(r["centroid"])))
+    return encoded, [sorted(b) for b in books]
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     query_rows: list,

@@ -1028,6 +1028,60 @@ def ann_pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_pq_persisted_topk",
+    f"""
+    WITH {_pq_chain_sql()}
+    SELECT qid, nid, adc_dist, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT qid, nid, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY adc_dist, nid) AS rk
+        FROM adc
+    ) WHERE rk <= 5
+    """,
+    doc="Persisted-ANN-index lifecycle: fit+encode the PQ index, WRITE it "
+    "to parquet as named tables (codes + codebooks), then answer the "
+    "query from the RELOADED index in a separate plan — the production "
+    "retrieval shape (build once, query many).  The oracle is the "
+    "identical chain as ann_pq_adc_topk: a reloaded index that is not "
+    "bit-identical to the just-fit one hash-mismatches here",
+)
+def ann_pq_persisted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .operators.clustering import (
+        pq_adc_topk,
+        pq_fit_encode,
+        read_pq_index,
+        write_pq_index,
+    )
+    from .queries_ext import _scan_path
+
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    encoded, codebooks = pq_fit_encode(
+        e, m=_PQ_M, ksub=_PQ_K, iters=_PQ_ITERS, scale=_KM_SCALE
+    )
+    path = _scan_path(sf_dir, "pq_index")
+    shutil.rmtree(path, ignore_errors=True)
+    write_pq_index(encoded, codebooks, path)
+    # everything below this line sees ONLY the on-disk index
+    reloaded, books = read_pq_index(spark, path)
+    query_rows = (
+        reloaded.filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("qid"), "qv")
+        .collect()
+    )
+    out = pq_adc_topk(reloaded, query_rows, books, k=5)
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("nid").cast("long").alias("nid"),
+        F.col("adc_dist").cast("long").alias("adc_dist"),
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # JSONL corpus source: real spark.read.json scan with a corrupt-record
 # channel, fixture generated deterministically from the documents table
