@@ -47,6 +47,22 @@ def test_topk_query_broadcasts_filtered_dim(spark):
     assert "PushedFilters" in plan
 
 
+def test_emb_near_dup_is_equi_join_with_hoisted_norms(spark):
+    """emb_near_dup_cosine's scale shape, pinned after a round-5 timing
+    drift: the candidate pairing must be an EQUI hash join on the label
+    blocking key (the LSH-bucket stand-in) — never a nested-loop over
+    the quadratic pair space — and each side's norm must be computed
+    BELOW the join (one fold per vector) rather than per pair."""
+    plan = plan_of(spark, "emb_near_dup_cosine")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # the join must key on the label blocking column (equi), and each
+    # side's projection must carry the hoisted norm fold (SQRT over the
+    # self-zip_with aggregate) so cosine costs one fold per PAIR, not three
+    assert "Left keys [1]: [label#" in plan, plan
+    assert plan.count("SQRT") >= 2, "norms must be hoisted below the join"
+
+
 def _windowspec_args(plan: str):
     """Yield the full (balanced-paren) argument string of every
     windowspecdefinition in a formatted plan.  A naive [^)]* regex stops at
