@@ -153,6 +153,9 @@ EAGER_CONSTRUCT = {
     "kmeans_embeddings",
     "semdedup_pairs",
     "ann_pq_adc_topk",
+    # index fit + parquet write + reload-side collects at construction
+    "ann_pq_persisted_topk",
+    "ann_ivf_persisted_topk",
     # driver-side fixture render + write happens at construction
     "jsonl_docs_scan",
     # the greedy k-step loop (localCheckpoint per pick) runs eagerly

@@ -675,3 +675,60 @@ def test_cli_dbsnp2vcf_hgvs_derivation(spark, tmp_path):
     # sorted: chromosome asc, position asc
     keys = [(r[0], int(r[1])) for r in data]
     assert keys == sorted(keys)
+
+
+def test_cli_polyphen2_gene_scoped(spark, tmp_path):
+    """Polyphen2.java:105-135: the VT-sourced chain joined to GENES for
+    the region name with --gene-symbols scoping -- only variants on the
+    requested genes reach the PolyPhen input."""
+    import glob as _glob
+
+    variants = str(tmp_path / "p2_variants")
+    spark.createDataFrame(
+        [(1, "A", "G"), (2, "C", "T")],
+        "rgd_id long, ref_nuc string, var_nuc string",
+    ).write.parquet(variants)
+    vmd = str(tmp_path / "p2_vmd")
+    spark.createDataFrame(
+        [(1, "1", 100), (2, "1", 150)],
+        "rgd_id long, chromosome string, start_pos long",
+    ).write.parquet(vmd)
+    vts = str(tmp_path / "p2_vts")
+    spark.createDataFrame(
+        [(1, 70, "T", "K", 4), (2, 71, "A", "V", 2)],
+        "variant_rgd_id long, transcript_rgd_id long, ref_aa string, "
+        "var_aa string, full_ref_aa_pos int",
+    ).write.parquet(vts)
+    transcripts = str(tmp_path / "p2_tr")
+    spark.createDataFrame(
+        [(70, 7, "NP_1"), (71, 8, "NP_2")],
+        "transcript_rgd_id long, gene_rgd_id long, protein_acc_id string",
+    ).write.parquet(transcripts)
+    features = str(tmp_path / "p2_feat")
+    spark.createDataFrame(
+        [(70, "EXONS", "+", "1", 50, 180, 1),
+         (71, "EXONS", "-", "1", 120, 200, 1)],
+        ["transcript_rgd_id", "object_name", "strand", "chromosome",
+         "start_pos", "stop_pos", "map_key"],
+    ).write.parquet(features)
+    genes = str(tmp_path / "p2_genes")
+    spark.createDataFrame(
+        [(7, "Abc1"), (8, "Xyz2")], "gene_rgd_id long, gene_symbol string"
+    ).write.parquet(genes)
+
+    out = str(tmp_path / "p2_input")
+    main(
+        [
+            "--tool", "Polyphen2",
+            "--variants", variants, "--vmd", vmd,
+            "--variant-transcripts", vts, "--transcripts", transcripts,
+            "--features", features, "--genes", genes,
+            "--gene-symbols", "Abc1", "--out", out,
+        ],
+        spark,
+    )
+    lines = []
+    for part in _glob.glob(f"{out}/part-*"):
+        lines += open(part).read().splitlines()
+    # only the Abc1 variant survives the gene scoping
+    assert lines == ["NP_1 4 T K"]

@@ -47,6 +47,18 @@ def test_topk_query_broadcasts_filtered_dim(spark):
     assert "PushedFilters" in plan
 
 
+def test_ivf_persisted_probe_prunes_partitions(spark):
+    """The persisted IVF index's whole point: probing n lists is an IN
+    filter over the list_id PARTITION column, so the reload-side scan
+    reads only the probed lists' files (PartitionFilters, not a full
+    scan + post-filter)."""
+    plan = plan_of(spark, "ann_ivf_persisted_topk")
+    assert "PartitionFilters: [list_id" in plan.replace(
+        "PartitionFilters: [isnotnull(list_id", "PartitionFilters: [list_id"
+    ), plan
+    assert "list_id" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
 def test_emb_near_dup_is_equi_join_with_hoisted_norms(spark):
     """emb_near_dup_cosine's scale shape, pinned after a round-5 timing
     drift: the candidate pairing must be an EQUI hash join on the label

@@ -77,6 +77,24 @@ EXPLAINED: dict[str, str] = {
     "df(token)^2 per posting; df doubles-per-replica tokens dominate",
     "dup_span_detect": "gram-postings self-join: repeated-gram postings "
     "grow 10x and pair verify is quadratic per posting list",
+    "j1_interval_overlap": "fixture-density artifact, not operator cost: "
+    "replicas pack 10x more gene intervals into the SAME 3M-position "
+    "space (pos/gstart derive from keys mod 3M), so each variant "
+    "overlaps 10x more genes — measured OUTPUT pairs grow 100x (4.6M -> "
+    "463M) while runtime grew only 18x, i.e. the binned join is "
+    "sub-linear per output row.  Real 10x genomic data adds samples/"
+    "assemblies, not 10x genes per genome",
+    "j15_strand_lookup": "same shared-coordinate-space density artifact: "
+    "10x features over the same positions -> ~100x containment pairs; "
+    "runtime grew 62x, sub-linear per output row",
+    "p29_annotate_indel": "same density artifact on the variant x "
+    "transcript interval fan-out (~100x pairs through the CDS kernel); "
+    "p29_annotate_pairs/chunked absorb it at 13x/10x because their "
+    "timers include the linear prep stages",
+    "ann_pq_persisted_topk": "ADC scoring is query-set x corpus (10x x "
+    "10x = 100x table lookups) by design, same pair space as "
+    "ann_pq_adc_topk whose timer additionally includes the ~linear "
+    "fit+encode; the persisted row times ONLY the reload-side scoring",
     "near_dup_pairs": "banded LSH candidate join: within-band "
     "collisions grow with bucket occupancy; at production scale band "
     "width is retuned to hold bucket size constant",

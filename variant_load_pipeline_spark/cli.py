@@ -343,7 +343,31 @@ def _polyphen(spark, args) -> None:
     write_polyphen_input(rows, args.out)
 
 
-TOOLS["Polyphen2"] = TOOLS["Polyphen"]
+@tool("Polyphen2")
+def _polyphen2(spark, args) -> None:
+    """Polyphen2.java:105-135: the Polyphen chain sourced from the
+    annotated VARIANT_TRANSCRIPT table, joined to GENES for the region
+    name, with optional --gene-symbols scoping.  The reference's
+    randomized output order (:91) is obsolete under Spark partitioning
+    (SURVEY §4 W7)."""
+    from .plans.polyphen import build_polyphen2_input
+    from .sources.polyphen import write_polyphen_input
+
+    rows = build_polyphen2_input(
+        _read(spark, args.variants),
+        _read(spark, args.vmd),
+        _read(spark, args.variant_transcripts),
+        _read(spark, args.transcripts),
+        _read(spark, args.features),
+        genes=_read(spark, args.genes) if args.genes else None,
+        gene_symbols=(
+            args.gene_symbols.split(",") if args.gene_symbols else None
+        ),
+        protein_seqs=(
+            _read(spark, args.protein_seqs) if args.protein_seqs else None
+        ),
+    )
+    write_polyphen_input(rows, args.out)
 
 
 @tool("PolyphenFasta")
@@ -445,6 +469,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--existing")
     p.add_argument("--existing-vt", dest="existing_vt")
     p.add_argument("--elements")
+    p.add_argument("--gene-symbols", dest="gene_symbols")
     p.add_argument("--target")
     p.add_argument("--updates")
     p.add_argument("--keys")

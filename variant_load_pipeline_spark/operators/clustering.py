@@ -382,6 +382,97 @@ def read_pq_index(
     return encoded, [sorted(b) for b in books]
 
 
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    list_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: the vector table PARTITIONED BY inverted
+    list, plus a centroids table (one deterministic representative per
+    list — the min-id member, matching ann_ivf_topk's centroid rule).
+
+    The partition layout IS the index: probing n lists at query time
+    becomes an equality filter on ``list_id`` that lands in the scan's
+    PartitionFilters, so a 100 TB corpus reads only the probed lists'
+    files — the FAISS invlist seek, expressed as partition pruning.
+    """
+    df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(list_col).alias("list_id"),
+    ).write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
+    reps = df.groupBy(list_col).agg(F.min(id_col).alias("__mv")).select(
+        F.col(list_col).alias("__rl"), "__mv"
+    )
+    cent = df.join(
+        reps,
+        (F.col(list_col) == F.col("__rl")) & (F.col(id_col) == F.col("__mv")),
+    ).select(
+        F.col(list_col).alias("list_id"), F.col(vec_col).alias("centroid")
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_probe_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    nprobe: int = 2,
+    k: int = 10,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Answer a top-k query from a persisted IVF index (write_ivf_index):
+    score the centroid table (tiny, driver-collected) to pick the
+    ``nprobe`` nearest lists, then scan ONLY those partitions of the
+    lists table — the filter is an IN over ``list_id`` partition values,
+    so the parquet scan prunes to the probed lists.
+
+    Exact cosine re-rank inside the probed lists; ties to smaller id.
+    """
+    from .similarity import cosine
+
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+
+    def cos(u, v):
+        du = sum(a * b for a, b in zip(u, v))
+        nu = sum(a * a for a in u) ** 0.5
+        nv = sum(b * b for b in v) ** 0.5
+        return du / (nu * nv) if nu and nv else 0.0
+
+    ranked = sorted(
+        cents,
+        key=lambda r: (-round(cos(list(r["centroid"]), query_vec), 6), r["list_id"]),
+    )
+    probes = [int(r["list_id"]) for r in ranked[:nprobe]]
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("list_id").isin(probes)
+    )
+    if exclude_id is not None:
+        lists = lists.filter(F.col("vec_id") != exclude_id)
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = lists.select(
+        "vec_id",
+        F.col("list_id").cast("int").alias("label"),
+        F.round(
+            cosine(F.col("embedding").cast("array<double>"), qv), 6
+        ).alias("cos_sim"),
+    )
+    top = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(k)
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(F.col("cos_sim") * F.lit(0.0)).orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return top.select(
+        "vec_id",
+        "label",
+        "cos_sim",
+        F.row_number().over(w).cast("long").alias("rk"),
+    )
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     query_rows: list,

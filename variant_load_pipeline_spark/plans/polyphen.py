@@ -129,3 +129,46 @@ def build_polyphen_input(
         if require_flank_match:
             mm = mm.filter(F.col("flank_match") == "Y")
     return mm
+
+
+def build_polyphen2_input(
+    variants: DataFrame,
+    variant_map_data: DataFrame,
+    variant_transcripts: DataFrame,
+    transcripts: DataFrame,
+    features: DataFrame,
+    genes: DataFrame | None = None,
+    gene_symbols: list[str] | None = None,
+    protein_seqs: DataFrame | None = None,
+    require_flank_match: bool = True,
+) -> DataFrame:
+    """Polyphen2's input assembly (Polyphen2.java:105-135): the same
+    missense -> strand -> flank chain, but sourced from the annotated
+    VARIANT_TRANSCRIPT table joined to GENES for the region name
+    (``g.gene_symbol AS region_name``) with optional gene-symbol scoping
+    (``AND g.gene_symbol IN (...)``, :134-135).
+
+    The reference's ``Collections.shuffle`` of output lines (:91 — load
+    levelling for the downstream PolyPhen batch) is obsolete under
+    Spark's shuffle partitioning (SURVEY §4 / W7): partitions already
+    spread work evenly, and a deterministic order keeps the sink
+    reproducible."""
+    mm = build_polyphen_input(
+        variants,
+        variant_map_data,
+        variant_transcripts,
+        transcripts,
+        features,
+        protein_seqs=protein_seqs,
+        require_flank_match=require_flank_match,
+    )
+    if genes is not None:
+        id_col = "gene_rgd_id" if "gene_rgd_id" in genes.columns else "rgd_id"
+        g = genes.select(
+            F.col(id_col).alias("gene_rgd_id"),
+            F.col("gene_symbol").alias("region_name"),
+        )
+        mm = mm.join(F.broadcast(g), "gene_rgd_id", "left")
+        if gene_symbols:
+            mm = mm.filter(F.col("region_name").isin(list(gene_symbols)))
+    return mm

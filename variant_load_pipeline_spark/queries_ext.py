@@ -941,6 +941,67 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_persisted_topk",
+    """
+    WITH cent AS (
+        SELECT e.label, e.embedding AS cv
+        FROM embeddings e
+        JOIN (SELECT label, MIN(vec_id) AS mv FROM embeddings GROUP BY label) m
+          ON e.label = m.label AND e.vec_id = m.mv
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+    probe AS (
+        SELECT label FROM (
+            SELECT cent.label,
+                   ROW_NUMBER() OVER (ORDER BY
+                       ROUND(list_cosine_similarity(cent.cv::DOUBLE[], q.qv::DOUBLE[])::DOUBLE, 6)
+                           DESC, cent.label) AS rk
+            FROM cent CROSS JOIN q
+        ) WHERE rk <= 2
+    )
+    SELECT vec_id, label, cos_sim, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT e.vec_id, e.label,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[])::DOUBLE, 6)
+                   AS cos_sim,
+               ROW_NUMBER() OVER (ORDER BY
+                   ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[])::DOUBLE, 6)
+                       DESC, e.vec_id) AS rk
+        FROM embeddings e
+        JOIN probe ON e.label = probe.label
+        CROSS JOIN q
+        WHERE e.vec_id <> 1
+    ) WHERE rk <= 10
+    """,
+    doc="Persisted-IVF-index lifecycle: vectors written PARTITIONED BY "
+    "inverted list + a centroids table, then the query answered from the "
+    "RELOADED index — probing = an IN filter over list_id partition "
+    "values that lands in the scan's PartitionFilters, so only the "
+    "probed lists' files are read (the FAISS invlist seek as partition "
+    "pruning).  Oracle = the identical chain as ann_ivf_topk; a reload "
+    "that changes any assignment or centroid hash-mismatches",
+)
+def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .operators.clustering import ivf_probe_topk, write_ivf_index
+
+    e = load(spark, sf_dir, "embeddings")
+    path = _scan_path(sf_dir, "ivf_index")
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivf_index(e, path)
+    # everything below sees ONLY the on-disk index
+    qrow = e.filter(F.col("vec_id") == 1).select("embedding").first()
+    return ivf_probe_topk(
+        spark,
+        path,
+        [float(x) for x in qrow["embedding"]],
+        nprobe=2,
+        k=10,
+        exclude_id=1,
+    )
+
+
 # ===========================================================================
 # C5: VCF left-anchored indel -> CF2 stripped encoding (padding base)
 # ===========================================================================
