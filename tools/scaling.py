@@ -73,8 +73,12 @@ EXPLAINED: dict[str, str] = {
     "quadratic by contract",
     "edit_distance_dup_pairs": "prefix-bucket candidate join with exact "
     "verify; candidates grow superlinearly when bucket occupancy rises",
-    "containment_pairs": "inverted-index candidate pairs grow with "
-    "df(token)^2 per posting; df doubles-per-replica tokens dominate",
+    "containment_pairs": "the synthetic corpus shares a ~60-word base "
+    "vocabulary (the query's own docstring documents this), so every "
+    "base term's posting list spans ALL replicas and the inverted-index "
+    "join degenerates toward all-pairs: 10x docs -> ~100x candidate "
+    "pairs.  On a real Zipf corpus the guard is df-pruning head terms "
+    "(same recall trade as the LSH hot-bucket guards)",
     "dup_span_detect": "gram-postings self-join: repeated-gram postings "
     "grow 10x and pair verify is quadratic per posting list",
     "j1_interval_overlap": "fixture-density artifact, not operator cost: "
@@ -92,9 +96,9 @@ EXPLAINED: dict[str, str] = {
     "p29_annotate_pairs/chunked absorb it at 13x/10x because their "
     "timers include the linear prep stages",
     "ann_pq_persisted_topk": "ADC scoring is query-set x corpus (10x x "
-    "10x = 100x table lookups) by design, same pair space as "
-    "ann_pq_adc_topk whose timer additionally includes the ~linear "
-    "fit+encode; the persisted row times ONLY the reload-side scoring",
+    "10x = 100x table lookups) by design; measured 3.2x with the timer "
+    "including the linear fit/write/reload (eager-construct), listed "
+    "defensively in case the scoring term dominates at higher sf",
     "near_dup_pairs": "banded LSH candidate join: within-band "
     "collisions grow with bucket occupancy; at production scale band "
     "width is retuned to hold bucket size constant",
