@@ -156,6 +156,8 @@ EAGER_CONSTRUCT = {
     # index fit + parquet write + reload-side collects at construction
     "ann_pq_persisted_topk",
     "ann_ivf_persisted_topk",
+    # corpus shingle/band + index write happens at construction
+    "lsh_incremental_match",
     # driver-side fixture render + write happens at construction
     "jsonl_docs_scan",
     # the greedy k-step loop (localCheckpoint per pick) runs eagerly

@@ -646,6 +646,143 @@ def near_dup_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def _shingle_hash_table(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, sh, hashes) — the shared front of every MinHash pipeline."""
+    return df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
+    ).withColumn("hashes", F.transform(F.col("sh"), shingle_hash))
+
+
+def _banded_from_hashes(
+    sh: DataFrame, id_col: str, n_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_hash) from a `_shingle_hash_table` frame."""
+    params = _perm_params(n_hashes)
+    rows_per_band = n_hashes // bands
+
+    def perm(a: int, b: int):
+        return lambda h: ((h % MINHASH_PRIME) * a + b) % MINHASH_PRIME
+
+    sig = sh.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(F.col("hashes"), perm(a, b))).alias(
+                f"sig_{i}"
+            )
+            for i, (a, b) in enumerate(params)
+        ],
+    )
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.col(f"sig_{i}").cast("string")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("_", *parts)).alias("band_hash"),
+            )
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_hash")
+
+
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> None:
+    """Persist the corpus's LSH dedup index for INCREMENTAL matching —
+    the dedup-at-ingest production shape: the corpus is banded and
+    shingled ONCE at index-build time; each arriving batch then probes
+    the index without ever recomputing corpus signatures (at 100 TB the
+    corpus re-shingle is the cost that makes naive re-dedup per batch
+    infeasible).
+
+    Two parquet tables under ``path``:
+    * ``bands``: (id, band_idx, band_hash) — the probe side of the
+      candidate equi-join.
+    * ``shingles``: (id, sh) — exact-Jaccard verification joins.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    sh = _shingle_hash_table(df, text_col, id_col, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _banded_from_hashes(sh, id_col, n_hashes, bands).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/bands")
+    sh.select(id_col, "sh").write.mode("overwrite").parquet(
+        f"{path}/shingles"
+    )
+    sh.unpersist()
+
+
+def match_lsh_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Match a NEW batch against a persisted LSH index (write_lsh_index):
+    band-hash the batch, equi-join on (band_idx, band_hash) against the
+    persisted band table, verify candidates with exact shingle Jaccard
+    against the persisted shingle table.  Returns (batch_id, corpus_id,
+    jaccard >= threshold).
+
+    The batch side is the small side by construction — it broadcasts
+    when under the threshold and the corpus band table never reshuffles
+    on anything but the band key it was built on.  The same parameters
+    (n_hashes, bands, shingle_k) MUST match the index build; degenerate
+    hot band buckets are bounded the same way as `near_dup_pairs` —
+    apply its star guard upstream if the corpus contains them.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    corpus_bands = spark.read.parquet(f"{path}/bands").select(
+        F.col(id_col).alias("corpus_id"), "band_idx", "band_hash"
+    )
+    corpus_sh = spark.read.parquet(f"{path}/shingles").select(
+        F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_c")
+    )
+    sh = _shingle_hash_table(new_docs, text_col, id_col, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    batch_bands = _banded_from_hashes(sh, id_col, n_hashes, bands).select(
+        F.col(id_col).alias("batch_id"), "band_idx", "band_hash"
+    )
+    cand = (
+        batch_bands.join(corpus_bands, ["band_idx", "band_hash"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    joined = cand.join(
+        sh.select(F.col(id_col).alias("batch_id"), F.col("sh").alias("sh_b")),
+        "batch_id",
+    ).join(corpus_sh, "corpus_id")
+    inter = F.size(F.array_intersect("sh_b", "sh_c"))
+    union = F.size(F.array_union("sh_b", "sh_c"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(
+        F.lit(0.0)
+    )
+    return joined.select(
+        "batch_id", "corpus_id", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def paragraph_dedup(
     df: DataFrame,
     blocks: Column,

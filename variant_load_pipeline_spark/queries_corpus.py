@@ -1028,6 +1028,91 @@ def ann_pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_incremental_sql(
+    n_hashes: int = 16, bands: int = 4, threshold: float = 0.6
+) -> str:
+    from .queries import _SHINGLES_SQL, _minhash_sig_sql
+
+    rows = n_hashes // bands
+
+    def band_sql(sig_cte: str) -> str:
+        return "\n UNION ALL\n".join(
+            f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('_', "
+            + ", ".join(
+                f"CAST(sig_{i} AS VARCHAR)"
+                for i in range(b * rows, (b + 1) * rows)
+            )
+            + f")) AS band_hash FROM {sig_cte}"
+            for b in range(bands)
+        )
+
+    jac = (
+        "CASE WHEN len(list_distinct(list_concat(sb.sh, sc.sh))) > 0 "
+        "THEN len(list_intersect(sb.sh, sc.sh))::DOUBLE "
+        "/ len(list_distinct(list_concat(sb.sh, sc.sh))) ELSE 0 END"
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+    ),
+    batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    sigc AS ({_minhash_sig_sql(n_hashes, "corpus")}),
+    sigb AS ({_minhash_sig_sql(n_hashes, "batch")}),
+    bc AS ({band_sql("sigc")}),
+    bb AS ({band_sql("sigb")}),
+    cand AS (
+        SELECT DISTINCT bb.doc_id AS batch_id, bc.doc_id AS corpus_id
+        FROM bb JOIN bc
+          ON bb.band_idx = bc.band_idx AND bb.band_hash = bc.band_hash
+    ),
+    shc AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM corpus),
+    shb AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM batch)
+    SELECT CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(corpus_id AS BIGINT) AS corpus_id,
+           CAST(ROUND({jac}, 6) AS DOUBLE) AS jaccard
+    FROM cand
+    JOIN shb sb ON sb.doc_id = batch_id
+    JOIN shc sc ON sc.doc_id = corpus_id
+    WHERE {jac} >= {threshold}
+    """
+
+
+@register(
+    "lsh_incremental_match",
+    _lsh_incremental_sql(),
+    doc="Incremental dedup-at-ingest against a PERSISTED LSH index: the "
+    "corpus (90% of docs) is shingled/banded once and written as index "
+    "tables; the arriving batch (10%) band-hashes, probes the persisted "
+    "band table by equi-join, and exact-Jaccard-verifies against the "
+    "persisted shingle table — the corpus is never re-signed per batch, "
+    "the property that makes per-batch dedup affordable at 100 TB.  The "
+    "oracle recomputes both sides' MinHash chains CTE-by-CTE and "
+    "replays the band join and verification",
+)
+def lsh_incremental_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .operators.dedup import match_lsh_index, write_lsh_index
+    from .queries_ext import _scan_path
+
+    d = load(spark, sf_dir, "documents")
+    path = _scan_path(sf_dir, "lsh_index")
+    shutil.rmtree(path, ignore_errors=True)
+    write_lsh_index(d.filter(F.col("doc_id") % 10 != 0), path)
+    # everything below sees ONLY the on-disk index
+    out = match_lsh_index(
+        spark,
+        path,
+        d.filter(F.col("doc_id") % 10 == 0),
+        threshold=0.6,
+    )
+    return out.select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        F.col("corpus_id").cast("long").alias("corpus_id"),
+        "jaccard",
+    )
+
+
 @register(
     "ann_pq_persisted_topk",
     f"""
