@@ -2179,6 +2179,89 @@ def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer APPLY with a frozen merge list — the inference twin of
+# bpe_learn_merges: the tokenizer is a fixed artifact; encoding a corpus
+# under it is the per-document token-cost accounting of training-data prep
+# ---------------------------------------------------------------------------
+_BPE_FROZEN: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("e", "r"),
+    ("a", "t"),
+    ("o", "n"),
+]
+
+
+def _bpe_apply_sql() -> str:
+    seq = "trim(regexp_replace(word, '(.)', '\\1 ', 'g'))"
+    for a, b in _BPE_FROZEN:
+        seq = _BPE_FOLD.format(seq=seq, a=f"'{a}'", b=f"'{b}'")
+    return f"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS word
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, {seq} AS seq FROM w WHERE word <> ''
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(seq, ' '))) AS BIGINT) AS n_bpe_tokens
+    FROM s GROUP BY doc_id
+    """
+
+
+@register(
+    "bpe_apply_fixed",
+    _bpe_apply_sql(),
+    doc=f"BPE tokenizer APPLY under a frozen {len(_BPE_FROZEN)}-merge "
+    "vocabulary — the inference twin of bpe_learn_merges (a tokenizer is "
+    "a fixed artifact at corpus-encoding time): each word decomposes to "
+    "its symbol sequence and the merge list applies IN ORDER with the "
+    "same boundary-safe left-to-right fold the trainer uses (plain "
+    "string replace would merge across the 'ba b' boundary), then "
+    "per-document token counts aggregate — the token-cost accounting "
+    "that prices a corpus for training.  Pure JVM expression work, one "
+    "explode + one groupBy; the oracle replays every fold literally",
+)
+def bpe_apply_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import normalize_text
+
+    w = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(normalize_text(F.col("text")), " ")
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    s = w.withColumn(
+        "seq", F.trim(F.regexp_replace("word", "(.)", "$1 "))
+    )
+
+    def apply_merge(df, a: str, b: str):
+        merged = a + b
+        toks = F.split("seq", " ")
+        first = F.element_at(toks, 1)
+        rest = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+        fn = lambda acc, x: F.when(  # noqa: E731
+            ((acc == F.lit(a)) | acc.endswith(" " + a)) & (x == F.lit(b)),
+            F.regexp_replace(acc, f"(^| ){a}$", f"$1{merged}"),
+        ).otherwise(F.concat(acc, F.lit(" "), x))
+        return df.withColumn("seq", F.aggregate(rest, first, fn))
+
+    for a, b in _BPE_FROZEN:
+        s = apply_merge(s, a, b)
+    return s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size(F.split("seq", " "))).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Perceptual image dHash + image near-dup pairs (multimodal x dedup)
 # ---------------------------------------------------------------------------
 _DH_CAP = 20000
