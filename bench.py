@@ -137,6 +137,17 @@ HEADLINE_V2 = [
     "set_operations_suite",
 ]
 
+# third, versioned group: round-6 additions (index-persistence
+# lifecycle, full MERGE, incremental dedup, tokenizer apply).  Separate
+# total (`value_v3`) keeps `value`/`value_v2` comparable across rounds.
+HEADLINE_V3 = [
+    "merge_full_upsert",
+    "ann_pq_persisted_topk",
+    "ann_ivf_persisted_topk",
+    "lsh_incremental_match",
+    "bpe_apply_fixed",
+]
+
 # Queries whose plan CONSTRUCTION performs distributed work (the
 # connected-components localCheckpoint+count loop runs eagerly): for
 # these the timer must wrap construction too, or the measurement reads
@@ -224,6 +235,7 @@ def main() -> None:
 
     timings = run_group(HEADLINE)
     timings_v2 = run_group(HEADLINE_V2)
+    timings_v3 = run_group(HEADLINE_V3)
 
     total = round(sum(timings.values()), 3)
     # Key order matters: the round driver records only the TAIL of stdout
@@ -236,6 +248,7 @@ def main() -> None:
             {
                 "queries": timings,
                 "queries_v2": timings_v2,
+                "queries_v3": timings_v3,
                 "timing_note": "eager-construct queries "
                 + ",".join(sorted(EAGER_CONSTRUCT))
                 + " timed construct+execute; rest execute-only",
@@ -246,6 +259,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "value": total,
                 "value_v2": round(sum(timings_v2.values()), 3),
+                "value_v3": round(sum(timings_v3.values()), 3),
             }
         )
     )

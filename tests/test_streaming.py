@@ -507,3 +507,121 @@ def test_idempotent_sink_survives_redelivery(spark, tmp_path):
     assert len(again) == 2
     # raw store holds both generations; the latest-wins view collapses
     assert spark.read.parquet(path).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup-at-ingest against the persisted LSH index
+# ---------------------------------------------------------------------------
+_BASE_WORDS = [
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango "
+    "uniform victor whiskey xray yankee zulu one two three four",
+    "red orange yellow green blue indigo violet crimson scarlet amber "
+    "gold silver bronze copper iron steel titanium cobalt nickel zinc "
+    "lead tin mercury chromium platinum sodium calcium neon argon xenon",
+    "monday tuesday wednesday thursday friday saturday sunday january "
+    "february march april may june july august september october "
+    "november december spring summer autumn winter dawn noon dusk night "
+    "morning evening",
+]
+
+
+def _doc(spark, doc_id, text):
+    return spark.createDataFrame(
+        [(doc_id, text)], "doc_id long, text string"
+    )
+
+
+def test_lsh_ingest_dedup_and_index_growth(spark, tmp_path):
+    """streaming.ingest: batch docs near-duplicating the SEED corpus are
+    rejected; accepted docs join the index so a LATER batch
+    near-duplicating them is also rejected; within-batch exact repeats
+    keep the min id."""
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    idx = str(tmp_path / "idx")
+    kept = str(tmp_path / "kept")
+    seed = spark.createDataFrame(
+        [(1, _BASE_WORDS[0])], "doc_id long, text string"
+    )
+    ing.seed_lsh_ingest(seed, idx)
+    sink = ing.lsh_ingest_sink(spark, idx, kept, threshold=0.8)
+
+    # one word changed in 30 -> jaccard ~0.9 vs seed doc 1 -> duplicate
+    near_seed = _BASE_WORDS[0].replace("echo", "reverb")
+    batch0 = spark.createDataFrame(
+        [
+            (10, near_seed),          # near-dup of seed -> rejected
+            (11, _BASE_WORDS[1]),     # novel -> accepted
+            (12, _BASE_WORDS[1]),     # exact within-batch repeat -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    sink(batch0, 0)
+    got0 = {r["doc_id"] for r in ing.read_kept(spark, kept).collect()}
+    assert got0 == {11}
+
+    # batch 1: near-dup of batch-0's ACCEPTED doc 11 (index grew) + novel
+    near_11 = _BASE_WORDS[1].replace("gold", "aurum")
+    batch1 = spark.createDataFrame(
+        [(20, near_11), (21, _BASE_WORDS[2])], "doc_id long, text string"
+    )
+    sink(batch1, 1)
+    got1 = {r["doc_id"] for r in ing.read_kept(spark, kept).collect()}
+    assert got1 == {11, 21}
+
+
+def test_lsh_ingest_redelivery_is_exactly_once(spark, tmp_path):
+    """Replaying a batch id must leave BOTH stores unchanged — in
+    particular the batch must not match its own first-attempt index
+    write and drop everything (the self-match hazard)."""
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    idx = str(tmp_path / "idx")
+    kept = str(tmp_path / "kept")
+    ing.seed_lsh_ingest(_doc(spark, 1, _BASE_WORDS[0]), idx)
+    sink = ing.lsh_ingest_sink(spark, idx, kept, threshold=0.8)
+    batch = _doc(spark, 11, _BASE_WORDS[1])
+    sink(batch, 0)
+    first = {r["doc_id"] for r in ing.read_kept(spark, kept).collect()}
+    assert first == {11}
+    sink(batch, 0)  # checkpoint replay
+    again = {r["doc_id"] for r in ing.read_kept(spark, kept).collect()}
+    assert again == {11}
+    # index holds exactly one generation of doc 11's shingles
+    sh = spark.read.option("basePath", f"{idx}/shingles").parquet(
+        f"{idx}/shingles"
+    )
+    assert sh.filter(F.col("doc_id") == 11).count() == 1
+
+
+def test_lsh_ingest_through_real_stream(spark, tmp_path):
+    """The sink wired into an actual Structured Streaming query (file
+    source, availableNow): same accept/reject outcome as direct calls."""
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    kept = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    ing.seed_lsh_ingest(_doc(spark, 1, _BASE_WORDS[0]), idx)
+
+    near_seed = _BASE_WORDS[0].replace("echo", "reverb")
+    spark.createDataFrame(
+        [(10, near_seed), (11, _BASE_WORDS[1])], "doc_id long, text string"
+    ).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            ing.lsh_ingest_sink(spark, idx, kept, threshold=0.8)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in ing.read_kept(spark, kept).collect()}
+    assert got == {11}

@@ -750,14 +750,43 @@ def match_lsh_index(
     hot band buckets are bounded the same way as `near_dup_pairs` —
     apply its star guard upstream if the corpus contains them.
     """
-    from pyspark.storagelevel import StorageLevel
-
     corpus_bands = spark.read.parquet(f"{path}/bands").select(
         F.col(id_col).alias("corpus_id"), "band_idx", "band_hash"
     )
     corpus_sh = spark.read.parquet(f"{path}/shingles").select(
         F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_c")
     )
+    return match_lsh_frames(
+        corpus_bands,
+        corpus_sh,
+        new_docs,
+        text_col=text_col,
+        id_col=id_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        threshold=threshold,
+    )
+
+
+def match_lsh_frames(
+    corpus_bands: DataFrame,
+    corpus_sh: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Frame-level core of `match_lsh_index`: corpus sides given as
+    DataFrames (``corpus_bands``: (corpus_id, band_idx, band_hash);
+    ``corpus_sh``: (corpus_id, sh_c)) so callers can pre-filter the
+    index — e.g. the streaming ingest sink excludes the current batch's
+    own prior write to stay idempotent under redelivery."""
+    from pyspark.storagelevel import StorageLevel
+
     sh = _shingle_hash_table(new_docs, text_col, id_col, shingle_k).persist(
         StorageLevel.MEMORY_AND_DISK
     )

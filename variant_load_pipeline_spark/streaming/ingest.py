@@ -1,0 +1,147 @@
+"""Streaming dedup-at-ingest: each arriving micro-batch of documents is
+matched against a PERSISTED LSH index, non-duplicates append to the kept
+corpus, and the survivors' bands/shingles append to the index — so later
+batches dedup against everything accepted before them.
+
+This is the production shape of corpus ingestion at 100 TB: the corpus
+is never re-signed (operators.dedup.write_lsh_index economics) and the
+ingest is exactly-once under checkpoint-replay redelivery:
+
+* every write is an overwrite of the batch's OWN deterministic
+  ``ingest_batch=<id>`` partition (the idempotent_batch_sink recipe from
+  streaming.events:431);
+* the match EXCLUDES the current batch id's index partition, so a
+  redelivered batch never matches its own first-attempt write and
+  silently drops everything (the self-match hazard idempotent appends
+  alone don't cover).
+
+Index layout (shared with operators.dedup.match_lsh_index readers):
+``<index>/bands/ingest_batch=<id>/`` and
+``<index>/shingles/ingest_batch=<id>/``; the seed corpus loads as
+partition ``ingest_batch=-1``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    _banded_from_hashes,
+    _shingle_hash_table,
+    match_lsh_frames,
+)
+
+
+def seed_lsh_ingest(
+    corpus: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> None:
+    """Seed the ingest index with an existing corpus (partition -1)."""
+    from pyspark.storagelevel import StorageLevel
+
+    sh = _shingle_hash_table(corpus, text_col, id_col, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _banded_from_hashes(sh, id_col, n_hashes, bands).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/bands/ingest_batch=-1")
+    sh.select(id_col, "sh").write.mode("overwrite").parquet(
+        f"{index_path}/shingles/ingest_batch=-1"
+    )
+    sh.unpersist()
+
+
+def lsh_ingest_sink(
+    spark,
+    index_path: str,
+    kept_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+):
+    """Build the ``foreachBatch`` sink.  Per micro-batch:
+
+    1. exact within-batch dedup (min-id survivor per normalized-text
+       fingerprint — a batch can repeat its own documents);
+    2. LSH match against every index partition EXCEPT this batch's own
+       (redelivery self-match guard);
+    3. survivors overwrite ``kept/ingest_batch=<id>`` and their
+       bands/shingles overwrite the matching index partitions.
+
+    Within-batch NEAR-duplicates (two novel docs similar to each other
+    arriving together) intentionally both survive — run the batch
+    `near_dup_pairs` pass downstream if that matters; folding it in here
+    would make accept/reject order-dependent inside a batch.
+
+    Use::
+
+        stream.writeStream.foreachBatch(
+            lsh_ingest_sink(spark, idx, kept)
+        ).option("checkpointLocation", ckpt).start()
+    """
+    from ..functions.text import normalize_text
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy(F.md5(normalize_text(F.col(text_col)))).orderBy(
+            F.col(id_col)
+        )
+        batch = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        corpus_bands = (
+            spark.read.option("basePath", f"{index_path}/bands")
+            .parquet(f"{index_path}/bands")
+            .filter(F.col("ingest_batch") != batch_id)
+            .select(F.col(id_col).alias("corpus_id"), "band_idx", "band_hash")
+        )
+        corpus_sh = (
+            spark.read.option("basePath", f"{index_path}/shingles")
+            .parquet(f"{index_path}/shingles")
+            .filter(F.col("ingest_batch") != batch_id)
+            .select(F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_c"))
+        )
+        dup_ids = match_lsh_frames(
+            corpus_bands,
+            corpus_sh,
+            batch,
+            text_col=text_col,
+            id_col=id_col,
+            n_hashes=n_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            threshold=threshold,
+        ).select(F.col("batch_id").alias(id_col)).distinct()
+        keep = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        keep.write.mode("overwrite").parquet(
+            f"{kept_path}/ingest_batch={batch_id}"
+        )
+        sh = _shingle_hash_table(keep, text_col, id_col, shingle_k)
+        _banded_from_hashes(sh, id_col, n_hashes, bands).write.mode(
+            "overwrite"
+        ).parquet(f"{index_path}/bands/ingest_batch={batch_id}")
+        sh.select(id_col, "sh").write.mode("overwrite").parquet(
+            f"{index_path}/shingles/ingest_batch={batch_id}"
+        )
+
+    return sink
+
+
+def read_kept(spark, kept_path: str) -> DataFrame:
+    """The accepted corpus across all ingest batches (partition
+    discovery provides ``ingest_batch`` for lineage)."""
+    return spark.read.option("basePath", kept_path).parquet(kept_path)
