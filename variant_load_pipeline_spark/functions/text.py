@@ -546,15 +546,23 @@ def bm25_scores(
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def gopher_columns(text: Column) -> dict[str, Column]:
+def gopher_columns(
+    text: Column, words_col: Column | None = None
+) -> dict[str, Column]:
     """The Gopher composite quality-rule signals [Rae et al. 2021,
     appendix A — public rules]: word count, mean word length,
     symbol-to-word ratio ('#' and '...'), bullet/ellipsis line ratios,
     alphabetic-word fraction, and required-stopword hits.  All JVM-side
     column expressions; ratios rounded to 6 decimals so the flags (which
-    compare the ROUNDED values) replay identically in the SQL oracle."""
+    compare the ROUNDED values) replay identically in the SQL oracle.
+
+    Pass ``words_col`` (a hoisted `words(text)` column) so the word
+    array computes once: it is referenced by four signals, and the
+    stopword tally is ONE array_intersect pass (distinct stopwords
+    present) instead of a full text re-scan per stopword.
+    """
     s = F.coalesce(text, F.lit(""))
-    w = words(s)
+    w = words_col if words_col is not None else words(s)
     n_words = F.size(w)
     nw_nz = F.when(n_words == 0, F.lit(1)).otherwise(n_words)
     sum_len = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
@@ -566,11 +574,13 @@ def gopher_columns(text: Column) -> dict[str, Column]:
     ).cast("int")
     bp = boilerplate_columns(s)
     alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
-    stop_hits: Column = F.lit(0)
-    for wd in GOPHER_STOPWORDS:
-        stop_hits = stop_hits + F.when(
-            word_occurrences(s, wd) > 0, F.lit(1)
-        ).otherwise(F.lit(0))
+    # distinct-stopwords-present in one pass: array_intersect dedups, so
+    # its size equals the count of stopwords with >=1 occurrence
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array(*[F.lit(x) for x in GOPHER_STOPWORDS]), w
+        )
+    )
     return {
         "n_words": n_words,
         "mean_word_len": F.round(sum_len.cast("double") / nw_nz, 6),
@@ -636,11 +646,11 @@ def word_blocks(text: Column, k: int = 5) -> Column:
     )
 
 
-def word_ngrams(text: Column, k: int = 3) -> Column:
-    """Raw (non-distinct, in-order) word k-gram array over normalized
-    text — the repetition-signal counterpart of ``shingles`` (which
-    dedups and sorts for MinHash); empty/short docs give an empty array."""
-    w = F.split(normalize_text(F.coalesce(text, F.lit(""))), " ")
+def word_ngrams_from_words(w: Column, k: int = 3) -> Column:
+    """Word k-gram array from an already-split word array.  Pass a
+    MATERIALIZED column (hoisted with ``withColumn``) when the caller
+    references the gram array more than once: ``w`` appears 4 times in
+    this expression, so an inlined split would re-tokenize per use."""
     return F.when(
         F.size(w) >= k,
         F.transform(
@@ -648,6 +658,15 @@ def word_ngrams(text: Column, k: int = 3) -> Column:
             lambda i: F.array_join(F.slice(w, i + 1, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(text: Column, k: int = 3) -> Column:
+    """Raw (non-distinct, in-order) word k-gram array over normalized
+    text — the repetition-signal counterpart of ``shingles`` (which
+    dedups and sorts for MinHash); empty/short docs give an empty array."""
+    return word_ngrams_from_words(
+        F.split(normalize_text(F.coalesce(text, F.lit(""))), " "), k
+    )
 
 
 def unigram_surprisal(

@@ -1446,12 +1446,21 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tokenize + transform, all JVM-side, oracle replays the gram walk",
 )
 def dup_ngram_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import word_ngrams
+    from .functions.text import normalize_text, word_ngrams_from_words
 
     d = load(spark, sf_dir, "documents")
-    g = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        word_ngrams(F.col("text"), 3).alias("grams"),
+    # hoist tokenization AND the O(n*k) gram transform behind projection
+    # barriers: the gram array is referenced 3x below (size, distinct,
+    # ratio) and CollapseProject would otherwise inline the whole
+    # transform per reference (measured 3.5s -> the gram walk ran
+    # three times per row)
+    g = (
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .withColumn(
+            "_w",
+            F.split(normalize_text(F.coalesce(F.col("text"), F.lit(""))), " "),
+        )
+        .withColumn("grams", word_ngrams_from_words(F.col("_w"), 3))
     )
     n = F.size("grams")
     return g.select(

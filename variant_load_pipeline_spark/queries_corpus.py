@@ -113,7 +113,7 @@ _GL = GOPHER_LIMITS
     "every individual rule fire on this corpus",
 )
 def gopher_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import gopher_columns, gopher_pass
+    from .functions.text import gopher_columns, gopher_pass, words
 
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -127,8 +127,11 @@ def gopher_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id") % 11 == 0, F.lit(" #### ... ... ...")
             ).otherwise(F.lit("")),
         ).alias("s"),
-    )
-    g = gopher_columns(F.col("s"))
+        # hoist the tokenization: four signals + the verdict reference
+        # the word array, and without the projection barrier each one
+        # would re-run the regexp split
+    ).withColumn("_w", words(F.col("s")))
+    g = gopher_columns(F.col("s"), words_col=F.col("_w"))
     return d.select(
         "doc_id",
         g["n_words"].cast("int").alias("n_words"),
@@ -2238,7 +2241,15 @@ def bpe_apply_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("word") != "")
     )
-    s = w.withColumn(
+    # Encode the VOCABULARY, not the occurrences: token count per word
+    # is a pure function of the word, and the corpus repeats a small
+    # vocabulary massively — folding each distinct word once and
+    # broadcast-joining counts back is the trainer's own
+    # words-pre-aggregated trick (measured ~4x on this query; at 100 TB
+    # the vocab:occurrence ratio only grows).  Values are identical:
+    # the oracle still encodes per occurrence.
+    wc = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = wc.select("word").distinct().withColumn(
         "seq", F.trim(F.regexp_replace("word", "(.)", "$1 "))
     )
 
@@ -2254,10 +2265,19 @@ def bpe_apply_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.withColumn("seq", F.aggregate(rest, first, fn))
 
     for a, b in _BPE_FROZEN:
-        s = apply_merge(s, a, b)
-    return s.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.sum(F.size(F.split("seq", " "))).cast("long").alias("n_bpe_tokens"),
+        vocab = apply_merge(vocab, a, b)
+    vtoks = vocab.select(
+        "word", F.size(F.split("seq", " ")).alias("n_toks")
+    )
+    return (
+        wc.join(F.broadcast(vtoks), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_toks"))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
     )
 
 
