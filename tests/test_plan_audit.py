@@ -323,11 +323,13 @@ def test_chromosome_skew_does_not_concentrate_partitions(spark):
     assert max(counts) / total < 0.25, (max(counts), total, len(counts))
 
 
-def test_paragraph_dedup_antijoin_is_broadcast(spark):
-    # the duplicated-hash set must broadcast into the anti join; the
-    # corpus-sized side never shuffles on paragraph text
+def test_paragraph_dedup_dupjoin_is_broadcast(spark):
+    # the duplicated-hash set must broadcast into the marker join (a
+    # LEFT OUTER since the single-explode rewrite — kept rows are the
+    # unmatched ones); the corpus-sized side never shuffles on
+    # paragraph text
     plan = plan_of(spark, "paragraph_dedup")
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
     assert "CartesianProduct" not in plan
 
 

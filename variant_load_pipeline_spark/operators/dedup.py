@@ -834,40 +834,47 @@ def paragraph_dedup(
     side never shuffles on text.  Reassembly groups by the id — the
     natural partitioning the next pipeline stage wants anyway.
     """
-    base = df.select(F.col(id_col), blocks.alias("__ps"))
-    paras = base.select(
-        id_col, F.posexplode("__ps").alias("idx", "para")
-    ).withColumn("__h", F.md5(normalize_text(F.col("para"))))
+    # ONE evaluation of the (O(n) transform) block expression: empty
+    # docs ride the same explode as outer null-rows instead of a second
+    # scan-and-rejoin branch off `base` (which re-evaluated `blocks`)
+    paras = (
+        df.withColumn("__ps", blocks)
+        .select(
+            F.col(id_col),
+            F.size("__ps").alias("__np"),
+            F.posexplode_outer("__ps").alias("idx", "para"),
+        )
+    ).withColumn(
+        "__h",
+        F.when(
+            F.col("para").isNotNull(), F.md5(normalize_text(F.col("para")))
+        ),
+    )
     dup = (
-        paras.groupBy("__h")
+        paras.filter(F.col("para").isNotNull())
+        .groupBy("__h")
         .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
         .filter(F.col("__nd") > 1)
-        .select("__h")
+        .select("__h", F.lit(1).alias("__dup"))
     )
-    kept = paras.join(F.broadcast(dup), "__h", "left_anti")
-    ka = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    marked = paras.join(F.broadcast(dup), "__h", "left")
+    keep_cond = F.col("para").isNotNull() & F.col("__dup").isNull()
+    return marked.groupBy(id_col).agg(
+        F.first("__np").cast("int").alias("n_paras"),
+        F.sum(F.when(keep_cond, 1).otherwise(0)).cast("int").alias("n_kept"),
         F.md5(
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("idx", "para"))
+                        F.collect_list(
+                            F.when(keep_cond, F.struct("idx", "para"))
+                        )
                     ),
                     lambda x: x["para"],
                 ),
                 "\n",
             )
         ).alias("kept_fp"),
-    )
-    return (
-        base.select(id_col, F.size("__ps").alias("n_paras"))
-        .join(ka, id_col, "left")
-        .select(
-            id_col,
-            "n_paras",
-            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
-            F.coalesce("kept_fp", F.md5(F.lit(""))).alias("kept_fp"),
-        )
     )
 
 
