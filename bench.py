@@ -146,6 +146,7 @@ HEADLINE_V3 = [
     "ann_ivf_persisted_topk",
     "lsh_incremental_match",
     "bpe_apply_fixed",
+    "leakage_safe_split",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -169,6 +170,8 @@ EAGER_CONSTRUCT = {
     "ann_ivf_persisted_topk",
     # corpus shingle/band + index write happens at construction
     "lsh_incremental_match",
+    # the component loop (star rounds) runs at construction
+    "leakage_safe_split",
     # driver-side fixture render + write happens at construction
     "jsonl_docs_scan",
     # the greedy k-step loop (localCheckpoint per pick) runs eagerly

@@ -1031,6 +1031,67 @@ def ann_pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _leakage_split_sql() -> str:
+    from .queries import _near_dup_components_sql
+
+    return f"""
+    WITH comp AS ({_near_dup_components_sql()}),
+    g AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_id
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(group_id AS BIGINT) AS group_id,
+           CASE WHEN ('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 4))::BIGINT
+                     % 10 < 8
+                THEN 'train' ELSE 'val' END AS split
+    FROM g
+    """
+
+
+@register(
+    "leakage_safe_split",
+    _leakage_split_sql(),
+    doc="Leakage-safe train/val split: docs split by their NEAR-DUP "
+    "COMPONENT (group_id = connected-component representative from the "
+    "LSH pair graph, the doc's own id for singletons), with the 80/20 "
+    "assignment hashed on the GROUP — so two near-duplicate documents "
+    "can never straddle train and validation, the contamination that "
+    "silently inflates eval scores when splits hash the raw doc id.  "
+    "Deterministic md5 split hash replays in both engines; the oracle "
+    "recomputes the full MinHash->LSH->verify->recursive-component "
+    "chain",
+)
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components_star, near_dup_pairs
+
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = near_dup_pairs(d, n_hashes=16, bands=4, threshold=0.6)
+    comp = connected_components_star(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+    g = (
+        d.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .withColumn(
+            "group_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).cast("long"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("group_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 10
+    )
+    return g.select(
+        "doc_id",
+        "group_id",
+        F.when(bucket < 8, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )
+
+
 def _lsh_incremental_sql(
     n_hashes: int = 16, bands: int = 4, threshold: float = 0.6
 ) -> str:
