@@ -484,6 +484,9 @@ _ALLOWED_UNBOUNDED_JOINS = {
     "knn_label_predict",     # broadcast held-out query block x corpus
     "nb_lang_classifier",    # broadcast class/vocab model constants
     "jl_projection_recall",  # broadcast query block x corpus (exact baseline)
+    "q11_important_stock",   # 1-row national-total scalar join
+    "q15_top_supplier",      # 1-row max-revenue scalar join
+    "q22_global_sales_opportunity",  # 1-row avg-balance scalar join
 }
 
 

@@ -2278,3 +2278,4 @@ def c21_vcf_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import queries_ext  # noqa: E402,F401
 from . import queries_corpus  # noqa: E402,F401
 from . import queries_events  # noqa: E402,F401
+from . import queries_tpch  # noqa: E402,F401
