@@ -487,6 +487,12 @@ _ALLOWED_UNBOUNDED_JOINS = {
     "q11_important_stock",   # 1-row national-total scalar join
     "q15_top_supplier",      # 1-row max-revenue scalar join
     "q22_global_sales_opportunity",  # 1-row avg-balance scalar join
+    "temperature_mixing_weights",  # 1-row weight-total scalar join
+    "colloc_pmi_topk",       # 1-row corpus-total constants
+    "ann_hard_negatives",    # broadcast query block x corpus (exact baseline)
+    "dsir_importance_weights",  # 1-row token-total constants
+    "unimax_allocation",     # 1-row saturation-point scalar join
+    "dedup_cluster_stats",   # 1-row singleton-count scalar join
 }
 
 

@@ -2279,3 +2279,4 @@ from . import queries_ext  # noqa: E402,F401
 from . import queries_corpus  # noqa: E402,F401
 from . import queries_events  # noqa: E402,F401
 from . import queries_tpch  # noqa: E402,F401
+from . import queries_wave6  # noqa: E402,F401

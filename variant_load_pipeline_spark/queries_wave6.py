@@ -1,0 +1,709 @@
+"""Wave-6 training-data operators: the data-curation methods a production
+LLM pipeline runs between raw crawl and tokenized shards, each expressed
+as declarative Spark over the `documents` / `embeddings` tables with a
+DuckDB oracle.
+
+  temperature_mixing_weights  tau-scaled source sampling (Raffel et al.
+                              2020 T5 mixing; micro-integer normalization)
+  token_fertility_by_lang     subword-per-word fertility per language
+                              (tokenizer-efficiency audit)
+  colloc_pmi_topk             collocation mining by pointwise mutual
+                              information (Church & Hanks 1990)
+  ann_hard_negatives          per-query top-k nearest DIFFERENT-label
+                              vectors (hard-negative mining for
+                              contrastive training)
+  dsir_importance_weights     hashed-ngram importance resampling weights
+                              (Xie et al. 2023 DSIR)
+  unimax_allocation           UniMax budget waterfilling across language
+                              groups (Chung et al. 2023)
+  cdc_chunk_dedup             content-defined chunking dedup (Rabin-style
+                              boundaries at word granularity)
+
+Float discipline follows the repo-wide micro-unit idiom: any per-term
+float (log, power, ratio) is rounded to BIGINT micro-units BEFORE
+summation so results are summation-order-free in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .functions import text as T
+from .queries import load, register
+
+
+# ===========================================================================
+# Temperature-scaled source mixing weights (T5 / multilingual sampling)
+# ===========================================================================
+@register(
+    "temperature_mixing_weights",
+    """
+    WITH per_src AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(FLOOR(EXP(0.7 * LN(COUNT(*))) * 1e6 + 0.5) AS BIGINT)
+                   AS w_micro
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(w_micro) AS wsum FROM per_src)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, w_micro,
+           CAST(FLOOR(CAST(w_micro AS DOUBLE) * 1e6
+                / CAST(wsum AS DOUBLE) + 0.5) AS BIGINT) AS share_ppm
+    FROM per_src, tot
+    """,
+    doc="Temperature-scaled mixing weights (tau = 0.7): per-source sampling "
+    "weight n^tau, micro-rounded per term BEFORE the normalizing sum so "
+    "the shares are summation-order-free; share in parts-per-million.  "
+    "One groupBy on source + a 1-row total cross join (allowlisted).  "
+    "The standard multilingual/corpus rebalancing step (T5, mT5).",
+)
+def temperature_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.floor(
+            F.exp(0.7 * F.log(F.count(F.lit(1)).cast("double"))) * 1e6 + 0.5
+        ).cast("long").alias("w_micro"),
+    )
+    tot = per_src.agg(F.sum("w_micro").alias("wsum"))
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w_micro",
+        F.floor(
+            F.col("w_micro").cast("double") * 1e6
+            / F.col("wsum").cast("double")
+            + 0.5
+        ).cast("long").alias("share_ppm"),
+    )
+
+
+# ===========================================================================
+# Tokenizer fertility audit: subword tokens per whitespace word, by lang
+# ===========================================================================
+@register(
+    "token_fertility_by_lang",
+    """
+    WITH per_doc AS (
+        SELECT lang,
+               len(regexp_extract_all(lower(coalesce(text, '')),
+                   '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_sub,
+               CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                   AS n_words
+        FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(n_sub) AS BIGINT) AS total_subwords,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(FLOOR(CAST(SUM(n_sub) AS DOUBLE) * 1e6
+                / CAST(SUM(n_words) AS DOUBLE) + 0.5) AS BIGINT)
+               AS fertility_micro
+    FROM per_doc WHERE n_words > 0 GROUP BY lang
+    """,
+    doc="Tokenizer fertility per language: BPE-ish subword count over "
+    "whitespace word count (micro ratio of two exact integer sums — no "
+    "float accumulation).  Fertility is the standard tokenizer-efficiency "
+    "audit for multilingual corpora (high fertility = the tokenizer "
+    "fragments that language).  Single groupBy on lang.",
+)
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        T.bpe_ish_token_count(F.col("text")).alias("n_sub"),
+        T.token_count(F.col("text")).alias("n_words"),
+    )
+    return (
+        per_doc.filter(F.col("n_words") > 0)
+        .groupBy("lang")
+        .agg(
+            F.sum("n_sub").cast("long").alias("total_subwords"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.floor(
+                F.sum("n_sub").cast("double")
+                * 1e6
+                / F.sum("n_words").cast("double")
+                + 0.5
+            ).cast("long").alias("fertility_micro"),
+        )
+    )
+
+
+# ===========================================================================
+# Collocation mining: bigram PMI (Church & Hanks 1990)
+# ===========================================================================
+@register(
+    "colloc_pmi_topk",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               CASE WHEN trim(regexp_replace(lower(coalesce(text, '')),
+                         '[^a-z0-9]+', ' ', 'g')) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(regexp_replace(
+                         lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')),
+                         ' ') END AS ws
+        FROM documents
+    ),
+    uni AS (
+        SELECT u.w AS word, COUNT(*) AS n
+        FROM w, UNNEST(w.ws) AS u(w) GROUP BY u.w
+    ),
+    utot AS (SELECT SUM(n) AS t FROM uni),
+    big AS (
+        SELECT bg[1] AS wa, bg[2] AS wb, COUNT(*) AS nab
+        FROM (
+            SELECT UNNEST(CASE WHEN len(ws) >= 2
+                   THEN list_transform(range(1, len(ws)),
+                        i -> [ws[i], ws[i + 1]])
+                   ELSE CAST([] AS VARCHAR[][]) END) AS bg
+            FROM w
+        ) GROUP BY bg[1], bg[2]
+    ),
+    btot AS (SELECT SUM(nab) AS bt FROM big),
+    pmi AS (
+        SELECT wa, wb, nab,
+               CAST(FLOOR(LN((CAST(nab AS DOUBLE) / bt)
+                    / ((CAST(na.n AS DOUBLE) / t)
+                       * (CAST(nb.n AS DOUBLE) / t))) * 1e6 + 0.5)
+                   AS BIGINT) AS pmi_micro
+        FROM big, utot, btot
+        JOIN uni na ON wa = na.word
+        JOIN uni nb ON wb = nb.word
+        WHERE nab >= 5
+    )
+    SELECT wa, wb, CAST(nab AS BIGINT) AS nab, pmi_micro,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY pmi_micro DESC, wa, wb) AS rk
+        FROM pmi
+    ) WHERE rk <= 20
+    """,
+    doc="Collocation mining: top-20 adjacent-word bigrams by pointwise "
+    "mutual information ln(p(ab)/(p(a)p(b))) with a min-count-5 support "
+    "filter (Church & Hanks 1990).  Bigrams from one explode of the "
+    "per-doc word array; unigram table broadcast back; corpus totals are "
+    "a 1-row cross join (allowlisted); PMI micro-rounded from exact "
+    "integer counts so no float accumulation exists at all.  Top-20 via "
+    "rank over the tiny qualifying set.",
+)
+def colloc_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", T.words(F.col("text")).alias("ws"))
+    uni = (
+        w.select(F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    utot = uni.agg(F.sum("n").alias("t"))
+    bigrams = w.select(
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.array(
+                        F.element_at("ws", i), F.element_at("ws", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<array<string>>"))
+        ).alias("bg")
+    )
+    big = (
+        bigrams.select(
+            F.element_at("bg", 1).alias("wa"),
+            F.element_at("bg", 2).alias("wb"),
+        )
+        .groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .filter(F.col("nab") >= 5)
+    )
+    btot_src = w.select(
+        F.greatest(F.size("ws") - 1, F.lit(0)).alias("nb")
+    ).agg(F.sum("nb").alias("bt"))
+    na = uni.select(F.col("word").alias("wa_k"), F.col("n").alias("na"))
+    nb = uni.select(F.col("word").alias("wb_k"), F.col("n").alias("nb_ct"))
+    pmi = (
+        big.join(F.broadcast(na), F.col("wa") == F.col("wa_k"))
+        .join(F.broadcast(nb), F.col("wb") == F.col("wb_k"))
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot_src))
+        .select(
+            "wa",
+            "wb",
+            "nab",
+            F.floor(
+                F.log(
+                    (F.col("nab").cast("double") / F.col("bt"))
+                    / (
+                        (F.col("na").cast("double") / F.col("t"))
+                        * (F.col("nb_ct").cast("double") / F.col("t"))
+                    )
+                )
+                * 1e6
+                + 0.5
+            ).cast("long").alias("pmi_micro"),
+        )
+    )
+    # the qualifying set (nab >= 5) is tiny; rank it with the repo's
+    # non-foldable zero partition idiom to keep the window partitioned
+    wnd = W.partitionBy(F.col("pmi_micro") * F.lit(0)).orderBy(
+        F.col("pmi_micro").desc(), "wa", "wb"
+    )
+    return (
+        pmi.withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "wa", "wb",
+            F.col("nab").cast("long").alias("nab"),
+            "pmi_micro",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+# ===========================================================================
+# Hard-negative mining: nearest different-label vectors per query
+# ===========================================================================
+@register(
+    "ann_hard_negatives",
+    """
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    sims AS (
+        SELECT q.qid, e.vec_id AS nid,
+               ROUND(list_cosine_similarity(q.qv, e.embedding)::DOUBLE, 6)
+                   AS sim
+        FROM q CROSS JOIN embeddings e
+        WHERE e.label <> q.qlabel
+    )
+    SELECT qid, nid, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, nid) AS rk
+        FROM sims
+    ) WHERE rk <= 5
+    """,
+    doc="Hard-negative mining for contrastive training: per query vector, "
+    "the top-5 most-similar vectors with a DIFFERENT label — the "
+    "highest-loss negatives.  Same exact-baseline shape as "
+    "ann_cosine_topk (bounded query block broadcast, allowlisted; ranks "
+    "only, so the engines' float32-vs-double cosine difference cannot "
+    "surface).  At scale the candidate side comes from the IVF/LSH "
+    "bucketed index instead of the full corpus (operators/similarity.py, "
+    "operators/clustering.py).",
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import dot
+
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    nrm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+        nrm.alias("qn"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nv"),
+        F.col("label").alias("nlabel"),
+        nrm.alias("nn"),
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .filter(F.col("nlabel") != F.col("qlabel"))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    wnd = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        sims.withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "nid", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# ===========================================================================
+# DSIR: hashed-ngram importance resampling weights (Xie et al. 2023)
+# ===========================================================================
+_WS_SQL = """
+        SELECT doc_id, source,
+               CASE WHEN trim(regexp_replace(lower(coalesce(text, '')),
+                         '[^a-z0-9]+', ' ', 'g')) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(regexp_replace(
+                         lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')),
+                         ' ') END AS ws
+        FROM documents
+"""
+
+_BUCKET_SQL = "(('0x' || substr(md5(u.w), 1, 8))::BIGINT % 256)"
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH w AS ({_WS_SQL}),
+    toks AS (
+        SELECT doc_id, source, {_BUCKET_SQL} AS bucket
+        FROM w, UNNEST(w.ws) AS u(w)
+    ),
+    tb AS (SELECT bucket, COUNT(*) AS n FROM toks
+           WHERE source IN ('src0', 'src1') GROUP BY bucket),
+    rb AS (SELECT bucket, COUNT(*) AS n FROM toks
+           WHERE source NOT IN ('src0', 'src1') GROUP BY bucket),
+    tt AS (SELECT COALESCE(SUM(n), 0) AS t FROM tb),
+    rt AS (SELECT COALESCE(SUM(n), 0) AS r FROM rb),
+    lam AS (
+        SELECT COALESCE(tb.bucket, rb.bucket) AS bucket,
+               CAST(FLOOR((LN(COALESCE(tb.n, 0) + 1.0) - LN(t + 256.0)
+                    - LN(COALESCE(rb.n, 0) + 1.0) + LN(r + 256.0)) * 1e6
+                    + 0.5) AS BIGINT) AS lam_micro
+        FROM tb FULL JOIN rb ON tb.bucket = rb.bucket
+        CROSS JOIN tt CROSS JOIN rt
+    )
+    SELECT toks.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(lam_micro) AS BIGINT) AS weight_micro
+    FROM toks JOIN lam ON toks.bucket = lam.bucket
+    WHERE toks.source NOT IN ('src0', 'src1')
+    GROUP BY toks.doc_id
+    """,
+    doc="DSIR importance weights [Xie et al. 2023, Data Selection via "
+    "Importance Resampling]: estimate hashed-unigram (256-bucket, "
+    "portable md5 hash) distributions for a TARGET slice (sources "
+    "src0/src1 stand in for the curated target corpus) and the RAW rest; "
+    "each raw doc's weight is its tokens' summed log-likelihood ratio "
+    "log p_target(b)/p_raw(b), add-one smoothed.  Per-bucket log ratios "
+    "are micro-rounded BIGINTs, so per-doc sums are exact and order-free; "
+    "the 256-row ratio table broadcasts to the token stream (one explode, "
+    "one equi join, one groupBy doc — each step shuffle-bounded by token "
+    "count, the 100-TB shape).  Corpus totals are 1-row cross joins "
+    "(allowlisted).",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    is_target = F.col("source").isin("src0", "src1")
+    toks = d.select(
+        "doc_id",
+        is_target.alias("tgt"),
+        F.explode(T.words(F.col("text"))).alias("word"),
+    ).select(
+        "doc_id",
+        "tgt",
+        (T.shingle_hash(F.col("word")) % 256).alias("bucket"),
+    )
+    tb = (
+        toks.filter(F.col("tgt"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tn"))
+    )
+    rb = (
+        toks.filter(~F.col("tgt"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("rn"))
+    )
+    tt = tb.agg(F.coalesce(F.sum("tn"), F.lit(0)).alias("t"))
+    rt = rb.agg(F.coalesce(F.sum("rn"), F.lit(0)).alias("r"))
+    lam = (
+        tb.withColumnRenamed("bucket", "tbk")
+        .join(
+            rb.withColumnRenamed("bucket", "rbk"),
+            F.col("tbk") == F.col("rbk"),
+            "full_outer",
+        )
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            F.coalesce(F.col("tbk"), F.col("rbk")).alias("bucket"),
+            F.floor(
+                (
+                    F.log(F.coalesce(F.col("tn"), F.lit(0)) + 1.0)
+                    - F.log(F.col("t") + 256.0)
+                    - F.log(F.coalesce(F.col("rn"), F.lit(0)) + 1.0)
+                    + F.log(F.col("r") + 256.0)
+                )
+                * 1e6
+                + 0.5
+            ).cast("long").alias("lam_micro"),
+        )
+    )
+    return (
+        toks.filter(~F.col("tgt"))
+        .join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lam_micro").cast("long").alias("weight_micro"),
+        )
+    )
+
+
+# ===========================================================================
+# UniMax: budget waterfilling across language groups (Chung et al. 2023)
+# ===========================================================================
+@register(
+    "unimax_allocation",
+    """
+    WITH grp AS (
+        SELECT lang, source, COUNT(*) AS n_docs, COUNT(*) * 2 AS cap
+        FROM documents GROUP BY lang, source
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY cap, lang, source) AS rn,
+               SUM(cap) OVER (ORDER BY cap, lang, source
+                              ROWS UNBOUNDED PRECEDING) AS pcap,
+               COUNT(*) OVER () AS n
+        FROM grp
+    ),
+    sat AS (
+        SELECT COALESCE(MAX(rn), 0) AS s,
+               COALESCE(MAX(pcap), 0) AS ps
+        FROM (SELECT rn, pcap FROM ranked
+              WHERE cap * (n - rn + 1) + (pcap - cap) <= 600
+              ORDER BY rn DESC LIMIT 1)
+    )
+    SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(cap AS BIGINT) AS cap,
+           CAST(CASE WHEN rn <= s THEN cap * 1000000
+                ELSE FLOOR(CAST(600 - ps AS DOUBLE) * 1e6
+                     / CAST(n - s AS DOUBLE) + 0.5) END AS BIGINT)
+               AS alloc_micro
+    FROM ranked, sat
+    """,
+    doc="UniMax sampling allocation [Chung et al. 2023]: distribute a "
+    "600-doc budget across (lang, source) groups, capping each at 2 "
+    "epochs of its size, by waterfilling — groups ascending by cap are "
+    "fully satisfied while cap*(remaining groups) fits the remaining "
+    "budget; past the saturation point every group gets the equal level "
+    "(budget - saturated mass)/(groups left).  The per-group allocation "
+    "is closed-form from rank + running cap sum (one window over the "
+    "tiny group frame, zero-partition idiom) + a 1-row saturation-point "
+    "join (allowlisted).  Integer micro output, deterministic under the "
+    "(cap, lang, source) total order in both engines.",
+)
+def unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    grp = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) * 2).alias("cap"),
+    )
+    # group frame is small (|langs| x |sources|); zero-partition idiom
+    # keeps the window spec non-empty while ordering globally.  cap is
+    # non-nullable so cap*0 would constant-fold to an empty spec — the
+    # data-dependent CASE can't fold
+    zero = F.when(F.col("cap") >= 0, F.lit(0))
+    order = [F.col("cap").asc(), F.col("lang").asc(), F.col("source").asc()]
+    wr = W.partitionBy(zero).orderBy(*order)
+    ranked = grp.select(
+        "lang", "source", "n_docs", "cap",
+        F.row_number().over(wr).alias("rn"),
+        F.sum("cap").over(wr.rowsBetween(W.unboundedPreceding, 0)).alias("pcap"),
+        F.count(F.lit(1)).over(W.partitionBy(zero)).alias("n"),
+    )
+    sat = (
+        ranked.filter(
+            F.col("cap") * (F.col("n") - F.col("rn") + 1)
+            + (F.col("pcap") - F.col("cap"))
+            <= 600
+        )
+        .agg(
+            F.coalesce(F.max(F.struct("rn", "pcap")), 
+                       F.struct(F.lit(0).alias("rn"), F.lit(0).alias("pcap")))
+            .alias("mx")
+        )
+        .select(
+            F.col("mx.rn").alias("s"),
+            F.col("mx.pcap").cast("long").alias("ps"),
+        )
+    )
+    return ranked.crossJoin(F.broadcast(sat)).select(
+        "lang", "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("cap").cast("long").alias("cap"),
+        F.when(F.col("rn") <= F.col("s"), F.col("cap") * 1000000)
+        .otherwise(
+            F.floor(
+                (F.lit(600) - F.col("ps")).cast("double")
+                * 1e6
+                / (F.col("n") - F.col("s")).cast("double")
+                + 0.5
+            )
+        )
+        .cast("long")
+        .alias("alloc_micro"),
+    )
+
+
+# ===========================================================================
+# Content-defined chunking dedup (Rabin-style boundaries, word granularity)
+# ===========================================================================
+@register(
+    "cdc_chunk_dedup",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               CASE WHEN trim(regexp_replace(lower(coalesce(text, '')),
+                         '[^a-z0-9]+', ' ', 'g')) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(regexp_replace(
+                         lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')),
+                         ' ') END AS ws
+        FROM documents
+    ),
+    bounded AS (
+        SELECT doc_id, ws,
+               list_filter(range(1, len(ws) + 1),
+                   i -> (('0x' || substr(md5(ws[i]), 1, 8))::BIGINT % 8 = 0)
+                        OR i = len(ws)) AS bnd
+        FROM w WHERE len(ws) > 0
+    ),
+    chunks AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(bnd) + 1),
+                   j -> array_to_string(list_slice(ws,
+                        CASE WHEN j = 1 THEN 1 ELSE bnd[j - 1] + 1 END,
+                        bnd[j]), ' '))) AS chunk
+        FROM bounded
+    )
+    SELECT md5(chunk) AS chunk_key,
+           CAST(COUNT(*) AS BIGINT) AS n_refs,
+           CAST(MIN(doc_id) AS BIGINT) AS rep_doc,
+           CAST(MIN(CASE WHEN trim(chunk) = '' THEN 0
+                ELSE len(regexp_split_to_array(chunk, ' ')) END) AS BIGINT)
+               AS n_words
+    FROM chunks GROUP BY md5(chunk)
+    """,
+    doc="Content-defined chunking dedup [Muthitacharoen et al. 2001 LBFS; "
+    "FastCDC]: chunk boundaries fall where the (portable md5) hash of the "
+    "current word is 0 mod 8 — boundaries move with content, so an "
+    "insertion resynchronizes within one chunk instead of shifting every "
+    "fixed-size block.  Chunks are hashed and reference-counted across "
+    "the corpus (groupBy chunk hash — the dedup store shape); rep_doc = "
+    "deterministic min referencing doc.  All array ops are per-row JVM "
+    "lambda expressions; the only shuffle is the final chunk-hash "
+    "groupBy, proportional to chunk count.",
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", T.words(F.col("text")).alias("ws")).filter(
+        F.size("ws") > 0
+    )
+    bounded = w.withColumn(
+        "bnd",
+        F.filter(
+            F.sequence(F.lit(1), F.size("ws")),
+            lambda i: (
+                T.shingle_hash(F.element_at("ws", i)) % 8 == 0
+            ) | (i == F.size("ws")),
+        ),
+    )
+    chunks = bounded.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("bnd")),
+                lambda j: F.array_join(
+                    F.slice(
+                        F.col("ws"),
+                        F.when(j == 1, F.lit(1)).otherwise(
+                            F.element_at("bnd", (j - 1).cast("int")) + 1
+                        ),
+                        F.element_at("bnd", j.cast("int"))
+                        - F.when(j == 1, F.lit(1)).otherwise(
+                            F.element_at("bnd", (j - 1).cast("int")) + 1
+                        )
+                        + 1,
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("chunk"),
+    )
+    return chunks.groupBy(F.md5("chunk").alias("chunk_key")).agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.min("doc_id").alias("rep_doc"),
+        F.min(T.token_count(F.col("chunk"))).cast("long").alias("n_words"),
+    )
+
+
+# ===========================================================================
+# Dedup audit: cluster-size histogram over the near-dup component graph
+# ===========================================================================
+def _cluster_stats_sql() -> str:
+    from .queries import _near_dup_components_sql
+
+    return f"""
+    WITH comp AS ({_near_dup_components_sql()}),
+    sizes AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component),
+    hist AS (SELECT sz, COUNT(*) AS n_clusters, SUM(sz) AS n_docs
+             FROM sizes GROUP BY sz),
+    tot AS (SELECT COUNT(*) AS nd FROM documents),
+    indup AS (SELECT COUNT(*) AS nin FROM comp)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM hist
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(nd - nin AS BIGINT),
+           CAST(nd - nin AS BIGINT)
+    FROM tot, indup
+    """
+
+
+@register(
+    "dedup_cluster_stats",
+    _cluster_stats_sql(),
+    doc="Dedup-audit histogram: near-dup component sizes (MinHash-LSH "
+    "pairs at 0.6 -> connected components, the near_dup_components "
+    "contract) rolled up to (cluster_size -> n_clusters, n_docs), plus "
+    "the singleton row (docs in no pair) so the histogram covers the "
+    "whole corpus and the implied dedup rate = 1 - sum(n_clusters)/"
+    "sum(n_docs) is readable straight off the result.  The operator a "
+    "curation run reports before committing a keep-list.  Component "
+    "build is the O(log d) distributed path; the rollup adds two "
+    "small-key groupBys and a 1-row singleton count join (allowlisted).",
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components, near_dup_pairs
+
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = near_dup_pairs(d, n_hashes=16, bands=4, threshold=0.6)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
+    hist = sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    nin = comp.agg(F.count(F.lit(1)).alias("nin"))
+    singleton = (
+        nd.crossJoin(F.broadcast(nin))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("nd") - F.col("nin")).cast("long").alias("n_clusters"),
+            (F.col("nd") - F.col("nin")).cast("long").alias("n_docs"),
+        )
+    )
+    return hist.select(
+        F.col("sz").cast("long").alias("cluster_size"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    ).unionAll(singleton)
