@@ -147,6 +147,23 @@ HEADLINE_V3 = [
     "lsh_incremental_match",
     "bpe_apply_fixed",
     "leakage_safe_split",
+    # wave-6 TPC-H completion (one per heavy join family; the light
+    # single-agg shapes are covered by the existing q6/q14 rows)
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q21_waiting_suppliers",
+    # wave-6 curation operators
+    "dsir_importance_weights",
+    "unimax_allocation",
+    "cdc_chunk_dedup",
+    "colloc_pmi_topk",
+    "ann_hard_negatives",
+    "temperature_mixing_weights",
+    "token_fertility_by_lang",
+    "dedup_cluster_stats",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -194,6 +211,8 @@ EAGER_CONSTRUCT = {
     "item_pair_lift",
     # the edge localCheckpoint happens at construction
     "triangle_count_cosupply",
+    # the component loop (min-propagation rounds) runs at construction
+    "dedup_cluster_stats",
 }
 
 
