@@ -164,6 +164,10 @@ HEADLINE_V3 = [
     "temperature_mixing_weights",
     "token_fertility_by_lang",
     "dedup_cluster_stats",
+    "cross_source_dup_matrix",
+    "training_shard_assignment",
+    "keeplist_delta",
+    "dataset_card_report",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -213,6 +217,8 @@ EAGER_CONSTRUCT = {
     "triangle_count_cosupply",
     # the component loop (min-propagation rounds) runs at construction
     "dedup_cluster_stats",
+    # both keep-lists run their component loops at construction
+    "keeplist_delta",
 }
 
 

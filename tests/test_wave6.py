@@ -265,3 +265,65 @@ def test_q2_picks_minimum_cost_rows_only(spark):
         best.setdefault(r.partkey, set()).add(r.cost_micro)
     # all surviving rows for a part carry the identical (minimal) cost
     assert all(len(v) == 1 for v in best.values())
+
+
+# ---------------------------------------------------------------------------
+# Shard assignment: deterministic, dense positions, balanced-ish
+# ---------------------------------------------------------------------------
+def test_shard_assignment_is_stable_and_dense(spark):
+    sf = "/root/testdata/sf0.01"
+    a = {
+        (r.doc_id): (r.shard, r.pos)
+        for r in _run(spark, "training_shard_assignment", sf).collect()
+    }
+    b = {
+        (r.doc_id): (r.shard, r.pos)
+        for r in _run(spark, "training_shard_assignment", sf).collect()
+    }
+    assert a == b, "assignment must be reproducible"
+    # positions dense 1..n within each shard
+    by_shard: dict = {}
+    for shard, pos in a.values():
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+
+# ---------------------------------------------------------------------------
+# Keep-list delta: statuses are consistent with the two underlying lists
+# ---------------------------------------------------------------------------
+def test_keeplist_delta_statuses(spark):
+    sf = "/root/testdata/sf0.01"
+    rows = _run(spark, "keeplist_delta", sf).collect()
+    assert len(rows) == 500
+    for r in rows:
+        if r.status == "new":
+            assert r.old_keep == "-" and r.doc_id >= 250
+        elif r.status == "same":
+            assert r.old_keep == r.new_keep
+        elif r.status == "demoted":
+            assert (r.old_keep, r.new_keep) == ("T", "F")
+        else:
+            assert (r.old_keep, r.new_keep) == ("F", "T")
+    # old docs must all be present (no deletions in this snapshot pair)
+    assert sum(1 for r in rows if r.doc_id < 250) == 250
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: totals reconcile with direct counts
+# ---------------------------------------------------------------------------
+def test_dataset_card_totals(spark):
+    sf = "/root/testdata/sf0.01"
+    card = {r.source: r for r in _run(spark, "dataset_card_report", sf).collect()}
+    d = Q.load(spark, sf, "documents")
+    direct = {
+        r.source: (r.n, r.chars)
+        for r in d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+        .collect()
+    }
+    assert set(card) == set(direct)
+    for s, (n, chars) in direct.items():
+        assert card[s].n_docs == n
+        assert card[s].total_chars == chars
+        assert card[s].lang_entropy_micro >= 0

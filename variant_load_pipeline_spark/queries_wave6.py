@@ -707,3 +707,280 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_clusters").cast("long").alias("n_clusters"),
         F.col("n_docs").cast("long").alias("n_docs"),
     ).unionAll(singleton)
+
+
+# ===========================================================================
+# Cross-source contamination matrix: near-dup pairs bucketed by source pair
+# ===========================================================================
+def _cross_source_sql() -> str:
+    from .queries import _near_dup_sql
+
+    return f"""
+    WITH p AS (SELECT id_a, id_b FROM ({_near_dup_sql()}))
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p
+    JOIN documents da ON p.id_a = da.doc_id
+    JOIN documents db ON p.id_b = db.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "cross_source_dup_matrix",
+    _cross_source_sql(),
+    doc="Cross-source contamination audit: the verified near-dup pair "
+    "graph (MinHash-LSH at 0.6) rolled up to an unordered (source_a, "
+    "source_b) matrix — the report that tells a curation run WHERE its "
+    "duplication comes from (within-source boilerplate vs cross-source "
+    "mirroring), which decides whether to dedup per-source or globally.  "
+    "Source labels join back onto the pair list by doc id (equi joins on "
+    "the already-bounded candidate output); one tiny groupBy on the "
+    "source pair.",
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import near_dup_pairs
+
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = near_dup_pairs(d, n_hashes=16, bands=4, threshold=0.6)
+    src = d.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ===========================================================================
+# Deterministic training-shard assignment (pseudo-shuffle by portable hash)
+# ===========================================================================
+@register(
+    "training_shard_assignment",
+    """
+    WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('shard_' || CAST(doc_id AS VARCHAR)),
+                1, 8))::BIGINT AS hv
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(hv % 8 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8
+                                   ORDER BY hv, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+    doc="Deterministic training pseudo-shuffle: every doc gets a stable "
+    "(shard, position) from a seeded portable hash — the global shuffle "
+    "a training run needs WITHOUT a global sort: shard = hash mod 8 is "
+    "embarrassingly parallel, position is a per-shard window (shard-"
+    "partitioned, never global), and re-running on the same corpus "
+    "reproduces the exact epoch order (resumable data loading).  At "
+    "scale, shards map to output files via partitionBy(shard) with the "
+    "in-shard order as the sort key.",
+)
+def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        T.shingle_hash(
+            F.concat(F.lit("shard_"), F.col("doc_id").cast("string"))
+        ).alias("hv"),
+    )
+    wnd = W.partitionBy(F.col("hv") % 8).orderBy("hv", "doc_id")
+    return h.select(
+        "doc_id",
+        (F.col("hv") % 8).cast("long").alias("shard"),
+        F.row_number().over(wnd).cast("long").alias("pos"),
+    )
+
+
+# ===========================================================================
+# Keep-list delta: what a corpus refresh changed (incremental curation)
+# ===========================================================================
+def _keeplist_subquery(src: str) -> str:
+    """Full keep-list (doc_id, canonical_id, keep) over `src`, as a
+    self-contained subquery (mirrors the corpus_dedup_keeplist oracle)."""
+    from .queries import _NORM_SQL, _near_dup_sql
+
+    return f"""
+    WITH RECURSIVE fps AS (
+        SELECT doc_id, md5({_NORM_SQL}) AS fp FROM {src}
+    ),
+    canon AS (SELECT fp, min(doc_id) AS exact_canon FROM fps GROUP BY fp),
+    m AS (
+        SELECT f.doc_id, c.exact_canon
+        FROM fps f JOIN canon c ON f.fp = c.fp
+    ),
+    exact_kept AS (
+        SELECT d.* FROM {src} d
+        JOIN m ON d.doc_id = m.doc_id AND m.doc_id = m.exact_canon
+    ),
+    p AS (
+        SELECT id_a, id_b
+        FROM ({_near_dup_sql(threshold=0.8, source="exact_kept")})
+    ),
+    e AS (
+        SELECT id_a AS src_n, id_b AS dst FROM p
+        UNION
+        SELECT id_b AS src_n, id_a AS dst FROM p
+    ),
+    reach(id, comp) AS (
+        SELECT src_n, src_n FROM e
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN e ON e.src_n = r.id
+    ),
+    cc AS (
+        SELECT id AS exact_canon, min(comp) AS near_canon
+        FROM reach GROUP BY id
+    )
+    SELECT m.doc_id,
+           CASE WHEN m.doc_id = coalesce(cc.near_canon, m.exact_canon)
+                THEN 'T' ELSE 'F' END AS keep
+    FROM m LEFT JOIN cc ON m.exact_canon = cc.exact_canon
+    """
+
+
+@register(
+    "keeplist_delta",
+    f"""
+    WITH old_docs AS (SELECT * FROM documents WHERE doc_id < 250),
+    old_k AS ({_keeplist_subquery('old_docs')}),
+    new_k AS ({_keeplist_subquery('documents')})
+    SELECT n.doc_id,
+           COALESCE(o.keep, '-') AS old_keep,
+           n.keep AS new_keep,
+           CASE WHEN o.keep IS NULL THEN 'new'
+                WHEN o.keep = n.keep THEN 'same'
+                WHEN o.keep = 'T' THEN 'demoted'
+                ELSE 'promoted' END AS status
+    FROM new_k n LEFT JOIN old_k o ON n.doc_id = o.doc_id
+    """,
+    doc="Incremental-curation audit: the keep-list over yesterday's "
+    "snapshot (doc_id < 250) diffed against the keep-list over the "
+    "refreshed corpus.  New docs can BRIDGE two old near-dup components "
+    "or byte-duplicate an old doc, demoting a previously-kept "
+    "representative — exactly the churn a production dedup pipeline must "
+    "report before re-sharding training data (a 'demoted' doc means an "
+    "already-trained-on text changed canonical).  Both keep-lists run "
+    "the composed exact->LSH->components chain; the diff is one left "
+    "join on doc_id.",
+)
+def keeplist_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import corpus_keeplist
+
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    old = corpus_keeplist(d.filter(F.col("doc_id") < 250), threshold=0.8)
+    new = corpus_keeplist(d, threshold=0.8)
+    o = old.select(
+        F.col("doc_id").alias("odoc"), F.col("keep").alias("okeep")
+    )
+    n = new.select(F.col("doc_id").cast("long").alias("doc_id"), "keep")
+    return n.join(o, n.doc_id == o.odoc, "left").select(
+        "doc_id",
+        F.coalesce(F.col("okeep"), F.lit("-")).alias("old_keep"),
+        F.col("keep").alias("new_keep"),
+        F.when(F.col("okeep").isNull(), F.lit("new"))
+        .when(F.col("okeep") == F.col("keep"), F.lit("same"))
+        .when(F.col("okeep") == "T", F.lit("demoted"))
+        .otherwise(F.lit("promoted"))
+        .alias("status"),
+    )
+
+
+# ===========================================================================
+# Dataset card: the per-source summary a release ships with
+# ===========================================================================
+@register(
+    "dataset_card_report",
+    """
+    WITH per_doc AS (
+        SELECT source, lang,
+               CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                   AS n_words,
+               n_chars
+        FROM documents
+    ),
+    by_src_lang AS (
+        SELECT source, lang, COUNT(*) AS n FROM per_doc GROUP BY source, lang
+    ),
+    src_tot AS (
+        SELECT source, SUM(n) AS nd FROM by_src_lang GROUP BY source
+    ),
+    ent AS (
+        SELECT b.source,
+               SUM(CAST(FLOOR(-(CAST(b.n AS DOUBLE) / t.nd)
+                   * LN(CAST(b.n AS DOUBLE) / t.nd) * 1e6 + 0.5)
+                   AS BIGINT)) AS lang_entropy_micro
+        FROM by_src_lang b JOIN src_tot t ON b.source = t.source
+        GROUP BY b.source
+    )
+    SELECT p.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(FLOOR(CAST(SUM(n_words) AS DOUBLE) * 1e6
+                / COUNT(*) + 0.5) AS BIGINT) AS mean_words_micro,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(MAX(e.lang_entropy_micro) AS BIGINT) AS lang_entropy_micro
+    FROM per_doc p JOIN ent e ON p.source = e.source
+    GROUP BY p.source
+    """,
+    doc="Dataset-card rollup: the per-source summary block a corpus "
+    "release publishes — doc/word/char counts, mean doc length, language "
+    "count and language-distribution entropy (per-term micro-rounded "
+    "before the sum, so the entropy is summation-order-free).  Two "
+    "source-keyed groupBys and one equi join; every column partial-"
+    "aggregable, no scalar joins at all.",
+)
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source", "lang",
+        T.token_count(F.col("text")).alias("n_words"),
+        "n_chars",
+    )
+    by_sl = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    src_tot = by_sl.groupBy("source").agg(F.sum("n").alias("nd"))
+    ent = (
+        by_sl.join(src_tot, "source")
+        .select(
+            "source",
+            F.floor(
+                -(F.col("n").cast("double") / F.col("nd"))
+                * F.log(F.col("n").cast("double") / F.col("nd"))
+                * 1e6
+                + 0.5
+            ).cast("long").alias("term"),
+        )
+        .groupBy("source")
+        .agg(F.sum("term").alias("lang_entropy_micro"))
+    )
+    return (
+        per_doc.join(F.broadcast(ent), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.floor(
+                F.sum("n_words").cast("double") * 1e6 / F.count(F.lit(1))
+                + 0.5
+            ).cast("long").alias("mean_words_micro"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.max("lang_entropy_micro").alias("lang_entropy_micro"),
+        )
+    )
