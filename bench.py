@@ -168,6 +168,7 @@ HEADLINE_V3 = [
     "training_shard_assignment",
     "keeplist_delta",
     "dataset_card_report",
+    "quality_lr_train",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -219,6 +220,8 @@ EAGER_CONSTRUCT = {
     "dedup_cluster_stats",
     # both keep-lists run their component loops at construction
     "keeplist_delta",
+    # the feature-matrix localCheckpoint materializes at construction
+    "quality_lr_train",
 }
 
 

@@ -493,6 +493,7 @@ _ALLOWED_UNBOUNDED_JOINS = {
     "dsir_importance_weights",  # 1-row token-total constants
     "unimax_allocation",     # 1-row saturation-point scalar join
     "dedup_cluster_stats",   # 1-row singleton-count scalar join
+    "quality_lr_train",      # 1-row doc-count scalar join per GD step
 }
 
 

@@ -327,3 +327,48 @@ def test_dataset_card_totals(spark):
         assert card[s].n_docs == n
         assert card[s].total_chars == chars
         assert card[s].lang_entropy_micro >= 0
+
+
+# ---------------------------------------------------------------------------
+# LR training: the distributed GD must match a bit-exact python recompute
+# ---------------------------------------------------------------------------
+def test_quality_lr_matches_python_gd(spark):
+    import hashlib
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    sf = SF
+    got = {
+        r.bucket: r.w_micro
+        for r in _run(spark, "quality_lr_train", sf).collect()
+    }
+    docs = Q.load(spark, sf, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+
+    def bucket(word):
+        h = int(hashlib.md5(word.encode()).hexdigest()[:8], 16)
+        return h % 256 % 64
+
+    x: dict = {}
+    y: dict = {}
+    for d in docs:
+        ws = [w for w in re.sub(r"[^a-z0-9]+", " ", d.text.lower()).split() if w]
+        if not ws:
+            continue
+        c = Counter(bucket(w) for w in ws)
+        x[d.doc_id] = c
+        y[d.doc_id] = 1 if d.source in ("src0", "src1", "src2") else 0
+    nd = len(x)
+    buckets = sorted({b for c in x.values() for b in c})
+    w = {b: 0 for b in buckets}
+    for _ in range(3):
+        g = defaultdict(int)
+        for did, c in x.items():
+            z = sum(w[b] * cnt for b, cnt in c.items()) / 1e6
+            delta = y[did] - 1.0 / (1.0 + math.exp(-z))
+            for b, cnt in c.items():
+                g[b] += math.floor(delta * cnt * 1e6 + 0.5)
+        w = {b: w[b] + math.floor(0.1 * g[b] / nd + 0.5) for b in buckets}
+    assert got == w, (got, w)

@@ -984,3 +984,143 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lang_entropy_micro").alias("lang_entropy_micro"),
         )
     )
+
+
+# ===========================================================================
+# In-engine quality-classifier training: hashed-feature logistic regression
+# ===========================================================================
+def _lr_sql() -> str:
+    """Three batch-GD iterations as a CTE chain, numerically identical to
+    the Spark loop: per-(doc, bucket) integer counts, double sigmoid,
+    per-term micro-rounding before every sum."""
+    head = f"""
+    WITH w AS ({_WS_SQL}),
+    toks AS (
+        SELECT doc_id,
+               CASE WHEN source IN ('src0', 'src1', 'src2')
+                    THEN 1 ELSE 0 END AS y,
+               {_BUCKET_SQL} % 64 AS bucket
+        FROM w, UNNEST(w.ws) AS u(w)
+    ),
+    x AS (
+        SELECT doc_id, y, bucket, COUNT(*) AS cnt
+        FROM toks GROUP BY doc_id, y, bucket
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM x),
+    w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS wm FROM x)
+    """
+    steps = []
+    for i in range(3):
+        steps.append(f"""
+    , z{i} AS (
+        SELECT x.doc_id, x.y,
+               SUM(CAST(w{i}.wm AS DOUBLE) * x.cnt) / 1e6 AS z
+        FROM x JOIN w{i} ON x.bucket = w{i}.bucket
+        GROUP BY x.doc_id, x.y
+    ),
+    d{i} AS (
+        SELECT doc_id, y - 1.0 / (1.0 + EXP(-z)) AS delta FROM z{i}
+    ),
+    g{i} AS (
+        SELECT x.bucket,
+               SUM(CAST(FLOOR(d{i}.delta * x.cnt * 1e6 + 0.5) AS BIGINT))
+                   AS gm
+        FROM x JOIN d{i} ON x.doc_id = d{i}.doc_id
+        GROUP BY x.bucket
+    ),
+    w{i + 1} AS (
+        SELECT w{i}.bucket,
+               w{i}.wm + CAST(FLOOR(0.1 * g{i}.gm / nd + 0.5) AS BIGINT)
+                   AS wm
+        FROM w{i} JOIN g{i} ON w{i}.bucket = g{i}.bucket CROSS JOIN n
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + """
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(wm AS BIGINT) AS w_micro
+    FROM w3
+    """
+    )
+
+
+@register(
+    "quality_lr_train",
+    _lr_sql(),
+    doc="In-engine quality-classifier training: logistic regression over "
+    "64 hashed-unigram count features (fastText-style bag model), labels "
+    "= curated-source membership, 3 full-batch gradient steps.  Each "
+    "step is pure DataFrame algebra — score = broadcast 64-row weight "
+    "join + per-doc sum, sigmoid, then the gradient re-joins the doc "
+    "deltas to the (doc, bucket) count matrix and aggregates per bucket "
+    "— so one iteration costs two shuffles bounded by the nonzero "
+    "feature count, the mini-batch-able 100-TB shape.  Per-term micro "
+    "rounding before every sum makes all three steps bit-identical "
+    "across engines (the oracle replays the chain CTE-for-CTE).  "
+    "Returns the trained weight vector.",
+)
+def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.when(F.col("source").isin("src0", "src1", "src2"), 1)
+        .otherwise(0)
+        .alias("y"),
+        F.explode(T.words(F.col("text"))).alias("word"),
+    ).select(
+        "doc_id", "y",
+        (T.shingle_hash(F.col("word")) % 256 % 64).alias("bucket"),
+    )
+    x = toks.groupBy("doc_id", "y", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # the feature matrix is referenced twice per GD step (score + gradient)
+    # across 3 steps: materialize once, like the other iterative fits
+    # (pagerank / k-means), instead of re-exploding the corpus 6x
+    x = x.localCheckpoint(eager=True)
+    n = x.agg(F.countDistinct("doc_id").alias("nd"))
+    w = x.select("bucket").distinct().select(
+        "bucket", F.lit(0).cast("long").alias("wm")
+    )
+    for _ in range(3):
+        wk = w.withColumnRenamed("bucket", "wbk")
+        z = (
+            x.join(F.broadcast(wk), F.col("bucket") == F.col("wbk"))
+            .groupBy("doc_id", "y")
+            .agg(
+                (F.sum(F.col("wm").cast("double") * F.col("cnt")) / 1e6)
+                .alias("z")
+            )
+        )
+        dd = z.select(
+            "doc_id",
+            (F.col("y") - 1.0 / (1.0 + F.exp(-F.col("z")))).alias("delta"),
+        )
+        g = (
+            x.join(dd, "doc_id")
+            .groupBy("bucket")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("delta") * F.col("cnt") * 1e6 + 0.5
+                    ).cast("long")
+                ).alias("gm")
+            )
+        )
+        gk = g.withColumnRenamed("bucket", "gbk")
+        w = (
+            w.join(F.broadcast(gk), F.col("bucket") == F.col("gbk"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                "bucket",
+                (
+                    F.col("wm")
+                    + F.floor(0.1 * F.col("gm") / F.col("nd") + 0.5)
+                    .cast("long")
+                ).alias("wm"),
+            )
+        )
+    return w.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("wm").cast("long").alias("w_micro"),
+    )
