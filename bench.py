@@ -169,6 +169,10 @@ HEADLINE_V3 = [
     "keeplist_delta",
     "dataset_card_report",
     "quality_lr_train",
+    "quality_lr_score",
+    "a_grouping_sets_counts",
+    "datetime_functions_suite",
+    "array_functions_suite",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -222,6 +226,7 @@ EAGER_CONSTRUCT = {
     "keeplist_delta",
     # the feature-matrix localCheckpoint materializes at construction
     "quality_lr_train",
+    "quality_lr_score",
 }
 
 

@@ -494,6 +494,7 @@ _ALLOWED_UNBOUNDED_JOINS = {
     "unimax_allocation",     # 1-row saturation-point scalar join
     "dedup_cluster_stats",   # 1-row singleton-count scalar join
     "quality_lr_train",      # 1-row doc-count scalar join per GD step
+    "quality_lr_score",      # same GD chain + final scoring join
 }
 
 

@@ -372,3 +372,64 @@ def test_quality_lr_matches_python_gd(spark):
                 g[b] += math.floor(delta * cnt * 1e6 + 0.5)
         w = {b: w[b] + math.floor(0.1 * g[b] / nd + 0.5) for b in buckets}
     assert got == w, (got, w)
+
+
+# ---------------------------------------------------------------------------
+# LR scoring: prediction consistent with score; scores in (0, 1e6)
+# ---------------------------------------------------------------------------
+def test_quality_lr_score_consistency(spark):
+    rows = _run(spark, "quality_lr_score").collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.score_micro < 1_000_000
+        assert r.pred == (1 if r.score_micro >= 500_000 else 0)
+        assert r.label in (0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Datetime suite: spot-check against python datetime on a sample
+# ---------------------------------------------------------------------------
+def test_datetime_suite_matches_python(spark):
+    res = {r.event_id: r for r in _run(spark, "datetime_functions_suite").collect()}
+    ev = Q.load(spark, SF, "events").select("event_id", "ts").limit(200).collect()
+    import datetime as dt
+
+    for e in ev:
+        r = res[e.event_id]
+        t = e.ts
+        assert r.y == t.year and r.mo == t.month and r.d == t.day
+        assert r.doy == t.timetuple().tm_yday
+        assert r.hh == t.hour
+        # Spark dayofweek: Sunday=1 .. Saturday=7
+        assert r.dow == (t.weekday() + 1) % 7 + 1
+        assert r.epoch_days == (t.date() - dt.date(1970, 1, 1)).days
+        assert r.epoch_s == int(
+            t.replace(tzinfo=dt.timezone.utc).timestamp()
+        )
+        monday = t.date() - dt.timedelta(days=t.weekday())
+        assert r.week_start == monday.isoformat()
+        assert r.plus_90d == (t + dt.timedelta(days=90)).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Array suite: spot-check against python on a sample
+# ---------------------------------------------------------------------------
+def test_array_suite_matches_python(spark):
+    import re
+
+    res = {r.doc_id: r for r in _run(spark, "array_functions_suite").collect()}
+    docs = Q.load(spark, SF, "documents").select("doc_id", "text").collect()
+    for d in docs[:200]:
+        ws = [w for w in re.sub(r"[^a-z0-9]+", " ", d.text.lower()).split() if w]
+        r = res[d.doc_id]
+        assert r.n == len(ws)
+        assert r.nd == len(set(ws))
+        assert r.first3 == " ".join(ws[:3])
+        assert r.min_word == (min(ws) if ws else "")
+        assert r.max_word == (max(ws) if ws else "")
+        assert r.has_the == ("T" if "the" in ws else "F")
+        assert r.last_word == (ws[-1] if ws else "")
+        assert r.n_long == sum(1 for w in ws if len(w) >= 5)
+        assert r.short_set == ",".join(sorted({w for w in ws if len(w) <= 3}))

@@ -1124,3 +1124,287 @@ def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("long").alias("bucket"),
         F.col("wm").cast("long").alias("w_micro"),
     )
+
+
+# ===========================================================================
+# Train -> apply: score the corpus with the trained quality classifier
+# ===========================================================================
+@register(
+    "quality_lr_score",
+    _lr_sql().replace(
+        """
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(wm AS BIGINT) AS w_micro
+    FROM w3
+    """,
+        """
+    , zf AS (
+        SELECT x.doc_id, x.y,
+               SUM(CAST(w3.wm AS DOUBLE) * x.cnt) / 1e6 AS z
+        FROM x JOIN w3 ON x.bucket = w3.bucket
+        GROUP BY x.doc_id, x.y
+    )
+    SELECT doc_id,
+           CAST(FLOOR(1e6 / (1.0 + EXP(-z)) + 0.5) AS BIGINT) AS score_micro,
+           CASE WHEN 1.0 / (1.0 + EXP(-z)) >= 0.5 THEN 1 ELSE 0 END AS pred,
+           CAST(y AS INTEGER) AS label
+    FROM zf
+    """,
+    ),
+    doc="The apply half of the classifier lifecycle: score every document "
+    "with the weights quality_lr_train just fit (same 3-step GD chain), "
+    "emitting the sigmoid quality score (micro), the thresholded "
+    "prediction, and the true label — the frame a curation run thresholds "
+    "or calibrates on.  Scoring is one broadcast weight join + per-doc "
+    "sum; at scale the weights table is persisted once and reused, like "
+    "the persisted ANN indexes.",
+)
+def quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.when(F.col("source").isin("src0", "src1", "src2"), 1)
+        .otherwise(0)
+        .alias("y"),
+        F.explode(T.words(F.col("text"))).alias("word"),
+    ).select(
+        "doc_id", "y",
+        (T.shingle_hash(F.col("word")) % 256 % 64).alias("bucket"),
+    )
+    x = toks.groupBy("doc_id", "y", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    x = x.localCheckpoint(eager=True)
+    n = x.agg(F.countDistinct("doc_id").alias("nd"))
+    w = x.select("bucket").distinct().select(
+        "bucket", F.lit(0).cast("long").alias("wm")
+    )
+    for _ in range(3):
+        wk = w.withColumnRenamed("bucket", "wbk")
+        z = (
+            x.join(F.broadcast(wk), F.col("bucket") == F.col("wbk"))
+            .groupBy("doc_id", "y")
+            .agg(
+                (F.sum(F.col("wm").cast("double") * F.col("cnt")) / 1e6)
+                .alias("z")
+            )
+        )
+        dd = z.select(
+            "doc_id",
+            (F.col("y") - 1.0 / (1.0 + F.exp(-F.col("z")))).alias("delta"),
+        )
+        g = (
+            x.join(dd, "doc_id")
+            .groupBy("bucket")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("delta") * F.col("cnt") * 1e6 + 0.5
+                    ).cast("long")
+                ).alias("gm")
+            )
+        )
+        gk = g.withColumnRenamed("bucket", "gbk")
+        w = (
+            w.join(F.broadcast(gk), F.col("bucket") == F.col("gbk"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                "bucket",
+                (
+                    F.col("wm")
+                    + F.floor(0.1 * F.col("gm") / F.col("nd") + 0.5)
+                    .cast("long")
+                ).alias("wm"),
+            )
+        )
+    wk = w.withColumnRenamed("bucket", "wbk")
+    zf = (
+        x.join(F.broadcast(wk), F.col("bucket") == F.col("wbk"))
+        .groupBy("doc_id", "y")
+        .agg(
+            (F.sum(F.col("wm").cast("double") * F.col("cnt")) / 1e6)
+            .alias("z")
+        )
+    )
+    p = 1.0 / (1.0 + F.exp(-F.col("z")))
+    return zf.select(
+        "doc_id",
+        F.floor(p * 1e6 + 0.5).cast("long").alias("score_micro"),
+        F.when(p >= 0.5, 1).otherwise(0).alias("pred"),
+        F.col("y").cast("int").alias("label"),
+    )
+
+
+# ===========================================================================
+# GROUPING SETS + grouping_id: the last member of the group-by family
+# ===========================================================================
+@register(
+    "a_grouping_sets_counts",
+    """
+    SELECT COALESCE(l_returnflag, '(all)') AS rf,
+           COALESCE(l_linestatus, '(all)') AS ls,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+               AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+               AS DOUBLE), 6) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+    doc="GROUPING SETS with grouping_id: the explicit-sets member of the "
+    "group-by family (CUBE and ROLLUP rows already exist — a8, a3).  "
+    "grouping_id disambiguates '(all)' label collisions exactly as in "
+    "ANSI SQL; DECIMAL quantity sum.  Partial-aggregable expand, one "
+    "shuffle.",
+)
+def a_grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+                .cast("double"),
+                6,
+            ).alias("qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("(all)")).alias("ls"),
+            "gid", "n", "qty",
+        )
+    )
+
+
+# ===========================================================================
+# Datetime-function parity suite (engine-switcher coverage)
+# ===========================================================================
+@register(
+    "datetime_functions_suite",
+    """
+    SELECT event_id,
+           CAST(EXTRACT(YEAR FROM ts) AS INTEGER) AS y,
+           CAST(quarter(ts) AS INTEGER) AS q,
+           CAST(EXTRACT(MONTH FROM ts) AS INTEGER) AS mo,
+           CAST(EXTRACT(DAY FROM ts) AS INTEGER) AS d,
+           CAST(dayofyear(ts) AS INTEGER) AS doy,
+           CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hh,
+           CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+           strftime(last_day(ts), '%Y-%m-%d') AS month_end,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS epoch_days,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s,
+           strftime(ts + INTERVAL 90 DAY, '%Y-%m-%d %H:%M:%S') AS plus_90d,
+           strftime(ts, '%Y-%m-%d %H') AS fmt_hour
+    FROM events
+    """,
+    doc="Datetime-function parity suite: extract fields, quarter, "
+    "day-of-year, day-of-week (DuckDB is 0-based Sunday, Spark 1-based — "
+    "the oracle shifts), Monday week truncation, month end, epoch days/"
+    "seconds (session TZ pinned UTC on both engines), interval "
+    "arithmetic, and strftime-style formatting.  Pure per-row column "
+    "expressions — zero shuffles; what an engine-switcher hits first in "
+    "any time-series workload.",
+)
+def datetime_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import load_events
+
+    ev = load_events(spark, sf_dir)
+    ts = F.col("ts")
+    return ev.select(
+        "event_id",
+        F.year(ts).cast("int").alias("y"),
+        F.quarter(ts).cast("int").alias("q"),
+        F.month(ts).cast("int").alias("mo"),
+        F.dayofmonth(ts).cast("int").alias("d"),
+        F.dayofyear(ts).cast("int").alias("doy"),
+        F.hour(ts).cast("int").alias("hh"),
+        F.dayofweek(ts).cast("int").alias("dow"),
+        F.date_format(F.date_trunc("week", ts), "yyyy-MM-dd")
+        .alias("week_start"),
+        F.date_format(F.last_day(ts), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.to_date(ts), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("epoch_days"),
+        F.unix_timestamp(ts).cast("long").alias("epoch_s"),
+        F.date_format(ts + F.expr("INTERVAL 90 DAYS"), "yyyy-MM-dd HH:mm:ss")
+        .alias("plus_90d"),
+        F.date_format(ts, "yyyy-MM-dd HH").alias("fmt_hour"),
+    )
+
+
+# ===========================================================================
+# Array-function parity suite (engine-switcher coverage)
+# ===========================================================================
+@register(
+    "array_functions_suite",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               CASE WHEN trim(regexp_replace(lower(coalesce(text, '')),
+                         '[^a-z0-9]+', ' ', 'g')) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(regexp_replace(
+                         lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')),
+                         ' ') END AS ws
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS INTEGER) AS n,
+           CAST(len(list_distinct(ws)) AS INTEGER) AS nd,
+           COALESCE(array_to_string(list_slice(ws, 1, 3), ' '), '')
+               AS first3,
+           CASE WHEN len(ws) > 0 THEN list_sort(ws)[1] ELSE '' END
+               AS min_word,
+           CASE WHEN len(ws) > 0
+                THEN list_aggregate(ws, 'max') ELSE '' END AS max_word,
+           CASE WHEN list_contains(ws, 'the') THEN 'T' ELSE 'F' END
+               AS has_the,
+           CASE WHEN len(ws) > 0 THEN ws[len(ws)] ELSE '' END AS last_word,
+           CAST(len(list_filter(ws, x -> len(x) >= 5)) AS INTEGER)
+               AS n_long,
+           COALESCE(array_to_string(list_sort(list_distinct(
+               list_filter(ws, x -> len(x) <= 3))), ','), '') AS short_set
+    FROM w
+    """,
+    doc="Array-function parity suite over the per-doc word array: size, "
+    "distinct size, slicing + joining, min/max element, membership, "
+    "last element, lambda filter counting, and a sorted-distinct-filter "
+    "composition — the higher-order-function surface (transform/filter/"
+    "aggregate) an engine-switcher uses for nested data, all JVM-side "
+    "expressions with zero shuffles.",
+)
+def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", T.words(F.col("text")).alias("ws"))
+    has = F.array_contains("ws", "the")
+    nonempty = F.size("ws") > 0
+    return w.select(
+        "doc_id",
+        F.size("ws").cast("int").alias("n"),
+        F.size(F.array_distinct("ws")).cast("int").alias("nd"),
+        F.array_join(F.slice("ws", 1, 3), " ").alias("first3"),
+        F.when(nonempty, F.element_at(F.array_sort("ws"), 1))
+        .otherwise(F.lit(""))
+        .alias("min_word"),
+        F.when(nonempty, F.array_max("ws")).otherwise(F.lit(""))
+        .alias("max_word"),
+        F.when(has, F.lit("T")).otherwise(F.lit("F")).alias("has_the"),
+        F.when(nonempty, F.element_at("ws", -1)).otherwise(F.lit(""))
+        .alias("last_word"),
+        F.size(F.filter("ws", lambda x: F.length(x) >= 5))
+        .cast("int")
+        .alias("n_long"),
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(F.filter("ws", lambda x: F.length(x) <= 3))
+            ),
+            ",",
+        ).alias("short_set"),
+    )
