@@ -8,6 +8,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from variant_load_pipeline_spark.streaming import events as ev
+from variant_load_pipeline_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
 
 SCHEMA = T.StructType(
     [
@@ -625,3 +628,119 @@ def test_lsh_ingest_through_real_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in ing.read_kept(spark, kept).collect()}
     assert got == {11}
+
+
+# ---------------------------------------------------------------------------
+# Streaming quality gate against the persisted LR model
+# ---------------------------------------------------------------------------
+def _fit_model(spark, tmp_path):
+    from variant_load_pipeline_spark.operators import quality as ql
+
+    docs = Q.load(spark, SF, "documents")
+    w = ql.lr_train(docs)
+    model = str(tmp_path / "model")
+    ql.write_quality_model(w, model)
+    return model
+
+
+def test_quality_gate_stream_equals_batch(spark, tmp_path):
+    """Docs pushed through the gate in two micro-batches produce exactly
+    the keep set the batch twin (lr_score over the whole frame with the
+    same persisted weights) selects."""
+    from variant_load_pipeline_spark.operators import quality as ql
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    model = _fit_model(spark, tmp_path)
+    kept = str(tmp_path / "kept")
+    docs = Q.load(spark, SF, "documents").select("doc_id", "text")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    # threshold at the median score (labels are imbalanced, so the
+    # absolute 0.5 sigmoid point keeps nothing at this tiny sf)
+    w0 = ql.read_quality_model(spark, model)
+    scores = sorted(
+        r.score_micro
+        for r in ql.lr_score(
+            ql.hashed_features(docs, label=F.lit(0)), w0
+        ).collect()
+    )
+    thr = scores[len(scores) // 2]
+    sink = ing.quality_gate_sink(spark, model, kept, threshold_micro=thr)
+    sink(half_a, 0)
+    sink(half_b, 1)
+    got = {
+        r.doc_id
+        for r in spark.read.option("basePath", kept).parquet(kept).collect()
+    }
+
+    w = ql.read_quality_model(spark, model)
+    x = ql.hashed_features(docs, label=F.lit(0))
+    expected = {
+        r.doc_id
+        for r in ql.lr_score(x, w)
+        .filter(F.col("score_micro") >= thr)
+        .collect()
+    }
+    assert got == expected
+    assert 0 < len(got) < docs.count(), "gate must actually discriminate"
+
+
+def test_quality_gate_redelivery_idempotent(spark, tmp_path):
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    model = _fit_model(spark, tmp_path)
+    kept = str(tmp_path / "kept")
+    docs = Q.load(spark, SF, "documents").select("doc_id", "text").limit(50)
+    sink = ing.quality_gate_sink(spark, model, kept)
+    sink(docs, 0)
+    first = sorted(
+        r.doc_id
+        for r in spark.read.option("basePath", kept).parquet(kept).collect()
+    )
+    sink(docs, 0)  # checkpoint replay
+    again = sorted(
+        r.doc_id
+        for r in spark.read.option("basePath", kept).parquet(kept).collect()
+    )
+    assert first == again
+
+
+def test_quality_gate_through_real_stream(spark, tmp_path):
+    from variant_load_pipeline_spark.operators import quality as ql
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    model = _fit_model(spark, tmp_path)
+    src = str(tmp_path / "src")
+    kept = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    docs = Q.load(spark, SF, "documents").select("doc_id", "text").limit(100)
+    docs.write.parquet(src)
+
+    w = ql.read_quality_model(spark, model)
+    x = ql.hashed_features(docs, label=F.lit(0))
+    scores = sorted(r.score_micro for r in ql.lr_score(x, w).collect())
+    thr = scores[len(scores) // 2]
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            ing.quality_gate_sink(spark, model, kept, threshold_micro=thr)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id
+        for r in spark.read.option("basePath", kept).parquet(kept).collect()
+    }
+    expected = {
+        r.doc_id
+        for r in ql.lr_score(x, w)
+        .filter(F.col("score_micro") >= thr)
+        .collect()
+    }
+    assert got == expected
+    assert 0 < len(got) < 100

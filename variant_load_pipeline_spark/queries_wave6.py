@@ -1060,66 +1060,10 @@ def _lr_sql() -> str:
     "Returns the trained weight vector.",
 )
 def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import lr_train
+
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.when(F.col("source").isin("src0", "src1", "src2"), 1)
-        .otherwise(0)
-        .alias("y"),
-        F.explode(T.words(F.col("text"))).alias("word"),
-    ).select(
-        "doc_id", "y",
-        (T.shingle_hash(F.col("word")) % 256 % 64).alias("bucket"),
-    )
-    x = toks.groupBy("doc_id", "y", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    # the feature matrix is referenced twice per GD step (score + gradient)
-    # across 3 steps: materialize once, like the other iterative fits
-    # (pagerank / k-means), instead of re-exploding the corpus 6x
-    x = x.localCheckpoint(eager=True)
-    n = x.agg(F.countDistinct("doc_id").alias("nd"))
-    w = x.select("bucket").distinct().select(
-        "bucket", F.lit(0).cast("long").alias("wm")
-    )
-    for _ in range(3):
-        wk = w.withColumnRenamed("bucket", "wbk")
-        z = (
-            x.join(F.broadcast(wk), F.col("bucket") == F.col("wbk"))
-            .groupBy("doc_id", "y")
-            .agg(
-                (F.sum(F.col("wm").cast("double") * F.col("cnt")) / 1e6)
-                .alias("z")
-            )
-        )
-        dd = z.select(
-            "doc_id",
-            (F.col("y") - 1.0 / (1.0 + F.exp(-F.col("z")))).alias("delta"),
-        )
-        g = (
-            x.join(dd, "doc_id")
-            .groupBy("bucket")
-            .agg(
-                F.sum(
-                    F.floor(
-                        F.col("delta") * F.col("cnt") * 1e6 + 0.5
-                    ).cast("long")
-                ).alias("gm")
-            )
-        )
-        gk = g.withColumnRenamed("bucket", "gbk")
-        w = (
-            w.join(F.broadcast(gk), F.col("bucket") == F.col("gbk"))
-            .crossJoin(F.broadcast(n))
-            .select(
-                "bucket",
-                (
-                    F.col("wm")
-                    + F.floor(0.1 * F.col("gm") / F.col("nd") + 0.5)
-                    .cast("long")
-                ).alias("wm"),
-            )
-        )
+    w = lr_train(d, iters=3, lr=0.1)
     return w.select(
         F.col("bucket").cast("long").alias("bucket"),
         F.col("wm").cast("long").alias("w_micro"),
@@ -1159,79 +1103,12 @@ def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the persisted ANN indexes.",
 )
 def quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import hashed_features, lr_fit, lr_score
+
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.when(F.col("source").isin("src0", "src1", "src2"), 1)
-        .otherwise(0)
-        .alias("y"),
-        F.explode(T.words(F.col("text"))).alias("word"),
-    ).select(
-        "doc_id", "y",
-        (T.shingle_hash(F.col("word")) % 256 % 64).alias("bucket"),
-    )
-    x = toks.groupBy("doc_id", "y", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    x = x.localCheckpoint(eager=True)
-    n = x.agg(F.countDistinct("doc_id").alias("nd"))
-    w = x.select("bucket").distinct().select(
-        "bucket", F.lit(0).cast("long").alias("wm")
-    )
-    for _ in range(3):
-        wk = w.withColumnRenamed("bucket", "wbk")
-        z = (
-            x.join(F.broadcast(wk), F.col("bucket") == F.col("wbk"))
-            .groupBy("doc_id", "y")
-            .agg(
-                (F.sum(F.col("wm").cast("double") * F.col("cnt")) / 1e6)
-                .alias("z")
-            )
-        )
-        dd = z.select(
-            "doc_id",
-            (F.col("y") - 1.0 / (1.0 + F.exp(-F.col("z")))).alias("delta"),
-        )
-        g = (
-            x.join(dd, "doc_id")
-            .groupBy("bucket")
-            .agg(
-                F.sum(
-                    F.floor(
-                        F.col("delta") * F.col("cnt") * 1e6 + 0.5
-                    ).cast("long")
-                ).alias("gm")
-            )
-        )
-        gk = g.withColumnRenamed("bucket", "gbk")
-        w = (
-            w.join(F.broadcast(gk), F.col("bucket") == F.col("gbk"))
-            .crossJoin(F.broadcast(n))
-            .select(
-                "bucket",
-                (
-                    F.col("wm")
-                    + F.floor(0.1 * F.col("gm") / F.col("nd") + 0.5)
-                    .cast("long")
-                ).alias("wm"),
-            )
-        )
-    wk = w.withColumnRenamed("bucket", "wbk")
-    zf = (
-        x.join(F.broadcast(wk), F.col("bucket") == F.col("wbk"))
-        .groupBy("doc_id", "y")
-        .agg(
-            (F.sum(F.col("wm").cast("double") * F.col("cnt")) / 1e6)
-            .alias("z")
-        )
-    )
-    p = 1.0 / (1.0 + F.exp(-F.col("z")))
-    return zf.select(
-        "doc_id",
-        F.floor(p * 1e6 + 0.5).cast("long").alias("score_micro"),
-        F.when(p >= 0.5, 1).otherwise(0).alias("pred"),
-        F.col("y").cast("int").alias("label"),
-    )
+    x = hashed_features(d).localCheckpoint(eager=True)
+    w = lr_fit(x, iters=3, lr=0.1)
+    return lr_score(x, w)
 
 
 # ===========================================================================

@@ -145,3 +145,54 @@ def read_kept(spark, kept_path: str) -> DataFrame:
     """The accepted corpus across all ingest batches (partition
     discovery provides ``ingest_batch`` for lineage)."""
     return spark.read.option("basePath", kept_path).parquet(kept_path)
+
+
+def quality_gate_sink(
+    spark,
+    model_path: str,
+    kept_path: str,
+    threshold_micro: int = 500_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Quality-gate-at-ingest: score each arriving micro-batch with the
+    PERSISTED logistic-regression model (operators.quality) and keep only
+    docs at or above the sigmoid threshold.
+
+    The model trains once (operators.quality.lr_train ->
+    write_quality_model) and every batch reuses it — scoring is a
+    broadcast 64-row weight join + per-doc sum, so the gate adds no
+    shuffle beyond the batch's own feature explode.  Writes are
+    idempotent per-batch partition overwrites (kept/ingest_batch=<id>),
+    the same exactly-once-under-redelivery recipe as lsh_ingest_sink;
+    unlike the dedup gate there is no index growth, so redelivery needs
+    no self-match guard.
+
+    The batch twin is lr_score over the same frame with the same loaded
+    weights — the stream==batch equivalence tests assert identical keep
+    sets.
+    """
+    from ..operators.quality import (
+        hashed_features,
+        lr_score,
+        read_quality_model,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        w = read_quality_model(spark, model_path)
+        x = hashed_features(
+            batch_df, text_col=text_col, id_col=id_col, label=F.lit(0)
+        )
+        keep_ids = (
+            lr_score(x, w)
+            .filter(F.col("score_micro") >= threshold_micro)
+            .select(F.col("doc_id").alias(id_col))
+        )
+        keep = batch_df.join(keep_ids, id_col, "leftsemi").localCheckpoint(
+            eager=True
+        )
+        keep.write.mode("overwrite").parquet(
+            f"{kept_path}/ingest_batch={batch_id}"
+        )
+
+    return sink
