@@ -173,6 +173,7 @@ HEADLINE_V3 = [
     "a_grouping_sets_counts",
     "datetime_functions_suite",
     "array_functions_suite",
+    "string_functions_suite",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

@@ -1285,3 +1285,61 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("short_set"),
     )
+
+
+# ===========================================================================
+# String-function parity suite (engine-switcher coverage)
+# ===========================================================================
+@register(
+    "string_functions_suite",
+    """
+    SELECT p_partkey,
+           CAST(length(p_name) AS INTEGER) AS ln,
+           upper(p_name) AS up,
+           substr(p_name, 2, 5) AS sub25,
+           replace(p_name, ' ', '_') AS repl,
+           split_part(p_name, ' ', 1) AS first_word,
+           split_part(p_name, ' ', -1) AS last_word,
+           CAST(strpos(p_name, 'a') AS INTEGER) AS pos_a,
+           lpad(p_brand, 12, '.') AS padded,
+           repeat(left(p_name, 2), 3) AS rep2x3,
+           reverse(p_name) AS rev,
+           translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+           CAST(levenshtein(p_name, p_brand) AS INTEGER) AS lev,
+           concat_ws('|', p_brand, p_type, CAST(p_size AS VARCHAR)) AS joined,
+           CASE WHEN p_name LIKE 'small%' THEN 'T' ELSE 'F' END AS is_small,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_token
+    FROM part
+    """,
+    doc="String-function parity suite over part names: length, case, "
+    "substring, replace, split_part (positive AND negative index), "
+    "strpos, padding, repeat, reverse, translate, levenshtein, "
+    "concat_ws, LIKE-prefix, and regexp group extraction — the scalar "
+    "string surface an engine-switcher exercises first.  Pure per-row "
+    "expressions, zero shuffles.",
+)
+def string_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    nm = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.length(nm).cast("int").alias("ln"),
+        F.upper(nm).alias("up"),
+        F.substring(nm, 2, 5).alias("sub25"),
+        F.replace(nm, F.lit(" "), F.lit("_")).alias("repl"),
+        F.split_part(nm, F.lit(" "), F.lit(1)).alias("first_word"),
+        F.split_part(nm, F.lit(" "), F.lit(-1)).alias("last_word"),
+        F.instr(nm, "a").cast("int").alias("pos_a"),
+        F.lpad(F.col("p_brand"), 12, ".").alias("padded"),
+        F.repeat(F.substring(nm, 1, 2), 3).alias("rep2x3"),
+        F.reverse(nm).alias("rev"),
+        F.translate(nm, "aeiou", "AEIOU").alias("vowels_up"),
+        F.levenshtein(nm, F.col("p_brand")).cast("int").alias("lev"),
+        F.concat_ws(
+            "|", F.col("p_brand"), F.col("p_type"),
+            F.col("p_size").cast("string"),
+        ).alias("joined"),
+        F.when(nm.like("small%"), F.lit("T")).otherwise(F.lit("F"))
+        .alias("is_small"),
+        F.regexp_extract(nm, "([a-z]+)$", 1).alias("last_token"),
+    )
