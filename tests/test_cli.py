@@ -732,3 +732,42 @@ def test_cli_polyphen2_gene_scoped(spark, tmp_path):
         lines += open(part).read().splitlines()
     # only the Abc1 variant survives the gene scoping
     assert lines == ["NP_1 4 T K"]
+
+
+def test_corpus_classify_tool(spark, tmp_path):
+    """CorpusClassify: scores match the oracle-gated quality_lr_score
+    query bit-for-bit; --model persists a weight table the streaming
+    gate can reload; kept flag respects --threshold."""
+    from variant_load_pipeline_spark import cli
+    from variant_load_pipeline_spark import queries as Q
+    from variant_load_pipeline_spark.operators import quality as ql
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "scored")
+    model = str(tmp_path / "model")
+    cli.main(
+        [
+            "--tool", "CorpusClassify",
+            "--docs", f"{sf}/documents.parquet",
+            "--model", model,
+            "--threshold", "0.4",
+            "--out", out,
+        ],
+        spark=spark,
+    )
+    got = {
+        r.doc_id: (r.score_micro, r.pred, r.label, r.kept)
+        for r in spark.read.parquet(out).collect()
+    }
+    expected = {
+        r.doc_id: (r.score_micro, r.pred, r.label)
+        for r in Q.registry()["quality_lr_score"].spark_fn(spark, sf).collect()
+    }
+    assert set(got) == set(expected)
+    for did, (sm, pred, label) in expected.items():
+        gsm, gpred, glabel, gkept = got[did]
+        assert (gsm, gpred, glabel) == (sm, pred, label)
+        assert gkept == ("T" if sm >= 400_000 else "F")
+    # persisted model loads and has the 64-bucket-or-fewer weight table
+    w = ql.read_quality_model(spark, model).collect()
+    assert 0 < len(w) <= 64

@@ -486,6 +486,7 @@ def build_parser() -> argparse.ArgumentParser:
         default="broadcast",
     )
     p.add_argument("--docs")
+    p.add_argument("--model")
     p.add_argument("--threshold", type=float)
     p.add_argument("--bench")
     p.add_argument("--k", type=int)
@@ -763,3 +764,37 @@ def _corpus_tokenize(spark, args) -> None:
         token_budget=args.budget if args.budget is not None else 2048,
     )
     packed.write.mode("overwrite").parquet(args.out)
+
+
+@tool("CorpusClassify")
+def _corpus_classify(spark, args) -> None:
+    """documents parquet -> per-doc classifier scores parquet: train the
+    hashed-feature logistic-regression quality model on the input corpus
+    (labels = curated-source membership), optionally persist the weight
+    table with --model (the build-once/score-many lifecycle the streaming
+    quality gate reloads), then score every doc — (doc_id, score_micro,
+    pred, label, kept) with kept thresholded at --threshold (sigmoid
+    units, default 0.5)."""
+    from .operators.quality import (
+        hashed_features,
+        lr_fit,
+        lr_score,
+        write_quality_model,
+    )
+
+    docs = _read(spark, args.docs)
+    x = hashed_features(docs).localCheckpoint(eager=True)
+    w = lr_fit(x, iters=3, lr=0.1)
+    if args.model:
+        write_quality_model(w, args.model)
+    thr_micro = int(
+        (args.threshold if args.threshold is not None else 0.5) * 1_000_000
+    )
+    scored = lr_score(x, w)
+    out = scored.select(
+        "doc_id", "score_micro", "pred", "label",
+        F.when(F.col("score_micro") >= thr_micro, F.lit("T"))
+        .otherwise(F.lit("F"))
+        .alias("kept"),
+    )
+    out.write.mode("overwrite").parquet(args.out)
