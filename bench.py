@@ -174,6 +174,8 @@ HEADLINE_V3 = [
     "datetime_functions_suite",
     "array_functions_suite",
     "string_functions_suite",
+    "user_event_sequences",
+    "negative_sampling_topk",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

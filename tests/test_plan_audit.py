@@ -495,6 +495,7 @@ _ALLOWED_UNBOUNDED_JOINS = {
     "dedup_cluster_stats",   # 1-row singleton-count scalar join
     "quality_lr_train",      # 1-row doc-count scalar join per GD step
     "quality_lr_score",      # same GD chain + final scoring join
+    "negative_sampling_topk",  # 1-row max-item scalar join
 }
 
 

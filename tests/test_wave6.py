@@ -433,3 +433,48 @@ def test_array_suite_matches_python(spark):
         assert r.last_word == (ws[-1] if ws else "")
         assert r.n_long == sum(1 for w in ws if len(w) >= 5)
         assert r.short_set == ",".join(sorted({w for w in ws if len(w) <= 3}))
+
+
+# ---------------------------------------------------------------------------
+# Negative sampling: no sampled item may appear in the user's history
+# ---------------------------------------------------------------------------
+def test_negative_samples_never_interacted(spark):
+    sf = "/root/testdata/sf0.01"
+    res = _run(spark, "negative_sampling_topk", sf)
+    o = Q.load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = Q.load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    inter = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .distinct()
+    )
+    hits = res.join(inter, ["user_id", "item_id"], "inner").count()
+    assert hits == 0
+    counts = res.groupBy("user_id").count().collect()
+    assert counts and all(r["count"] == 5 for r in counts)
+    # reruns reproduce the exact sample
+    again = _run(spark, "negative_sampling_topk", sf)
+    assert sorted(map(tuple, res.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event sequences: order respects (ts, event_id), cap respected
+# ---------------------------------------------------------------------------
+def test_user_event_sequences_order_and_cap(spark):
+    res = {r.user_id: r for r in _run(spark, "user_event_sequences").collect()}
+    ev = Q.load(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user: dict = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append((e.ts, e.event_id, e.event_type))
+    for uid, rows in by_user.items():
+        rows.sort()
+        r = res[uid]
+        assert r.n_events == len(rows)
+        assert r.seq == ">".join(t for _, _, t in rows[:20])

@@ -1343,3 +1343,149 @@ def string_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_small"),
         F.regexp_extract(nm, "([a-z]+)$", 1).alias("last_token"),
     )
+
+
+# ===========================================================================
+# Behavior-sequence extraction: ordered per-user event-type sequences
+# ===========================================================================
+@register(
+    "user_event_sequences",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events
+    )
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY rn) AS seq,
+           CAST(MAX(n_events) AS BIGINT) AS n_events
+    FROM ranked WHERE rn <= 20
+    GROUP BY user_id
+    """,
+    doc="Behavior-sequence extraction for sequence-model training: each "
+    "user's first 20 events in (ts, event_id) order joined into one "
+    "training string, plus the untruncated event count.  One "
+    "user-partitioned window + one groupBy — both shuffle on user_id "
+    "only, and the 20-cap bounds per-row output regardless of user "
+    "skew (the hot-user guard).",
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import load_events
+
+    ev = load_events(spark, sf_dir)
+    wnd = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type",
+        F.row_number().over(wnd).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("n_events"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= 20)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda x: x.event_type,
+                ),
+                ">",
+            ).alias("seq"),
+            F.max("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+# ===========================================================================
+# Deterministic negative sampling (recommendation / contrastive training)
+# ===========================================================================
+@register(
+    "negative_sampling_topk",
+    """
+    WITH inter AS (
+        SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    mx AS (SELECT MAX(p_partkey) AS max_item FROM part),
+    users AS (
+        SELECT DISTINCT user_id FROM inter WHERE user_id % 100 = 0
+    ),
+    cand AS (
+        SELECT u.user_id, t.i,
+               (('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || '_'
+                    || CAST(t.i AS VARCHAR)), 1, 8))::BIGINT % max_item) + 1
+                   AS item_id
+        FROM users u, mx, UNNEST(range(1, 41)) AS t(i)
+    ),
+    neg AS (
+        SELECT c.user_id, c.i, c.item_id
+        FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM inter
+                          WHERE inter.user_id = c.user_id
+                            AND inter.item_id = c.item_id)
+    )
+    SELECT user_id, item_id, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT user_id, item_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY i) AS rk
+        FROM neg
+    ) WHERE rk <= 5
+    """,
+    doc="Deterministic negative sampling: for each sampled user, 5 "
+    "pseudo-random items they have NOT interacted with — hard training "
+    "negatives for recommendation/contrastive objectives.  Candidates "
+    "come from a fixed per-user hash sequence (40 draws, linear in "
+    "users — NEVER a user x item cross join), filtered by a LEFT ANTI "
+    "join against the distinct interaction set, first-5 by draw index "
+    "so reruns reproduce the exact sample.  The max-item scalar is a "
+    "1-row broadcast join (allowlisted).",
+)
+def negative_sampling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    inter = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .distinct()
+    )
+    mx = load(spark, sf_dir, "part").agg(
+        F.max("p_partkey").alias("max_item")
+    )
+    users = inter.filter(F.col("user_id") % 100 == 0).select(
+        "user_id"
+    ).distinct()
+    cand = (
+        users.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(1), F.lit(40))).alias("i"),
+            "max_item",
+        )
+        .select(
+            "user_id",
+            "i",
+            (
+                T.shingle_hash(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("_"),
+                        F.col("i").cast("string"),
+                    )
+                )
+                % F.col("max_item")
+                + 1
+            ).alias("item_id"),
+        )
+    )
+    neg = cand.join(inter, ["user_id", "item_id"], "leftanti")
+    wnd = W.partitionBy("user_id").orderBy("i")
+    return (
+        neg.withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= 5)
+        .select("user_id", "item_id", F.col("rk").cast("long").alias("rk"))
+    )
