@@ -182,7 +182,11 @@ def test_no_python_udf_in_query_paths(spark, name):
 @pytest.mark.parametrize(
     "name",
     ["w6_first_match_wins", "j16_consume_first_match", "j4_dedup_upsert_ids",
-     "w1_sorted_export_rank", "j6_j8_transcript_features"],
+     "w1_sorted_export_rank", "j6_j8_transcript_features",
+     # wave-6 order-sensitive additions: deterministic shard order,
+     # sequence order, top-k ties, PMI rank ties, GD train reproducibility
+     "training_shard_assignment", "user_event_sequences",
+     "q10_returned_items", "colloc_pmi_topk", "quality_lr_train"],
 )
 def test_order_sensitive_queries_partitioning_invariant(spark, name):
     """The order-dependent operators (first-match-wins, consume-first-match
