@@ -478,3 +478,41 @@ def test_user_event_sequences_order_and_cap(spark):
         r = res[uid]
         assert r.n_events == len(rows)
         assert r.seq == ">".join(t for _, _, t in rows[:20])
+
+
+# ---------------------------------------------------------------------------
+# Training shard sink: partition layout + stored order round-trips
+# ---------------------------------------------------------------------------
+def test_training_shard_write_read_roundtrip(spark, tmp_path):
+    from variant_load_pipeline_spark.operators import sampling as sp
+
+    docs = Q.load(spark, SF, "documents").select("doc_id", "text")
+    path = str(tmp_path / "shards")
+    sp.write_training_shards(docs, path, n_shards=4)
+    a = {
+        r.doc_id: (r.shard, r.pos)
+        for r in sp.shard_assignments(docs, n_shards=4).collect()
+    }
+    seen = set()
+    for s in range(4):
+        rows = sp.read_training_shard(spark, path, s).collect()
+        poss = [r.pos for r in rows]
+        assert poss == sorted(poss) and poss == list(range(1, len(rows) + 1))
+        for r in rows:
+            assert a[r.doc_id] == (s, r.pos)
+            seen.add(r.doc_id)
+    assert seen == set(a), "every doc lands in exactly one shard"
+    # physical file order inside each shard parquet matches pos order
+    import pyarrow.parquet as pq
+    import glob
+
+    for s in range(4):
+        files = sorted(glob.glob(f"{path}/shard={s}/*.parquet"))
+        assert files
+        ids = []
+        for f in files:
+            ids.extend(pq.read_table(f, columns=["pos"])["pos"].to_pylist())
+        # rows within each file are pos-sorted (stored order contract)
+        for f in files:
+            ps = pq.read_table(f, columns=["pos"])["pos"].to_pylist()
+            assert ps == sorted(ps)

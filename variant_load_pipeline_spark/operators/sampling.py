@@ -135,3 +135,57 @@ def temperature_mixing_sample(
             ),
         )
     )
+
+
+def shard_assignments(
+    docs: DataFrame, n_shards: int = 8, salt: str = "shard"
+) -> DataFrame:
+    """(doc_id, shard, pos): the deterministic training pseudo-shuffle
+    (the training_shard_assignment query's operator form).  Shard = seeded
+    portable hash mod n_shards; pos = dense 1..k within the shard in hash
+    order — reproducible epoch order without a global sort."""
+    from pyspark.sql.window import Window as W
+
+    from ..functions.text import shingle_hash
+
+    h = docs.select(
+        "doc_id",
+        shingle_hash(
+            F.concat(F.lit(salt + "_"), F.col("doc_id").cast("string"))
+        ).alias("hv"),
+    )
+    wnd = W.partitionBy(F.col("hv") % n_shards).orderBy("hv", "doc_id")
+    return h.select(
+        "doc_id",
+        (F.col("hv") % n_shards).cast("long").alias("shard"),
+        F.row_number().over(wnd).cast("long").alias("pos"),
+    )
+
+
+def write_training_shards(
+    docs: DataFrame, path: str, n_shards: int = 8, salt: str = "shard"
+) -> None:
+    """Materialize the training product: documents written as
+    ``path/shard=<s>/`` parquet, each shard's rows physically ordered by
+    the deterministic position — a data loader streams shard files
+    sequentially and replays the exact epoch order with zero runtime
+    shuffling.  One shuffle (repartition on shard) + in-partition sort;
+    no global sort at any scale."""
+    a = shard_assignments(docs, n_shards=n_shards, salt=salt)
+    (
+        docs.join(a, "doc_id")
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def read_training_shard(spark, path: str, shard: int) -> DataFrame:
+    """One shard, in stored (pos) order — the loader-side contract."""
+    return (
+        spark.read.option("basePath", path)
+        .parquet(f"{path}/shard={shard}")
+        .orderBy("pos")
+    )
