@@ -18,6 +18,19 @@ DuckDB oracle.
                               groups (Chung et al. 2023)
   cdc_chunk_dedup             content-defined chunking dedup (Rabin-style
                               boundaries at word granularity)
+  dedup_cluster_stats / cross_source_dup_matrix / keeplist_delta
+                              dedup audit: cluster histogram, source
+                              contamination matrix, refresh delta
+  training_shard_assignment   deterministic training pseudo-shuffle
+  dataset_card_report         per-source release summary
+  quality_lr_train / quality_lr_score
+                              in-engine logistic-regression classifier
+                              (bit-reproducible distributed GD)
+  user_event_sequences        behavior-sequence extraction
+  negative_sampling_topk      deterministic never-interacted negatives
+  + engine parity: the 12 remaining TPC-H patterns live in
+  queries_tpch.py; GROUPING SETS and the datetime/array/string function
+  suites are here.
 
 Float discipline follows the repo-wide micro-unit idiom: any per-term
 float (log, power, ratio) is rounded to BIGINT micro-units BEFORE
