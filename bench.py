@@ -176,6 +176,7 @@ HEADLINE_V3 = [
     "string_functions_suite",
     "user_event_sequences",
     "negative_sampling_topk",
+    "join_types_suite",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

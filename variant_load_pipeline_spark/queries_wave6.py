@@ -1502,3 +1502,114 @@ def negative_sampling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("user_id", "item_id", F.col("rk").cast("long").alias("rk"))
     )
+
+
+# ===========================================================================
+# Join-type parity suite: all six join types over null-bearing keys
+# ===========================================================================
+_JT_SQL = """
+    a AS (
+        SELECT c_custkey AS id,
+               CASE WHEN c_custkey % 11 = 0 THEN NULL
+                    ELSE c_custkey % 7 END AS k
+        FROM customer WHERE c_custkey <= 200
+    ),
+    b AS (
+        SELECT s_suppkey AS sid,
+               CASE WHEN s_suppkey % 5 = 0 THEN NULL
+                    ELSE s_suppkey % 7 END AS k
+        FROM supplier
+    )
+"""
+
+
+@register(
+    "join_types_suite",
+    f"""
+    WITH {_JT_SQL}
+    SELECT 'inner' AS join_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN sid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unmatched
+    FROM a JOIN b USING (k)
+    UNION ALL
+    SELECT 'left', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN sid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM a LEFT JOIN b USING (k)
+    UNION ALL
+    SELECT 'right', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM a RIGHT JOIN b USING (k)
+    UNION ALL
+    SELECT 'full', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN id IS NULL OR sid IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM a FULL JOIN b USING (k)
+    UNION ALL
+    SELECT 'semi', CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT)
+    FROM a WHERE EXISTS (SELECT 1 FROM b WHERE b.k = a.k)
+    UNION ALL
+    SELECT 'anti', CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT)
+    FROM a WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.k = a.k)
+    """,
+    doc="Join-type parity suite: inner/left/right/full/semi/anti over "
+    "keys that are NULL on both sides (NULL never equi-matches; NULL-key "
+    "rows surface only through the outer sides and the anti join) — the "
+    "semantics every engine-switcher trips on once.  Six bounded "
+    "aggregates unioned; each join is a broadcast hash join on the "
+    "7-value key.",
+)
+def join_types_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    a = c.select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None)).otherwise(
+            F.col("c_custkey") % 7
+        ).alias("k"),
+    )
+    b = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sid"),
+        F.when(F.col("s_suppkey") % 5 == 0, F.lit(None)).otherwise(
+            F.col("s_suppkey") % 7
+        ).alias("k"),
+    )
+
+    def agg_row(df, jt, unmatched_col):
+        return df.agg(
+            F.lit(jt).alias("join_type"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(
+                    F.when(F.col(unmatched_col).isNull(), 1).otherwise(0)
+                ).cast("long")
+                if unmatched_col
+                else F.lit(0).cast("long")
+            ).alias("n_unmatched"),
+        )
+
+    full_unmatched = (
+        F.sum(
+            F.when(
+                F.col("id").isNull() | F.col("sid").isNull(), 1
+            ).otherwise(0)
+        ).cast("long")
+    )
+    inner = agg_row(a.join(b, "k"), "inner", None).select(
+        "join_type", "n_rows", F.lit(0).cast("long").alias("n_unmatched")
+    )
+    left = agg_row(a.join(b, "k", "left"), "left", "sid")
+    right = agg_row(a.join(b, "k", "right"), "right", "id")
+    full = a.join(b, "k", "full").agg(
+        F.lit("full").alias("join_type"),
+        F.count(F.lit(1)).alias("n_rows"),
+        full_unmatched.alias("n_unmatched"),
+    )
+    semi = agg_row(a.join(b, "k", "leftsemi"), "semi", None).select(
+        "join_type", "n_rows", F.lit(0).cast("long").alias("n_unmatched")
+    )
+    anti = agg_row(a.join(b, "k", "leftanti"), "anti", None).select(
+        "join_type", "n_rows", F.lit(0).cast("long").alias("n_unmatched")
+    )
+    return inner.unionAll(left).unionAll(right).unionAll(full).unionAll(
+        semi
+    ).unionAll(anti)
