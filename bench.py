@@ -177,6 +177,8 @@ HEADLINE_V3 = [
     "user_event_sequences",
     "negative_sampling_topk",
     "join_types_suite",
+    "mixing_schedule_anneal",
+    "span_corruption_preview",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

@@ -516,3 +516,63 @@ def test_training_shard_write_read_roundtrip(spark, tmp_path):
         for f in files:
             ps = pq.read_table(f, columns=["pos"])["pos"].to_pylist()
             assert ps == sorted(ps)
+
+
+# ---------------------------------------------------------------------------
+# Span corruption: masks reconstruct, sentinels collapse runs, anneal sane
+# ---------------------------------------------------------------------------
+def test_span_corruption_reconstructs(spark):
+    import hashlib
+    import re
+
+    res = {r.doc_id: r for r in _run(spark, "span_corruption_preview").collect()}
+    docs = Q.load(spark, SF, "documents").select("doc_id", "text").collect()
+
+    def h(doc_id, i):
+        s = f"{doc_id}#{i}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    checked = 0
+    for d in docs[:150]:
+        ws = [w for w in re.sub(r"[^a-z0-9]+", " ", d.text.lower()).split() if w]
+        if not ws:
+            assert d.doc_id not in res
+            continue
+        n = len(ws)
+        st = [1 if h(d.doc_id, i) % 10 == 0 else 0 for i in range(1, n + 1)]
+        mk = [
+            1
+            if st[i] or (i >= 1 and st[i - 1]) or (i >= 2 and st[i - 2])
+            else 0
+            for i in range(n)
+        ]
+        target = " ".join(w for w, m in zip(ws, mk) if m)
+        out = []
+        for i, (w, m) in enumerate(zip(ws, mk)):
+            if not m:
+                out.append(w)
+            elif i == 0 or not mk[i - 1]:
+                out.append("<X>")
+        r = res[d.doc_id]
+        assert r.target == target
+        assert r.corrupted == " ".join(out)
+        assert r.n_masked == sum(mk)
+        checked += 1
+    assert checked > 100
+
+
+def test_mixing_schedule_flattens_with_epochs(spark):
+    sf = "/root/testdata/sf0.01"
+    rows = _run(spark, "mixing_schedule_anneal", sf).collect()
+    by_epoch: dict = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, {})[r.source] = r.share_ppm
+    assert set(by_epoch) == {1, 2, 3}
+    # each epoch's shares normalize
+    for e, shares in by_epoch.items():
+        assert abs(sum(shares.values()) - 1_000_000) <= len(shares)
+    # annealing flattens: the spread between max and min share shrinks
+    spreads = {
+        e: max(s.values()) - min(s.values()) for e, s in by_epoch.items()
+    }
+    assert spreads[1] >= spreads[2] >= spreads[3]

@@ -1613,3 +1613,186 @@ def join_types_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inner.unionAll(left).unionAll(right).unionAll(full).unionAll(
         semi
     ).unionAll(anti)
+
+
+# ===========================================================================
+# Annealed mixing schedule: per-epoch temperature decay (curriculum)
+# ===========================================================================
+@register(
+    "mixing_schedule_anneal",
+    """
+    WITH per_src AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    epochs AS (SELECT UNNEST([1, 2, 3]) AS epoch),
+    terms AS (
+        SELECT epoch, source, n_docs,
+               CAST(FLOOR(EXP((1.0 - 0.25 * (epoch - 1)) * LN(n_docs))
+                    * 1e6 + 0.5) AS BIGINT) AS w_micro
+        FROM per_src CROSS JOIN epochs
+    ),
+    tot AS (
+        SELECT epoch, SUM(w_micro) AS wsum FROM terms GROUP BY epoch
+    )
+    SELECT t.epoch AS epoch, t.source AS source,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(FLOOR(CAST(t.w_micro AS DOUBLE) * 1e6
+                / CAST(tot.wsum AS DOUBLE) + 0.5) AS BIGINT) AS share_ppm
+    FROM terms t JOIN tot ON t.epoch = tot.epoch
+    """,
+    doc="Annealed mixing schedule (curriculum): per-epoch source shares "
+    "under a decaying temperature tau_e = 1.0 - 0.25*(e-1) — epoch 1 "
+    "samples proportionally, later epochs flatten toward uniform, the "
+    "standard anneal from natural distribution to balanced coverage.  "
+    "Per-term micro-rounding before each epoch's normalizing sum; the "
+    "epoch spine is a 3-row explode, totals join back per epoch (equi, "
+    "not scalar).  One groupBy on source.",
+)
+def mixing_schedule_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    epochs = spark.range(1, 4).select(F.col("id").cast("int").alias("epoch"))
+    terms = per_src.crossJoin(F.broadcast(epochs)).select(
+        "epoch", "source", "n_docs",
+        F.floor(
+            F.exp(
+                (1.0 - 0.25 * (F.col("epoch") - 1))
+                * F.log(F.col("n_docs").cast("double"))
+            )
+            * 1e6
+            + 0.5
+        ).cast("long").alias("w_micro"),
+    )
+    tot = terms.groupBy("epoch").agg(F.sum("w_micro").alias("wsum"))
+    return terms.join(F.broadcast(tot), "epoch").select(
+        "epoch", "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.floor(
+            F.col("w_micro").cast("double") * 1e6
+            / F.col("wsum").cast("double")
+            + 0.5
+        ).cast("long").alias("share_ppm"),
+    )
+
+
+# ===========================================================================
+# T5-style span corruption preview (deterministic denoising targets)
+# ===========================================================================
+@register(
+    "span_corruption_preview",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               CASE WHEN trim(regexp_replace(lower(coalesce(text, '')),
+                         '[^a-z0-9]+', ' ', 'g')) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(regexp_replace(
+                         lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')),
+                         ' ') END AS ws
+        FROM documents
+    ),
+    marked AS (
+        SELECT doc_id, ws,
+               list_transform(range(1, len(ws) + 1),
+                   i -> CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                        || '#' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+                        % 10 = 0 THEN 1 ELSE 0 END) AS st
+        FROM w WHERE len(ws) > 0
+    ),
+    masked AS (
+        SELECT doc_id, ws, st,
+               list_transform(range(1, len(ws) + 1),
+                   i -> CASE WHEN st[i] = 1
+                             OR (i >= 2 AND st[i - 1] = 1)
+                             OR (i >= 3 AND st[i - 2] = 1)
+                        THEN 1 ELSE 0 END) AS mk
+        FROM marked
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(list_transform(
+               list_filter(range(1, len(ws) + 1),
+                   i -> mk[i] = 0 OR (mk[i] = 1
+                        AND (i = 1 OR mk[i - 1] = 0))),
+               i -> CASE WHEN mk[i] = 1 THEN '<X>' ELSE ws[i] END),
+               ' '), '') AS corrupted,
+           COALESCE(array_to_string(list_transform(
+               list_filter(range(1, len(ws) + 1), i -> mk[i] = 1),
+               i -> ws[i]), ' '), '') AS target,
+           CAST(len(list_filter(range(1, len(ws) + 1), i -> mk[i] = 1))
+               AS BIGINT) AS n_masked
+    FROM masked
+    """,
+    doc="T5-style span corruption, deterministically previewed: span "
+    "starts where hash(doc_id, position) lands in 1/10 of the space, "
+    "each span masks 3 tokens; the corrupted text replaces every "
+    "maximal masked run with one <X> sentinel and the target is the "
+    "masked tokens in order — the denoising input/label pair a seq2seq "
+    "pretraining run feeds.  Pure per-row array lambdas (start mask -> "
+    "3-window dilation -> sentinel collapse), reproducible across runs "
+    "and engines; zero shuffles.",
+)
+def span_corruption_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", T.words(F.col("text")).alias("ws")).filter(
+        F.size("ws") > 0
+    )
+    marked = w.withColumn(
+        "st",
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws")),
+            lambda i: F.when(
+                T.shingle_hash(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("#"),
+                        i.cast("string"),
+                    )
+                )
+                % 10
+                == 0,
+                1,
+            ).otherwise(0),
+        ),
+    )
+    masked = marked.withColumn(
+        "mk",
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws")),
+            lambda i: F.when(
+                (F.element_at("st", i.cast("int")) == 1)
+                | (
+                    (i >= 2)
+                    & (F.element_at("st", (i - 1).cast("int")) == 1)
+                )
+                | (
+                    (i >= 3)
+                    & (F.element_at("st", (i - 2).cast("int")) == 1)
+                ),
+                1,
+            ).otherwise(0),
+        ),
+    )
+    pos = F.sequence(F.lit(1), F.size("ws"))
+    mk_at = lambda i: F.element_at("mk", i.cast("int"))
+    ws_at = lambda i: F.element_at("ws", i.cast("int"))
+    corrupted = F.array_join(
+        F.transform(
+            F.filter(
+                pos,
+                lambda i: (mk_at(i) == 0)
+                | ((mk_at(i) == 1) & ((i == 1) | (mk_at(i - 1) == 0))),
+            ),
+            lambda i: F.when(mk_at(i) == 1, F.lit("<X>")).otherwise(ws_at(i)),
+        ),
+        " ",
+    )
+    target = F.array_join(
+        F.transform(F.filter(pos, lambda i: mk_at(i) == 1), ws_at), " "
+    )
+    n_masked = F.size(F.filter(pos, lambda i: mk_at(i) == 1))
+    return masked.select(
+        "doc_id",
+        corrupted.alias("corrupted"),
+        target.alias("target"),
+        n_masked.cast("long").alias("n_masked"),
+    )
