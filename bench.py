@@ -179,6 +179,7 @@ HEADLINE_V3 = [
     "join_types_suite",
     "mixing_schedule_anneal",
     "span_corruption_preview",
+    "lm_persisted_surprisal",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -233,6 +234,8 @@ EAGER_CONSTRUCT = {
     # the feature-matrix localCheckpoint materializes at construction
     "quality_lr_train",
     "quality_lr_score",
+    # the model parquet write happens at construction
+    "lm_persisted_surprisal",
 }
 
 

@@ -500,6 +500,7 @@ _ALLOWED_UNBOUNDED_JOINS = {
     "quality_lr_train",      # 1-row doc-count scalar join per GD step
     "quality_lr_score",      # same GD chain + final scoring join
     "negative_sampling_topk",  # 1-row max-item scalar join
+    "lm_persisted_surprisal",  # 1-row (N, V) model constants broadcast
 }
 
 

@@ -576,3 +576,56 @@ def test_mixing_schedule_flattens_with_epochs(spark):
         e: max(s.values()) - min(s.values()) for e, s in by_epoch.items()
     }
     assert spreads[1] >= spreads[2] >= spreads[3]
+
+
+# ---------------------------------------------------------------------------
+# Persisted LM: OOV handling + agreement with an in-memory recompute
+# ---------------------------------------------------------------------------
+def test_lm_persisted_surprisal_oov_and_split(spark):
+    sf = "/root/testdata/sf0.01"
+    rows = _run(spark, "lm_persisted_surprisal", sf).collect()
+    assert rows
+    # only held-out docs appear
+    assert all(r.doc_id % 10 == 0 for r in rows)
+    # OOV counts bounded by token counts; surprisal positive
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert r.surprisal_micro > 0
+    # at least one held-out doc should contain a train-unseen term OR all
+    # vocab is shared (tiny shared word-soup vocab) — either way the OOV
+    # column must agree with a direct recompute
+    import math
+    import re
+
+    docs = Q.load(spark, sf, "documents").select("doc_id", "text").collect()
+    train_vocab: dict = {}
+    for d in docs:
+        if d.doc_id % 10 == 0:
+            continue
+        for w in re.sub(r"\s+", " ", d.text.lower().strip()).split(" "):
+            if w:
+                train_vocab[w] = train_vocab.get(w, 0) + 1
+    nn = sum(train_vocab.values())
+    vv = len(train_vocab)
+    got = {r.doc_id: r for r in rows}
+    for d in docs:
+        if d.doc_id % 10 != 0:
+            continue
+        toks = [
+            w for w in re.sub(r"\s+", " ", d.text.lower().strip()).split(" ")
+            if w
+        ]
+        if not toks:
+            continue
+        oov = sum(1 for w in toks if w not in train_vocab)
+        micro = sum(
+            math.floor(
+                -math.log((train_vocab.get(w, 0) + 1.0) / (nn + vv)) * 1e6
+                + 0.5
+            )
+            for w in toks
+        )
+        r = got[d.doc_id]
+        assert (r.n_tokens, r.n_oov, r.surprisal_micro) == (
+            len(toks), oov, micro
+        ), d.doc_id

@@ -1796,3 +1796,109 @@ def span_corruption_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
         target.alias("target"),
         n_masked.cast("long").alias("n_masked"),
     )
+
+
+# ===========================================================================
+# Persisted LM lifecycle: train a unigram LM, write it, score held-out
+# docs from the RELOADED model (train/test split, OOV-smoothed)
+# ===========================================================================
+@register(
+    "lm_persisted_surprisal",
+    """
+    WITH toks AS (
+        SELECT doc_id, u.w AS term
+        FROM (SELECT doc_id,
+                     CASE WHEN trim(regexp_replace(lower(coalesce(text, '')),
+                               '[^a-z0-9]+', ' ', 'g')) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(regexp_replace(
+                               lower(coalesce(text, '')), '[^a-z0-9]+', ' ',
+                               'g')), ' ') END AS ws
+              FROM documents) d, UNNEST(d.ws) AS u(w)
+    ),
+    vocab AS (
+        SELECT term, COUNT(*) AS cw FROM toks
+        WHERE doc_id % 10 <> 0 GROUP BY term
+    ),
+    consts AS (SELECT SUM(cw) AS nn, COUNT(*) AS vv FROM vocab),
+    test_tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE doc_id % 10 = 0 GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf * CAST(FLOOR(-LN((COALESCE(cw, 0) + 1.0)
+                / (nn + vv)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS surprisal_micro,
+           CAST(SUM(CASE WHEN cw IS NULL THEN tf ELSE 0 END) AS BIGINT)
+               AS n_oov
+    FROM test_tf
+    LEFT JOIN vocab USING (term)
+    CROSS JOIN consts
+    GROUP BY doc_id
+    """,
+    doc="Persisted-LM lifecycle: train the add-1-smoothed unigram LM on "
+    "the 90%% train slice (doc_id %% 10 != 0), WRITE the (term, count) "
+    "model + constants to parquet, then score the held-out 10%% from the "
+    "RELOADED model — true out-of-sample surprisal with OOV terms "
+    "falling to the unseen-mass probability 1/(N+V), plus an explicit "
+    "OOV token count (the coverage metric that decides if the LM filter "
+    "is usable on a new corpus).  Same micro-nat discipline as "
+    "unigram_surprisal; the model table meets the test tf table in an "
+    "equi join on term.  A reloaded model that differs from the just-"
+    "fit one hash-mismatches here (the persisted-ANN-index contract).",
+)
+def lm_persisted_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .functions.text import normalize_text
+    from .queries_ext import _scan_path
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(normalize_text(F.coalesce(F.col("text"), F.lit(""))), " ")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    vocab = (
+        toks.filter(F.col("doc_id") % 10 != 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    consts = vocab.agg(
+        F.sum("cw").alias("nn"), F.count(F.lit(1)).alias("vv")
+    )
+    path = _scan_path(sf_dir, "unigram_lm")
+    shutil.rmtree(path, ignore_errors=True)
+    vocab.write.mode("overwrite").parquet(f"{path}/vocab")
+    consts.write.mode("overwrite").parquet(f"{path}/consts")
+    # everything below sees ONLY the on-disk model
+    v = spark.read.parquet(f"{path}/vocab")
+    c = spark.read.parquet(f"{path}/consts")
+    test_tf = (
+        toks.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    term_micro = F.floor(
+        -F.log(
+            (F.coalesce(F.col("cw"), F.lit(0)) + 1.0)
+            / (F.col("nn") + F.col("vv"))
+        )
+        * 1e6
+        + 0.5
+    ).cast("long")
+    return (
+        test_tf.join(v, "term", "left")
+        .crossJoin(F.broadcast(c))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * term_micro).cast("long")
+            .alias("surprisal_micro"),
+            F.sum(
+                F.when(F.col("cw").isNull(), F.col("tf")).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+    )
