@@ -180,6 +180,7 @@ HEADLINE_V3 = [
     "mixing_schedule_anneal",
     "span_corruption_preview",
     "lm_persisted_surprisal",
+    "packing_efficiency_report",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

@@ -1902,3 +1902,88 @@ def lm_persisted_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_oov"),
         )
     )
+
+
+# ===========================================================================
+# Packing-efficiency report: bin fill-rate histogram over sequence packing
+# ===========================================================================
+def _packing_report_sql() -> str:
+    from .queries import _CHUNK_SQL
+
+    return f"""
+    WITH {_CHUNK_SQL},
+    ch AS (
+        SELECT doc_id, chunk_idx, len(win) AS n_chunk_tokens,
+               doc_id % 8 AS shard
+        FROM w
+    ),
+    st AS (
+        SELECT shard, n_chunk_tokens,
+            CAST(floor(COALESCE(SUM(n_chunk_tokens) OVER (
+                PARTITION BY shard ORDER BY doc_id, chunk_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 256.0) AS INT) AS bin_id
+        FROM ch
+    ),
+    bins AS (
+        SELECT shard, bin_id,
+               COUNT(*) AS n_chunks,
+               SUM(n_chunk_tokens) AS bin_tokens,
+               MAX(bin_id) OVER (PARTITION BY shard) AS last_bin
+        FROM st GROUP BY shard, bin_id
+    )
+    SELECT CAST(LEAST(FLOOR(CAST(bin_tokens AS DOUBLE) * 10 / 256), 10)
+               AS INTEGER) AS fill_decile,
+           CASE WHEN bin_id = last_bin THEN 'T' ELSE 'F' END AS is_last,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens
+    FROM bins GROUP BY 1, 2
+    """
+
+
+@register(
+    "packing_efficiency_report",
+    _packing_report_sql(),
+    doc="Packing-efficiency audit over the sequence_packing output: bins "
+    "rolled up to a fill-rate decile histogram (bin tokens / 256 budget), "
+    "split by whether the bin is its shard's LAST (tail bins are "
+    "legitimately underfull; interior bins below ~90%% fill signal a "
+    "packing bug or pathological chunk sizes).  The report a training "
+    "run checks before paying for padding.  Reuses the per-shard "
+    "window chain — no new shuffle shape.",
+)
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import chunk_documents, pack_chunks
+    from .queries import CHUNK_MAX_TOKENS, CHUNK_OVERLAP
+
+    d = load(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        d, max_tokens=CHUNK_MAX_TOKENS, overlap=CHUNK_OVERLAP
+    ).select("doc_id", "chunk_idx", "n_chunk_tokens")
+    packed = pack_chunks(
+        chunks.withColumn("shard", F.col("doc_id") % 8),
+        token_budget=256,
+        shard_col="shard",
+    )
+    bins = packed.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("bin_tokens"),
+    )
+    bins = bins.withColumn(
+        "last_bin", F.max("bin_id").over(W.partitionBy("shard"))
+    )
+    return (
+        bins.groupBy(
+            F.least(
+                F.floor(F.col("bin_tokens").cast("double") * 10 / 256),
+                F.lit(10),
+            ).cast("int").alias("fill_decile"),
+            F.when(F.col("bin_id") == F.col("last_bin"), F.lit("T"))
+            .otherwise(F.lit("F"))
+            .alias("is_last"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("bin_tokens").cast("long").alias("total_tokens"),
+        )
+    )
