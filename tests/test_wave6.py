@@ -629,3 +629,28 @@ def test_lm_persisted_surprisal_oov_and_split(spark):
         assert (r.n_tokens, r.n_oov, r.surprisal_micro) == (
             len(toks), oov, micro
         ), d.doc_id
+
+
+# ---------------------------------------------------------------------------
+# Compaction: fewer files, identical content
+# ---------------------------------------------------------------------------
+def test_compaction_preserves_content_and_shrinks_files(spark, tmp_path):
+    from variant_load_pipeline_spark.plans import maintain as M
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    docs = Q.load(spark, SF, "documents")
+    docs.repartition(64).write.parquet(src)
+
+    before = M.fragment_stats(spark, src)
+    assert before.n_files >= 32, before
+    after = M.compact(
+        spark, src, dst, target_file_bytes=max(before.total_bytes // 2, 1)
+    )
+    assert after.n_rows == before.n_rows
+    assert after.n_files <= 3
+    assert after.n_files < before.n_files
+    # content identical, not just counts
+    a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    assert a == b
