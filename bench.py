@@ -181,6 +181,8 @@ HEADLINE_V3 = [
     "span_corruption_preview",
     "lm_persisted_surprisal",
     "packing_efficiency_report",
+    "events_psi_drift",
+    "order_aging_buckets",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

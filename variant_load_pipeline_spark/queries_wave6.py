@@ -1987,3 +1987,161 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bin_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+# ===========================================================================
+# PSI drift monitor: week-over-week value-distribution stability
+# ===========================================================================
+@register(
+    "events_psi_drift",
+    """
+    WITH binned AS (
+        SELECT event_type,
+               date_trunc('week', ts) AS wk,
+               LEAST(CAST(FLOOR(value / 50.0) AS INTEGER), 9) AS bin
+        FROM events
+    ),
+    weeks AS (SELECT DISTINCT event_type, wk FROM binned),
+    spine AS (
+        SELECT event_type, wk, u.b AS bin
+        FROM weeks, UNNEST(range(0, 10)) AS u(b)
+    ),
+    cnt AS (
+        SELECT event_type, wk, bin, COUNT(*) AS c
+        FROM binned GROUP BY event_type, wk, bin
+    ),
+    filled AS (
+        SELECT s.event_type, s.wk, s.bin, COALESCE(cnt.c, 0) AS c,
+               SUM(COALESCE(cnt.c, 0)) OVER (PARTITION BY s.event_type, s.wk)
+                   AS n
+        FROM spine s
+        LEFT JOIN cnt ON s.event_type = cnt.event_type
+                     AND s.wk = cnt.wk AND s.bin = cnt.bin
+    ),
+    pairs AS (
+        SELECT cur.event_type, cur.wk,
+               CAST(FLOOR(((cur.c + 1.0) / (cur.n + 10)
+                          - (prv.c + 1.0) / (prv.n + 10))
+                    * LN(((cur.c + 1.0) / (cur.n + 10))
+                         / ((prv.c + 1.0) / (prv.n + 10))) * 1e6 + 0.5)
+                   AS BIGINT) AS term_micro
+        FROM filled cur
+        JOIN filled prv ON cur.event_type = prv.event_type
+                       AND cur.bin = prv.bin
+                       AND prv.wk = cur.wk - INTERVAL 7 DAY
+    )
+    SELECT event_type, strftime(wk, '%Y-%m-%d') AS week_start,
+           CAST(SUM(term_micro) AS BIGINT) AS psi_micro
+    FROM pairs GROUP BY event_type, wk
+    """,
+    doc="Population-stability-index drift monitor: per event type, the "
+    "PSI of this week's value distribution against last week's over "
+    "fixed width-50 bins — the standard production alarm for feature/"
+    "label drift (PSI > 0.2 = investigate).  Add-one smoothing keeps "
+    "empty bins finite; the bin spine is dense so both weeks align; "
+    "per-bin terms micro-round before the sum.  Shuffles only on "
+    "(event_type, week, bin) — trivially parallel at any scale.",
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import load_events
+
+    ev = load_events(spark, sf_dir)
+    binned = ev.select(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).alias("wk"),
+        F.least(
+            F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)
+        ).alias("bin"),
+    )
+    weeks = binned.select("event_type", "wk").distinct()
+    spine = weeks.select(
+        "event_type", "wk",
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"),
+    )
+    cnt = binned.groupBy("event_type", "wk", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    filled = (
+        spine.join(cnt, ["event_type", "wk", "bin"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .withColumn(
+            "n", F.sum("c").over(W.partitionBy("event_type", "wk"))
+        )
+    )
+    cur = filled.select(
+        "event_type", "wk", "bin",
+        F.col("c").alias("cc"), F.col("n").alias("cn"),
+    )
+    prv = filled.select(
+        "event_type",
+        (F.col("wk") + F.expr("INTERVAL 7 DAYS")).alias("wk"),
+        "bin",
+        F.col("c").alias("pc"), F.col("n").alias("pn"),
+    )
+    p = (F.col("cc") + 1.0) / (F.col("cn") + 10)
+    q = (F.col("pc") + 1.0) / (F.col("pn") + 10)
+    pairs = cur.join(prv, ["event_type", "wk", "bin"]).select(
+        "event_type", "wk",
+        F.floor((p - q) * F.log(p / q) * 1e6 + 0.5).cast("long")
+        .alias("term_micro"),
+    )
+    return pairs.groupBy(
+        "event_type",
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+    ).agg(F.sum("term_micro").cast("long").alias("psi_micro"))
+
+
+# ===========================================================================
+# Order aging buckets (open-order backlog report)
+# ===========================================================================
+@register(
+    "order_aging_buckets",
+    """
+    SELECT o_orderstatus AS status,
+           CASE WHEN age_d < 365 THEN 'lt_1y'
+                WHEN age_d < 730 THEN '1_2y'
+                WHEN age_d < 1825 THEN '2_5y'
+                ELSE 'ge_5y' END AS age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS DOUBLE), 6) AS DOUBLE) AS total_value
+    FROM (
+        SELECT o_orderstatus, o_totalprice,
+               date_diff('day', CAST(o_orderdate AS DATE),
+                         DATE '2001-08-01') AS age_d
+        FROM orders WHERE o_orderstatus IN ('O', 'P')
+    )
+    GROUP BY 1, 2
+    """,
+    doc="Open-order aging backlog: non-finalized orders bucketed by age "
+    "against a fixed as-of date, with DECIMAL value totals — the classic "
+    "operations report (receivables aging shape).  Single scan, "
+    "status filter pushed down, one small-key groupBy.",
+)
+def order_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("O", "P")
+    )
+    age = F.datediff(
+        F.lit("2001-08-01").cast("date"), F.to_date("o_orderdate")
+    )
+    bucket = (
+        F.when(age < 365, "lt_1y")
+        .when(age < 730, "1_2y")
+        .when(age < 1825, "2_5y")
+        .otherwise("ge_5y")
+    )
+    return (
+        o.groupBy(
+            F.col("o_orderstatus").alias("status"),
+            bucket.alias("age_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double"),
+                6,
+            ).alias("total_value"),
+        )
+    )
