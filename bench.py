@@ -183,6 +183,7 @@ HEADLINE_V3 = [
     "packing_efficiency_report",
     "events_psi_drift",
     "order_aging_buckets",
+    "seasonal_naive_forecast_error",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

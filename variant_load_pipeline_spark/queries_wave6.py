@@ -2145,3 +2145,77 @@ def order_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+# ===========================================================================
+# Seasonal-naive forecast error: same-hour-last-week baseline, per type
+# ===========================================================================
+@register(
+    "seasonal_naive_forecast_error",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT))
+                   AS BIGINT) AS v_micro
+        FROM events GROUP BY event_type, hr
+    ),
+    joined AS (
+        SELECT cur.event_type, cur.v_micro AS actual, prv.v_micro AS fcst
+        FROM hourly cur
+        JOIN hourly prv ON cur.event_type = prv.event_type
+                       AND prv.hr = cur.hr - INTERVAL 168 HOUR
+        WHERE cur.v_micro > 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(ABS(actual - fcst)) AS BIGINT) AS abs_err_micro,
+           CAST(SUM(actual) AS BIGINT) AS actual_micro,
+           CAST(FLOOR(CAST(SUM(ABS(actual - fcst)) AS DOUBLE) * 1e6
+                / CAST(SUM(actual) AS DOUBLE) + 0.5) AS BIGINT)
+               AS wape_ppm
+    FROM joined GROUP BY event_type
+    """,
+    doc="Seasonal-naive forecast baseline: each hour's per-type value "
+    "total forecast by the same hour one week earlier; error reported "
+    "as WAPE (sum |err| / sum actual, in ppm) — the sanity floor every "
+    "real forecasting system must beat, and the shape of a production "
+    "forecast-accuracy monitor.  Values micro-rounded per event BEFORE "
+    "the hourly sum (order-free); the lag is an equi self-join on "
+    "(type, hour - 168h), not a window over the whole series.",
+)
+def seasonal_naive_forecast_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .queries import load_events
+
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+            F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("vm"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.sum("vm").cast("long").alias("v_micro"))
+    )
+    cur = hourly.select(
+        "event_type", "hr", F.col("v_micro").alias("actual")
+    ).filter(F.col("actual") > 0)
+    prv = hourly.select(
+        "event_type",
+        (F.col("hr") + F.expr("INTERVAL 168 HOURS")).alias("hr"),
+        F.col("v_micro").alias("fcst"),
+    )
+    joined = cur.join(prv, ["event_type", "hr"])
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.abs(F.col("actual") - F.col("fcst"))).cast("long")
+        .alias("abs_err_micro"),
+        F.sum("actual").cast("long").alias("actual_micro"),
+        F.floor(
+            F.sum(F.abs(F.col("actual") - F.col("fcst"))).cast("double")
+            * 1e6
+            / F.sum("actual").cast("double")
+            + 0.5
+        ).cast("long").alias("wape_ppm"),
+    )
