@@ -326,3 +326,160 @@ def test_surprisal_and_containment_bounds(spark):
     for r in cp:
         assert 0.9 <= r["containment"] <= 1.0
         assert r["id_a"] < r["id_b"]
+
+
+# ---------------------------------------------------------------------------
+# Wave-6 algorithm properties
+# ---------------------------------------------------------------------------
+def _python_waterfill(caps, budget):
+    """Reference UniMax waterfill: ascending caps; saturate while the cap
+    fits the equal-split of the remaining budget, then split evenly."""
+    order = sorted(range(len(caps)), key=lambda i: caps[i])
+    alloc = [0.0] * len(caps)
+    spent = 0.0
+    for pos, i in enumerate(order):
+        remaining = len(caps) - pos
+        level = (budget - spent) / remaining
+        if caps[i] <= level:
+            alloc[i] = caps[i]
+            spent += caps[i]
+        else:
+            for j in order[pos:]:
+                alloc[j] = level
+            break
+    return alloc
+
+
+@given(
+    st.lists(st.integers(1, 50), min_size=2, max_size=12),
+    st.integers(10, 400),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_unimax_closed_form_equals_waterfill(_spark, sizes, budget):
+    """The rank/prefix-sum closed form in unimax_allocation must equal the
+    sequential waterfill for random group sizes and budgets (caps = 2x
+    size, matching the query), up to micro rounding."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    caps = [2 * s for s in sizes]
+    rows = [(f"g{i}", c) for i, c in enumerate(caps)]
+    grp = _spark.createDataFrame(rows, "g string, cap long")
+    zero = F.when(F.col("cap") >= 0, F.lit(0))
+    wr = W.partitionBy(zero).orderBy(F.col("cap").asc(), F.col("g").asc())
+    ranked = grp.select(
+        "g", "cap",
+        F.row_number().over(wr).alias("rn"),
+        F.sum("cap").over(wr.rowsBetween(W.unboundedPreceding, 0))
+        .alias("pcap"),
+        F.count(F.lit(1)).over(W.partitionBy(zero)).alias("n"),
+    )
+    sat = (
+        ranked.filter(
+            F.col("cap") * (F.col("n") - F.col("rn") + 1)
+            + (F.col("pcap") - F.col("cap"))
+            <= budget
+        )
+        .agg(
+            F.coalesce(
+                F.max(F.struct("rn", "pcap")),
+                F.struct(F.lit(0).alias("rn"), F.lit(0).alias("pcap")),
+            ).alias("mx")
+        )
+        .select(
+            F.col("mx.rn").alias("s"),
+            F.col("mx.pcap").cast("long").alias("ps"),
+        )
+    )
+    got = {
+        r.g: r.am
+        for r in ranked.crossJoin(F.broadcast(sat))
+        .select(
+            "g",
+            F.when(F.col("rn") <= F.col("s"), F.col("cap") * 1_000_000)
+            .otherwise(
+                F.floor(
+                    (F.lit(budget) - F.col("ps")).cast("double")
+                    * 1e6
+                    / (F.col("n") - F.col("s")).cast("double")
+                    + 0.5
+                )
+            )
+            .cast("long")
+            .alias("am"),
+        )
+        .collect()
+    }
+    ref = _python_waterfill(caps, budget)
+    for i, a in enumerate(ref):
+        assert abs(got[f"g{i}"] - a * 1_000_000) <= 1, (caps, budget, i)
+
+
+@given(st.lists(st.sampled_from("ab cd ef gh ij kl mn op".split()),
+                min_size=1, max_size=40),
+       st.integers(0, 39))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cdc_resynchronizes_after_insertion(_spark, ws, at):
+    """Content-defined chunking's defining property: inserting one word
+    changes only the chunks overlapping the insertion point — the chunk
+    multiset difference between original and edited text is bounded,
+    never a full reshuffle (fixed-size blocks would shift everything)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark import queries as Q
+
+    at = min(at, len(ws))
+    edited = ws[:at] + ["zz"] + ws[at:]
+    df = _spark.createDataFrame(
+        [(1, " ".join(ws)), (2, " ".join(edited))],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("_cdc_docs")
+    # reuse the registered query's chunker on this 2-doc frame via its
+    # Spark implementation applied to a temp table
+    from variant_load_pipeline_spark.functions import text as T
+
+    w = df.select("doc_id", T.words(F.col("text")).alias("ws")).filter(
+        F.size("ws") > 0
+    )
+    bounded = w.withColumn(
+        "bnd",
+        F.filter(
+            F.sequence(F.lit(1), F.size("ws")),
+            lambda i: (
+                T.shingle_hash(F.element_at("ws", i)) % 8 == 0
+            ) | (i == F.size("ws")),
+        ),
+    )
+    chunks = bounded.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("bnd")),
+                lambda j: F.array_join(
+                    F.slice(
+                        F.col("ws"),
+                        F.when(j == 1, F.lit(1)).otherwise(
+                            F.element_at("bnd", (j - 1).cast("int")) + 1
+                        ),
+                        F.element_at("bnd", j.cast("int"))
+                        - F.when(j == 1, F.lit(1)).otherwise(
+                            F.element_at("bnd", (j - 1).cast("int")) + 1
+                        )
+                        + 1,
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("chunk"),
+    ).collect()
+    orig = Counter(r.chunk for r in chunks if r.doc_id == 1)
+    edit = Counter(r.chunk for r in chunks if r.doc_id == 2)
+    changed = sum((orig - edit).values()) + sum((edit - orig).values())
+    # the insertion can split/merge at most the chunk containing the
+    # edit plus its successor on each side: bounded, not proportional
+    assert changed <= 4, (ws, at, orig, edit)
