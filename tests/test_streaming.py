@@ -744,3 +744,34 @@ def test_quality_gate_through_real_stream(spark, tmp_path):
     }
     assert got == expected
     assert 0 < len(got) < 100
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor: incremental counts == batch PSI
+# ---------------------------------------------------------------------------
+def test_drift_counts_stream_equals_batch_psi(spark, tmp_path):
+    """Events pushed through drift_counts_sink in 3 micro-batches (split
+    mid-week, so every batch holds partial weeks) must yield the exact
+    PSI the oracle-gated events_psi_drift query computes over the same
+    frame in one pass."""
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    counts = str(tmp_path / "counts")
+    sf = "/root/testdata/sf0.001"
+    ev = Q.load(spark, sf, "events")
+    sink = ing.drift_counts_sink(spark, counts)
+    sink(ev.filter(F.col("event_id") % 3 == 0), 0)
+    sink(ev.filter(F.col("event_id") % 3 == 1), 1)
+    sink(ev.filter(F.col("event_id") % 3 == 2), 2)
+    # redelivery of batch 1 must not change anything
+    sink(ev.filter(F.col("event_id") % 3 == 1), 1)
+
+    got = sorted(
+        tuple(r)
+        for r in ing.psi_from_counts(spark, counts).collect()
+    )
+    expected = sorted(
+        tuple(r)
+        for r in Q.registry()["events_psi_drift"].spark_fn(spark, sf).collect()
+    )
+    assert got == expected and got

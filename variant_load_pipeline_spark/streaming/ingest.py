@@ -196,3 +196,87 @@ def quality_gate_sink(
         )
 
     return sink
+
+
+def drift_counts_sink(
+    spark,
+    counts_path: str,
+    bin_width: float = 50.0,
+    n_bins: int = 10,
+):
+    """Drift-monitor-at-ingest: each arriving event micro-batch's value
+    distribution is binned (fixed-width, engine-portable) and appended to
+    a persisted (event_type, week, bin) count store as the batch's OWN
+    idempotent partition — redelivery overwrites, never double-counts.
+
+    PSI is then a pure BATCH query over the store (psi_from_counts),
+    so the expensive statistic never runs inside the hot ingest path and
+    any window pair can be compared after the fact.  This is the
+    standard split for production monitors: cheap additive state on the
+    stream, analytics on the store.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        binned = (
+            batch_df.select(
+                "event_type",
+                F.date_trunc("week", F.col("ts")).alias("wk"),
+                F.least(
+                    F.floor(F.col("value") / bin_width).cast("int"),
+                    F.lit(n_bins - 1),
+                ).alias("bin"),
+            )
+            .groupBy("event_type", "wk", "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        binned.write.mode("overwrite").parquet(
+            f"{counts_path}/ingest_batch={batch_id}"
+        )
+
+    return sink
+
+
+def psi_from_counts(spark, counts_path: str, n_bins: int = 10) -> DataFrame:
+    """Week-over-week PSI from the accumulated count store — identical
+    math to the events_psi_drift batch query (dense bin spine, add-one
+    smoothing, micro-rounded terms), but over counts that arrived
+    incrementally across any number of micro-batches."""
+    from pyspark.sql.window import Window as W
+
+    cnt = (
+        spark.read.option("basePath", counts_path)
+        .parquet(counts_path)
+        .groupBy("event_type", "wk", "bin")
+        .agg(F.sum("c").alias("c"))
+    )
+    weeks = cnt.select("event_type", "wk").distinct()
+    spine = weeks.select(
+        "event_type", "wk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+    )
+    filled = (
+        spine.join(cnt, ["event_type", "wk", "bin"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .withColumn("n", F.sum("c").over(W.partitionBy("event_type", "wk")))
+    )
+    cur = filled.select(
+        "event_type", "wk", "bin",
+        F.col("c").alias("cc"), F.col("n").alias("cn"),
+    )
+    prv = filled.select(
+        "event_type",
+        (F.col("wk") + F.expr("INTERVAL 7 DAYS")).alias("wk"),
+        "bin",
+        F.col("c").alias("pc"), F.col("n").alias("pn"),
+    )
+    p = (F.col("cc") + 1.0) / (F.col("cn") + n_bins)
+    q = (F.col("pc") + 1.0) / (F.col("pn") + n_bins)
+    pairs = cur.join(prv, ["event_type", "wk", "bin"]).select(
+        "event_type", "wk",
+        F.floor((p - q) * F.log(p / q) * 1e6 + 0.5).cast("long")
+        .alias("term_micro"),
+    )
+    return pairs.groupBy(
+        "event_type",
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+    ).agg(F.sum("term_micro").cast("long").alias("psi_micro"))
