@@ -775,3 +775,45 @@ def test_drift_counts_stream_equals_batch_psi(spark, tmp_path):
         for r in Q.registry()["events_psi_drift"].spark_fn(spark, sf).collect()
     )
     assert got == expected and got
+
+
+def test_lsh_index_compaction_preserves_matching(spark, tmp_path):
+    """Folding batch partitions into the seed generation must not change
+    any accept/reject decision, and must shrink the partition count."""
+    import os
+
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    idx = str(tmp_path / "idx")
+    kept = str(tmp_path / "kept")
+    ing.seed_lsh_ingest(_doc(spark, 1, _BASE_WORDS[0]), idx)
+    sink = ing.lsh_ingest_sink(spark, idx, kept, threshold=0.8)
+    sink(_doc(spark, 11, _BASE_WORDS[1]), 0)
+    sink(_doc(spark, 21, _BASE_WORDS[2]), 1)
+
+    n_before = len(os.listdir(f"{idx}/bands"))
+    folded = ing.compact_lsh_index(spark, idx, upto_batch_id=1)
+    assert folded == 2
+    n_after = len(
+        [d for d in os.listdir(f"{idx}/bands") if d.startswith("ingest_")]
+    )
+    assert n_after == 1 < n_before
+
+    # near-dups of seed AND of both folded batches are still rejected;
+    # novel content still accepted
+    batch = spark.createDataFrame(
+        [
+            (30, _BASE_WORDS[0].replace("echo", "reverb")),
+            (31, _BASE_WORDS[1].replace("gold", "aurum")),
+            (32, _BASE_WORDS[2].replace("noon", "midday")),
+            (33, "completely novel words about engines and physical plans "
+                 "that match nothing stored in any generation at all "
+                 "alpha2 bravo2 charlie2 delta2 echo2 foxtrot2 golf2 "
+                 "hotel2 india2 juliet2 kilo2 lima2 mike2 november2 "
+                 "oscar2 papa2 quebec2 romeo2 sierra2 tango2"),
+        ],
+        "doc_id long, text string",
+    )
+    sink(batch, 2)
+    got = {r["doc_id"] for r in ing.read_kept(spark, kept).collect()}
+    assert got == {11, 21, 33}

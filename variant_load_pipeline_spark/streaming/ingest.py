@@ -280,3 +280,53 @@ def psi_from_counts(spark, counts_path: str, n_bins: int = 10) -> DataFrame:
         "event_type",
         F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
     ).agg(F.sum("term_micro").cast("long").alias("psi_micro"))
+
+
+def compact_lsh_index(spark, index_path: str, upto_batch_id: int) -> int:
+    """Fold the per-batch index partitions 0..upto_batch_id into the seed
+    generation (``ingest_batch=-1``) — the maintenance job that keeps the
+    ingest index's partition count O(1) instead of O(batches).
+
+    Matching semantics are unchanged: the union of the compacted
+    partitions equals their concatenation (the index stores rows keyed by
+    doc, no cross-partition state), and redelivery of an ALREADY-
+    compacted batch id is still safe — its overwrite recreates the
+    partition, the rows duplicate the seed's, and candidate matching
+    dedups by doc id before verification.
+
+    Returns the number of batch partitions folded in.  Writes go through
+    a temp generation then an atomic-per-store swap (delete olds, rename),
+    using the Hadoop FileSystem API so the same code runs on HDFS/S3A.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def fs_path(s):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    folded = 0
+    for sub in ("bands", "shingles"):
+        root = f"{index_path}/{sub}"
+        fs = fs_path(root).getFileSystem(conf)
+        parts = []
+        for st in fs.listStatus(fs_path(root)):
+            name = st.getPath().getName()
+            if not name.startswith("ingest_batch="):
+                continue
+            bid = int(name.split("=", 1)[1])
+            if bid == -1 or bid <= upto_batch_id:
+                parts.append(name)
+        if not parts:
+            continue
+        merged = spark.read.parquet(
+            *[f"{root}/{p}" for p in parts]
+        )
+        tmp = f"{root}/.compact_tmp"
+        merged.coalesce(
+            max(1, spark.sparkContext.defaultParallelism // 4)
+        ).write.mode("overwrite").parquet(tmp)
+        for p in parts:
+            fs.delete(fs_path(f"{root}/{p}"), True)
+        fs.rename(fs_path(tmp), fs_path(f"{root}/ingest_batch=-1"))
+        folded = max(folded, len([p for p in parts if p != "ingest_batch=-1"]))
+    return folded
