@@ -184,6 +184,9 @@ HEADLINE_V3 = [
     "events_psi_drift",
     "order_aging_buckets",
     "seasonal_naive_forecast_error",
+    "docs_contract_report",
+    "backfill_report",
+    "length_matched_sample_plan",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

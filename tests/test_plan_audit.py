@@ -501,6 +501,8 @@ _ALLOWED_UNBOUNDED_JOINS = {
     "quality_lr_score",      # same GD chain + final scoring join
     "negative_sampling_topk",  # 1-row max-item scalar join
     "lm_persisted_surprisal",  # 1-row (N, V) model constants broadcast
+    "docs_contract_report",    # 1-row metrics frame exploded
+    "backfill_report",         # 1-row max-week scalar join
 }
 
 

@@ -2219,3 +2219,256 @@ def seasonal_naive_forecast_error(
             + 0.5
         ).cast("long").alias("wape_ppm"),
     )
+
+
+# ===========================================================================
+# Corpus data contract: the documents-table expectations report
+# ===========================================================================
+@register(
+    "docs_contract_report",
+    """
+    WITH m AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS null_id,
+               COUNT(*) - COUNT(DISTINCT doc_id) AS dup_id,
+               SUM(CASE WHEN text IS NULL OR trim(text) = ''
+                        THEN 1 ELSE 0 END) AS empty_text,
+               SUM(CASE WHEN lang NOT IN ('en','de','fr','es','zh')
+                        THEN 1 ELSE 0 END) AS bad_lang,
+               SUM(CASE WHEN n_chars <> length(text)
+                        THEN 1 ELSE 0 END) AS bad_len,
+               SUM(CASE WHEN n_chars < 10 OR n_chars > 10000
+                        THEN 1 ELSE 0 END) AS len_oob,
+               SUM(CASE WHEN source IS NULL OR source NOT LIKE 'src%'
+                        THEN 1 ELSE 0 END) AS bad_source
+        FROM documents
+    )
+    SELECT chk.check_name,
+           CAST(chk.metric AS BIGINT) AS metric,
+           CASE WHEN chk.metric = 0 THEN 'T' ELSE 'F' END AS pass
+    FROM m, LATERAL (
+        SELECT * FROM (VALUES
+            ('rows_nonzero',   CASE WHEN m.n > 0 THEN 0 ELSE 1 END),
+            ('doc_id_not_null', m.null_id),
+            ('doc_id_unique',   m.dup_id),
+            ('text_nonempty',   m.empty_text),
+            ('lang_in_domain',  m.bad_lang),
+            ('n_chars_consistent', m.bad_len),
+            ('length_in_bounds', m.len_oob),
+            ('source_format',   m.bad_source)
+        ) AS v(check_name, metric)
+    ) AS chk
+    """,
+    doc="Corpus data contract: the expectations a downstream trainer "
+    "assumes about the documents table — id presence/uniqueness, "
+    "non-empty text, language domain, n_chars consistency with the "
+    "payload, length bounds, source naming — evaluated in ONE scan "
+    "(every metric a conditional sum) and pivoted to a (check, metric, "
+    "pass) report, the corpus twin of dq_validation_report.",
+)
+def docs_contract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    m = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0))
+        .alias("null_id"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("dup_id"),
+        F.sum(
+            F.when(
+                F.col("text").isNull() | (F.trim("text") == ""), 1
+            ).otherwise(0)
+        ).alias("empty_text"),
+        F.sum(
+            F.when(
+                ~F.col("lang").isin("en", "de", "fr", "es", "zh"), 1
+            ).otherwise(0)
+        ).alias("bad_lang"),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        ).alias("bad_len"),
+        F.sum(
+            F.when(
+                (F.col("n_chars") < 10) | (F.col("n_chars") > 10000), 1
+            ).otherwise(0)
+        ).alias("len_oob"),
+        F.sum(
+            F.when(
+                F.col("source").isNull() | ~F.col("source").like("src%"), 1
+            ).otherwise(0)
+        ).alias("bad_source"),
+    )
+    checks = [
+        ("rows_nonzero", F.when(F.col("n") > 0, 0).otherwise(1)),
+        ("doc_id_not_null", F.col("null_id")),
+        ("doc_id_unique", F.col("dup_id")),
+        ("text_nonempty", F.col("empty_text")),
+        ("lang_in_domain", F.col("bad_lang")),
+        ("n_chars_consistent", F.col("bad_len")),
+        ("length_in_bounds", F.col("len_oob")),
+        ("source_format", F.col("bad_source")),
+    ]
+    rows = m.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check_name"),
+                        expr.cast("long").alias("metric"),
+                    )
+                    for name, expr in checks
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select(
+        F.col("r.check_name").alias("check_name"),
+        F.col("r.metric").alias("metric"),
+        F.when(F.col("r.metric") == 0, F.lit("T")).otherwise(F.lit("F"))
+        .alias("pass"),
+    )
+
+
+# ===========================================================================
+# Backfill report: which materialized-rollup partitions are missing/stale
+# ===========================================================================
+@register(
+    "backfill_report",
+    """
+    WITH src AS (
+        SELECT date_trunc('week', ts) AS wk,
+               COUNT(*) AS src_rows
+        FROM events GROUP BY 1
+    ),
+    store AS (
+        -- the materialized store lags: it was last refreshed before the
+        -- final two weeks, and its oldest week predates retention
+        SELECT wk, src_rows AS store_rows FROM src
+        WHERE wk <= (SELECT MAX(wk) FROM src) - INTERVAL 14 DAY
+    )
+    SELECT strftime(src.wk, '%Y-%m-%d') AS week_start,
+           CAST(src.src_rows AS BIGINT) AS src_rows,
+           CAST(COALESCE(store.store_rows, 0) AS BIGINT) AS store_rows,
+           CASE WHEN store.wk IS NULL THEN 'missing'
+                WHEN store.store_rows <> src.src_rows THEN 'stale'
+                ELSE 'fresh' END AS status
+    FROM src LEFT JOIN store ON src.wk = store.wk
+    """,
+    doc="Backfill planner: per-partition (week) comparison of the source "
+    "row counts against the materialized store's — 'missing' partitions "
+    "need a first build, 'stale' ones a recompute, 'fresh' ones are "
+    "skipped; the store here is deterministically simulated as lagging "
+    "two weeks (the refresh boundary every incremental pipeline has).  "
+    "Partition-count comparison is the cheap O(partitions) planning "
+    "step that bounds the expensive recompute to exactly the flagged "
+    "set.  The scalar max-week is a 1-row subquery join (allowlisted).",
+)
+def backfill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import load_events
+
+    ev = load_events(spark, sf_dir)
+    src = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("wk")
+    ).agg(F.count(F.lit(1)).alias("src_rows"))
+    mx = src.agg(F.max("wk").alias("maxwk"))
+    store = (
+        src.crossJoin(F.broadcast(mx))
+        .filter(F.col("wk") <= F.col("maxwk") - F.expr("INTERVAL 14 DAYS"))
+        .select("wk", F.col("src_rows").alias("store_rows"))
+    )
+    return (
+        src.join(
+            store.withColumnRenamed("wk", "swk"),
+            src.wk == F.col("swk"),
+            "left",
+        )
+        .select(
+            F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+            F.col("src_rows").cast("long").alias("src_rows"),
+            F.coalesce(F.col("store_rows"), F.lit(0)).cast("long")
+            .alias("store_rows"),
+            F.when(F.col("swk").isNull(), F.lit("missing"))
+            .when(F.col("store_rows") != F.col("src_rows"), F.lit("stale"))
+            .otherwise(F.lit("fresh"))
+            .alias("status"),
+        )
+    )
+
+
+# ===========================================================================
+# Length-matched sampling plan (distribution matching for eval splits)
+# ===========================================================================
+@register(
+    "length_matched_sample_plan",
+    """
+    WITH binned AS (
+        SELECT doc_id,
+               LEAST(CAST(FLOOR(n_chars / 50.0) AS INTEGER), 11) AS bin,
+               CASE WHEN doc_id % 10 = 0 THEN 'val' ELSE 'train' END
+                   AS split
+        FROM documents
+    ),
+    cnt AS (
+        SELECT bin, split, COUNT(*) AS c FROM binned GROUP BY bin, split
+    ),
+    tot AS (SELECT split, SUM(c) AS n FROM cnt GROUP BY split),
+    shares AS (
+        SELECT cnt.bin, cnt.split,
+               cnt.c, CAST(cnt.c AS DOUBLE) / tot.n AS share
+        FROM cnt JOIN tot ON cnt.split = tot.split
+    )
+    SELECT t.bin AS len_bin,
+           CAST(t.c AS BIGINT) AS n_train,
+           CAST(COALESCE(v.c, 0) AS BIGINT) AS n_val,
+           CAST(LEAST(1000000, CASE WHEN COALESCE(v.share, 0) = 0 THEN 0
+                ELSE CAST(FLOOR(t.share / v.share * 1e6 + 0.5) AS BIGINT)
+                END) AS BIGINT) AS keep_rate_ppm
+    FROM (SELECT * FROM shares WHERE split = 'train') t
+    LEFT JOIN (SELECT * FROM shares WHERE split = 'val') v
+           ON t.bin = v.bin
+    """,
+    doc="Length-matched sampling plan: per 50-char length bin, the "
+    "keep-rate (ppm, capped at 1) that downsamples the val split until "
+    "its length distribution matches train's — the distribution-matching "
+    "step that stops length from confounding eval metrics.  Fixed bins "
+    "keep it engine-portable; rates derive from exact counts so the "
+    "plan replays identically.  Two small-key groupBys.",
+)
+def length_matched_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    binned = d.select(
+        F.least(
+            F.floor(F.col("n_chars") / 50.0).cast("int"), F.lit(11)
+        ).alias("bin"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    cnt = binned.groupBy("bin", "split").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("split").agg(F.sum("c").alias("n"))
+    shares = cnt.join(F.broadcast(tot), "split").select(
+        "bin", "split", "c",
+        (F.col("c").cast("double") / F.col("n")).alias("share"),
+    )
+    t = shares.filter(F.col("split") == "train").select(
+        F.col("bin").alias("len_bin"),
+        F.col("c").alias("n_train"),
+        F.col("share").alias("ts"),
+    )
+    v = shares.filter(F.col("split") == "val").select(
+        F.col("bin").alias("vbin"),
+        F.col("c").alias("n_val"),
+        F.col("share").alias("vs"),
+    )
+    return t.join(v, t.len_bin == v.vbin, "left").select(
+        "len_bin",
+        F.col("n_train").cast("long").alias("n_train"),
+        F.coalesce(F.col("n_val"), F.lit(0)).cast("long").alias("n_val"),
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.when(F.coalesce(F.col("vs"), F.lit(0.0)) == 0.0, F.lit(0))
+            .otherwise(
+                F.floor(F.col("ts") / F.col("vs") * 1e6 + 0.5)
+            )
+            .cast("long"),
+        ).alias("keep_rate_ppm"),
+    )
