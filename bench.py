@@ -187,6 +187,7 @@ HEADLINE_V3 = [
     "docs_contract_report",
     "backfill_report",
     "length_matched_sample_plan",
+    "dedup_threshold_sweep",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

@@ -2472,3 +2472,68 @@ def length_matched_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long"),
         ).alias("keep_rate_ppm"),
     )
+
+
+# ===========================================================================
+# Dedup threshold sweep: pair/doc counts per Jaccard cutoff, one pass
+# ===========================================================================
+def _threshold_sweep_sql() -> str:
+    from .queries import _near_dup_sql
+
+    return f"""
+    WITH pairs AS (
+        SELECT id_a, id_b, jaccard
+        FROM ({_near_dup_sql(threshold=0.5)})
+    ),
+    thresholds AS (SELECT UNNEST([500000, 600000, 700000, 800000,
+                                  900000]) AS thr_micro)
+    SELECT thr_micro,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT endpoint) AS BIGINT) AS n_docs_touched
+    FROM (
+        SELECT thr_micro, id_a, id_b,
+               UNNEST([id_a, id_b]) AS endpoint
+        FROM thresholds
+        JOIN pairs ON CAST(FLOOR(jaccard * 1e6 + 0.5) AS BIGINT)
+                      >= thr_micro
+    )
+    GROUP BY thr_micro
+    """
+
+
+@register(
+    "dedup_threshold_sweep",
+    _threshold_sweep_sql(),
+    doc="Dedup-threshold tuning sweep: the LSH candidate pass runs ONCE "
+    "at the loosest cutoff (0.5), then every stricter threshold's pair "
+    "count and touched-doc count comes from the same verified pair list "
+    "— the marginal cost of evaluating 5 operating points is one tiny "
+    "explode-join, not 5 dedup runs.  The report that picks the "
+    "similarity cutoff before committing a keep-list (too loose = "
+    "collateral deletion, too strict = residual duplication).  Jaccard "
+    "is micro-rounded before the >= compare so the band edges agree "
+    "across engines.",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import near_dup_pairs
+
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = near_dup_pairs(d, n_hashes=16, bands=4, threshold=0.5).select(
+        "id_a", "id_b",
+        F.floor(F.col("jaccard") * 1e6 + 0.5).cast("long").alias("jm"),
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in (500000, 600000, 700000, 800000, 900000)],
+        "thr_micro long",
+    )
+    j = F.broadcast(thr).join(pairs, pairs.jm >= thr.thr_micro)
+    exploded = j.select(
+        "thr_micro",
+        F.explode(F.array("id_a", "id_b")).alias("endpoint"),
+    )
+    return exploded.groupBy("thr_micro").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+        F.countDistinct("endpoint").cast("long").alias("n_docs_touched"),
+    )
