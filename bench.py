@@ -188,6 +188,7 @@ HEADLINE_V3 = [
     "backfill_report",
     "length_matched_sample_plan",
     "dedup_threshold_sweep",
+    "source_vocab_overlap",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

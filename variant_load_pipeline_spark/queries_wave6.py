@@ -2537,3 +2537,79 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
         F.countDistinct("endpoint").cast("long").alias("n_docs_touched"),
     )
+
+
+# ===========================================================================
+# Source vocabulary-overlap matrix (pairwise Jaccard of token sets)
+# ===========================================================================
+@register(
+    "source_vocab_overlap",
+    """
+    WITH sv AS (
+        SELECT DISTINCT source, u.w AS term
+        FROM (SELECT source,
+                     CASE WHEN trim(regexp_replace(lower(coalesce(text, '')),
+                               '[^a-z0-9]+', ' ', 'g')) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(regexp_replace(
+                               lower(coalesce(text, '')), '[^a-z0-9]+', ' ',
+                               'g')), ' ') END AS ws
+              FROM documents) d, UNNEST(d.ws) AS u(w)
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sv GROUP BY source),
+    inter AS (
+        SELECT a.source AS sa, b.source AS sb, COUNT(*) AS nab
+        FROM sv a JOIN sv b ON a.term = b.term AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT sa AS source_a, sb AS source_b,
+           CAST(nab AS BIGINT) AS n_shared,
+           CAST(FLOOR(CAST(nab AS DOUBLE) * 1e6
+                / (za.n + zb.n - nab) + 0.5) AS BIGINT) AS jaccard_micro
+    FROM inter
+    JOIN sizes za ON sa = za.source
+    JOIN sizes zb ON sb = zb.source
+    """,
+    doc="Source vocabulary-overlap matrix: pairwise Jaccard of the "
+    "distinct token sets of every source pair — the lexical-similarity "
+    "audit that flags mirrored/scraped-from-each-other sources before "
+    "near-dup even runs (high vocab overlap + low doc overlap = "
+    "paraphrase-level contamination).  One distinct (source, term) "
+    "table; the pair space comes from a self-equi-join ON TERM (rows "
+    "bounded by per-term source counts, never |V|^2); sizes broadcast "
+    "back.  Exact integer Jaccard in micro units.",
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sv = (
+        d.select(
+            "source", F.explode(T.words(F.col("text"))).alias("term")
+        )
+        .distinct()
+    )
+    sizes = sv.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sv.select(F.col("source").alias("sa"), "term")
+    b = sv.select(F.col("source").alias("sb"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("nab"))
+    )
+    za = sizes.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(za), "sa")
+        .join(F.broadcast(zb), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("nab").cast("long").alias("n_shared"),
+            F.floor(
+                F.col("nab").cast("double")
+                * 1e6
+                / (F.col("na") + F.col("nb") - F.col("nab"))
+                + 0.5
+            ).cast("long").alias("jaccard_micro"),
+        )
+    )
