@@ -817,3 +817,38 @@ def test_lsh_index_compaction_preserves_matching(spark, tmp_path):
     sink(batch, 2)
     got = {r["doc_id"] for r in ing.read_kept(spark, kept).collect()}
     assert got == {11, 21, 33}
+
+
+def test_lsh_ingest_redelivery_after_compaction_keeps_doc(spark, tmp_path):
+    """A batch redelivered AFTER its index partition was folded into a
+    seed generation finds its own first-attempt rows under a partition
+    id that is no longer its own, so the partition-exclusion guard can't
+    help — the doc-identity self-match filter must keep the doc from
+    matching itself at jaccard 1.0 and silently dropping (the kept
+    partition overwrite would otherwise come out empty)."""
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    idx = str(tmp_path / "idx")
+    kept = str(tmp_path / "kept")
+    ing.seed_lsh_ingest(_doc(spark, 1, _BASE_WORDS[0]), idx)
+    sink = ing.lsh_ingest_sink(spark, idx, kept, threshold=0.8)
+    sink(_doc(spark, 11, _BASE_WORDS[1]), 0)
+    ing.compact_lsh_index(spark, idx, upto_batch_id=0)
+
+    # checkpoint-replay redelivery of batch 0 (identical payload)
+    sink(_doc(spark, 11, _BASE_WORDS[1]), 0)
+    got = {r["doc_id"] for r in ing.read_kept(spark, kept).collect()}
+    assert got == {11}
+
+
+def test_compact_lsh_index_single_generation_is_noop(spark, tmp_path):
+    """A lone seed generation has nothing to fold — compaction must not
+    rewrite it (and must not burn a generation id)."""
+    import os
+
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    idx = str(tmp_path / "idx")
+    ing.seed_lsh_ingest(_doc(spark, 1, _BASE_WORDS[0]), idx)
+    assert ing.compact_lsh_index(spark, idx, upto_batch_id=99) == 0
+    assert os.listdir(f"{idx}/bands") == ["ingest_batch=-1"]

@@ -784,12 +784,17 @@ def match_lsh_frames(
     DataFrames (``corpus_bands``: (corpus_id, band_idx, band_hash);
     ``corpus_sh``: (corpus_id, sh_c)) so callers can pre-filter the
     index — e.g. the streaming ingest sink excludes the current batch's
-    own prior write to stay idempotent under redelivery."""
-    from pyspark.storagelevel import StorageLevel
+    own prior write to stay idempotent under redelivery.
 
-    sh = _shingle_hash_table(new_docs, text_col, id_col, shingle_k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    The batch shingle frame is reused by two joins, so it is
+    localCheckpoint(eager=False)-ed rather than persist()-ed: a
+    localCheckpoint is released by the ContextCleaner when the frame
+    goes out of scope, whereas an un-unpersisted cache entry would leak
+    one CacheManager slot per call — this runs once per micro-batch in
+    a long-lived streaming driver (same reasoning as dedup_upsert in
+    operators/upsert.py)."""
+    sh = _shingle_hash_table(new_docs, text_col, id_col, shingle_k)
+    sh = sh.localCheckpoint(eager=False)
     batch_bands = _banded_from_hashes(sh, id_col, n_hashes, bands).select(
         F.col(id_col).alias("batch_id"), "band_idx", "band_hash"
     )

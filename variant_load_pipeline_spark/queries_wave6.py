@@ -1651,8 +1651,11 @@ def join_types_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mixing_schedule_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    epochs = spark.range(1, 4).select(F.col("id").cast("int").alias("epoch"))
-    terms = per_src.crossJoin(F.broadcast(epochs)).select(
+    # 3-row epoch spine as a per-row explode(sequence) — no crossJoin, so
+    # no BroadcastNestedLoopJoin in the plan (plan-audit invariant).
+    terms = per_src.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(1), F.lit(3)))
+    ).select(
         "epoch", "source", "n_docs",
         F.floor(
             F.exp(
@@ -2508,7 +2511,8 @@ def _threshold_sweep_sql() -> str:
     "at the loosest cutoff (0.5), then every stricter threshold's pair "
     "count and touched-doc count comes from the same verified pair list "
     "— the marginal cost of evaluating 5 operating points is one tiny "
-    "explode-join, not 5 dedup runs.  The report that picks the "
+    "per-row threshold explode (no join at all), not 5 dedup runs.  "
+    "The report that picks the "
     "similarity cutoff before committing a keep-list (too loose = "
     "collateral deletion, too strict = residual duplication).  Jaccard "
     "is micro-rounded before the >= compare so the band edges agree "
@@ -2524,11 +2528,19 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b",
         F.floor(F.col("jaccard") * 1e6 + 0.5).cast("long").alias("jm"),
     )
-    thr = spark.createDataFrame(
-        [(t,) for t in (500000, 600000, 700000, 800000, 900000)],
-        "thr_micro long",
+    # Per-row explode of the thresholds each pair clears: zero joins (the
+    # old 5-row broadcast theta join planned a BroadcastNestedLoopJoin),
+    # same rows — every pair emits one row per threshold <= its jaccard.
+    thrs = F.array(
+        *[F.lit(t).cast("long")
+          for t in (500000, 600000, 700000, 800000, 900000)]
     )
-    j = F.broadcast(thr).join(pairs, pairs.jm >= thr.thr_micro)
+    j = pairs.select(
+        "id_a", "id_b",
+        F.explode(
+            F.filter(thrs, lambda t: F.col("jm") >= t)
+        ).alias("thr_micro"),
+    )
     exploded = j.select(
         "thr_micro",
         F.explode(F.array("id_a", "id_b")).alias("endpoint"),

@@ -113,17 +113,30 @@ def lsh_ingest_sink(
             .filter(F.col("ingest_batch") != batch_id)
             .select(F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_c"))
         )
-        dup_ids = match_lsh_frames(
-            corpus_bands,
-            corpus_sh,
-            batch,
-            text_col=text_col,
-            id_col=id_col,
-            n_hashes=n_hashes,
-            bands=bands,
-            shingle_k=shingle_k,
-            threshold=threshold,
-        ).select(F.col("batch_id").alias(id_col)).distinct()
+        dup_ids = (
+            match_lsh_frames(
+                corpus_bands,
+                corpus_sh,
+                batch,
+                text_col=text_col,
+                id_col=id_col,
+                n_hashes=n_hashes,
+                bands=bands,
+                shingle_k=shingle_k,
+                threshold=threshold,
+            )
+            # Self-match guard #2 (doc-identity): doc ids are globally
+            # unique, so a pair whose two sides are the SAME doc can only
+            # be this batch's own prior write seen through a partition
+            # that no longer carries its batch id (e.g. after
+            # compact_lsh_index folded it into a seed generation).  The
+            # partition-exclusion guard above cannot catch that case;
+            # without this filter a redelivered-after-compaction batch
+            # would self-match at jaccard 1.0 and silently drop itself.
+            .filter(F.col("batch_id") != F.col("corpus_id"))
+            .select(F.col("batch_id").alias(id_col))
+            .distinct()
+        )
         keep = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(
             eager=True
         )
@@ -283,20 +296,40 @@ def psi_from_counts(spark, counts_path: str, n_bins: int = 10) -> DataFrame:
 
 
 def compact_lsh_index(spark, index_path: str, upto_batch_id: int) -> int:
-    """Fold the per-batch index partitions 0..upto_batch_id into the seed
-    generation (``ingest_batch=-1``) — the maintenance job that keeps the
-    ingest index's partition count O(1) instead of O(batches).
+    """Fold batch index partitions 0..upto_batch_id plus every existing
+    seed generation (``ingest_batch<0``) into ONE fresh seed generation —
+    the maintenance job that keeps the ingest index's partition count
+    O(1) instead of O(batches).
 
-    Matching semantics are unchanged: the union of the compacted
-    partitions equals their concatenation (the index stores rows keyed by
-    doc, no cross-partition state), and redelivery of an ALREADY-
-    compacted batch id is still safe — its overwrite recreates the
-    partition, the rows duplicate the seed's, and candidate matching
-    dedups by doc id before verification.
+    **Contract: ``upto_batch_id`` must be at or below the last batch id
+    COMMITTED to the stream's checkpoint.**  Compaction erases batch
+    identity, so the partition-exclusion redelivery guard in
+    lsh_ingest_sink no longer applies to folded batches.  The doc-id
+    self-match filter there still protects each individual doc, but two
+    within-batch NEAR-duplicates (both accepted by design on first
+    delivery) would cross-match each other's folded rows and both drop
+    on a redelivery — only batches the checkpoint guarantees will never
+    be redelivered are safe to fold.
 
-    Returns the number of batch partitions folded in.  Writes go through
-    a temp generation then an atomic-per-store swap (delete olds, rename),
-    using the Hadoop FileSystem API so the same code runs on HDFS/S3A.
+    Crash-recoverable swap order (no window ever MISSES index rows;
+    duplicate rows are harmless — candidates are de-duplicated and
+    Jaccard is computed per pair):
+
+    1. write the merged rows to a dot-prefixed temp dir (invisible to
+       partition discovery);
+    2. rename it to a NEW seed generation ``ingest_batch=<g>`` where
+       ``g`` = (most negative existing generation) - 1 — from this
+       instant the index is complete-with-duplicates;
+    3. delete the folded partitions last.
+
+    A crash before (2) leaves only hidden temp files (overwritten by the
+    next run); a crash during (3) leaves duplicates that the next
+    compaction folds (readers stay correct throughout).  Generations are
+    any ``ingest_batch<0``: lsh_ingest_sink's ``!= batch_id`` exclusion
+    (batch ids are >= 0) always keeps them in the match.
+
+    Returns the number of batch (non-generation) partitions folded.
+    Uses the Hadoop FileSystem API so the same code runs on HDFS/S3A.
     """
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
@@ -308,25 +341,25 @@ def compact_lsh_index(spark, index_path: str, upto_batch_id: int) -> int:
     for sub in ("bands", "shingles"):
         root = f"{index_path}/{sub}"
         fs = fs_path(root).getFileSystem(conf)
-        parts = []
+        parts, bids = [], []
         for st in fs.listStatus(fs_path(root)):
             name = st.getPath().getName()
             if not name.startswith("ingest_batch="):
                 continue
             bid = int(name.split("=", 1)[1])
-            if bid == -1 or bid <= upto_batch_id:
+            if bid < 0 or bid <= upto_batch_id:
                 parts.append(name)
-        if not parts:
-            continue
-        merged = spark.read.parquet(
-            *[f"{root}/{p}" for p in parts]
-        )
+                bids.append(bid)
+        if len(parts) < 2:
+            continue  # nothing to fold (a lone generation is already compact)
+        new_gen = min([-1] + [b for b in bids if b < 0]) - 1
+        merged = spark.read.parquet(*[f"{root}/{p}" for p in parts])
         tmp = f"{root}/.compact_tmp"
         merged.coalesce(
             max(1, spark.sparkContext.defaultParallelism // 4)
         ).write.mode("overwrite").parquet(tmp)
+        fs.rename(fs_path(tmp), fs_path(f"{root}/ingest_batch={new_gen}"))
         for p in parts:
             fs.delete(fs_path(f"{root}/{p}"), True)
-        fs.rename(fs_path(tmp), fs_path(f"{root}/ingest_batch=-1"))
-        folded = max(folded, len([p for p in parts if p != "ingest_batch=-1"]))
+        folded = max(folded, len([b for b in bids if b >= 0]))
     return folded
