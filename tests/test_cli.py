@@ -619,6 +619,17 @@ def test_cli_variant_rat_loader_from_db(spark, tmp_path):
     assert vmd[0]["map_key"] == 38
     # clinvar_id merge-update stamped the CLINVAR element symbol
     assert variant[0]["clinvar_id"] == "RCV000011"
+    # insertClinvarIds runs over the WHOLE variant table
+    # (VariantProcessingBase.java:344-378): the updates frame carries the
+    # EXISTING matched store variant 11 too, not only the fresh insert;
+    # the OMIM element (13) is excluded by the source filter
+    upd = {
+        r["rgd_id"]: r["clinvar_id"]
+        for r in spark.read.parquet(
+            f"{out}/variant_clinvar_updates"
+        ).collect()
+    }
+    assert upd == {11: "RCV000001", 14: "RCV000011"}
     # every incoming row reaches sample_detail; matched rows reuse store ids
     got = {r["rgd_id"]: r for r in detail}
     assert set(got) == {11, 12, 13, 14}
@@ -649,6 +660,11 @@ def test_cli_dbsnp2vcf_hgvs_derivation(spark, tmp_path):
             ("2", 80, "rs7", "deletion", "C>T", "+", 4),
             # minus-strand snv flips both alleles
             ("3", 10, "rs8", "single nucleotide variant", "A>G", "-", 1),
+            # IUPAC codes parse (substring semantics, getRefAndVarNuc has
+            # no alphabet check) but fail the both-allele ACGT QC
+            # (qcVarNucAndRefNuc :161-191) -> skipped
+            ("3", 20, "rs9", "single nucleotide variant", "C>R", "+", 2),
+            ("3", 30, "rs10", "deletion", "delNN", "+", 2),
         ],
         "chromosome string, position long, id string, var_type string,"
         " nuc_change string, strand string, depth long",

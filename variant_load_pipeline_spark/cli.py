@@ -52,7 +52,8 @@ def _dbsnp2vcf(spark, args) -> None:
     """DbSnp2Vcf.java: dbSNP variant rows -> sorted VCF, deriving ref/alt
     from the HGVS nucleotide change per variation type (getRefAndVarNuc
     :216-285) with '-'-strand reverse-complement (handleStrandedness
-    :193-213) and the varNuc ACGT validation (isValid :178-190).
+    :193-213) and the BOTH-allele ACGT validation (qcVarNucAndRefNuc
+    :161-191 — refNuc and varNuc each strict ACGT unless '-').
 
     When the input already carries ref/alt columns (no ``nuc_change``),
     falls back to the generic pre-derived export path."""
@@ -79,10 +80,17 @@ def _dbsnp2vcf(spark, args) -> None:
             ).alias("depth"),
         )
         # unsupported (type, change) rows are skipped (getRefAndVarNuc
-        # returns false); varNuc must be ACGT (or the '-' placeholder)
+        # returns false); qcVarNucAndRefNuc (:161-191) then requires BOTH
+        # alleles strict-ACGT (or the '-' placeholder) — IUPAC/N changes
+        # like 'C>R' or 'delNN' parse but are dropped here, exactly the
+        # reference's parse-then-QC split
         df = df.filter(
             F.col("ref").isNotNull()
             & F.col("alt").isNotNull()
+            & (
+                (F.col("ref") == "-")
+                | scalar.is_valid_nuc(F.col("ref"), "ACGT")
+            )
             & (
                 (F.col("alt") == "-")
                 | scalar.is_valid_nuc(F.col("alt"), "ACGT")

@@ -322,14 +322,25 @@ def dbsnp_ref_var(
 
     Unsupported (type, change) combinations yield NULL alleles — the
     reference returns false and skips the row; filter on
-    ``ref_nuc IS NOT NULL`` to replicate.
+    ``ref_nuc IS NOT NULL`` to replicate.  Non-ACGT letters (IUPAC, N)
+    DO extract, mirroring the reference's substring parse; replicate its
+    qcVarNucAndRefNuc gate (:161-191) by also filtering BOTH outputs
+    with ``is_valid_nuc(col, "ACGT")`` (the '-' placeholder exempt).
     """
-    sub_ref = F.regexp_extract(nuc_change, r"^([ACGT]+)>([ACGT]+)$", 1)
-    sub_var = F.regexp_extract(nuc_change, r"^([ACGT]+)>([ACGT]+)$", 2)
-    eq_ref = F.regexp_extract(nuc_change, r"^([ACGT]+)=$", 1)
-    del_seq = F.regexp_extract(nuc_change, r"^del([ACGT]+)$", 1)
-    dup_seq = F.regexp_extract(nuc_change, r"^dup([ACGT]+)$", 1)
-    ins_seq = F.regexp_extract(nuc_change, r"^ins([ACGT]+)$", 1)
+    # Plain-substring parsing like the reference: ANY letters extract
+    # (getRefAndVarNuc takes substring(pos) with no alphabet check), so
+    # IUPAC/N alleles like 'C>R' or 'delNN' parse here and are rejected
+    # DOWNSTREAM by the qcVarNucAndRefNuc twin (DbSnp2Vcf.java:161-191
+    # validates BOTH alleles against strict ACGT, '-' exempt) — callers
+    # must gate with is_valid_nuc on ref AND var, as _dbsnp2vcf does.
+    # Restricting the extraction alphabet here instead would diverge on
+    # no case today, but couples parse to QC the reference keeps apart.
+    sub_ref = F.regexp_extract(nuc_change, r"^([A-Z]+)>([A-Z]+)$", 1)
+    sub_var = F.regexp_extract(nuc_change, r"^([A-Z]+)>([A-Z]+)$", 2)
+    eq_ref = F.regexp_extract(nuc_change, r"^([A-Z]+)=$", 1)
+    del_seq = F.regexp_extract(nuc_change, r"^del([A-Z]+)$", 1)
+    dup_seq = F.regexp_extract(nuc_change, r"^dup([A-Z]+)$", 1)
+    ins_seq = F.regexp_extract(nuc_change, r"^ins([A-Z]+)$", 1)
     null_s = F.lit(None).cast("string")
     is_snv = var_type == "single nucleotide variant"
     ref = (

@@ -299,7 +299,11 @@ def run_reload_from_db(
     * The ClinVar path finishes with insertClinvarIds
       (VariantProcessingBase.java:344-378): a batched
       ``UPDATE variant SET clinvar_id = symbol`` from genomic elements
-      whose source == 'CLINVAR' — here the K5 merge_update on rgd_id.
+      whose source == 'CLINVAR' over the WHOLE variant table — here the
+      K5 merge_update stamps the fresh inserts inline, and the returned
+      ``variant_clinvar_updates`` frame carries the (rgd_id, clinvar_id)
+      UPDATE rows for EVERY store-or-fresh id (the reference's statement
+      touches existing variants this load never re-inserted).
 
     Spark-first: the per-(sample, chromosome) JVM loop becomes one
     declarative plan — dedup_upsert is a single null-safe left join whose
@@ -352,6 +356,7 @@ def run_reload_from_db(
         F.lit(None).cast("string").alias("clinvar_id"),
         F.lit(species_type_key).alias("species_type_key"),
     ).dropDuplicates(["rgd_id"])
+    clinvar_updates = None
     if elements is not None:
         from ..operators.upsert import merge_update
 
@@ -361,6 +366,23 @@ def run_reload_from_db(
         )
         variant = merge_update(
             variant, clinvar, keys=["rgd_id"], set_cols=["clinvar_id"]
+        )
+        # insertClinvarIds (VariantProcessingBase.java:344-378) UPDATEs
+        # the WHOLE variant table, not just this load's inserts — emit
+        # the K5 batched-UPDATE input for every store-or-fresh id that
+        # matches a CLINVAR element, so existing matched variants receive
+        # their clinvar_id too (the fresh frame above already carries it
+        # inline).  A semi join against the full id universe: every store
+        # id (not only ones this load re-matched) plus this load's ids.
+        universe = ids.select(F.col("rgd_id").cast("long").alias("rgd_id"))
+        if existing is not None:
+            universe = universe.unionByName(
+                existing.select(
+                    F.col("rgd_id").cast("long").alias("rgd_id")
+                )
+            )
+        clinvar_updates = clinvar.join(
+            universe.dropDuplicates(["rgd_id"]), "rgd_id", "leftsemi"
         )
     map_data = fresh.select(
         "rgd_id",
@@ -377,12 +399,15 @@ def run_reload_from_db(
         F.lit(sample.sample_id).alias("sample_id"),
         *[F.col(c) for c, _ in _SAMPLE_DETAIL_COLS],
     ).dropDuplicates(["rgd_id", "sample_id"])
-    return {
+    out = {
         "variant": variant,
         "variant_map_data": map_data,
         "variant_sample_detail": sample_detail,
         "_ids": ids,
     }
+    if clinvar_updates is not None:
+        out["variant_clinvar_updates"] = clinvar_updates
+    return out
 
 
 def load_counters(annotated: DataFrame) -> DataFrame:
