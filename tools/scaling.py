@@ -73,12 +73,11 @@ EXPLAINED: dict[str, str] = {
     "quadratic by contract",
     "edit_distance_dup_pairs": "prefix-bucket candidate join with exact "
     "verify; candidates grow superlinearly when bucket occupancy rises",
-    "containment_pairs": "the synthetic corpus shares a ~60-word base "
-    "vocabulary (the query's own docstring documents this), so every "
-    "base term's posting list spans ALL replicas and the inverted-index "
-    "join degenerates toward all-pairs: 10x docs -> ~100x candidate "
-    "pairs.  On a real Zipf corpus the guard is df-pruning head terms "
-    "(same recall trade as the LSH hot-bucket guards)",
+    # containment_pairs: formerly flagged at 114.6x (shared base
+    # vocabulary -> posting lists spanning all replicas).  The df-pruning
+    # head guard is now IMPLEMENTED in the query (df > _CONT_DF_CUTOFF
+    # terms dropped from postings before the self-join, cutoff mirrored
+    # in the oracle) — re-swept at 2.5x, entry removed.
     "dup_span_detect": "gram-postings self-join: repeated-gram postings "
     "grow 10x and pair verify is quadratic per posting list",
     "j1_interval_overlap": "fixture-density artifact, not operator cost: "

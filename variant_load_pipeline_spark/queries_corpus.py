@@ -1992,6 +1992,9 @@ def edit_distance_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Containment (asymmetric overlap: quote/partial-duplicate detection)
 # ---------------------------------------------------------------------------
+_CONT_DF_CUTOFF = 2000  # head-term df guard; see containment_pairs doc
+
+
 @register(
     "containment_pairs",
     f"""
@@ -2002,9 +2005,14 @@ def edit_distance_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (SELECT doc_id, unnest(w) AS term FROM d),
     n AS (SELECT doc_id, len(w) AS nw FROM d),
+    hot AS (
+        SELECT term FROM t GROUP BY term
+        HAVING COUNT(*) > {_CONT_DF_CUTOFF}
+    ),
+    tp AS (SELECT doc_id, term FROM t ANTI JOIN hot USING (term)),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+        FROM tp a JOIN tp b ON a.term = b.term AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT CAST(p.id_a AS BIGINT) AS id_a, CAST(p.id_b AS BIGINT) AS id_b,
@@ -2023,19 +2031,25 @@ def edit_distance_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "public].  Candidate pairs come from the shared-term inverted-index "
     "join with the count aggregated BEFORE any per-pair set math; the "
     "integer pre-filter (inter*10 >= min*9) prunes in exact arithmetic "
-    "and the float threshold only confirms",
+    "and the float threshold only confirms.  Scale guard: terms whose "
+    f"document frequency exceeds {_CONT_DF_CUTOFF} are dropped from the "
+    "posting lists before the self-join (the Zipf head generates "
+    "O(df^2) pairs while carrying no discriminative signal — the same "
+    "recall trade as the LSH hot-band guards: overlap consisting "
+    "PURELY of pruned head terms is missed, and inter undercounts by "
+    "each pair's head-term mass while min(|A|,|B|) stays full-set).  "
+    "Both engines apply the identical cutoff",
 )
 def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import normalize_text
 
     d = (
         load(spark, sf_dir, "documents")
-        # this synthetic corpus shares a ~60-word vocabulary, so EVERY
-        # term is a hot term and the inverted-index join degenerates
+        # this synthetic corpus shares a ~30-word vocabulary, so EVERY
+        # term is equally hot and the inverted-index join degenerates
         # toward all-pairs; the subset keeps the oracle exact while
-        # bounding the blowup.  On a real (Zipf) corpus the guard is
-        # df-pruning the index's head terms — same recall trade as the
-        # LSH hot-bucket guards
+        # bounding the blowup at the tested SFs (where no term crosses
+        # the df cutoff and the guard is a no-op)
         .filter(F.col("doc_id") % 5 == 0)
         .select(
             "doc_id",
@@ -2049,8 +2063,22 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = d.select("doc_id", F.explode("w").alias("term"))
     n = d.select("doc_id", F.size("w").alias("nw"))
-    a = t.select(F.col("doc_id").alias("id_a"), "term")
-    b = t.select(F.col("doc_id").alias("id_b"), F.col("term").alias("term_b"))
+    # df-pruning head guard: the HOT side (df > cutoff) is the tiny one
+    # under Zipf — broadcast it into a left_anti so the corpus-sized
+    # posting list never shuffles on the head terms it's about to drop.
+    # Denominators (nw) stay full-set; only the pair formation and inter
+    # count run over the pruned postings (recall trade in the doc above).
+    hot = (
+        t.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _CONT_DF_CUTOFF)
+        .select("term")
+    )
+    tp = t.join(F.broadcast(hot), "term", "left_anti")
+    a = tp.select(F.col("doc_id").alias("id_a"), "term")
+    b = tp.select(
+        F.col("doc_id").alias("id_b"), F.col("term").alias("term_b")
+    )
     pairs = (
         a.join(
             b,
