@@ -215,6 +215,30 @@ def test_annotate_variants_chunked_matches_broadcast(spark):
 
     assert rows("chunked", 5) == rows("broadcast", 5)
     assert rows("chunked", 4) == rows("broadcast", 1_000_000)
+    # 'auto' picks by measured genome size against the broadcast ceiling:
+    # the tiny fixture stays broadcast; with the ceiling forced below the
+    # genome, auto flips to chunked — same rows either way, so the
+    # 100-TB call site never changes code when the genome outgrows it
+    import variant_load_pipeline_spark.plans.postprocess as pp
+
+    hits = []
+    real_chunked = pp._annotate_chunked
+
+    def spy(*a, **kw):
+        hits.append(1)
+        return real_chunked(*a, **kw)
+
+    pp._annotate_chunked = spy
+    old = pp.FASTA_BROADCAST_MAX_BASES
+    try:
+        assert rows("auto", 5) == rows("broadcast", 5)
+        assert not hits  # tiny genome: auto stayed broadcast
+        pp.FASTA_BROADCAST_MAX_BASES = len(SEQ) - 1
+        assert rows("auto", 5) == rows("chunked", 5)
+        assert hits  # ceiling below genome size: auto flipped to chunked
+    finally:
+        pp.FASTA_BROADCAST_MAX_BASES = old
+        pp._annotate_chunked = real_chunked
 
 
 def test_annotate_variants_chunked_multichrom(spark):

@@ -90,10 +90,12 @@ EXPLAINED: dict[str, str] = {
     "j15_strand_lookup": "same shared-coordinate-space density artifact: "
     "10x features over the same positions -> ~100x containment pairs; "
     "runtime grew 62x, sub-linear per output row",
-    "p29_annotate_indel": "same density artifact on the variant x "
-    "transcript interval fan-out (~100x pairs through the CDS kernel); "
-    "p29_annotate_pairs/chunked absorb it at 13x/10x because their "
-    "timers include the linear prep stages",
+    # p29_annotate_indel: formerly flagged at 69.9x.  Root cause was NOT
+    # the pair fan-out: the generator's inline string-CASE allele
+    # expressions poisoned the fused whole-stage-codegen join stage
+    # (345s -> 22s with codegen off).  Fixed by routing alleles through
+    # a 96-row broadcast dim join + JVM-side location/near-splice algebra
+    # in the annotate kernel; re-swept at 11.5x, entry removed.
     "ann_pq_persisted_topk": "ADC scoring is query-set x corpus (10x x "
     "10x = 100x table lookups) by design; measured 3.2x with the timer "
     "including the linear fit/write/reload (eager-construct), listed "

@@ -490,8 +490,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--fasta-strategy",
         dest="fasta_strategy",
-        choices=["broadcast", "chunked"],
-        default="broadcast",
+        choices=["auto", "broadcast", "chunked"],
+        default="auto",
     )
     p.add_argument("--docs")
     p.add_argument("--model")

@@ -307,6 +307,13 @@ _OUT_FIELDS = [
 VT_OUT_SCHEMA = T.StructType([T.StructField(n, t) for n, t in _OUT_FIELDS])
 
 
+# auto strategy: genomes at or under this many total bases broadcast
+# whole (a rat/human genome is ~2.5-3 GB of sequence — near the practical
+# broadcast ceiling); anything larger goes chunked with no code change at
+# the call site
+FASTA_BROADCAST_MAX_BASES = 3_000_000_000
+
+
 def annotate_variants(
     variants: DataFrame,
     genes: DataFrame,
@@ -315,7 +322,7 @@ def annotate_variants(
     fasta: DataFrame,
     existing_vt: DataFrame | None = None,
     map_key: int | None = None,
-    fasta_strategy: str = "broadcast",
+    fasta_strategy: str = "auto",
     chunk_size: int = 1_000_000,
 ) -> DataFrame:
     """Full VariantPostProcessing plan -> VARIANT_TRANSCRIPT rows.
@@ -325,6 +332,11 @@ def annotate_variants(
     features: TRANSCRIPT_FEATURES_SCHEMA; fasta: (chromosome, seq).
 
     ``fasta_strategy``:
+    * ``auto`` (default) — pick by measured genome size: one
+      column-pruned sum(length(seq)) aggregate, then ``broadcast`` at or
+      under FASTA_BROADCAST_MAX_BASES, else ``chunked``.  The 100-TB
+      call site needs no code change when the genome outgrows the
+      executor heap.
     * ``broadcast`` — per-chromosome sequence strings broadcast whole
       (ChrFastaFile mmap analog; fine while the genome fits executor memory).
     * ``chunked`` — THE 100 TB PATH (SURVEY §7.4): the genome becomes a
@@ -335,6 +347,14 @@ def annotate_variants(
       sequence.  No driver collect, no whole-genome broadcast.
     """
     spark = variants.sparkSession
+
+    if fasta_strategy == "auto":
+        total = fasta.agg(F.sum(F.length("seq"))).first()[0] or 0
+        fasta_strategy = (
+            "broadcast" if total <= FASTA_BROADCAST_MAX_BASES else "chunked"
+        )
+    if fasta_strategy not in ("broadcast", "chunked"):
+        raise ValueError(f"unknown fasta_strategy={fasta_strategy}")
 
     v = variants.select(
         F.col("rgd_id").alias("variant_rgd_id"),
@@ -418,52 +438,180 @@ def annotate_variants(
     }
     bc = spark.sparkContext.broadcast(fasta_map)
 
+    # ------------------------------------------------------------------
+    # JVM half of the kernel.  location_name / near_splice_site are pure
+    # array algebra over the sorted feature list (processFeatures
+    # :310-396 / :337-358), so they evaluate in whole-stage codegen for
+    # EVERY pair, and the Python kernel receives ONLY the rows that
+    # genuinely need string surgery — in-exon pairs on coding
+    # transcripts (annotate_pair returns the location-only base row for
+    # everything else, :256-291 early exit).  At 10x gene density this
+    # cuts the Arrow-crossing row count ~2x and, more importantly, the
+    # rows that do cross carry narrow scalars instead of the per-pair
+    # 5-struct features array (shipped once per TRANSCRIPT below).
+    # ------------------------------------------------------------------
+    vs_, ve_ = F.col("var_start"), F.col("var_stop")
+    fcol = F.col("features")
+
+    def _contains(f):
+        return (f["start_pos"] <= vs_) & (f["stop_pos"] >= ve_)
+
+    in_exon = F.exists(
+        fcol, lambda f: (f["object_name"] == "EXONS") & _contains(f)
+    )
+    nc_y = F.coalesce(F.col("is_non_coding_ind"), F.lit("N")) == "Y"
+    empty_s = F.array().cast("array<string>")
+    # comma-append order = feature iteration order (3UTRS* < 5UTRS* <
+    # EXONS under the (object_name, start, stop) sort), EXON at most
+    # once, then INTRON / NON-CODING suffixes — :256-291 exactly
+    loc_arr = F.concat(
+        F.transform(
+            F.filter(
+                fcol, lambda f: (f["object_name"] == "3UTRS") & _contains(f)
+            ),
+            lambda f: F.lit("3UTRS"),
+        ),
+        F.transform(
+            F.filter(
+                fcol, lambda f: (f["object_name"] == "5UTRS") & _contains(f)
+            ),
+            lambda f: F.lit("5UTRS"),
+        ),
+        F.when(in_exon, F.array(F.lit("EXON"))).otherwise(empty_s),
+        F.when(~in_exon, F.array(F.lit("INTRON"))).otherwise(empty_s),
+        F.when(nc_y, F.array(F.lit("NON-CODING"))).otherwise(empty_s),
+    )
+    ex = F.filter(fcol, lambda f: f["object_name"] == "EXONS")
+    nex = F.size(ex)
+    # 1-based exon index i replicates the loop's len(exons)-so-far tests
+    # (first-exon start and last-exon stop are skipped); sequence(1, 0)
+    # would DESCEND, so zero-exon transcripts are guarded to False
+    near = F.when(
+        nex >= 1,
+        F.exists(
+            F.sequence(F.lit(1), nex),
+            lambda i: (
+                (i != 1)
+                & (F.element_at(ex, i)["start_pos"] - 10 <= vs_)
+                & (F.element_at(ex, i)["start_pos"] + 10 >= ve_)
+            )
+            | (
+                (i != nex)
+                & (F.element_at(ex, i)["stop_pos"] - 10 <= vs_)
+                & (F.element_at(ex, i)["stop_pos"] + 10 >= ve_)
+            ),
+        ),
+    ).otherwise(F.lit(False))
+
+    # single-consumer plan: the pairs frame flows through ONE projection
+    # + ONE mapInPandas (no checkpoint, no branch union — a split into
+    # bypass/kernel branches would either recompute the join per branch
+    # or pay a materialization that costs more than the join itself);
+    # non-coding / non-exon rows short-circuit INSIDE the kernel at
+    # ~no cost since their outputs are already fully JVM-computed
+    kin = (
+        pairs.withColumn("location_name", F.array_join(loc_arr, ","))
+        .withColumn(
+            "near_splice_site", F.when(near, F.lit("T")).otherwise(F.lit("F"))
+        )
+        .withColumn("__coding_exon", in_exon & ~nc_y)
+        .select(
+            "variant_rgd_id",
+            "transcript_rgd_id",
+            "v_chrom",
+            "var_start",
+            "var_stop",
+            "ref_nuc",
+            "var_nuc",
+            "location_name",
+            "near_splice_site",
+            "__coding_exon",
+        )
+    )
+
+    # transcript-keyed feature lists broadcast ONCE (the gene model is
+    # the small dimension of this path by contract — the whole-genome
+    # fasta dict already rides the same assumption)
+    feats_map = {
+        (r["transcript_rgd_id"], r["f_chrom"]): [
+            (f["object_name"], f["start_pos"], f["stop_pos"], f["strand"])
+            for f in r["features"]
+        ]
+        for r in grouped.select(
+            "transcript_rgd_id", "f_chrom", "features"
+        ).collect()
+    }
+    bc_f = spark.sparkContext.broadcast(feats_map)
+
     def run(iterator):
         import pandas as pd
 
         seqs = bc.value
+        fmap = bc_f.value
         prep_cache: dict[tuple, dict] = {}
+        res_keys = (
+            "ref_aa", "var_aa", "syn_status", "location_name",
+            "near_splice_site", "full_ref_aa_pos", "full_ref_nuc_pos",
+            "triplet_error", "frameshift", "full_ref_aa_seq",
+        )
         for pdf in iterator:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                chr_seq = seqs.get(r.v_chrom, "")
-                feats = [
-                    (f["object_name"], f["start_pos"], f["stop_pos"], f["strand"])
-                    for f in r.features
-                ]
-                key = (r.transcript_rgd_id, r.v_chrom)
+            out_cols: dict[str, list] = {n: [] for n, _ in _OUT_FIELDS}
+            o_vrid = out_cols["variant_rgd_id"].append
+            o_trid = out_cols["transcript_rgd_id"].append
+            o_mk = out_cols["map_key"].append
+            appenders = [out_cols[k].append for k in res_keys]
+            for vrid, trid, chrom, vs, ve, ref, var, loc, nsp, coding in zip(
+                pdf["variant_rgd_id"].tolist(),
+                pdf["transcript_rgd_id"].tolist(),
+                pdf["v_chrom"].tolist(),
+                pdf["var_start"].tolist(),
+                pdf["var_stop"].tolist(),
+                pdf["ref_nuc"].tolist(),
+                pdf["var_nuc"].tolist(),
+                pdf["location_name"].tolist(),
+                pdf["near_splice_site"].tolist(),
+                pdf["__coding_exon"].tolist(),
+            ):
+                o_vrid(vrid)
+                o_trid(trid)
+                o_mk(mk)
+                if not coding:
+                    # location-only base row, fully JVM-computed
+                    appenders[0](None)
+                    appenders[1](None)
+                    appenders[2](None)
+                    appenders[3](loc)
+                    appenders[4](nsp)
+                    for app in appenders[5:]:
+                        app(None)
+                    continue
+                key = (trid, chrom)
                 prep = prep_cache.get(key)
                 if prep is None:
-                    prep = prepare_transcript(feats, chr_seq)
+                    prep = prepare_transcript(
+                        fmap.get(key, []), seqs.get(chrom, "")
+                    )
                     prep_cache[key] = prep
-                res = annotate_pair(
-                    int(r.var_start),
-                    int(r.var_stop),
-                    r.ref_nuc,
-                    r.var_nuc,
-                    feats,
-                    int(r.total_exon_count),
-                    r.is_non_coding_ind or "N",
-                    chr_seq,
-                    prep=prep,
-                )
-                rows.append(
-                    {
-                        "variant_rgd_id": r.variant_rgd_id,
-                        "transcript_rgd_id": r.transcript_rgd_id,
-                        "map_key": mk,
-                        **res,
-                    }
-                )
-            yield pd.DataFrame(
-                rows, columns=[n for n, _ in _OUT_FIELDS]
-            ) if rows else pd.DataFrame(columns=[n for n, _ in _OUT_FIELDS])
+                base = {
+                    "location_name": loc,
+                    "near_splice_site": nsp,
+                    "ref_aa": None,
+                    "var_aa": None,
+                    "syn_status": None,
+                    "full_ref_aa_pos": None,
+                    "full_ref_nuc_pos": None,
+                    "triplet_error": None,
+                    "frameshift": None,
+                    "full_ref_aa_seq": None,
+                }
+                res = _annotate_with_prep(base, prep, vs, ve, ref, var)
+                for app, k in zip(appenders, res_keys):
+                    app(res[k])
+            yield pd.DataFrame(out_cols, columns=[n for n, _ in _OUT_FIELDS])
 
-    out = pairs.mapInPandas(run, schema=VT_OUT_SCHEMA)
+    out = kin.mapInPandas(run, schema=VT_OUT_SCHEMA)
 
     # W5: one row per (variant, transcript), deterministic survivor
-    from pyspark.sql.window import Window as W
-
     return _dedup_and_finish(out, existing_vt)
 
 
