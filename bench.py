@@ -240,6 +240,8 @@ EAGER_CONSTRUCT = {
     "dedup_cluster_stats",
     # both keep-lists run their component loops at construction
     "keeplist_delta",
+    # snapshot keep-list write + new-side component loop at construction
+    "keeplist_delta_incremental",
     # the feature-matrix localCheckpoint materializes at construction
     "quality_lr_train",
     "quality_lr_score",

@@ -309,6 +309,22 @@ def test_keeplist_delta_statuses(spark):
     assert sum(1 for r in rows if r.doc_id < 250) == 250
 
 
+def test_keeplist_delta_incremental_agrees_with_recompute(spark):
+    """The persisted-snapshot form must produce row-for-row the same
+    delta as the full-recompute form — the stored keep-list round-trips
+    losslessly through write_keeplist/read_keeplist."""
+    sf = "/root/testdata/sf0.01"
+    full = {
+        r.doc_id: (r.old_keep, r.new_keep, r.status)
+        for r in _run(spark, "keeplist_delta", sf).collect()
+    }
+    inc = {
+        r.doc_id: (r.old_keep, r.new_keep, r.status)
+        for r in _run(spark, "keeplist_delta_incremental", sf).collect()
+    }
+    assert full == inc and len(inc) == 500
+
+
 # ---------------------------------------------------------------------------
 # Dataset card: totals reconcile with direct counts
 # ---------------------------------------------------------------------------

@@ -691,6 +691,21 @@ def _banded_from_hashes(
     ).select(id_col, "band.band_idx", "band.band_hash")
 
 
+def write_keeplist(keeplist: DataFrame, path: str) -> None:
+    """Persist a corpus_keeplist result (doc_id, canonical_id, keep) —
+    the production shape of incremental curation: today's refresh diffs
+    against the STORED list (read_keeplist + one left join), never by
+    re-running yesterday's exact->LSH->components chain.  Mirrors the
+    write_lsh_index / write_pq_index build-once/query-many economics —
+    at 100 TB the keep-list recompute IS the dedup cost."""
+    keeplist.write.mode("overwrite").parquet(path)
+
+
+def read_keeplist(spark, path: str) -> DataFrame:
+    """Load a persisted keep-list written by write_keeplist."""
+    return spark.read.parquet(path)
+
+
 def write_lsh_index(
     df: DataFrame,
     path: str,

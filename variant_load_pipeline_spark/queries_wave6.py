@@ -912,6 +912,74 @@ def keeplist_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Keep-list delta, INCREMENTAL form: diff against the PERSISTED list
+# ===========================================================================
+@register(
+    "keeplist_delta_incremental",
+    f"""
+    WITH old_docs AS (SELECT * FROM documents WHERE doc_id < 250),
+    old_k AS ({_keeplist_subquery('old_docs')}),
+    new_k AS ({_keeplist_subquery('documents')})
+    SELECT n.doc_id,
+           COALESCE(o.keep, '-') AS old_keep,
+           n.keep AS new_keep,
+           CASE WHEN o.keep IS NULL THEN 'new'
+                WHEN o.keep = n.keep THEN 'same'
+                WHEN o.keep = 'T' THEN 'demoted'
+                ELSE 'promoted' END AS status
+    FROM new_k n LEFT JOIN old_k o ON n.doc_id = o.doc_id
+    """,
+    doc="keeplist_delta's PRODUCTION shape: yesterday's keep-list is a "
+    "persisted artifact (write_keeplist at snapshot time), so the "
+    "refresh diff reads it back and runs ONLY the new corpus's "
+    "exact->LSH->components chain plus one left join — the stored "
+    "chain never recomputes (build-once/query-many, like the persisted "
+    "LSH/PQ/IVF indexes).  The oracle is identical to keeplist_delta's "
+    "(the stored list equals the recomputed old list by construction), "
+    "so a hash match here PROVES the persisted round-trip is lossless; "
+    "eager-construct: the snapshot write happens inside the query.",
+)
+def keeplist_delta_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from .operators.dedup import (
+        corpus_keeplist,
+        read_keeplist,
+        write_keeplist,
+    )
+    from .queries_ext import _scan_path
+
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    path = _scan_path(sf_dir, "keeplist")
+    shutil.rmtree(path, ignore_errors=True)
+    # snapshot time: yesterday's chain runs once and persists
+    write_keeplist(
+        corpus_keeplist(d.filter(F.col("doc_id") < 250), threshold=0.8),
+        path,
+    )
+    # refresh time: ONLY the new corpus chains; the old side is a scan
+    old = read_keeplist(spark, path).select(
+        F.col("doc_id").alias("odoc"), F.col("keep").alias("okeep")
+    )
+    new = corpus_keeplist(d, threshold=0.8)
+    n = new.select(F.col("doc_id").cast("long").alias("doc_id"), "keep")
+    return n.join(old, n.doc_id == old.odoc, "left").select(
+        "doc_id",
+        F.coalesce(F.col("okeep"), F.lit("-")).alias("old_keep"),
+        F.col("keep").alias("new_keep"),
+        F.when(F.col("okeep").isNull(), F.lit("new"))
+        .when(F.col("okeep") == F.col("keep"), F.lit("same"))
+        .when(F.col("okeep") == "T", F.lit("demoted"))
+        .otherwise(F.lit("promoted"))
+        .alias("status"),
+    )
+
+
+# ===========================================================================
 # Dataset card: the per-source summary a release ships with
 # ===========================================================================
 @register(
