@@ -191,6 +191,18 @@ HEADLINE_V3 = [
     "source_vocab_overlap",
 ]
 
+# fourth, versioned group: round-7 additions.  Separate total
+# (`value_v4`) keeps `value`/`value_v2`/`value_v3` comparable across
+# rounds.
+HEADLINE_V4 = [
+    "keeplist_delta_incremental",
+    "rerank_quality_topk",
+    "ivf_nprobe_recall_sweep",
+    "contrastive_triplets",
+    "curriculum_schedule",
+    "ccnet_perplexity_buckets",
+]
+
 # Queries whose plan CONSTRUCTION performs distributed work (the
 # connected-components localCheckpoint+count loop runs eagerly): for
 # these the timer must wrap construction too, or the measurement reads
@@ -247,6 +259,8 @@ EAGER_CONSTRUCT = {
     "quality_lr_score",
     # the model parquet write happens at construction
     "lm_persisted_surprisal",
+    # IVF index write + labeled-subset LR fit run at construction
+    "rerank_quality_topk",
 }
 
 
@@ -292,6 +306,7 @@ def main() -> None:
     timings = run_group(HEADLINE)
     timings_v2 = run_group(HEADLINE_V2)
     timings_v3 = run_group(HEADLINE_V3)
+    timings_v4 = run_group(HEADLINE_V4)
 
     total = round(sum(timings.values()), 3)
     # Key order matters: the round driver records only the TAIL of stdout
@@ -305,6 +320,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_v2": timings_v2,
                 "queries_v3": timings_v3,
+                "queries_v4": timings_v4,
                 "timing_note": "eager-construct queries "
                 + ",".join(sorted(EAGER_CONSTRUCT))
                 + " timed construct+execute; rest execute-only",
@@ -316,6 +332,7 @@ def main() -> None:
                 "value": total,
                 "value_v2": round(sum(timings_v2.values()), 3),
                 "value_v3": round(sum(timings_v3.values()), 3),
+                "value_v4": round(sum(timings_v4.values()), 3),
             }
         )
     )

@@ -499,6 +499,14 @@ _ALLOWED_UNBOUNDED_JOINS = {
     "dedup_cluster_stats",   # 1-row singleton-count scalar join
     "quality_lr_train",      # 1-row doc-count scalar join per GD step
     "quality_lr_score",      # same GD chain + final scoring join
+    "rerank_quality_topk",   # same GD chain (1-row scalar joins); the
+                             # candidate side is the broadcast top-20
+    "ivf_nprobe_recall_sweep",  # exact-recall baseline: broadcast 1-query
+                                # block x corpus (the thing being audited)
+    "contrastive_triplets",  # broadcast anchor block x corpus (exact
+                             # miner; bucketed ANN is the scale path)
+    "curriculum_schedule",   # 1-row (N, V) surprisal constants broadcast
+    "ccnet_perplexity_buckets",  # same surprisal constants
     "negative_sampling_topk",  # 1-row max-item scalar join
     "lm_persisted_surprisal",  # 1-row (N, V) model constants broadcast
     "docs_contract_report",    # 1-row metrics frame exploded

@@ -1,0 +1,148 @@
+"""Wave-7 semantic properties: the retrieve -> rerank serving chain and
+round-7 lifecycle compositions.
+
+The oracle gate (tools/check.py) proves Spark==DuckDB; these tests prove
+the MATH — invariants both engines could get identically wrong.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from variant_load_pipeline_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name, sf=SF):
+    return Q.registry()[name].spark_fn(spark, sf)
+
+
+# ---------------------------------------------------------------------------
+# Retrieve -> rerank: the rerank permutes exactly the retrieved candidates
+# ---------------------------------------------------------------------------
+def test_rerank_is_a_permutation_of_the_candidates(spark):
+    sf = "/root/testdata/sf0.01"
+    rows = _run(spark, "rerank_quality_topk", sf).collect()
+    assert len(rows) == 20
+    # both rank columns are exact permutations of 1..20
+    assert sorted(r.retrieval_rank for r in rows) == list(range(1, 21))
+    assert sorted(r.rerank_rank for r in rows) == list(range(1, 21))
+    # rerank order follows (score desc, cosine desc, id asc)
+    by_rr = sorted(rows, key=lambda r: r.rerank_rank)
+    keys = [(-r.score_micro, -r.cos_sim, r.doc_id) for r in by_rr]
+    assert keys == sorted(keys)
+    # candidates really came from the ANN stage: retrieval order follows
+    # (cosine desc, id asc) and the query doc itself is excluded
+    by_ret = sorted(rows, key=lambda r: r.retrieval_rank)
+    rkeys = [(-r.cos_sim, r.doc_id) for r in by_ret]
+    assert rkeys == sorted(rkeys)
+    assert all(r.doc_id != 1 for r in rows)
+
+
+def test_rerank_scores_match_full_corpus_classifier(spark):
+    """The reranker's per-candidate scores must equal what the classifier
+    (trained on the same doc_id<200 subset) assigns those docs when
+    scoring the WHOLE corpus — stage 2 touching only k rows is an
+    optimization, not a different model."""
+    sf = "/root/testdata/sf0.01"
+    from variant_load_pipeline_spark.operators.quality import (
+        hashed_features,
+        lr_score,
+        lr_train,
+    )
+    from variant_load_pipeline_spark.queries import load
+
+    d = load(spark, sf, "documents")
+    w = lr_train(d.filter(F.col("doc_id") < 200), iters=3, lr=0.1)
+    full = {
+        r.doc_id: r.score_micro
+        for r in lr_score(hashed_features(d, label=F.lit(0)), w).collect()
+    }
+    got = _run(spark, "rerank_quality_topk", sf).collect()
+    assert len(got) == 20
+    for r in got:
+        assert full[r.doc_id] == r.score_micro, r.doc_id
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe sweep: recall and pool size must be monotone in nprobe
+# ---------------------------------------------------------------------------
+def test_nprobe_sweep_monotone(spark):
+    rows = {r.nprobe: r for r in _run(spark, "ivf_nprobe_recall_sweep").collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    for n in (2, 3, 4):
+        assert rows[n].n_candidates > rows[n - 1].n_candidates
+        assert rows[n].hits >= rows[n - 1].hits
+    for r in rows.values():
+        assert 0 <= r.hits <= 10
+        assert r.recall_at10_micro == (r.hits * 1_000_000) // 10
+
+
+# ---------------------------------------------------------------------------
+# Contrastive triplets: labels and margins honor the mining contract
+# ---------------------------------------------------------------------------
+def test_contrastive_triplets_label_contract(spark):
+    from variant_load_pipeline_spark.queries import load
+
+    labels = {
+        r.vec_id: r.label
+        for r in load(spark, SF, "embeddings").select("vec_id", "label").collect()
+    }
+    rows = _run(spark, "contrastive_triplets").collect()
+    assert rows
+    for r in rows:
+        a = labels[r.anchor_id]
+        assert labels[r.pos_id] == a, "positive must share the anchor label"
+        assert labels[r.neg_id] != a, "negative must differ in label"
+        assert r.pos_id != r.anchor_id
+        got = r.margin_micro
+        import math
+        assert got == math.floor((r.pos_cos - r.neg_cos) * 1e6 + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Curriculum: admission counts follow the sqrt competence pacing exactly
+# ---------------------------------------------------------------------------
+def test_curriculum_schedule_pacing(spark):
+    import math
+
+    from pyspark.sql import functions as F
+    from variant_load_pipeline_spark.functions.text import unigram_surprisal
+    from variant_load_pipeline_spark.queries import load
+
+    rows = {r.epoch: r for r in _run(spark, "curriculum_schedule").collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    d = load(spark, SF, "documents")
+    n = unigram_surprisal(d).count()  # docs with >=1 token
+    cum = 0
+    prev_max = None
+    for e in (1, 2, 3, 4):
+        want = math.floor(n * math.sqrt(e / 4) + 0.5)
+        assert rows[e].n_available == want, (e, rows[e].n_available, want)
+        cum += rows[e].n_new
+        assert rows[e].n_available == cum
+        if prev_max is not None and rows[e].n_new > 0:
+            assert rows[e].max_difficulty_micro >= prev_max
+        prev_max = rows[e].max_difficulty_micro
+    assert rows[4].n_available == n
+
+
+# ---------------------------------------------------------------------------
+# CCNet buckets: NTILE balance and monotone per-token difficulty
+# ---------------------------------------------------------------------------
+def test_ccnet_buckets_balanced_and_ordered(spark):
+    rows = _run(spark, "ccnet_perplexity_buckets").collect()
+    assert rows
+    by_lang: dict[str, dict[int, object]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, bs in by_lang.items():
+        counts = [bs[b].n_docs for b in sorted(bs)]
+        assert max(counts) - min(counts) <= 1, (lang, counts)  # NTILE balance
+        means = [
+            bs[b].mean_token_surprisal_micro for b in sorted(bs)
+        ]
+        assert means == sorted(means), (lang, means)  # head easiest
+        names = [bs[b].bucket_name for b in sorted(bs)]
+        assert names == ["head", "middle", "tail"][: len(names)]

@@ -2280,3 +2280,4 @@ from . import queries_corpus  # noqa: E402,F401
 from . import queries_events  # noqa: E402,F401
 from . import queries_tpch  # noqa: E402,F401
 from . import queries_wave6  # noqa: E402,F401
+from . import queries_wave7  # noqa: E402,F401

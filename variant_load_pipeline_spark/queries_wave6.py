@@ -1070,10 +1070,13 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # In-engine quality-classifier training: hashed-feature logistic regression
 # ===========================================================================
-def _lr_sql() -> str:
+def _lr_chain_sql(train_where: str = "") -> str:
     """Three batch-GD iterations as a CTE chain, numerically identical to
     the Spark loop: per-(doc, bucket) integer counts, double sigmoid,
-    per-term micro-rounding before every sum."""
+    per-term micro-rounding before every sum.  Ends after the ``w3``
+    weight CTE so callers can append their own scoring CTEs;
+    ``train_where`` restricts the training matrix (labeled-subset fits,
+    e.g. the wave-7 reranker)."""
     head = f"""
     WITH w AS ({_WS_SQL}),
     toks AS (
@@ -1082,6 +1085,7 @@ def _lr_sql() -> str:
                     THEN 1 ELSE 0 END AS y,
                {_BUCKET_SQL} % 64 AS bucket
         FROM w, UNNEST(w.ws) AS u(w)
+        {train_where}
     ),
     x AS (
         SELECT doc_id, y, bucket, COUNT(*) AS cnt
@@ -1115,9 +1119,12 @@ def _lr_sql() -> str:
                    AS wm
         FROM w{i} JOIN g{i} ON w{i}.bucket = g{i}.bucket CROSS JOIN n
     )""")
+    return head + "".join(steps)
+
+
+def _lr_sql() -> str:
     return (
-        head
-        + "".join(steps)
+        _lr_chain_sql()
         + """
     SELECT CAST(bucket AS BIGINT) AS bucket, CAST(wm AS BIGINT) AS w_micro
     FROM w3
