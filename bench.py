@@ -201,6 +201,9 @@ HEADLINE_V4 = [
     "contrastive_triplets",
     "curriculum_schedule",
     "ccnet_perplexity_buckets",
+    "lsh_band_sweep",
+    "doremi_domain_weights",
+    "ann_ndcg_eval",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

@@ -477,7 +477,7 @@ _ALLOWED_UNBOUNDED_JOINS = {
     "corpus_dedup_keeplist",
     "near_dup_components", "near_dup_components_star",
     "s6_fasta_scan", "p29_annotate_pairs", "p29_annotate_chunked",
-    "p29_annotate_indel", "k6_fasta_render", "j15_strand_lookup",
+    "p29_annotate_indel", "k6_fasta_render",
     "vcfconv_pipeline", "c22_protein_flank",
     "ann_ivf_topk",          # broadcast query set x assigned corpus
     "j4_dedup_upsert_ids",   # 1-row max-existing-id scalar join
@@ -507,6 +507,10 @@ _ALLOWED_UNBOUNDED_JOINS = {
                              # miner; bucketed ANN is the scale path)
     "curriculum_schedule",   # 1-row (N, V) surprisal constants broadcast
     "ccnet_perplexity_buckets",  # same surprisal constants
+    "lsh_band_sweep",        # exact-truth baseline on a FIXED 250-doc
+                             # sample + 1-row truth-total broadcast
+    "doremi_domain_weights", # 1-row corpus constants + normalizer
+    "ann_ndcg_eval",         # exact-baseline block + 1-row DCG frames
     "negative_sampling_topk",  # 1-row max-item scalar join
     "lm_persisted_surprisal",  # 1-row (N, V) model constants broadcast
     "docs_contract_report",    # 1-row metrics frame exploded

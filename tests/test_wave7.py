@@ -146,3 +146,55 @@ def test_ccnet_buckets_balanced_and_ordered(spark):
         assert means == sorted(means), (lang, means)  # head easiest
         names = [bs[b].bucket_name for b in sorted(bs)]
         assert names == ["head", "middle", "tail"][: len(names)]
+
+
+# ---------------------------------------------------------------------------
+# LSH band sweep: candidate sets are nested, so the curve is monotone
+# ---------------------------------------------------------------------------
+def test_lsh_band_sweep_monotone(spark):
+    sf = "/root/testdata/sf0.01"
+    rows = {r.bands: r for r in _run(spark, "lsh_band_sweep", sf).collect()}
+    assert sorted(rows) == [2, 4, 8, 16]
+    for r in rows.values():
+        assert r.rows_per_band == 16 // r.bands
+        assert r.true_pos <= r.truth_total
+        assert r.true_pos <= r.n_candidates
+    # a 2r-row band collision implies both r-row collisions -> nested sets
+    for hi, lo in ((16, 8), (8, 4), (4, 2)):
+        assert rows[hi].n_candidates >= rows[lo].n_candidates
+        assert rows[hi].true_pos >= rows[lo].true_pos
+    assert rows[16].truth_total > 0  # fixture really contains near-dups
+
+
+# ---------------------------------------------------------------------------
+# DoReMi: weights normalize, and excess is non-negative by construction
+# ---------------------------------------------------------------------------
+def test_doremi_weights_normalized(spark):
+    rows = _run(spark, "doremi_domain_weights").collect()
+    assert rows
+    tot = sum(r.weight_micro for r in rows)
+    # floor rounding drifts each term < 1 micro
+    assert abs(tot - 1_000_000) <= len(rows)
+    for r in rows:
+        assert r.excess_micro >= 0
+        # a specialist LM can't be beaten by the shared reference model
+        # by construction of add-1 MLE on the domain's own counts, so
+        # ref >= own in aggregate is the expected (not guaranteed) shape;
+        # assert only the clip contract
+        assert r.weight_micro >= 0
+        assert r.n_tokens > 0
+
+
+# ---------------------------------------------------------------------------
+# NDCG: bounded by 1.0 and consistent with its own hit set
+# ---------------------------------------------------------------------------
+def test_ann_ndcg_bounds(spark):
+    sf = "/root/testdata/sf0.01"
+    (r,) = _run(spark, "ann_ndcg_eval", sf).collect()
+    assert 0 <= r.ndcg_micro <= 1_000_000
+    assert r.dcg_micro <= r.idcg_micro
+    # recall-consistency: nprobe=2 in the sweep found hits iff DCG > 0
+    sweep = {
+        x.nprobe: x for x in _run(spark, "ivf_nprobe_recall_sweep", sf).collect()
+    }
+    assert (sweep[2].hits > 0) == (r.dcg_micro > 0)

@@ -87,9 +87,11 @@ EXPLAINED: dict[str, str] = {
     "463M) while runtime grew only 18x, i.e. the binned join is "
     "sub-linear per output row.  Real 10x genomic data adds samples/"
     "assemblies, not 10x genes per genome",
-    "j15_strand_lookup": "same shared-coordinate-space density artifact: "
-    "10x features over the same positions -> ~100x containment pairs; "
-    "runtime grew 62x, sub-linear per output row",
+    "j15_strand_lookup": "fixture-density artifact, J1's case exactly: "
+    "10x intervals packed into the SAME 3M-position space -> ~100x "
+    "containment pairs per variant; the binned equi join (rewritten "
+    "from the 62.5x nested-loop form, same hash) is sub-linear per "
+    "output pair at 24x runtime for ~100x pairs",
     # p29_annotate_indel: formerly flagged at 69.9x.  Root cause was NOT
     # the pair fan-out: the generator's inline string-CASE allele
     # expressions poisoned the fused whole-stage-codegen join stage

@@ -166,16 +166,21 @@ def j14_five_way_missense(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(Polyphen.java:387-410) — broadcast range join + sorted collect_set",
 )
 def j15_strand_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.interval_join import point_in_interval_join
+
     v = _variant_cols(load(spark, sf_dir, "lineitem"))
     g = _gene_cols(load(spark, sf_dir, "part")).withColumn(
         "strand",
         F.when(F.col("gene_id") % 2 == 0, F.lit("+")).otherwise(F.lit("-")),
-    )
-    joined = v.join(
-        F.broadcast(g),
-        (v.chrom == g.chrom)
-        & (v.pos >= g.gstart)
-        & (v.pos <= g.gstop),
+    ).withColumnRenamed("chrom", "g_chrom")
+    # binned equi pre-key (J1's scale path): candidates come from a hash
+    # join on (chrom, bin), never a per-chromosome nested loop — the 10x
+    # gene-density replica that measured this query at 62x rides the
+    # same fix that keeps J1 at 18x-for-100x-output
+    joined = point_in_interval_join(
+        v, g,
+        point_chrom="chrom", point_pos="pos",
+        ivl_chrom="g_chrom", ivl_start="gstart", ivl_end="gstop",
     )
     return joined.groupBy("okey", "lnum").agg(
         F.array_join(F.array_sort(F.collect_set("strand")), ",").alias("strands")

@@ -603,3 +603,450 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket_name"),
         "n_docs", "n_tokens", "mean_token_surprisal_micro",
     )
+
+
+# ===========================================================================
+# LSH band-configuration sweep: the dedup twin of the nprobe recall curve
+# ===========================================================================
+_BS_CONFIGS = [(16, 1), (8, 2), (4, 4), (2, 8)]  # (bands, rows_per_band)
+_BS_T = 0.6
+
+
+def _band_sweep_sql() -> str:
+    from .queries import _SHINGLES_SQL, _minhash_sig_sql
+
+    band_selects = []
+    for bands, rows in _BS_CONFIGS:
+        for b in range(bands):
+            cols = ", ".join(
+                f"CAST(sig_{i} AS VARCHAR)"
+                for i in range(b * rows, (b + 1) * rows)
+            )
+            band_selects.append(
+                f"SELECT {bands} AS bands, doc_id, {b} AS band_idx, "
+                f"md5(concat_ws('_', {cols})) AS band_hash FROM sig"
+            )
+        # one UNION ALL chain over every (config, band)
+    banded = "\n UNION ALL\n".join(band_selects)
+    shingles_sub = _SHINGLES_SQL.replace("FROM documents", "")
+    return f"""
+    WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+    sig AS ({_minhash_sig_sql(16, 'sub')}),
+    banded AS ({banded}),
+    cand AS (
+        SELECT DISTINCT a.bands, a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.bands = b.bands AND a.band_idx = b.band_idx
+         AND a.band_hash = b.band_hash
+        WHERE a.doc_id < b.doc_id
+    ),
+    sh AS (SELECT doc_id, list_distinct(list_transform({shingles_sub},
+               s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT))) AS sh
+           FROM sub),
+    truth AS (
+        SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
+        FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
+        WHERE CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+              THEN len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                   / len(list_distinct(list_concat(sa.sh, sb.sh)))
+              ELSE 0 END >= {_BS_T}
+    ),
+    tot AS (SELECT COUNT(*) AS truth_total FROM truth),
+    per AS (
+        SELECT c.bands, COUNT(*) AS n_candidates,
+               SUM(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS tp
+        FROM cand c LEFT JOIN truth t
+          ON c.id_a = t.id_a AND c.id_b = t.id_b
+        GROUP BY c.bands
+    )
+    SELECT CAST(p.bands AS BIGINT) AS bands,
+           CAST(16 / p.bands AS BIGINT) AS rows_per_band,
+           CAST(p.n_candidates AS BIGINT) AS n_candidates,
+           CAST(p.tp AS BIGINT) AS true_pos,
+           CAST(t.truth_total AS BIGINT) AS truth_total,
+           CAST(CASE WHEN t.truth_total > 0
+                THEN FLOOR(p.tp * 1e6 / t.truth_total + 0.5)
+                ELSE 0 END AS BIGINT) AS recall_micro,
+           CAST(FLOOR(p.tp * 1e6 / p.n_candidates + 0.5) AS BIGINT)
+               AS precision_micro
+    FROM per p CROSS JOIN tot t
+    """
+
+
+@register(
+    "lsh_band_sweep",
+    _band_sweep_sql(),
+    doc="The LSH tuning curve, dedup twin of ivf_nprobe_recall_sweep: "
+    "candidate recall AND precision against exact shingle-Jaccard truth "
+    "(threshold 0.6) for four band configs of one 16-hash MinHash "
+    "signature — 16x1, 8x2, 4x4, 2x8.  Signatures are computed ONCE; "
+    "each config re-bands the same columns, so the sweep costs one "
+    "shingle pass plus banded equi-joins.  Config candidate sets are "
+    "provably nested (a 2r-row band collision implies both r-row "
+    "collisions), so recall/candidates are monotone in bands — the "
+    "property test asserts it.  Truth is the labeled exact all-pairs "
+    "baseline on a FIXED 250-doc sample (allowlisted; constant cost "
+    "at any corpus size); truth_total rides "
+    "a 1-row broadcast.  This is the audit a 100-TB dedup run does on a "
+    "sample BEFORE committing to a band config.",
+)
+def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import shingle_hash, shingles
+    from .operators.dedup import minhash_signatures
+
+    # FIXED 250-doc tuning sample (ids are stable under corpus growth):
+    # the band-config audit runs on a constant-size sample no matter how
+    # big the corpus is — its cost does not scale with the data
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    sig = minhash_signatures(d, n_hashes=16)
+    # ONE signature pass, ONE explode: all 30 (config, band) hashes ride a
+    # single generated array — a union of per-config branches would rescan
+    # and re-sign the sample once per config
+    band_structs = []
+    for bands, rows in _BS_CONFIGS:
+        for b in range(bands):
+            parts = [
+                F.col(f"sig_{i}").cast("string")
+                for i in range(b * rows, (b + 1) * rows)
+            ]
+            band_structs.append(
+                F.struct(
+                    F.lit(bands).alias("bands"),
+                    F.lit(b).alias("band_idx"),
+                    F.md5(F.concat_ws("_", *parts)).alias("band_hash"),
+                )
+            )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bd")
+    ).select("doc_id", "bd.bands", "bd.band_idx", "bd.band_hash")
+    a = banded.select(
+        "bands", "band_idx", "band_hash", F.col("doc_id").alias("id_a")
+    )
+    b2 = banded.select(
+        "bands", "band_idx", "band_hash", F.col("doc_id").alias("id_b")
+    )
+    cand = (
+        a.join(b2, ["bands", "band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("bands", "id_a", "id_b")
+        .distinct()
+    )
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingles(F.col("text"), 3), shingle_hash)
+        ).alias("sh"),
+    )
+    pa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
+    pb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    un = F.size(F.array_union("sha", "shb"))
+    jac = F.when(un > 0, inter.cast("double") / un).otherwise(F.lit(0.0))
+    truth = (
+        pa.join(pb, F.col("id_a") < F.col("id_b"))
+        .filter(jac >= _BS_T)
+        .select("id_a", "id_b", F.lit(1).alias("is_t"))
+    )
+    per = (
+        cand.join(truth, ["id_a", "id_b"], "left")
+        .groupBy("bands")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.coalesce(F.col("is_t"), F.lit(0))).alias("tp"),
+        )
+    )
+    tot = truth.agg(F.count(F.lit(1)).alias("truth_total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("bands").cast("long").alias("bands"),
+        (F.lit(16) / F.col("bands")).cast("long").alias("rows_per_band"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("tp").cast("long").alias("true_pos"),
+        F.col("truth_total").cast("long").alias("truth_total"),
+        F.when(
+            F.col("truth_total") > 0,
+            F.floor(F.col("tp") * 1e6 / F.col("truth_total") + 0.5),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("recall_micro"),
+        F.floor(F.col("tp") * 1e6 / F.col("n_candidates") + 0.5)
+        .cast("long")
+        .alias("precision_micro"),
+    )
+
+
+# ===========================================================================
+# DoReMi-style domain weights from excess LM loss (Xie et al. 2023)
+# ===========================================================================
+@register(
+    "doremi_domain_weights",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents
+    ),
+    t AS (SELECT doc_id, source, term FROM toks WHERE term <> ''),
+    gv AS (SELECT term, count(*) AS cw FROM t GROUP BY term),
+    gc AS (SELECT SUM(cw) AS nn, count(*) AS vv FROM gv),
+    sv AS (SELECT source, term, count(*) AS cs FROM t
+           GROUP BY source, term),
+    scons AS (SELECT source, SUM(cs) AS ns, count(*) AS vs FROM sv
+              GROUP BY source),
+    per_src AS (
+        SELECT sv.source,
+               CAST(SUM(sv.cs) AS BIGINT) AS n_tokens,
+               CAST(SUM(sv.cs * CAST(floor(
+                   -ln((gv.cw + 1.0) / (g.nn + g.vv)) * 1e6 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS ref_micro,
+               CAST(SUM(sv.cs * CAST(floor(
+                   -ln((sv.cs + 1.0) / (sc.ns + sc.vs)) * 1e6 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS own_micro
+        FROM sv
+        JOIN gv ON sv.term = gv.term
+        JOIN scons sc ON sv.source = sc.source
+        CROSS JOIN gc g
+        GROUP BY sv.source
+    ),
+    ex AS (
+        SELECT source, n_tokens, ref_micro, own_micro,
+               GREATEST(CAST(FLOOR((ref_micro - own_micro) * 1e6
+                   / n_tokens + 0.5) AS BIGINT), 0) AS excess_micro
+        FROM per_src
+    ),
+    z AS (SELECT SUM(excess_micro) AS tot FROM ex)
+    SELECT ex.source, ex.n_tokens, ex.ref_micro, ex.own_micro,
+           ex.excess_micro,
+           CAST(CASE WHEN z.tot > 0
+                THEN FLOOR(ex.excess_micro * 1e6 / z.tot + 0.5)
+                ELSE 0 END AS BIGINT) AS weight_micro
+    FROM ex CROSS JOIN z
+    """,
+    doc="DoReMi-flavored domain reweighting (Xie et al. 2023 — public "
+    "technique, unigram-LM proxy): per source, excess loss = mean "
+    "per-token surprisal under the REFERENCE model (corpus-wide add-1 "
+    "unigram LM) minus under the domain's OWN LM — domains the shared "
+    "model explains much worse than a specialist get up-weighted; "
+    "weights = clipped excess normalized to micro.  Both scoring passes "
+    "ride the same (source, term) count matrix, so the whole thing is "
+    "one tokenize + two bounded joins; per-term micro-rounding before "
+    "every sum keeps the arithmetic engine-exact.  1-row corpus "
+    "constants and the normalizer are allowlisted scalar broadcasts.",
+)
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import normalize_text
+
+    t = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(
+                F.split(normalize_text(F.coalesce(F.col("text"), F.lit(""))), " ")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    sv = t.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cs"))
+    gv = sv.groupBy("term").agg(F.sum("cs").alias("cw"))
+    gc = gv.agg(F.sum("cw").alias("nn"), F.count(F.lit(1)).alias("vv"))
+    scons = sv.groupBy("source").agg(
+        F.sum("cs").alias("ns"), F.count(F.lit(1)).alias("vs")
+    )
+    ref_term = F.floor(
+        -F.log((F.col("cw") + 1.0) / (F.col("nn") + F.col("vv"))) * 1e6 + 0.5
+    ).cast("long")
+    own_term = F.floor(
+        -F.log((F.col("cs") + 1.0) / (F.col("ns") + F.col("vs"))) * 1e6 + 0.5
+    ).cast("long")
+    per_src = (
+        sv.join(gv, "term")
+        .join(scons, "source")
+        .crossJoin(F.broadcast(gc))
+        .groupBy("source")
+        .agg(
+            F.sum("cs").cast("long").alias("n_tokens"),
+            F.sum(F.col("cs") * ref_term).cast("long").alias("ref_micro"),
+            F.sum(F.col("cs") * own_term).cast("long").alias("own_micro"),
+        )
+    )
+    ex = per_src.select(
+        "source", "n_tokens", "ref_micro", "own_micro",
+        F.greatest(
+            F.floor(
+                (F.col("ref_micro") - F.col("own_micro"))
+                * 1e6
+                / F.col("n_tokens")
+                + 0.5
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("excess_micro"),
+    )
+    z = ex.agg(F.sum("excess_micro").alias("tot"))
+    return ex.crossJoin(F.broadcast(z)).select(
+        "source", "n_tokens", "ref_micro", "own_micro", "excess_micro",
+        F.when(
+            F.col("tot") > 0,
+            F.floor(F.col("excess_micro") * 1e6 / F.col("tot") + 0.5),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("weight_micro"),
+    )
+
+
+# ===========================================================================
+# NDCG@10 of the IVF probe vs the exact ranking (graded retrieval eval)
+# ===========================================================================
+@register(
+    "ann_ndcg_eval",
+    f"""
+    WITH base AS (SELECT vec_id, label, embedding FROM embeddings),
+    q AS (SELECT embedding AS qv FROM base WHERE vec_id = 1),
+    cent AS (
+        SELECT b.label, b.embedding AS cv
+        FROM base b
+        JOIN (SELECT label, MIN(vec_id) AS mv FROM base GROUP BY label) m
+          ON b.label = m.label AND b.vec_id = m.mv
+    ),
+    probe AS (
+        SELECT label FROM (
+            SELECT cent.label,
+                   ROW_NUMBER() OVER (ORDER BY
+                       {_COS6.format(a='cent.cv', b='q.qv')} DESC,
+                       cent.label) AS rk
+            FROM cent CROSS JOIN q
+        ) WHERE rk <= 2
+    ),
+    scored AS (
+        SELECT b.vec_id, b.label,
+               {_COS6.format(a='b.embedding', b='q.qv')} AS cos_sim
+        FROM base b CROSS JOIN q WHERE b.vec_id <> 1
+    ),
+    exact AS (
+        SELECT vec_id, rk AS exact_rank FROM (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC,
+                vec_id) AS rk FROM scored
+        ) WHERE rk <= 10
+    ),
+    approx AS (
+        SELECT vec_id, rk AS approx_rank FROM (
+            SELECT s.vec_id,
+                   ROW_NUMBER() OVER (ORDER BY s.cos_sim DESC, s.vec_id)
+                       AS rk
+            FROM scored s JOIN probe p ON s.label = p.label
+        ) WHERE rk <= 10
+    ),
+    dcg AS (
+        SELECT COALESCE(SUM(CAST(FLOOR(
+                   (11 - e.exact_rank) * 1e6 / (ln(a.approx_rank + 1)
+                       / ln(2)) + 0.5) AS BIGINT)), 0) AS dcg_micro
+        FROM approx a JOIN exact e ON a.vec_id = e.vec_id
+    ),
+    idcg AS (
+        SELECT SUM(CAST(FLOOR((11 - exact_rank) * 1e6
+                   / (ln(exact_rank + 1) / ln(2)) + 0.5) AS BIGINT))
+               AS idcg_micro
+        FROM exact
+    )
+    SELECT CAST(2 AS BIGINT) AS nprobe,
+           CAST(d.dcg_micro AS BIGINT) AS dcg_micro,
+           CAST(i.idcg_micro AS BIGINT) AS idcg_micro,
+           CAST(FLOOR(d.dcg_micro * 1e6 / i.idcg_micro + 0.5) AS BIGINT)
+               AS ndcg_micro
+    FROM dcg d CROSS JOIN idcg i
+    """,
+    doc="Graded retrieval quality of the IVF probe (nprobe=2) against "
+    "the exact ranking: relevance of a result = 11 - exact_rank (top "
+    "exact hit worth 10, outside the exact top-10 worth 0), discounted "
+    "by log2(position+1) at the position the PROBE ranked it — "
+    "NDCG@10, the metric that penalizes the index for burying the best "
+    "hits, where recall@k only counts membership.  Complements "
+    "ivf_nprobe_recall_sweep the way NDCG complements recall in any IR "
+    "eval.  Per-position terms round to micro BEFORE the sum; the "
+    "exact-baseline block and the two 1-row DCG frames are the "
+    "allowlisted broadcast shapes.",
+)
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine
+
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    base = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = base.filter(F.col("vec_id") == 1).select(F.col("v").alias("qv"))
+    reps = base.groupBy("label").agg(F.min("vec_id").alias("mv")).select(
+        F.col("label").alias("rlabel"), "mv"
+    )
+    cent = base.join(
+        reps,
+        (F.col("label") == F.col("rlabel")) & (F.col("vec_id") == F.col("mv")),
+    ).select(F.col("label").alias("clabel"), F.col("v").alias("cv"))
+    wc = W.partitionBy(F.col("csim") * F.lit(0.0)).orderBy(
+        F.col("csim").desc(), F.col("clabel")
+    )
+    probe = (
+        cent.crossJoin(F.broadcast(q))
+        .select(
+            "clabel",
+            F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("csim"),
+        )
+        .select(
+            F.col("clabel").alias("label"),
+            F.row_number().over(wc).alias("crk"),
+        )
+        .filter(F.col("crk") <= 2)
+        .select("label")
+    )
+    scored = (
+        base.filter(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    we = W.partitionBy(F.col("cos_sim") * F.lit(0.0)).orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    exact = (
+        scored.withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= 10)
+        .select("vec_id", F.col("rk").alias("exact_rank"))
+    )
+    approx = (
+        scored.join(F.broadcast(probe), "label")
+        .withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= 10)
+        .select("vec_id", F.col("rk").alias("approx_rank"))
+    )
+    gain = (11 - F.col("exact_rank")) * 1e6
+    dcg = approx.join(F.broadcast(exact), "vec_id").agg(
+        F.coalesce(
+            F.sum(
+                F.floor(
+                    gain / (F.log(F.col("approx_rank") + 1) / F.log(F.lit(2.0)))
+                    + 0.5
+                ).cast("long")
+            ),
+            F.lit(0).cast("long"),
+        ).alias("dcg_micro")
+    )
+    idcg = exact.agg(
+        F.sum(
+            F.floor(
+                gain / (F.log(F.col("exact_rank") + 1) / F.log(F.lit(2.0)))
+                + 0.5
+            ).cast("long")
+        ).alias("idcg_micro")
+    )
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        F.lit(2).cast("long").alias("nprobe"),
+        "dcg_micro",
+        "idcg_micro",
+        F.floor(F.col("dcg_micro") * 1e6 / F.col("idcg_micro") + 0.5)
+        .cast("long")
+        .alias("ndcg_micro"),
+    )
