@@ -204,6 +204,8 @@ HEADLINE_V4 = [
     "lsh_band_sweep",
     "doremi_domain_weights",
     "ann_ndcg_eval",
+    "ivf_ingest_append",
+    "quality_calibration_ece",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -264,6 +266,10 @@ EAGER_CONSTRUCT = {
     "lm_persisted_surprisal",
     # IVF index write + labeled-subset LR fit run at construction
     "rerank_quality_topk",
+    # seed index write + delta batch append run at construction
+    "ivf_ingest_append",
+    # the feature-matrix localCheckpoint materializes at construction
+    "quality_calibration_ece",
 }
 
 

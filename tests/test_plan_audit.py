@@ -511,6 +511,9 @@ _ALLOWED_UNBOUNDED_JOINS = {
                              # sample + 1-row truth-total broadcast
     "doremi_domain_weights", # 1-row corpus constants + normalizer
     "ann_ndcg_eval",         # exact-baseline block + 1-row DCG frames
+    "ivf_ingest_append",     # broadcast query vec x probed lists (the
+                             # persisted-probe shape, ann_ivf twin)
+    "quality_calibration_ece",  # same GD chain 1-row scalar joins
     "negative_sampling_topk",  # 1-row max-item scalar join
     "lm_persisted_surprisal",  # 1-row (N, V) model constants broadcast
     "docs_contract_report",    # 1-row metrics frame exploded

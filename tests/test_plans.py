@@ -300,12 +300,13 @@ def test_bench_headline_names_resolve(spark):
     from variant_load_pipeline_spark.queries import registry
 
     reg = registry()
-    missing = [
-        n for n in bench.HEADLINE + bench.HEADLINE_V2 if n not in reg
-    ]
+    groups = (
+        bench.HEADLINE + bench.HEADLINE_V2 + bench.HEADLINE_V3
+        + bench.HEADLINE_V4
+    )
+    missing = [n for n in groups if n not in reg]
     assert not missing, missing
     stray = [n for n in bench.EAGER_CONSTRUCT if n not in reg]
     assert not stray, stray
-    # no duplicates across the two groups (totals must not double-count)
-    both = bench.HEADLINE + bench.HEADLINE_V2
-    assert len(both) == len(set(both))
+    # no duplicates across the groups (totals must not double-count)
+    assert len(groups) == len(set(groups))

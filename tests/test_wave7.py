@@ -198,3 +198,35 @@ def test_ann_ndcg_bounds(spark):
         x.nprobe: x for x in _run(spark, "ivf_nprobe_recall_sweep", sf).collect()
     }
     assert (sweep[2].hits > 0) == (r.dcg_micro > 0)
+
+
+# ---------------------------------------------------------------------------
+# IVF ingest-append: idempotent under replay, and delta rows are served
+# ---------------------------------------------------------------------------
+def test_ivf_append_idempotent_and_serves_delta(spark):
+    sf = "/root/testdata/sf0.01"
+    a = sorted(tuple(r) for r in _run(spark, "ivf_ingest_append", sf).collect())
+    b = sorted(tuple(r) for r in _run(spark, "ivf_ingest_append", sf).collect())
+    assert a == b, "replaying the append duplicated or lost vectors"
+    # the appended quarter (vec_id % 4 == 3) must be visible to the probe
+    assert any(r[0] % 4 == 3 for r in a), (
+        "no delta vector in the top-10 — the probe is not reading the delta"
+    )
+
+
+def test_quality_calibration_buckets_consistent(spark):
+    sf = "/root/testdata/sf0.01"
+    rows = _run(spark, "quality_calibration_ece", sf).collect()
+    assert rows
+    total = sum(r.n_docs for r in rows)
+    from variant_load_pipeline_spark.queries import load
+    assert total == load(spark, sf, "documents").count()
+    for r in rows:
+        assert 0 <= r.bucket <= 9
+        assert 0 <= r.pos_rate_micro <= 1_000_000
+        # mean score must actually fall in (or at the edge of) its decile
+        lo, hi = r.bucket * 100_000, (r.bucket + 1) * 100_000
+        if r.bucket == 9:
+            hi = 1_000_001
+        assert lo <= r.mean_score_micro < hi or r.n_docs == 0
+        assert r.abs_gap_micro == abs(r.mean_score_micro - r.pos_rate_micro)

@@ -415,6 +415,42 @@ def write_ivf_index(
     cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def append_ivf_batch(
+    batch: DataFrame,
+    path: str,
+    batch_id: int,
+    list_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Ingest a new vector batch into a persisted IVF index WITHOUT a
+    rebuild: batch rows land in ``<path>/lists_delta/batch_id=<n>/``
+    partitioned by inverted list, leaving the seed generation untouched
+    (the FAISS add-without-retrain shape; centroids stay the seed's —
+    drift is handled by a periodic write_ivf_index rebuild, the same
+    split as the LSH ingest-index + compaction pair).
+
+    Idempotent under redelivery: the batch overwrites ONLY its own
+    ``batch_id`` partition (dynamic overwrite), so replaying a batch
+    cannot duplicate vectors — the contract streaming ingestion needs.
+    """
+    spark = batch.sparkSession
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        batch.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.lit(batch_id).alias("batch_id"),
+            F.col(list_col).alias("list_id"),
+        ).write.mode("overwrite").partitionBy("batch_id", "list_id").parquet(
+            f"{path}/lists_delta"
+        )
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
 def ivf_probe_topk(
     spark,
     path: str,
@@ -449,6 +485,21 @@ def ivf_probe_topk(
     lists = spark.read.parquet(f"{path}/lists").filter(
         F.col("list_id").isin(probes)
     )
+    # merge the ingest delta store, if any (append_ivf_batch): the probe
+    # reads seed + delta under the SAME list_id partition pruning, so an
+    # appended index answers without a rebuild
+    import os
+
+    delta_dir = f"{path}/lists_delta"
+    if os.path.isdir(delta_dir):
+        delta = (
+            spark.read.parquet(delta_dir)
+            .filter(F.col("list_id").isin(probes))
+            .select("vec_id", "embedding", "list_id")
+        )
+        lists = lists.select("vec_id", "embedding", "list_id").unionByName(
+            delta
+        )
     if exclude_id is not None:
         lists = lists.filter(F.col("vec_id") != exclude_id)
     qv = F.array(*[F.lit(float(x)) for x in query_vec])

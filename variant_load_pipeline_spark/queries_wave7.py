@@ -1050,3 +1050,158 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ndcg_micro"),
     )
+
+
+# ===========================================================================
+# IVF ingest-append: index grows without a rebuild, probe merges the delta
+# ===========================================================================
+@register(
+    "ivf_ingest_append",
+    f"""
+    WITH seed AS (SELECT * FROM embeddings WHERE vec_id % 4 <> 3),
+    cent AS (
+        SELECT s.label, s.embedding AS cv
+        FROM seed s
+        JOIN (SELECT label, MIN(vec_id) AS mv FROM seed GROUP BY label) m
+          ON s.label = m.label AND s.vec_id = m.mv
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+    probe AS (
+        SELECT label FROM (
+            SELECT cent.label,
+                   ROW_NUMBER() OVER (ORDER BY
+                       {_COS6.format(a='cent.cv', b='q.qv')} DESC,
+                       cent.label) AS rk
+            FROM cent CROSS JOIN q
+        ) WHERE rk <= 2
+    )
+    SELECT vec_id, label, cos_sim, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT e.vec_id, e.label,
+               {_COS6.format(a='e.embedding', b='q.qv')} AS cos_sim,
+               ROW_NUMBER() OVER (ORDER BY
+                   {_COS6.format(a='e.embedding', b='q.qv')} DESC,
+                   e.vec_id) AS rk
+        FROM embeddings e
+        JOIN probe ON e.label = probe.label
+        CROSS JOIN q
+        WHERE e.vec_id <> 1
+    ) WHERE rk <= 10
+    """,
+    doc="IVF index INGESTION lifecycle: the index is built once from the "
+    "seed corpus (3/4 of the vectors), a later batch (the remaining "
+    "1/4) is appended via append_ivf_batch — delta partitions under the "
+    "same list keys, seed generation untouched, idempotent under "
+    "redelivery (dynamic partition overwrite of the batch's own "
+    "partition) — and the probe answers from seed+delta under ONE "
+    "list_id partition-pruned scan pair, centroids still the seed's "
+    "(FAISS add-without-retrain; drift handled by periodic rebuild, "
+    "like the LSH ingest/compaction pair).  Oracle = the probe chain "
+    "with seed-defined centroids over the FULL vector set, so a hash "
+    "match proves the appended index answers exactly like a logical "
+    "union — nothing lost, nothing duplicated.",
+)
+def ivf_ingest_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .operators.clustering import (
+        append_ivf_batch,
+        ivf_probe_topk,
+        write_ivf_index,
+    )
+    from .queries_ext import _scan_path
+
+    e = load(spark, sf_dir, "embeddings")
+    seed = e.filter(F.col("vec_id") % 4 != 3)
+    batch = e.filter(F.col("vec_id") % 4 == 3)
+    path = _scan_path(sf_dir, "ivf_append")
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivf_index(seed, path)
+    append_ivf_batch(batch, path, batch_id=1)
+    # everything below sees ONLY the on-disk index (seed + delta)
+    qrow = e.filter(F.col("vec_id") == 1).select("embedding").first()
+    return ivf_probe_topk(
+        spark,
+        path,
+        [float(x) for x in qrow["embedding"]],
+        nprobe=2,
+        k=10,
+        exclude_id=1,
+    )
+
+
+# ===========================================================================
+# Calibration audit of the quality classifier (reliability buckets / ECE)
+# ===========================================================================
+_CAL_SQL = (
+    _lr_chain_sql()
+    + """
+    , zf AS (
+        SELECT x.doc_id, x.y,
+               SUM(CAST(w3.wm AS DOUBLE) * x.cnt) / 1e6 AS z
+        FROM x JOIN w3 ON x.bucket = w3.bucket
+        GROUP BY x.doc_id, x.y
+    ),
+    sc AS (
+        SELECT doc_id, y,
+               CAST(FLOOR(1e6 / (1.0 + EXP(-z)) + 0.5) AS BIGINT)
+                   AS score_micro
+        FROM zf
+    ),
+    bk AS (
+        SELECT LEAST(CAST(FLOOR(score_micro / 100000) AS BIGINT), 9) AS bucket,
+               score_micro, y
+        FROM sc
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(FLOOR(CAST(SUM(score_micro) AS DOUBLE) / COUNT(*) + 0.5)
+               AS BIGINT) AS mean_score_micro,
+           CAST(FLOOR(CAST(SUM(y) AS DOUBLE) * 1e6 / COUNT(*) + 0.5)
+               AS BIGINT) AS pos_rate_micro,
+           CAST(ABS(FLOOR(CAST(SUM(score_micro) AS DOUBLE) / COUNT(*) + 0.5)
+               - FLOOR(CAST(SUM(y) AS DOUBLE) * 1e6 / COUNT(*) + 0.5))
+               AS BIGINT) AS abs_gap_micro
+    FROM bk GROUP BY bucket
+    """
+)
+
+
+@register(
+    "quality_calibration_ece",
+    _CAL_SQL,
+    doc="Reliability audit of the trained quality classifier: documents "
+    "bucketed into score deciles, each bucket reporting mean predicted "
+    "probability vs observed positive rate and the absolute gap — the "
+    "reliability diagram whose doc-weighted gap sum is Expected "
+    "Calibration Error, the check a curation pipeline runs before "
+    "treating classifier scores as keep-probabilities (miscalibrated "
+    "scores silently skew source mix).  Reuses the exact 3-step GD "
+    "chain (bit-identical in both engines); one extra groupBy over the "
+    "scored frame.",
+)
+def quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import hashed_features, lr_fit, lr_score
+
+    d = load(spark, sf_dir, "documents")
+    x = hashed_features(d).localCheckpoint(eager=True)
+    w = lr_fit(x, iters=3, lr=0.1)
+    s = lr_score(x, w)
+    bk = s.select(
+        F.least(
+            (F.col("score_micro") / 100000).cast("long"), F.lit(9).cast("long")
+        ).alias("bucket"),
+        "score_micro",
+        F.col("label").alias("y"),
+    )
+    mean_sc = F.floor(
+        F.sum("score_micro").cast("double") / F.count(F.lit(1)) + 0.5
+    ).cast("long")
+    pos_rate = F.floor(
+        F.sum("y").cast("double") * 1e6 / F.count(F.lit(1)) + 0.5
+    ).cast("long")
+    return bk.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        mean_sc.alias("mean_score_micro"),
+        pos_rate.alias("pos_rate_micro"),
+        F.abs(mean_sc - pos_rate).alias("abs_gap_micro"),
+    )
