@@ -787,3 +787,67 @@ def test_corpus_classify_tool(spark, tmp_path):
     # persisted model loads and has the 64-bucket-or-fewer weight table
     w = ql.read_quality_model(spark, model).collect()
     assert 0 < len(w) <= 64
+
+
+def test_corpus_index_and_search_tools(spark, tmp_path):
+    """CorpusIndex/CorpusSearch: build -> search matches the operator
+    chain; build-on-seed + append-batch -> search matches the oracle-
+    gated ivf_ingest_append composition (seed centroids, full corpus)."""
+    from variant_load_pipeline_spark import cli
+    from variant_load_pipeline_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    emb = f"{sf}/embeddings.parquet"
+    idx = str(tmp_path / "ivf")
+    hits = str(tmp_path / "hits")
+    cli.main(
+        ["--tool", "CorpusIndex", "--docs", emb, "--out", idx], spark=spark
+    )
+    cli.main(
+        [
+            "--tool", "CorpusSearch", "--docs", emb, "--index", idx,
+            "--query-id", "1", "--k", "10", "--nprobe", "2", "--out", hits,
+        ],
+        spark=spark,
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(hits).collect())
+    want = sorted(
+        tuple(r)
+        for r in Q.registry()["ann_ivf_persisted_topk"]
+        .spark_fn(spark, sf)
+        .collect()
+    )
+    assert got == want
+
+    # ingestion flow: seed build + batch append == ivf_ingest_append query
+    e = spark.read.parquet(emb)
+    seed_p = str(tmp_path / "seed.parquet")
+    batch_p = str(tmp_path / "batch.parquet")
+    e.filter("vec_id % 4 != 3").write.parquet(seed_p)
+    e.filter("vec_id % 4 = 3").write.parquet(batch_p)
+    idx2 = str(tmp_path / "ivf2")
+    hits2 = str(tmp_path / "hits2")
+    cli.main(
+        ["--tool", "CorpusIndex", "--docs", seed_p, "--out", idx2],
+        spark=spark,
+    )
+    cli.main(
+        [
+            "--tool", "CorpusIndex", "--batch", batch_p, "--batch-id", "1",
+            "--out", idx2,
+        ],
+        spark=spark,
+    )
+    cli.main(
+        [
+            "--tool", "CorpusSearch", "--docs", emb, "--index", idx2,
+            "--query-id", "1", "--k", "10", "--nprobe", "2", "--out", hits2,
+        ],
+        spark=spark,
+    )
+    got2 = sorted(tuple(r) for r in spark.read.parquet(hits2).collect())
+    want2 = sorted(
+        tuple(r)
+        for r in Q.registry()["ivf_ingest_append"].spark_fn(spark, sf).collect()
+    )
+    assert got2 == want2

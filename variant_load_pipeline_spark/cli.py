@@ -451,6 +451,55 @@ def _frameshift_fixup(spark, args) -> None:
     report.write.mode("overwrite").parquet(args.out)
 
 
+@tool("CorpusIndex")
+def _corpus_index(spark, args) -> None:
+    """embeddings parquet (vec_id, embedding, label) -> persisted IVF
+    index at --out (vectors partitioned by inverted list + centroids
+    table; build-once/query-many).  With --batch, APPEND that batch to
+    an existing index instead: delta partitions under the same list
+    keys, idempotent per batch id (--batch-id), no rebuild — the
+    ingestion half of the index lifecycle (operators/clustering.py
+    write_ivf_index / append_ivf_batch, oracle-gated by
+    ann_ivf_persisted_topk / ivf_ingest_append)."""
+    from .operators.clustering import append_ivf_batch, write_ivf_index
+
+    if args.batch:
+        append_ivf_batch(
+            _read(spark, args.batch),
+            args.out,
+            batch_id=args.batch_id if args.batch_id is not None else 1,
+        )
+    else:
+        write_ivf_index(_read(spark, args.docs), args.out)
+
+
+@tool("CorpusSearch")
+def _corpus_search(spark, args) -> None:
+    """Query a persisted IVF index: --index <path>, --query-id <vec_id
+    of the query vector inside --docs>, --k / --nprobe knobs ->
+    top-k parquet (vec_id, label, cos_sim, rk).  The probe reads ONLY
+    the probed lists' partitions (seed + any ingest delta)."""
+    from .operators.clustering import ivf_probe_topk
+
+    docs = _read(spark, args.docs)
+    qrow = (
+        docs.filter(F.col("vec_id") == args.query_id)
+        .select("embedding")
+        .first()
+    )
+    if qrow is None:
+        raise SystemExit(f"query vec_id {args.query_id} not found")
+    out = ivf_probe_topk(
+        spark,
+        args.index,
+        [float(x) for x in qrow["embedding"]],
+        nprobe=args.nprobe if args.nprobe is not None else 2,
+        k=args.k if args.k is not None else 10,
+        exclude_id=args.query_id,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="variant_load_pipeline_spark",
@@ -505,6 +554,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stratum-col", dest="stratum_col")
     p.add_argument("--per-stratum", dest="per_stratum", type=int)
     p.add_argument("--salt", default="")
+    p.add_argument("--batch")
+    p.add_argument("--batch-id", dest="batch_id", type=int)
+    p.add_argument("--index")
+    p.add_argument("--query-id", dest="query_id", type=int)
+    p.add_argument("--nprobe", type=int)
     p.add_argument("--gzip", action="store_true")
     p.add_argument("--addp", action="store_true")
     p.add_argument(
