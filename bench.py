@@ -206,6 +206,8 @@ HEADLINE_V4 = [
     "ann_ndcg_eval",
     "ivf_ingest_append",
     "quality_calibration_ece",
+    "orc_roundtrip_scan",
+    "events_rolling_median",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -270,6 +272,8 @@ EAGER_CONSTRUCT = {
     "ivf_ingest_append",
     # the feature-matrix localCheckpoint materializes at construction
     "quality_calibration_ece",
+    # the ORC store write happens at construction
+    "orc_roundtrip_scan",
 }
 
 

@@ -232,6 +232,16 @@ def test_no_registered_query_has_partitionless_window(spark):
     assert not offenders, offenders
 
 
+def test_orc_reload_scan_prunes_partitions(spark):
+    """orc_roundtrip_scan's point: the lang filter must land in the ORC
+    reload scan's PartitionFilters — format-independent partition
+    pruning, same contract the parquet stores pin."""
+    plan = plan_of(spark, "orc_roundtrip_scan")
+    seg = plan.split("PartitionFilters")
+    assert len(seg) > 1, plan
+    assert "lang" in seg[1].split("]")[0], plan
+
+
 def test_variant_store_scan_prunes_partitions(spark, tmp_path):
     """F3: the (map_key, chromosome) equality filters on the partitioned
     variant store must land in PartitionFilters — a chromosome-scoped load

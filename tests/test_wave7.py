@@ -230,3 +230,47 @@ def test_quality_calibration_buckets_consistent(spark):
             hi = 1_000_001
         assert lo <= r.mean_score_micro < hi or r.n_docs == 0
         assert r.abs_gap_micro == abs(r.mean_score_micro - r.pos_rate_micro)
+
+
+# ---------------------------------------------------------------------------
+# Rolling median: spot-check against a driver-side recompute
+# ---------------------------------------------------------------------------
+def test_rolling_median_matches_recompute(spark):
+    from variant_load_pipeline_spark.queries import load_events
+
+    ev = sorted(
+        load_events(spark, SF)
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    got = {
+        r.event_id: r.med5
+        for r in _run(spark, "events_rolling_median").collect()
+    }
+    by_user: dict[int, list] = {}
+    checked = 0
+    for r in ev:
+        hist = by_user.setdefault(r.user_id, [])
+        hist.append(r.value)
+        frame = sorted(hist[-5:])
+        n = len(frame)
+        med = frame[n // 2] if n % 2 == 1 else (
+            (frame[n // 2 - 1] + frame[n // 2]) / 2.0
+        )
+        assert abs(got[r.event_id] - med) < 1e-6, r.event_id
+        checked += 1
+    assert checked == len(got) > 0
+
+
+def test_orc_roundtrip_totals_match_parquet(spark):
+    from pyspark.sql import functions as F
+    from variant_load_pipeline_spark.queries import load
+
+    rows = _run(spark, "orc_roundtrip_scan").collect()
+    d = load(spark, SF, "documents").filter(F.col("lang") == "en")
+    want = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("c")
+    ).collect()
+    wm = {r.source: (r.n, r.c) for r in want}
+    assert {r.source: (r.n_docs, r.total_chars) for r in rows} == wm

@@ -1205,3 +1205,88 @@ def quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos_rate.alias("pos_rate_micro"),
         F.abs(mean_sc - pos_rate).alias("abs_gap_micro"),
     )
+
+
+# ===========================================================================
+# ORC storage roundtrip with partition pruning (second columnar format)
+# ===========================================================================
+@register(
+    "orc_roundtrip_scan",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id,
+           CAST(SUM(length(text)) AS BIGINT) AS total_text_len
+    FROM documents WHERE lang = 'en'
+    GROUP BY source
+    """,
+    doc="Second-columnar-format storage lifecycle: the documents table is "
+    "written to ORC PARTITIONED BY language, read back, and aggregated "
+    "under a lang='en' filter — the filter lands in the reloaded scan's "
+    "PartitionFilters, so ORC partition pruning is exercised alongside "
+    "the parquet stores.  The oracle aggregates the ORIGINAL parquet: a "
+    "hash match proves the ORC roundtrip is lossless (ids, counts, and "
+    "full text bytes survive).  Eager-construct (the ORC write runs "
+    "inside the query).",
+)
+def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .queries_ext import _scan_path
+
+    d = load(spark, sf_dir, "documents")
+    path = _scan_path(sf_dir, "orc_store")
+    shutil.rmtree(path, ignore_errors=True)
+    d.write.mode("overwrite").partitionBy("lang").orc(path)
+    back = spark.read.orc(path).filter(F.col("lang") == "en")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+        F.sum(F.length("text")).cast("long").alias("total_text_len"),
+    )
+
+
+# ===========================================================================
+# Exact rolling median over a bounded window frame (per-user event stream)
+# ===========================================================================
+@register(
+    "events_rolling_median",
+    """
+    SELECT event_id, user_id,
+           CAST(ROUND(median(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS DOUBLE)
+               AS med5
+    FROM events
+    """,
+    doc="EXACT rolling median of the last 5 events per user — the robust "
+    "rolling statistic (outlier-resistant, unlike events_moving_avg's "
+    "mean).  Spark has no exact median window function, so the frame is "
+    "collected per row (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW — "
+    "bounded, tiny), sorted, and the ANSI median (mean of the two "
+    "middles on even counts) is computed by element arithmetic — a "
+    "bounded-frame window that partitions by user at any scale.  "
+    "Deterministic frame order via the (ts, event_id) composite.",
+)
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid = F.element_at(arr, (n / 2 + 1).cast("int"))
+    lo = F.element_at(arr, (n / 2).cast("int"))
+    med = F.when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))) \
+        .otherwise((lo + mid) / 2.0)
+    return ev.select(
+        "event_id", "user_id", F.round(med, 6).alias("med5")
+    )
