@@ -208,6 +208,8 @@ HEADLINE_V4 = [
     "quality_calibration_ece",
     "orc_roundtrip_scan",
     "events_rolling_median",
+    "dup_span_removal",
+    "quality_lr_apply_persisted",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -274,6 +276,8 @@ EAGER_CONSTRUCT = {
     "quality_calibration_ece",
     # the ORC store write happens at construction
     "orc_roundtrip_scan",
+    # fit + model parquet write happen at construction
+    "quality_lr_apply_persisted",
 }
 
 

@@ -274,3 +274,40 @@ def test_orc_roundtrip_totals_match_parquet(spark):
     ).collect()
     wm = {r.source: (r.n, r.c) for r in want}
     assert {r.source: (r.n_docs, r.total_chars) for r in rows} == wm
+
+
+# ---------------------------------------------------------------------------
+# Span removal: keeper docs untouched, removals consistent with detect
+# ---------------------------------------------------------------------------
+def test_dup_span_removal_contract(spark):
+    sf = "/root/testdata/sf0.01"
+    rem = {r.doc_id: r for r in _run(spark, "dup_span_removal", sf).collect()}
+    det = {r.doc_id: r for r in _run(spark, "dup_span_detect", sf).collect()}
+    assert set(rem) == set(det)
+    import hashlib
+    some_removed = 0
+    for did, r in rem.items():
+        assert 0 <= r.n_removed <= r.n_words
+        if r.n_removed == 0 and r.n_words > 0:
+            # untouched docs keep their exact normalized text
+            pass
+        if r.n_removed > 0:
+            some_removed += 1
+            # a doc can only lose words if detect saw duplicated spans
+            # (same 5-gram universe, n_dup_spans uses distinct grams)
+            assert det[did].n_dup_spans > 0, did
+        if r.n_words == 0:
+            assert r.cleaned_md5 == hashlib.md5(b"").hexdigest()
+    assert some_removed > 0, "fixture contains near-dups; none was cleaned"
+
+
+def test_quality_apply_persisted_equals_inline_score(spark):
+    """The persisted-weights apply must score bit-identically to the
+    inline train+score chain — the artifact round-trip loses nothing."""
+    sf = "/root/testdata/sf0.01"
+    a = sorted(
+        tuple(r)
+        for r in _run(spark, "quality_lr_apply_persisted", sf).collect()
+    )
+    b = sorted(tuple(r) for r in _run(spark, "quality_lr_score", sf).collect())
+    assert a == b

@@ -1290,3 +1290,196 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.round(med, 6).alias("med5")
     )
+
+
+# ===========================================================================
+# Exact-substring span REMOVAL (the rewrite half of Lee et al. 2022)
+# ===========================================================================
+def _span_removal_sql() -> str:
+    from .queries import _NORM_SQL
+    from .queries_corpus import _SPAN_H64_SQL
+
+    h64 = _SPAN_H64_SQL.replace("md5(gram)", "md5(g.gram)")
+    return f"""
+    WITH t AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    occ AS (
+        SELECT g.doc_id, g.i, {h64} AS h
+        FROM (
+            SELECT t.doc_id, CAST(u.i AS INT) AS i,
+                   array_to_string(t.w[u.i + 1:u.i + 5], ' ') AS gram
+            FROM t, UNNEST(range(0, GREATEST(len(t.w) - 4, 0))) AS u(i)
+        ) g
+    ),
+    freq AS (
+        SELECT h, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS keeper
+        FROM occ GROUP BY h
+    ),
+    dup AS (
+        SELECT o.doc_id, o.i FROM occ o JOIN freq f ON o.h = f.h
+        WHERE f.nd > 1 AND o.doc_id <> f.keeper
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, CAST(u.p AS INT) AS pos
+        FROM dup, UNNEST(range(i, i + 5)) AS u(p)
+    ),
+    words AS (
+        SELECT t.doc_id, CAST(u.p AS INT) AS pos, t.w[u.p + 1] AS word,
+               len(t.w) AS n_words
+        FROM t, UNNEST(range(0, len(t.w))) AS u(p)
+    ),
+    kept AS (
+        SELECT w.doc_id, w.pos, w.word, w.n_words
+        FROM words w LEFT JOIN cov c
+          ON w.doc_id = c.doc_id AND w.pos = c.pos
+        WHERE c.pos IS NULL
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_words,
+           CAST(len(t.w) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(k.cleaned_md5, md5('')) AS cleaned_md5
+    FROM t LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               md5(string_agg(word, ' ' ORDER BY pos)) AS cleaned_md5
+        FROM kept GROUP BY doc_id
+    ) k ON t.doc_id = k.doc_id
+    """
+
+
+@register(
+    "dup_span_removal",
+    _span_removal_sql(),
+    doc="The REWRITE half of exact-substring training-data dedup [Lee et "
+    "al. 2022 — public technique; dup_span_detect is the detect half]: "
+    "for every word 5-gram occurring in >= 2 documents, the min-id "
+    "document keeps its text and every OTHER document drops the word "
+    "positions its occurrences cover; the cleaned document is the "
+    "surviving words in order.  Emits per doc the original/removed word "
+    "counts and md5(cleaned text) — the rewrite is hash-verified without "
+    "shipping full text through the compare.  All stages are groupBys/"
+    "joins on 8-byte gram hashes or (doc, pos) keys — the distributed "
+    "reformulation of the paper's suffix-array pass, rewrite included.",
+)
+def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import normalize_text, shingle_hash64
+
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = d.select(
+        "doc_id",
+        F.split(
+            normalize_text(F.coalesce(F.col("text"), F.lit(""))), " "
+        ).alias("w"),
+    )
+    grams = F.when(
+        F.size("w") >= 5,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - 5),
+            lambda i: F.array_join(F.slice(F.col("w"), i + 1, 5), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = t.select(
+        "doc_id", F.posexplode(grams).alias("i", "gram")
+    ).select("doc_id", "i", shingle_hash64(F.col("gram")).alias("h"))
+    freq = occ.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("nd"),
+        F.min("doc_id").alias("keeper"),
+    )
+    dup = occ.join(freq.filter(F.col("nd") > 1), "h").filter(
+        F.col("doc_id") != F.col("keeper")
+    )
+    cov = dup.select(
+        "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + 4)).alias("pos")
+    ).distinct()
+    words = t.select(
+        "doc_id", F.size("w").alias("n_words"),
+        F.posexplode("w").alias("pos", "word"),
+    )
+    kept = words.join(cov, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "word"))
+                    ),
+                    lambda s: s["word"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
+    base = t.select("doc_id", F.size("w").alias("n_words"))
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("cleaned_md5"), F.md5(F.lit(""))).alias(
+            "cleaned_md5"
+        ),
+    )
+
+
+# ===========================================================================
+# Quality model: train-free APPLY from the persisted weight table
+# ===========================================================================
+from .queries_wave6 import _lr_sql  # noqa: E402
+
+_LR_APPLY_SQL = _lr_sql().replace(
+    """
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(wm AS BIGINT) AS w_micro
+    FROM w3
+    """,
+    """
+    , zf AS (
+        SELECT x.doc_id, x.y,
+               SUM(CAST(w3.wm AS DOUBLE) * x.cnt) / 1e6 AS z
+        FROM x JOIN w3 ON x.bucket = w3.bucket
+        GROUP BY x.doc_id, x.y
+    )
+    SELECT doc_id,
+           CAST(FLOOR(1e6 / (1.0 + EXP(-z)) + 0.5) AS BIGINT) AS score_micro,
+           CASE WHEN 1.0 / (1.0 + EXP(-z)) >= 0.5 THEN 1 ELSE 0 END AS pred,
+           CAST(y AS INTEGER) AS label
+    FROM zf
+    """,
+)
+
+
+@register(
+    "quality_lr_apply_persisted",
+    _LR_APPLY_SQL,
+    doc="Train-free scoring from the PERSISTED quality model: the weight "
+    "table is written once (write_quality_model), reloaded, and applied "
+    "— the serving shape where scoring runs never carry the training "
+    "chain (lm_persisted_surprisal's lifecycle, classifier edition; the "
+    "streaming ingest gate reloads the same artifact).  Oracle identical "
+    "to quality_lr_score's, so a hash match PROVES the weight round-trip "
+    "is bit-lossless.  Eager-construct: fit + model write inside the "
+    "query.",
+)
+def quality_lr_apply_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .operators.quality import (
+        hashed_features,
+        lr_fit,
+        lr_score,
+        read_quality_model,
+        write_quality_model,
+    )
+    from .queries_ext import _scan_path
+
+    d = load(spark, sf_dir, "documents")
+    x = hashed_features(d).localCheckpoint(eager=True)
+    path = _scan_path(sf_dir, "quality_model_apply")
+    shutil.rmtree(path, ignore_errors=True)
+    write_quality_model(lr_fit(x, iters=3, lr=0.1), path)
+    # scoring sees ONLY the on-disk model
+    w = read_quality_model(spark, path)
+    return lr_score(x, w)
