@@ -210,6 +210,7 @@ HEADLINE_V4 = [
     "events_rolling_median",
     "dup_span_removal",
     "quality_lr_apply_persisted",
+    "countmin_heavy_hitters",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

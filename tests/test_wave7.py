@@ -311,3 +311,15 @@ def test_quality_apply_persisted_equals_inline_score(spark):
     )
     b = sorted(tuple(r) for r in _run(spark, "quality_lr_score", sf).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Count-Min: never underestimates, and exact on collision-free terms
+# ---------------------------------------------------------------------------
+def test_countmin_never_underestimates(spark):
+    rows = _run(spark, "countmin_heavy_hitters").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.over_n >= 0, (r.term, "CMS underestimated")
+        assert r.est_n == r.exact_n + r.over_n
+        assert r.est_n >= r.exact_n >= 1

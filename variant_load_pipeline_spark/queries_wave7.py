@@ -1483,3 +1483,131 @@ def quality_lr_apply_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoring sees ONLY the on-disk model
     w = read_quality_model(spark, path)
     return lr_score(x, w)
+
+
+# ===========================================================================
+# Count-Min sketch: sublinear-memory frequency estimation with error audit
+# ===========================================================================
+_CMS_W, _CMS_D = 64, 4  # width x depth
+
+
+@register(
+    "countmin_heavy_hitters",
+    f"""
+    WITH toks AS (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents
+    ),
+    t AS (SELECT term FROM toks WHERE term <> ''),
+    occ AS (
+        SELECT t.term, CAST(u.d AS INT) AS d,
+               (('0x' || substr(md5(t.term || '#' || CAST(u.d AS VARCHAR)),
+                   1, 8))::BIGINT % {_CMS_W}) AS bucket
+        FROM t, UNNEST(range(0, {_CMS_D})) AS u(d)
+    ),
+    cms AS (
+        SELECT d, bucket, COUNT(*) AS cnt FROM occ GROUP BY d, bucket
+    ),
+    exact AS (
+        SELECT term, COUNT(*) AS exact_n FROM t GROUP BY term
+    ),
+    top AS (
+        SELECT term, exact_n FROM (
+            SELECT term, exact_n,
+                   ROW_NUMBER() OVER (ORDER BY exact_n DESC, term) AS rk
+            FROM exact
+        ) WHERE rk <= 20
+    ),
+    est AS (
+        SELECT q.term, MIN(c.cnt) AS est_n
+        FROM (
+            SELECT top.term, CAST(u.d AS INT) AS d,
+                   (('0x' || substr(md5(top.term || '#'
+                       || CAST(u.d AS VARCHAR)), 1, 8))::BIGINT
+                       % {_CMS_W}) AS bucket
+            FROM top, UNNEST(range(0, {_CMS_D})) AS u(d)
+        ) q
+        JOIN cms c ON q.d = c.d AND q.bucket = c.bucket
+        GROUP BY q.term
+    )
+    SELECT t.term, CAST(t.exact_n AS BIGINT) AS exact_n,
+           CAST(e.est_n AS BIGINT) AS est_n,
+           CAST(e.est_n - t.exact_n AS BIGINT) AS over_n
+    FROM top t JOIN est e ON t.term = e.term
+    """,
+    doc="Count-Min sketch frequency estimation (Cormode & Muthukrishnan "
+    f"2005 — public technique): a {_CMS_D}x{_CMS_W} counter table built "
+    "in one tokenize pass (each occurrence increments one bucket per "
+    "depth row via independent md5-salted hashes — a groupBy on (d, "
+    "bucket), i.e. 256 cells of state for an unbounded term universe), "
+    "then the top-20 exact heavy hitters are re-estimated from the "
+    "sketch as min-over-depths and audited against truth: over_n >= 0 "
+    "ALWAYS (CMS never underestimates — the property test asserts it), "
+    "and the overestimate quantifies the collision error at this "
+    "width.  The sketch is the streaming/merge-friendly shape: counter "
+    "tables from shards add cell-wise, like the HLL registers "
+    "hll_distinct_merge already covers for distinct counts.",
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import normalize_text, shingle_hash
+
+    t = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(
+                    normalize_text(F.coalesce(F.col("text"), F.lit(""))), " "
+                )
+            ).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+
+    def bucket(term_col, d):
+        return shingle_hash(
+            F.concat(term_col, F.lit("#"), F.lit(str(d)))
+        ) % _CMS_W
+
+    occ = t.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), bucket(F.col("term"), d).alias("bucket")
+                    )
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("db"),
+    ).select("term", "db.d", "db.bucket")
+    cms = occ.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = t.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = (
+        exact.orderBy(F.col("exact_n").desc(), "term")
+        .limit(20)
+    )
+    q = top.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), bucket(F.col("term"), d).alias("bucket")
+                    )
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("db"),
+    ).select("term", "db.d", "db.bucket")
+    est = (
+        q.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("term")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    return top.join(est, "term").select(
+        "term",
+        F.col("exact_n").cast("long").alias("exact_n"),
+        F.col("est_n").cast("long").alias("est_n"),
+        (F.col("est_n") - F.col("exact_n")).cast("long").alias("over_n"),
+    )
