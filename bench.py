@@ -211,6 +211,7 @@ HEADLINE_V4 = [
     "dup_span_removal",
     "quality_lr_apply_persisted",
     "countmin_heavy_hitters",
+    "ivf_list_skew_report",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the

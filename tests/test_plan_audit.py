@@ -526,6 +526,7 @@ _ALLOWED_UNBOUNDED_JOINS = {
     "quality_calibration_ece",  # same GD chain 1-row scalar joins
     "quality_lr_apply_persisted",  # same GD chain at construct; apply
                                    # itself is one broadcast weight join
+    "ivf_list_skew_report",  # 1-row occupancy totals broadcast
     "negative_sampling_topk",  # 1-row max-item scalar join
     "lm_persisted_surprisal",  # 1-row (N, V) model constants broadcast
     "docs_contract_report",    # 1-row metrics frame exploded

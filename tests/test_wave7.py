@@ -323,3 +323,19 @@ def test_countmin_never_underestimates(spark):
         assert r.over_n >= 0, (r.term, "CMS underestimated")
         assert r.est_n == r.exact_n + r.over_n
         assert r.est_n >= r.exact_n >= 1
+
+
+def test_ivf_skew_report_reconciles(spark):
+    from variant_load_pipeline_spark.queries import load
+
+    rows = _run(spark, "ivf_list_skew_report").collect()
+    e = load(spark, SF, "embeddings")
+    n_total = e.count()
+    assert sum(r.n_vectors for r in rows) == n_total
+    n_lists = len(rows)
+    ideal = n_total / n_lists
+    for r in rows:
+        assert (r.oversized == "T") == (r.n_vectors > 1.5 * ideal), r.list_id
+        # load factors average to ~1e6 across lists (floor drift < 1 each)
+    avg = sum(r.load_factor_micro for r in rows) / n_lists
+    assert abs(avg - 1_000_000) < n_lists

@@ -1611,3 +1611,65 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_n").cast("long").alias("est_n"),
         (F.col("est_n") - F.col("exact_n")).cast("long").alias("over_n"),
     )
+
+
+# ===========================================================================
+# IVF list-occupancy skew report: the rebuild trigger for the index loop
+# ===========================================================================
+@register(
+    "ivf_list_skew_report",
+    """
+    WITH occ AS (
+        SELECT label AS list_id, COUNT(*) AS n_vectors
+        FROM embeddings GROUP BY label
+    ),
+    tot AS (
+        SELECT SUM(n_vectors) AS n_total, COUNT(*) AS n_lists,
+               MAX(n_vectors) AS mx
+        FROM occ
+    )
+    SELECT CAST(o.list_id AS BIGINT) AS list_id,
+           CAST(o.n_vectors AS BIGINT) AS n_vectors,
+           CAST(FLOOR(o.n_vectors * 1e6 * t.n_lists / t.n_total + 0.5)
+               AS BIGINT) AS load_factor_micro,
+           CASE WHEN o.n_vectors * t.n_lists * 10 > t.n_total * 15
+                THEN 'T' ELSE 'F' END AS oversized,
+           CAST(FLOOR(t.mx * 1e6 / (t.n_total / t.n_lists) + 0.5)
+               AS BIGINT) AS max_load_micro
+    FROM occ o CROSS JOIN tot t
+    """,
+    doc="IVF index maintenance monitor: per-inverted-list occupancy, the "
+    "load factor vs the balanced ideal (n_total/n_lists), an oversized "
+    "flag at 1.5x ideal (integer cross-multiplication, no float "
+    "threshold), and the global max load — the signal that schedules "
+    "the write_ivf_index rebuild after enough append_ivf_batch ingests "
+    "skew the lists (probe latency follows the hottest probed list).  "
+    "Completes the index loop: build -> append -> MONITOR -> rebuild.  "
+    "One groupBy + a 1-row totals broadcast.",
+)
+def ivf_list_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    occ = e.groupBy(F.col("label").alias("list_id")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    tot = occ.agg(
+        F.sum("n_vectors").alias("n_total"),
+        F.count(F.lit(1)).alias("n_lists"),
+        F.max("n_vectors").alias("mx"),
+    )
+    return occ.crossJoin(F.broadcast(tot)).select(
+        F.col("list_id").cast("long").alias("list_id"),
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.floor(
+            F.col("n_vectors") * 1e6 * F.col("n_lists") / F.col("n_total")
+            + 0.5
+        ).cast("long").alias("load_factor_micro"),
+        F.when(
+            F.col("n_vectors") * F.col("n_lists") * 10
+            > F.col("n_total") * 15,
+            F.lit("T"),
+        ).otherwise(F.lit("F")).alias("oversized"),
+        F.floor(
+            F.col("mx") * 1e6 / (F.col("n_total") / F.col("n_lists")) + 0.5
+        ).cast("long").alias("max_load_micro"),
+    )
