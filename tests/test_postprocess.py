@@ -337,3 +337,90 @@ def test_annotate_indels_chunked_matches_broadcast(spark):
     got = rows("chunked", 4)
     assert got == rows("broadcast", 1_000_000)
     assert len(got) == 6
+
+
+def test_fasta_auto_boundary_golden(spark):
+    """Pins the auto strategy AT the switch point with a genome big enough
+    to span many chunks: total bases == ceiling stays broadcast (the bound
+    is inclusive), one base over routes to chunked, and the chunked rows
+    hash-match the broadcast rows exactly — the 100-TB promise that the
+    route flip is invisible to results."""
+    import variant_load_pipeline_spark.plans.postprocess as pp
+
+    # deterministic 2-chromosome synthetic genome, 6000 bases total
+    n = 3000
+    seq1 = "".join("ACGT"[(i * 7 + 3) % 4] for i in range(n))
+    seq2 = "".join("TGCA"[(i * 5 + 1) % 4] for i in range(n))
+    fasta = spark.createDataFrame(
+        [("1", seq1), ("2", seq2)], ["chromosome", "seq"]
+    )
+    genes = spark.createDataFrame(
+        [(7, "1", 50, 2900, 1, "ACTIVE"), (8, "2", 50, 2900, 1, "ACTIVE")],
+        ["gene_rgd_id", "chromosome", "start_pos", "stop_pos", "map_key",
+         "object_status"],
+    )
+    transcripts = spark.createDataFrame(
+        [(70, 7, "N", "NM_1", "NP_1"), (80, 8, "N", "NM_2", "NP_2")],
+        ["transcript_rgd_id", "gene_rgd_id", "is_non_coding_ind", "acc_id",
+         "protein_acc_id"],
+    )
+    features = spark.createDataFrame(
+        [
+            (70, "EXONS", "+", "1", 100, 699, 1),
+            (70, "EXONS", "+", "1", 1200, 1799, 1),
+            (70, "EXONS", "+", "1", 2300, 2899, 1),
+            (80, "EXONS", "-", "2", 100, 699, 1),
+            (80, "EXONS", "-", "2", 1200, 1799, 1),
+            (80, "EXONS", "-", "2", 2300, 2899, 1),
+        ],
+        ["transcript_rgd_id", "object_name", "strand", "chromosome",
+         "start_pos", "stop_pos", "map_key"],
+    )
+    variants = spark.createDataFrame(
+        [
+            (301, "1", 150, 151, seq1[149], "A"),      # exon1 snv
+            (302, "1", 1500, 1501, seq1[1499], "G"),   # exon2 snv
+            (303, "1", 900, 901, seq1[899], "T"),      # intron snv
+            (304, "1", 1205, 1206, seq1[1204], "C"),   # near splice
+            (305, "1", 1500, 1502, seq1[1499:1501], "-"),   # deletion
+            (306, "1", 1500, 1501, None, "TTA"),       # insertion
+            (307, "2", 150, 151, seq2[149], "A"),      # minus-strand snv
+            (308, "2", 2400, 2401, seq2[2399], "G"),   # minus exon3
+        ],
+        ["rgd_id", "chromosome", "start_pos", "end_pos", "ref_nuc", "var_nuc"],
+    )
+
+    def rows(strategy, chunk=512):
+        out = annotate_variants(
+            variants, genes, transcripts, features, fasta, map_key=1,
+            fasta_strategy=strategy, chunk_size=chunk,
+        ).collect()
+        return sorted(
+            (tuple(r[c] for c in sorted(out[0].asDict())) for r in out),
+            key=repr,  # rows carry NULLs; repr-key keeps the sort total
+        ) if out else []
+
+    golden = rows("broadcast")
+    assert len(golden) == 8 and any(t[0] is not None for t in golden)
+
+    hits = []
+    real_chunked = pp._annotate_chunked
+
+    def spy(*a, **kw):
+        hits.append(1)
+        return real_chunked(*a, **kw)
+
+    pp._annotate_chunked = spy
+    old = pp.FASTA_BROADCAST_MAX_BASES
+    try:
+        # exactly AT the ceiling: stays broadcast (<= is inclusive)
+        pp.FASTA_BROADCAST_MAX_BASES = 2 * n
+        assert rows("auto") == golden
+        assert not hits
+        # one base over: auto routes chunked, rows identical
+        pp.FASTA_BROADCAST_MAX_BASES = 2 * n - 1
+        assert rows("auto") == golden
+        assert hits
+    finally:
+        pp.FASTA_BROADCAST_MAX_BASES = old
+        pp._annotate_chunked = real_chunked

@@ -852,3 +852,107 @@ def test_compact_lsh_index_single_generation_is_noop(spark, tmp_path):
     ing.seed_lsh_ingest(_doc(spark, 1, _BASE_WORDS[0]), idx)
     assert ing.compact_lsh_index(spark, idx, upto_batch_id=99) == 0
     assert os.listdir(f"{idx}/bands") == ["ingest_batch=-1"]
+
+
+def test_compact_lsh_index_mid_crash_leftovers_harmless(spark, tmp_path):
+    """Crash simulation for the recoverable swap order: the new seed
+    generation has been renamed into place but the folded source
+    partitions were NOT yet deleted (a crash during step 3 of
+    compact_lsh_index).  The index then holds every row TWICE — the
+    matcher must make identical accept/reject decisions (duplicates are
+    harmless: candidates dedup, jaccard is per pair), and the next
+    compaction must fold the leftovers away."""
+    import os
+    import shutil
+
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    idx = str(tmp_path / "idx")
+    kept = str(tmp_path / "kept")
+    ing.seed_lsh_ingest(_doc(spark, 1, _BASE_WORDS[0]), idx)
+    sink = ing.lsh_ingest_sink(spark, idx, kept, threshold=0.8)
+    sink(_doc(spark, 11, _BASE_WORDS[1]), 0)
+    sink(_doc(spark, 21, _BASE_WORDS[2]), 1)
+
+    # stash the to-be-folded partitions, compact, then restore them —
+    # byte-for-byte the on-disk state of a crash between the generation
+    # rename and the source deletes
+    stash = str(tmp_path / "stash")
+    parts = []
+    for sub in ("bands", "shingles"):
+        for name in os.listdir(f"{idx}/{sub}"):
+            parts.append((sub, name))
+            shutil.copytree(f"{idx}/{sub}/{name}", f"{stash}/{sub}/{name}")
+    assert ing.compact_lsh_index(spark, idx, upto_batch_id=1) == 2
+    for sub, name in parts:
+        shutil.copytree(f"{stash}/{sub}/{name}", f"{idx}/{sub}/{name}")
+    n_dup_state = len(os.listdir(f"{idx}/bands"))
+    assert n_dup_state == 4  # gen -2 + restored gen -1 + batches 0, 1
+
+    # matcher over the duplicated index: same decisions as a clean one
+    batch = spark.createDataFrame(
+        [
+            (30, _BASE_WORDS[0].replace("echo", "reverb")),
+            (31, _BASE_WORDS[1].replace("gold", "aurum")),
+            (32, _BASE_WORDS[2].replace("noon", "midday")),
+            (33, "completely novel words about engines and physical plans "
+                 "that match nothing stored in any generation at all "
+                 "alpha2 bravo2 charlie2 delta2 echo2 foxtrot2 golf2 "
+                 "hotel2 india2 juliet2 kilo2 lima2 mike2 november2 "
+                 "oscar2 papa2 quebec2 romeo2 sierra2 tango2"),
+        ],
+        "doc_id long, text string",
+    )
+    sink(batch, 2)
+    got = {r["doc_id"] for r in ing.read_kept(spark, kept).collect()}
+    assert got == {11, 21, 33}
+
+    # the NEXT compaction folds the crash leftovers (and batch 2) away
+    assert ing.compact_lsh_index(spark, idx, upto_batch_id=2) >= 2
+    gens = [
+        d for d in os.listdir(f"{idx}/bands") if d.startswith("ingest_")
+    ]
+    assert len(gens) == 1 and gens[0].split("=")[1].startswith("-")
+
+    # and decisions are STILL identical afterwards
+    sink(
+        spark.createDataFrame(
+            [(41, _BASE_WORDS[1].replace("gold", "aurum"))],
+            "doc_id long, text string",
+        ),
+        3,
+    )
+    got = {r["doc_id"] for r in ing.read_kept(spark, kept).collect()}
+    assert got == {11, 21, 33}
+
+
+def test_compact_lsh_index_lone_batch_folds(spark, tmp_path):
+    """A single BATCH partition with no seed generation must still fold
+    (it has to become a generation, or the redelivery exclusion guard
+    keeps applying to committed rows forever); only a lone GENERATION is
+    the no-op case."""
+    import os
+    import shutil
+
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    idx = str(tmp_path / "idx")
+    kept = str(tmp_path / "kept")
+    ing.seed_lsh_ingest(_doc(spark, 1, _BASE_WORDS[0]), idx)
+    sink = ing.lsh_ingest_sink(spark, idx, kept, threshold=0.8)
+    sink(_doc(spark, 11, _BASE_WORDS[1]), 0)
+    # surgically remove the seed generation: the on-disk state of an
+    # index whose ingest began before any seed corpus existed
+    for sub in ("bands", "shingles"):
+        shutil.rmtree(f"{idx}/{sub}/ingest_batch=-1")
+
+    assert ing.compact_lsh_index(spark, idx, upto_batch_id=0) == 1
+    for sub in ("bands", "shingles"):
+        assert os.listdir(f"{idx}/{sub}") == ["ingest_batch=-2"]
+
+    # redelivery of batch 0 after its lone-batch fold: the partition-
+    # exclusion guard no longer hides the folded rows, and the doc-
+    # identity guard keeps the doc from dropping itself
+    sink(_doc(spark, 11, _BASE_WORDS[1]), 0)
+    got = {r["doc_id"] for r in ing.read_kept(spark, kept).collect()}
+    assert got == {11}

@@ -71,8 +71,16 @@ EXPLAINED: dict[str, str] = {
     "semdedup_pairs": "within-cluster exact pair verify; cluster count "
     "scales with labels here but pair space inside probed clusters is "
     "quadratic by contract",
-    "edit_distance_dup_pairs": "prefix-bucket candidate join with exact "
-    "verify; candidates grow superlinearly when bucket occupancy rises",
+    # edit_distance_dup_pairs: formerly FLAGGED at 35.8x (replicated
+    # heads drove prefix-bucket occupancy superlinear).  The two-tier
+    # occupancy guard is now IMPLEMENTED in the query (buckets >
+    # _ED_BUCKET_CUTOFF re-key to a 24-char prefix, sub-buckets still
+    # over the cutoff dropped; rules mirrored in the oracle), bounding
+    # candidates by cutoff*n — re-swept at 13.6x, entry removed.
+    "edit_distance_dup_pairs": "occupancy-guarded prefix-bucket join: "
+    "surviving buckets capped at _ED_BUCKET_CUTOFF docs, so candidates "
+    "are <= cutoff*n (linear); residual >10x is mid-size buckets "
+    "crossing from occ^2 small to occ^2 near-cutoff inside the bound",
     # containment_pairs: formerly flagged at 114.6x (shared base
     # vocabulary -> posting lists spanning all replicas).  The df-pruning
     # head guard is now IMPLEMENTED in the query (df > _CONT_DF_CUTOFF

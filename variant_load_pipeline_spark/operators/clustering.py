@@ -449,6 +449,12 @@ def append_ivf_batch(
     finally:
         if old is not None:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        else:
+            # the conf was unset before this call — restore that, or every
+            # later partitioned overwrite in the session silently becomes
+            # dynamic (a full-rebuild overwrite would then keep stale
+            # partitions absent from the new data)
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
 
 def ivf_probe_topk(
@@ -487,11 +493,14 @@ def ivf_probe_topk(
     )
     # merge the ingest delta store, if any (append_ivf_batch): the probe
     # reads seed + delta under the SAME list_id partition pruning, so an
-    # appended index answers without a rebuild
-    import os
-
+    # appended index answers without a rebuild.  Existence is probed via
+    # the Hadoop FileSystem API (not os.path) so the same code sees a
+    # delta store on HDFS/S3A, matching compact_lsh_index.
     delta_dir = f"{path}/lists_delta"
-    if os.path.isdir(delta_dir):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(delta_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
         delta = (
             spark.read.parquet(delta_dir)
             .filter(F.col("list_id").isin(probes))
@@ -521,6 +530,53 @@ def ivf_probe_topk(
         "label",
         "cos_sim",
         F.row_number().over(w).cast("long").alias("rk"),
+    )
+
+
+def ivf_probe_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    qvec_col: str = "qv",
+) -> DataFrame:
+    """Batch IVF probe: augment each row of ``queries`` with the
+    ``nprobe`` nearest inverted lists of a persisted index
+    (write_ivf_index) — the multi-anchor twin of ivf_probe_topk.
+
+    The centroid table is MODEL STATE (one row per list), so it collects
+    to the driver once and the per-anchor probe choice compiles into
+    whole-stage-codegen array algebra: cosine against each centroid
+    literal, sort_array over (neg_cos, list_id) structs (= cosine DESC,
+    list_id ASC — deterministic ties), slice(nprobe), explode.  No join
+    is planned for probe selection at all; downstream candidate fetch is
+    then a plain equi-join on list_id against the partition-pruned lists
+    table.  Emits one row per (query row, probed list) with a `list_id`
+    column appended.
+    """
+    from .similarity import cosine
+
+    cents = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: int(r["list_id"]),
+    )
+    entries = []
+    for r in cents:
+        cv = F.array(*[F.lit(float(x)) for x in r["centroid"]]).cast(
+            "array<double>"
+        )
+        cs = F.round(
+            cosine(F.col(qvec_col).cast("array<double>"), cv), 6
+        )
+        entries.append(
+            F.struct(
+                (-cs).alias("neg_cos"),
+                F.lit(int(r["list_id"])).cast("int").alias("list_id"),
+            )
+        )
+    probe_arr = F.slice(F.sort_array(F.array(*entries)), 1, nprobe)
+    return queries.withColumn(
+        "list_id", F.explode(probe_arr.getField("list_id"))
     )
 
 

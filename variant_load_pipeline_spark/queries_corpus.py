@@ -1911,6 +1911,8 @@ def mmr_diverse_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ED_PREFIX = 8
 _ED_MAXLEN = 40
 _ED_MAXDIST = 3
+_ED_BUCKET_CUTOFF = 200  # occupancy guard; see edit_distance_dup_pairs doc
+_ED_EXT_PREFIX = 24  # re-key length for over-occupied prefix buckets
 
 
 @register(
@@ -1926,10 +1928,28 @@ _ED_MAXDIST = 3
                length(head) AS ln
         FROM d
     ),
+    hot1 AS (
+        SELECT pfx FROM k GROUP BY pfx
+        HAVING COUNT(*) > {_ED_BUCKET_CUTOFF}
+    ),
+    k2 AS (
+        SELECT k.doc_id, k.head, k.ln,
+               CASE WHEN hot1.pfx IS NOT NULL
+                    THEN substr(k.head, 1, {_ED_EXT_PREFIX})
+                    ELSE k.pfx END AS bkey
+        FROM k LEFT JOIN hot1 ON k.pfx = hot1.pfx
+    ),
+    hot2 AS (
+        SELECT bkey FROM k2 GROUP BY bkey
+        HAVING COUNT(*) > {_ED_BUCKET_CUTOFF}
+    ),
+    kf AS (
+        SELECT k2.* FROM k2 ANTI JOIN hot2 USING (bkey)
+    ),
     cand AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.head AS ha, b.head AS hb
-        FROM k a JOIN k b
-          ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        FROM kf a JOIN kf b
+          ON a.bkey = b.bkey AND a.doc_id < b.doc_id
          AND abs(a.ln - b.ln) <= {_ED_MAXDIST}
     )
     SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
@@ -1944,7 +1964,17 @@ _ED_MAXDIST = 3
     "formulation is quadratic; prefix-bucketing makes candidate "
     "generation an equi-join — the same LSH-shaped plan as MinHash, "
     "with the known recall trade (pairs editing INSIDE the prefix are "
-    "missed; shrink the prefix or add a suffix index to recover them)",
+    "missed; shrink the prefix or add a suffix index to recover them).  "
+    "Scale guard (two tiers, the containment_pairs df-guard applied to "
+    "bucket occupancy): a prefix bucket holding more than "
+    f"{_ED_BUCKET_CUTOFF} docs — boilerplate openings under Zipf — is "
+    f"re-keyed to a {_ED_EXT_PREFIX}-char prefix (recall trade: hot-"
+    f"bucket pairs editing inside chars {_ED_PREFIX + 1}-"
+    f"{_ED_EXT_PREFIX} are missed), and any sub-bucket STILL over the "
+    "cutoff is dropped outright.  Every surviving bucket is <= cutoff, "
+    "so candidates are bounded by cutoff * n — linear in corpus size.  "
+    "Both engines apply the identical rules; at the tested SFs no "
+    "bucket crosses the cutoff and the guard is a no-op",
 )
 def edit_distance_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import normalize_text
@@ -1965,17 +1995,52 @@ def edit_distance_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("head", 1, _ED_PREFIX).alias("pfx"),
         F.length("head").alias("ln"),
     )
-    a = k.select(
-        F.col("doc_id").alias("id_a"), F.col("head").alias("ha"),
-        "pfx", F.col("ln").alias("la"),
+    # occupancy guard tier 1: over-occupied prefix buckets (the Zipf
+    # head — boilerplate openings) re-key to a longer prefix.  The hot
+    # set is tiny by construction (> cutoff occupancy each), so it
+    # broadcasts; bucket membership is a property of the shared pfx, so
+    # both sides of any candidate pair re-key consistently.
+    hot1 = (
+        k.groupBy("pfx")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > _ED_BUCKET_CUTOFF)
+        .select("pfx", F.lit(True).alias("is_hot"))
     )
-    b = k.select(
+    k2 = (
+        k.join(F.broadcast(hot1), "pfx", "left")
+        .select(
+            "doc_id",
+            "head",
+            "ln",
+            F.when(
+                F.col("is_hot"),
+                F.substring("head", 1, _ED_EXT_PREFIX),
+            )
+            .otherwise(F.col("pfx"))
+            .alias("bkey"),
+        )
+    )
+    # tier 2: a sub-bucket still over the cutoff (heads identical past
+    # the extended prefix at boilerplate scale) is dropped — the hard
+    # cap that makes Σ occ² <= cutoff * n.
+    hot2 = (
+        k2.groupBy("bkey")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > _ED_BUCKET_CUTOFF)
+        .select("bkey")
+    )
+    kf = k2.join(F.broadcast(hot2), "bkey", "left_anti")
+    a = kf.select(
+        F.col("doc_id").alias("id_a"), F.col("head").alias("ha"),
+        "bkey", F.col("ln").alias("la"),
+    )
+    b = kf.select(
         F.col("doc_id").alias("id_b"), F.col("head").alias("hb"),
-        F.col("pfx").alias("pfx_b"), F.col("ln").alias("lb"),
+        F.col("bkey").alias("bkey_b"), F.col("ln").alias("lb"),
     )
     cand = a.join(
         b,
-        (F.col("pfx") == F.col("pfx_b"))
+        (F.col("bkey") == F.col("bkey_b"))
         & (F.col("id_a") < F.col("id_b"))
         & (F.abs(F.col("la") - F.col("lb")) <= _ED_MAXDIST),
     )

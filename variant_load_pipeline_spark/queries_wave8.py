@@ -1,0 +1,177 @@
+"""Wave-8 serving/curation operators: the remaining scale-path twins and
+training-side artifacts, each with a DuckDB oracle.
+
+  contrastive_triplets_ivf  the SCALE path of contrastive_triplets: per
+                        anchor, hardest positive / hardest negative mined
+                        from the PERSISTED IVF index's probed lists only
+                        (ivf_probe_batch) — candidate cost O(anchors x
+                        probed-list size) instead of anchors x corpus,
+                        the ann_hard_negatives <-> ann_ivf_persisted_topk
+                        split applied to triplet mining
+
+Float discipline follows the repo-wide micro-unit idiom (floor(x*1e6+0.5)
+to BIGINT before any sum / ranking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .queries import load, register
+from .queries_wave7 import _COS6
+
+# ===========================================================================
+# Triplet mining from the persisted IVF probe (scale path)
+# ===========================================================================
+_TRIPLET_NPROBE = 2
+
+
+@register(
+    "contrastive_triplets_ivf",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    cent AS (
+        SELECT e.label AS list_id, e.embedding AS cv
+        FROM embeddings e
+        JOIN (SELECT label, MIN(vec_id) AS mv FROM embeddings GROUP BY label) m
+          ON e.label = m.label AND e.vec_id = m.mv
+    ),
+    probe AS (
+        SELECT qid, list_id FROM (
+            SELECT q.qid, cent.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                       {_COS6.format(a='cent.cv', b='q.qv')} DESC,
+                       cent.list_id) AS rk
+            FROM q CROSS JOIN cent
+        ) WHERE rk <= {_TRIPLET_NPROBE}
+        UNION
+        SELECT qid, qlabel AS list_id FROM q
+    ),
+    sims AS (
+        SELECT q.qid, q.qlabel, e.vec_id AS nid, e.label AS nlabel,
+               {_COS6.format(a='e.embedding', b='q.qv')} AS sim
+        FROM q JOIN probe p ON p.qid = q.qid
+        JOIN embeddings e ON e.label = p.list_id
+        WHERE e.vec_id <> q.qid
+    ),
+    pos AS (
+        SELECT qid, nid AS pos_id, sim AS pos_cos FROM (
+            SELECT qid, nid, sim,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY sim DESC, nid) AS rk
+            FROM sims WHERE nlabel = qlabel
+        ) WHERE rk = 1
+    ),
+    neg AS (
+        SELECT qid, nid AS neg_id, sim AS neg_cos FROM (
+            SELECT qid, nid, sim,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY sim DESC, nid) AS rk
+            FROM sims WHERE nlabel <> qlabel
+        ) WHERE rk = 1
+    )
+    SELECT p.qid AS anchor_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+           CAST(FLOOR((p.pos_cos - n.neg_cos) * 1e6 + 0.5) AS BIGINT)
+               AS margin_micro
+    FROM pos p JOIN neg n ON p.qid = n.qid
+    """,
+    doc="contrastive_triplets' SCALE path: the same (anchor, hardest "
+    "positive, hardest negative, margin) rows, but candidates come from "
+    f"the PERSISTED IVF index's {_TRIPLET_NPROBE} probed lists per "
+    "anchor instead of the whole corpus — the ann_hard_negatives <-> "
+    "ann_ivf_persisted_topk exact/approximate split applied to triplet "
+    "mining.  Probe selection is ivf_probe_batch: the centroid table "
+    "(model state, one row per list) collects once and each anchor's "
+    "nearest-nprobe choice compiles into whole-stage-codegen array "
+    "algebra — NO nested-loop join is planned; candidate fetch is one "
+    "equi-join on list_id (broadcast anchor block), which dynamic "
+    "partition pruning narrows to the probed lists' files on the "
+    "partitioned store.  The probe set always unions the anchor's OWN "
+    "list (its label — the positive source is known, so a miner never "
+    "lets a representative-centroid ranking starve the positives).  "
+    "Recall trade vs the exact miner: an anchor whose true hardest "
+    "negative lives outside its probed lists gets the hardest IN-probe "
+    "negative (standard ANN-mining behavior).  "
+    "The oracle replays centroid pick (min-id member per list), probe "
+    "ranking, and in-probe mining CTE-by-CTE; eager-construct: the "
+    "index write runs inside the query (production persists it once).",
+)
+def contrastive_triplets_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from .operators.clustering import ivf_probe_batch, write_ivf_index
+    from .operators.similarity import cosine
+    from .queries_ext import _scan_path
+
+    e = load(spark, sf_dir, "embeddings")
+    path = _scan_path(sf_dir, "ivf_index_triplets")
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivf_index(e, path)
+    # everything below sees ONLY the on-disk index
+    anchors = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    # probe set = nearest-nprobe lists UNION the anchor's own list: the
+    # positive source is known from the anchor's label, so a production
+    # miner always unions it in (otherwise a representative-centroid
+    # ranking can starve the positive side entirely)
+    probe = (
+        ivf_probe_batch(spark, path, anchors, nprobe=_TRIPLET_NPROBE)
+        .unionByName(
+            anchors.withColumn(
+                "list_id", F.col("qlabel").cast("int")
+            )
+        )
+        .dropDuplicates(["qid", "list_id"])
+    )
+    lists = spark.read.parquet(f"{path}/lists").select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+        F.col("list_id").cast("int").alias("list_id"),
+    )
+    # anchor block is bounded (a mining batch); broadcasting it keeps
+    # the lists side shuffle-free and lets DPP prune to probed lists
+    sims = (
+        lists.join(F.broadcast(probe), "list_id")
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "nid",
+            F.col("list_id").alias("nlabel"),
+            F.round(cosine(F.col("nv"), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    wnd = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    pos = (
+        sims.filter(F.col("nlabel") == F.col("qlabel"))
+        .withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") == 1)
+        .select(
+            "qid", F.col("nid").alias("pos_id"), F.col("sim").alias("pos_cos")
+        )
+    )
+    neg = (
+        sims.filter(F.col("nlabel") != F.col("qlabel"))
+        .withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") == 1)
+        .select(
+            "qid", F.col("nid").alias("neg_id"), F.col("sim").alias("neg_cos")
+        )
+    )
+    return pos.join(neg, "qid").select(
+        F.col("qid").alias("anchor_id"),
+        "pos_id", "pos_cos", "neg_id", "neg_cos",
+        F.floor((F.col("pos_cos") - F.col("neg_cos")) * 1e6 + 0.5)
+        .cast("long")
+        .alias("margin_micro"),
+    )

@@ -350,15 +350,28 @@ def compact_lsh_index(spark, index_path: str, upto_batch_id: int) -> int:
             if bid < 0 or bid <= upto_batch_id:
                 parts.append(name)
                 bids.append(bid)
-        if len(parts) < 2:
-            continue  # nothing to fold (a lone generation is already compact)
+        if not parts:
+            continue
+        if len(parts) == 1 and bids[0] < 0:
+            continue  # a lone generation is already compact; a lone BATCH
+            # partition still folds (it must become a generation, or the
+            # redelivery exclusion guard keeps applying to committed rows)
         new_gen = min([-1] + [b for b in bids if b < 0]) - 1
         merged = spark.read.parquet(*[f"{root}/{p}" for p in parts])
         tmp = f"{root}/.compact_tmp"
         merged.coalesce(
             max(1, spark.sparkContext.defaultParallelism // 4)
         ).write.mode("overwrite").parquet(tmp)
-        fs.rename(fs_path(tmp), fs_path(f"{root}/ingest_batch={new_gen}"))
+        # Hadoop FileSystem.rename signals failure by returning false, not
+        # by throwing; falling through to the deletes would destroy the
+        # only copy of the folded partitions.  Abort BEFORE any delete —
+        # the temp dir is dot-prefixed, so readers never see a half state.
+        if not fs.rename(fs_path(tmp), fs_path(f"{root}/ingest_batch={new_gen}")):
+            raise IOError(
+                f"compact_lsh_index: rename {tmp} -> "
+                f"{root}/ingest_batch={new_gen} failed; aborting before "
+                "deleting source partitions"
+            )
         for p in parts:
             fs.delete(fs_path(f"{root}/{p}"), True)
         folded = max(folded, len([b for b in bids if b >= 0]))
