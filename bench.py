@@ -219,6 +219,7 @@ HEADLINE_V4 = [
 HEADLINE_V5 = [
     "keeplist_delta_refresh_only",
     "contrastive_triplets_ivf",
+    "epoch_shard_manifest",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -293,6 +294,8 @@ EAGER_CONSTRUCT = {
     "keeplist_delta_refresh_only",
     # IVF index write + centroid collect run at construction
     "contrastive_triplets_ivf",
+    # the manifest parquet write runs at construction
+    "epoch_shard_manifest",
 }
 
 

@@ -1,0 +1,135 @@
+"""Wave-8 contracts: epoch-manifest file order, epoch re-seeding, and
+the batch IVF probe operator."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from variant_load_pipeline_spark import queries as Q
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_epoch_manifest_file_order_is_training_order(spark, tmp_path):
+    """The layout contract of write_epoch_manifest: each (epoch, shard)
+    directory holds ONE file whose physical row order equals the
+    training order (hv, doc_id) — readers stream it without re-sorting.
+    Verified with pyarrow, which preserves parquet row order exactly."""
+    import pyarrow.parquet as pq
+
+    from variant_load_pipeline_spark.plans.export import (
+        write_epoch_manifest,
+    )
+
+    docs = Q.load(spark, SF, "documents").select("doc_id")
+    path = str(tmp_path / "manifest")
+    write_epoch_manifest(docs, path, epochs=2, shards=4)
+
+    n_docs = docs.count()
+    seen = 0
+    for epoch_dir in sorted(os.listdir(path)):
+        if not epoch_dir.startswith("epoch="):
+            continue
+        for shard_dir in sorted(os.listdir(f"{path}/{epoch_dir}")):
+            if not shard_dir.startswith("shard="):
+                continue
+            files = [
+                f
+                for f in os.listdir(f"{path}/{epoch_dir}/{shard_dir}")
+                if f.endswith(".parquet")
+            ]
+            # one task per (epoch, shard) group -> one file per dir
+            assert len(files) == 1, (epoch_dir, shard_dir, files)
+            tbl = pq.read_table(
+                f"{path}/{epoch_dir}/{shard_dir}/{files[0]}"
+            )
+            rows = list(
+                zip(tbl.column("hv").to_pylist(),
+                    tbl.column("doc_id").to_pylist())
+            )
+            assert rows == sorted(rows), (epoch_dir, shard_dir)
+            seen += len(rows)
+    # every doc appears exactly once per epoch
+    assert seen == 2 * n_docs
+
+
+def test_epoch_manifest_reseeds_per_epoch(spark, tmp_path):
+    """Different epochs must train in different orders (the per-epoch
+    seed), while the same epoch re-exported is bit-identical
+    (resumability)."""
+    from variant_load_pipeline_spark.plans.export import (
+        read_epoch_manifest,
+        write_epoch_manifest,
+    )
+
+    docs = Q.load(spark, SF, "documents").select("doc_id")
+    path = str(tmp_path / "manifest")
+    write_epoch_manifest(docs, path, epochs=2, shards=4)
+    m = read_epoch_manifest(spark, path)
+
+    def order(epoch):
+        return [
+            (r["shard"], r["hv"], r["doc_id"])
+            for r in m.filter(F.col("epoch") == epoch)
+            .orderBy("shard", "hv", "doc_id")
+            .collect()
+        ]
+
+    o1, o2 = order(1), order(2)
+    assert [t[2] for t in o1] != [t[2] for t in o2]  # reshuffled
+    # re-export reproduces epoch 1 exactly
+    path2 = str(tmp_path / "manifest2")
+    write_epoch_manifest(docs, path2, epochs=1, shards=4)
+    m2 = read_epoch_manifest(spark, path2)
+    o1b = [
+        (r["shard"], r["hv"], r["doc_id"])
+        for r in m2.filter(F.col("epoch") == 1)
+        .orderBy("shard", "hv", "doc_id")
+        .collect()
+    ]
+    assert o1 == o1b
+
+
+def test_ivf_probe_batch_matches_bruteforce(spark, tmp_path):
+    """ivf_probe_batch's codegen probe choice must equal the brute-force
+    nearest-nprobe centroid ranking (cos DESC, list_id ASC, 6dp)."""
+    from variant_load_pipeline_spark.operators.clustering import (
+        ivf_probe_batch,
+        write_ivf_index,
+    )
+
+    e = Q.load(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(e, path)
+    anchors = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    got = {
+        (r["qid"], r["list_id"])
+        for r in ivf_probe_batch(spark, path, anchors, nprobe=3).collect()
+    }
+
+    import math
+
+    cents = {
+        int(r["list_id"]): [float(x) for x in r["centroid"]]
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        nu = math.sqrt(sum(a * a for a in u))
+        nv = math.sqrt(sum(b * b for b in v))
+        return round(d / (nu * nv), 6) if nu and nv else 0.0
+
+    expected = set()
+    for r in anchors.collect():
+        ranked = sorted(
+            cents, key=lambda lid: (-cos(cents[lid], list(r["qv"])), lid)
+        )
+        for lid in ranked[:3]:
+            expected.add((r["qid"], lid))
+    assert got == expected and got

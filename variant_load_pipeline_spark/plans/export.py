@@ -82,3 +82,67 @@ def export_vcf(
     if compress:
         writer = writer.option("compression", "gzip")
     writer.text(path)
+
+
+def write_epoch_manifest(
+    docs: DataFrame,
+    path: str,
+    epochs: int = 3,
+    shards: int = 8,
+    id_col: str = "doc_id",
+) -> None:
+    """Per-epoch data-order export: the shard manifests a training run
+    reads — for every epoch, every doc gets a deterministic (shard, pos)
+    from an epoch-seeded portable hash (training_shard_assignment's
+    pseudo-shuffle, re-seeded per epoch so each epoch sees a different
+    order while staying bit-reproducible from the corpus alone).
+
+    Layout contract: parquet partitioned by (epoch, shard); each
+    (epoch, shard) directory holds its docs in EXACT training order —
+    the groups are hash-repartitioned so each lands in one task, then
+    sorted within the task on the order key, so the file's row order IS
+    the manifest order (readers stream it; no re-sort at load time).
+    """
+    h = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.sequence(F.lit(1), F.lit(epochs))).alias("epoch"),
+    ).select(
+        "doc_id",
+        F.col("epoch").cast("long").alias("epoch"),
+        _epoch_hash(F.col("epoch"), F.col(id_col)).alias("hv"),
+    )
+    out = h.select(
+        "epoch",
+        (F.col("hv") % shards).cast("long").alias("shard"),
+        "hv",
+        "doc_id",
+    )
+    (
+        out.repartition("epoch", "shard")
+        .sortWithinPartitions("epoch", "shard", "hv", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("epoch", "shard")
+        .parquet(path)
+    )
+
+
+def _epoch_hash(epoch, doc_id) -> F.Column:
+    """Epoch-seeded portable order hash; DuckDB twin:
+    ('0x' || substr(md5('epoch' || epoch || '_' || doc_id), 1, 8))::BIGINT
+    """
+    from ..functions.text import shingle_hash
+
+    return shingle_hash(
+        F.concat(
+            F.lit("epoch"),
+            epoch.cast("string"),
+            F.lit("_"),
+            doc_id.cast("string"),
+        )
+    )
+
+
+def read_epoch_manifest(spark, path: str) -> DataFrame:
+    """Load a persisted epoch manifest (partition discovery restores
+    epoch/shard; in-file row order is the training order)."""
+    return spark.read.option("basePath", path).parquet(path)

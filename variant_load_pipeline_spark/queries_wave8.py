@@ -8,6 +8,11 @@ training-side artifacts, each with a DuckDB oracle.
                         probed-list size) instead of anchors x corpus,
                         the ann_hard_negatives <-> ann_ivf_persisted_topk
                         split applied to triplet mining
+  epoch_shard_manifest  per-epoch data-order export: deterministic
+                        shuffled shard manifests seeded per epoch
+                        (write_epoch_manifest), aggregated from the
+                        read-back so a hash match proves the persisted
+                        order round-trips
 
 Float discipline follows the repo-wide micro-unit idiom (floor(x*1e6+0.5)
 to BIGINT before any sum / ranking).
@@ -174,4 +179,87 @@ def contrastive_triplets_ivf(
         F.floor((F.col("pos_cos") - F.col("neg_cos")) * 1e6 + 0.5)
         .cast("long")
         .alias("margin_micro"),
+    )
+
+
+# ===========================================================================
+# Per-epoch data-order export: the shard manifests a training run reads
+# ===========================================================================
+_MANIFEST_EPOCHS = 3
+_MANIFEST_SHARDS = 8
+
+
+@register(
+    "epoch_shard_manifest",
+    f"""
+    WITH ep AS (
+        SELECT doc_id, CAST(u.e AS BIGINT) AS epoch
+        FROM documents, UNNEST(range(1, {_MANIFEST_EPOCHS + 1})) AS u(e)
+    ),
+    h AS (
+        SELECT epoch, doc_id,
+               ('0x' || substr(md5('epoch' || CAST(epoch AS VARCHAR) || '_'
+                    || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+        FROM ep
+    )
+    SELECT epoch,
+           CAST(hv % {_MANIFEST_SHARDS} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST((list(doc_id ORDER BY hv, doc_id))[1] AS BIGINT)
+               AS first_doc,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY hv, doc_id))
+               AS order_md5
+    FROM h GROUP BY epoch, hv % {_MANIFEST_SHARDS}
+    """,
+    doc="Per-epoch data-order export — the one training-side artifact "
+    "the shard sink didn't yet emit: for each of "
+    f"{_MANIFEST_EPOCHS} epochs every doc gets a deterministic "
+    "(shard, position) from an epoch-seeded portable hash "
+    "(training_shard_assignment's pseudo-shuffle re-seeded per epoch, "
+    "so each epoch trains in a different order yet any worker can "
+    "recompute its slice from the corpus alone — resumable loading "
+    "with no coordinator).  The query WRITES the manifest via "
+    "write_epoch_manifest (parquet partitioned by (epoch, shard), "
+    "rows pre-sorted so file order IS training order) and aggregates "
+    "the READ-BACK: per (epoch, shard) the doc count, the first doc, "
+    "and an md5 over the comma-joined ordered ids — a hash match "
+    "proves the persisted manifest round-trips the exact order.  "
+    "Eager-construct: the manifest write runs inside the query.",
+)
+def epoch_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .plans.export import read_epoch_manifest, write_epoch_manifest
+    from .queries_ext import _scan_path
+
+    d = load(spark, sf_dir, "documents")
+    path = _scan_path(sf_dir, "epoch_manifest")
+    shutil.rmtree(path, ignore_errors=True)
+    write_epoch_manifest(
+        d, path, epochs=_MANIFEST_EPOCHS, shards=_MANIFEST_SHARDS
+    )
+    # everything below sees ONLY the on-disk manifest
+    m = read_epoch_manifest(spark, path)
+    agg = m.groupBy(
+        F.col("epoch").cast("long").alias("epoch"),
+        F.col("shard").cast("long").alias("shard"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.array_sort(F.collect_list(F.struct("hv", "doc_id"))).alias(
+            "__ord"
+        ),
+    )
+    return agg.select(
+        "epoch",
+        "shard",
+        "n_docs",
+        F.element_at("__ord", 1).getField("doc_id").alias("first_doc"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "__ord", lambda x: x.getField("doc_id").cast("string")
+                ),
+            )
+        ).alias("order_md5"),
     )
