@@ -220,6 +220,8 @@ HEADLINE_V5 = [
     "keeplist_delta_refresh_only",
     "contrastive_triplets_ivf",
     "epoch_shard_manifest",
+    "ann_hard_negatives_ivf",
+    "rerank_batch_topk",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -296,6 +298,10 @@ EAGER_CONSTRUCT = {
     "contrastive_triplets_ivf",
     # the manifest parquet write runs at construction
     "epoch_shard_manifest",
+    # IVF index write + centroid collect run at construction
+    "ann_hard_negatives_ivf",
+    # IVF index write + labeled-subset fit run at construction
+    "rerank_batch_topk",
 }
 
 

@@ -851,3 +851,75 @@ def test_corpus_index_and_search_tools(spark, tmp_path):
         for r in Q.registry()["ivf_ingest_append"].spark_fn(spark, sf).collect()
     )
     assert got2 == want2
+
+
+def test_corpus_epoch_manifest_tool(spark, tmp_path):
+    """CorpusEpochManifest: the written manifest aggregates to exactly
+    the oracle-gated epoch_shard_manifest rows."""
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark import cli
+    from variant_load_pipeline_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "manifest")
+    cli.main(
+        [
+            "--tool", "CorpusEpochManifest",
+            "--docs", f"{sf}/documents.parquet",
+            "--epochs", "3", "--shards", "8", "--out", out,
+        ],
+        spark=spark,
+    )
+    m = spark.read.option("basePath", out).parquet(out)
+    agg = m.groupBy(
+        F.col("epoch").cast("long").alias("epoch"),
+        F.col("shard").cast("long").alias("shard"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.array_sort(F.collect_list(F.struct("hv", "doc_id"))).alias("o"),
+    )
+    got = sorted(
+        (r["epoch"], r["shard"], r["n_docs"],
+         tuple(x["doc_id"] for x in r["o"]))
+        for r in agg.collect()
+    )
+    want_rows = (
+        Q.registry()["epoch_shard_manifest"].spark_fn(spark, sf).collect()
+    )
+    want = sorted(
+        (r["epoch"], r["shard"], r["n_docs"]) for r in want_rows
+    )
+    assert [(e, s, n) for e, s, n, _ in got] == want
+
+
+def test_corpus_mine_negatives_tool(spark, tmp_path):
+    """CorpusMineNegatives over a CorpusIndex-built index matches the
+    oracle-gated ann_hard_negatives_ivf rows."""
+    from variant_load_pipeline_spark import cli
+    from variant_load_pipeline_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    emb = f"{sf}/embeddings.parquet"
+    idx = str(tmp_path / "ivf")
+    out = str(tmp_path / "neg")
+    cli.main(
+        ["--tool", "CorpusIndex", "--docs", emb, "--out", idx], spark=spark
+    )
+    cli.main(
+        [
+            "--tool", "CorpusMineNegatives",
+            "--docs", emb, "--index", idx,
+            "--anchor-every", "50", "--nprobe", "3", "--k", "5",
+            "--out", out,
+        ],
+        spark=spark,
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        tuple(r)
+        for r in Q.registry()["ann_hard_negatives_ivf"]
+        .spark_fn(spark, sf)
+        .collect()
+    )
+    assert got == want and got

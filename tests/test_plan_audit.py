@@ -511,6 +511,10 @@ _ALLOWED_UNBOUNDED_JOINS = {
     "quality_lr_score",      # same GD chain + final scoring join
     "rerank_quality_topk",   # same GD chain (1-row scalar joins); the
                              # candidate side is the broadcast top-20
+    "rerank_batch_topk",     # same GD chain 1-row scalar joins; probe
+                             # selection and candidate fetch themselves
+                             # plan NO nested loop (codegen probe +
+                             # broadcast equi-join, like the _ivf twins)
     "ivf_nprobe_recall_sweep",  # exact-recall baseline: broadcast 1-query
                                 # block x corpus (the thing being audited)
     "contrastive_triplets",  # broadcast anchor block x corpus (exact

@@ -302,7 +302,7 @@ def test_bench_headline_names_resolve(spark):
     reg = registry()
     groups = (
         bench.HEADLINE + bench.HEADLINE_V2 + bench.HEADLINE_V3
-        + bench.HEADLINE_V4
+        + bench.HEADLINE_V4 + bench.HEADLINE_V5
     )
     missing = [n for n in groups if n not in reg]
     assert not missing, missing

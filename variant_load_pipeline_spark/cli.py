@@ -500,6 +500,71 @@ def _corpus_search(spark, args) -> None:
     out.write.mode("overwrite").parquet(args.out)
 
 
+@tool("CorpusEpochManifest")
+def _corpus_epoch_manifest(spark, args) -> None:
+    """documents parquet (doc_id, ...) -> per-epoch shard manifests at
+    --out: parquet partitioned by (epoch, shard), each group's file
+    holding its docs in training order (epoch-seeded deterministic
+    pseudo-shuffle; plans/export.py write_epoch_manifest, oracle-gated
+    by epoch_shard_manifest).  --epochs / --shards knobs."""
+    from .plans.export import write_epoch_manifest
+
+    write_epoch_manifest(
+        _read(spark, args.docs),
+        args.out,
+        epochs=args.epochs if args.epochs is not None else 3,
+        shards=args.shards if args.shards is not None else 8,
+    )
+
+
+@tool("CorpusMineNegatives")
+def _corpus_mine_negatives(spark, args) -> None:
+    """Hard-negative mining from a persisted IVF index: --index <path>,
+    --docs <embeddings parquet> (anchors = every --anchor-every'th
+    vec_id) -> parquet (qid, nid, rk) of each anchor's top---k most-
+    similar DIFFERENT-label vectors among its --nprobe probed lists
+    (ivf_probe_batch; oracle-gated by ann_hard_negatives_ivf)."""
+    from pyspark.sql.window import Window as W
+
+    from .operators.clustering import ivf_probe_batch
+    from .operators.similarity import cosine
+
+    e = _read(spark, args.docs)
+    every = args.anchor_every if args.anchor_every is not None else 50
+    anchors = e.filter(F.col("vec_id") % every == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    probe = ivf_probe_batch(
+        spark,
+        args.index,
+        anchors,
+        nprobe=args.nprobe if args.nprobe is not None else 3,
+    )
+    lists = spark.read.parquet(f"{args.index}/lists").select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+        F.col("list_id").cast("int").alias("list_id"),
+    )
+    sims = (
+        lists.join(F.broadcast(probe), "list_id")
+        .filter(F.col("list_id") != F.col("qlabel"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("nv"), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    wnd = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    out = (
+        sims.withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= (args.k if args.k is not None else 5))
+        .select("qid", "nid", F.col("rk").cast("long").alias("rk"))
+    )
+    out.write.mode("overwrite").parquet(args.out)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="variant_load_pipeline_spark",
@@ -559,6 +624,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--index")
     p.add_argument("--query-id", dest="query_id", type=int)
     p.add_argument("--nprobe", type=int)
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--shards", type=int)
+    p.add_argument("--anchor-every", dest="anchor_every", type=int)
     p.add_argument("--gzip", action="store_true")
     p.add_argument("--addp", action="store_true")
     p.add_argument(

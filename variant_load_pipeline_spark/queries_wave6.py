@@ -307,8 +307,8 @@ def colloc_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_cosine_topk (bounded query block broadcast, allowlisted; ranks "
     "only, so the engines' float32-vs-double cosine difference cannot "
     "surface).  At scale the candidate side comes from the IVF/LSH "
-    "bucketed index instead of the full corpus (operators/similarity.py, "
-    "operators/clustering.py).",
+    "bucketed index instead of the full corpus — the shipped twin is "
+    "ann_hard_negatives_ivf (queries_wave8.py).",
 )
 def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import dot
@@ -1014,8 +1014,10 @@ def keeplist_delta_incremental(
 def keeplist_delta_refresh_only(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import os
+    import hashlib
+    import inspect
 
+    from .operators import dedup as dd
     from .operators.dedup import (
         corpus_keeplist,
         read_keeplist,
@@ -1026,10 +1028,20 @@ def keeplist_delta_refresh_only(
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    path = _scan_path(sf_dir, "keeplist_snapshot_ro")
-    # build-once: only the FIRST run (cold index) pays the snapshot
-    # chain + write; _SUCCESS gates against a half-written snapshot
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # the path is salted with the md5 of the keep-list chain's SOURCE and
+    # the snapshot parameters: any code or parameter change invalidates
+    # the cached snapshot automatically (a stale snapshot from an older
+    # chain would otherwise hash-mismatch the oracle, which recomputes)
+    salt = hashlib.md5(
+        (inspect.getsource(dd) + "|doc_id<250|t=0.8").encode()
+    ).hexdigest()[:10]
+    path = _scan_path(sf_dir, f"keeplist_snapshot_ro_{salt}")
+    # build-once: only the FIRST run (cold snapshot) pays the snapshot
+    # chain + write; _SUCCESS gates against a half-written snapshot.
+    # Hadoop FS existence check so the same code sees an HDFS/S3A store.
+    marker = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(marker):
         write_keeplist(
             corpus_keeplist(
                 d.filter(F.col("doc_id") < 250), threshold=0.8

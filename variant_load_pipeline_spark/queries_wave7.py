@@ -363,9 +363,10 @@ def ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "between them — the rows a triplet-loss trainer consumes, and the "
     "margin histogram an embedding-quality audit reads.  Same bounded "
     "broadcast-anchor-block exact scorer as ann_hard_negatives "
-    "(allowlisted); at scale the candidate side comes from the bucketed "
-    "ANN index.  Cosines double-cast on both engines; margin in exact "
-    "micro-units of the 6-dp-rounded cosines.",
+    "(allowlisted); the scale twin mining from the persisted IVF probe "
+    "is contrastive_triplets_ivf (queries_wave8.py).  Cosines double-"
+    "cast on both engines; margin in exact micro-units of the 6-dp-"
+    "rounded cosines.",
 )
 def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine

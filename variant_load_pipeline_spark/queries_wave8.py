@@ -13,6 +13,13 @@ training-side artifacts, each with a DuckDB oracle.
                         (write_epoch_manifest), aggregated from the
                         read-back so a hash match proves the persisted
                         order round-trips
+  ann_hard_negatives_ivf  ann_hard_negatives' scale path: top-5
+                        different-label neighbors per anchor from the
+                        persisted IVF probe instead of the full corpus
+  rerank_batch_topk     the serving chain at batch width: many queries
+                        retrieve from the persisted index in one plan;
+                        each DISTINCT candidate doc meets the expensive
+                        classifier exactly once
 
 Float discipline follows the repo-wide micro-unit idiom (floor(x*1e6+0.5)
 to BIGINT before any sum / ranking).
@@ -262,4 +269,242 @@ def epoch_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("order_md5"),
+    )
+
+
+# ===========================================================================
+# Hard-negative mining from the persisted IVF probe (scale path)
+# ===========================================================================
+_HN_NPROBE = 3
+
+
+@register(
+    "ann_hard_negatives_ivf",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    cent AS (
+        SELECT e.label AS list_id, e.embedding AS cv
+        FROM embeddings e
+        JOIN (SELECT label, MIN(vec_id) AS mv FROM embeddings GROUP BY label) m
+          ON e.label = m.label AND e.vec_id = m.mv
+    ),
+    probe AS (
+        SELECT qid, list_id FROM (
+            SELECT q.qid, cent.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                       {_COS6.format(a='cent.cv', b='q.qv')} DESC,
+                       cent.list_id) AS rk
+            FROM q CROSS JOIN cent
+        ) WHERE rk <= {_HN_NPROBE}
+    ),
+    sims AS (
+        SELECT q.qid, e.vec_id AS nid,
+               {_COS6.format(a='e.embedding', b='q.qv')} AS sim
+        FROM q JOIN probe p ON p.qid = q.qid
+        JOIN embeddings e ON e.label = p.list_id
+        WHERE e.label <> q.qlabel
+    )
+    SELECT qid, nid, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, nid) AS rk
+        FROM sims
+    ) WHERE rk <= 5
+    """,
+    doc="ann_hard_negatives' SCALE path: per anchor, the top-5 most-"
+    "similar DIFFERENT-label vectors drawn from the PERSISTED IVF "
+    f"index's {_HN_NPROBE} probed lists instead of the whole corpus — "
+    "the twin the exact miner's doc promises.  Probe selection is "
+    "ivf_probe_batch (codegen array algebra over the collected "
+    "centroid table — no nested-loop join); candidate fetch is one "
+    "broadcast equi-join on list_id over the partition-pruned invlist "
+    "store.  Same-label probed lists drop out by definition of a "
+    "negative (the anchor's own list contributes nothing), so the "
+    "effective candidate pool is the opposite-label portion of the "
+    "probes.  Recall trade: a true hardest negative outside the probed "
+    "lists is replaced by the hardest in-probe one — standard ANN "
+    "mining.  Eager-construct: the index write runs inside the query.",
+)
+def ann_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .operators.clustering import ivf_probe_batch, write_ivf_index
+    from .operators.similarity import cosine
+    from .queries_ext import _scan_path
+
+    e = load(spark, sf_dir, "embeddings")
+    path = _scan_path(sf_dir, "ivf_index_hardneg")
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivf_index(e, path)
+    # everything below sees ONLY the on-disk index
+    anchors = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    probe = ivf_probe_batch(spark, path, anchors, nprobe=_HN_NPROBE)
+    lists = spark.read.parquet(f"{path}/lists").select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+        F.col("list_id").cast("int").alias("list_id"),
+    )
+    sims = (
+        lists.join(F.broadcast(probe), "list_id")
+        .filter(F.col("list_id") != F.col("qlabel"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("nv"), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    wnd = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        sims.withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "nid", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# ===========================================================================
+# Batch retrieve -> rerank: many queries through the persisted index
+# ===========================================================================
+from .queries_wave6 import _BUCKET_SQL, _lr_chain_sql  # noqa: E402
+
+_RERANK_BATCH_SQL = (
+    _lr_chain_sql("WHERE doc_id < 200")
+    + f"""
+    , cent AS (
+        SELECT e.label AS list_id, e.embedding AS cv
+        FROM embeddings e
+        JOIN (SELECT label, MIN(vec_id) AS mv FROM embeddings GROUP BY label) m
+          ON e.label = m.label AND e.vec_id = m.mv
+    ),
+    q AS (
+        SELECT vec_id AS qid, embedding AS qv
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    probe AS (
+        SELECT qid, list_id FROM (
+            SELECT q.qid, cent.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                       {_COS6.format(a='cent.cv', b='q.qv')} DESC,
+                       cent.list_id) AS rk
+            FROM q CROSS JOIN cent
+        ) WHERE rk <= 2
+    ),
+    cand AS (
+        SELECT qid, doc_id, cos_sim, rk AS retrieval_rank FROM (
+            SELECT p.qid, e.vec_id AS doc_id,
+                   {_COS6.format(a='e.embedding', b='q.qv')} AS cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+                       {_COS6.format(a='e.embedding', b='q.qv')} DESC,
+                       e.vec_id) AS rk
+            FROM q JOIN probe p ON p.qid = q.qid
+            JOIN embeddings e ON e.label = p.list_id
+            WHERE e.vec_id <> q.qid
+        ) WHERE rk <= 10
+    ),
+    ctoks AS (
+        SELECT wc.doc_id, {_BUCKET_SQL} % 64 AS bucket
+        FROM (SELECT w.doc_id, w.ws FROM w
+              JOIN (SELECT DISTINCT doc_id FROM cand) cd
+                ON w.doc_id = cd.doc_id) wc,
+             UNNEST(wc.ws) AS u(w)
+    ),
+    xc AS (
+        SELECT doc_id, bucket, COUNT(*) AS cnt
+        FROM ctoks GROUP BY doc_id, bucket
+    ),
+    zf AS (
+        SELECT xc.doc_id, SUM(CAST(w3.wm AS DOUBLE) * xc.cnt) / 1e6 AS z
+        FROM xc JOIN w3 ON xc.bucket = w3.bucket
+        GROUP BY xc.doc_id
+    )
+    SELECT c.qid, c.doc_id, c.cos_sim,
+           CAST(c.retrieval_rank AS BIGINT) AS retrieval_rank,
+           CAST(FLOOR(1e6 / (1.0 + EXP(-zf.z)) + 0.5) AS BIGINT)
+               AS score_micro,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY
+               FLOOR(1e6 / (1.0 + EXP(-zf.z)) + 0.5) DESC,
+               c.cos_sim DESC, c.doc_id) AS BIGINT) AS rerank_rank
+    FROM cand c JOIN zf ON c.doc_id = zf.doc_id
+    """
+)
+
+
+@register(
+    "rerank_batch_topk",
+    _RERANK_BATCH_SQL,
+    doc="rerank_quality_topk at SERVING scale: a BATCH of queries "
+    "(vec_id % 100 = 0) through the same two-stage chain in ONE plan — "
+    "stage 1 answers every query's top-10 from the persisted IVF index "
+    "via ivf_probe_batch (codegen probe choice, one broadcast equi-join "
+    "on list_id, per-query window rank instead of a global sort), "
+    "stage 2 scores each DISTINCT candidate doc exactly once with the "
+    "labeled-subset classifier and joins scores back — a doc retrieved "
+    "by several queries never re-pays the model.  Per-query final "
+    "order = (classifier score, retrieval cosine, id).  At 100 TB the "
+    "query batch amortizes the index scan and the model cost is "
+    "O(distinct candidates), not O(queries x k).  Eager-construct: "
+    "index write + labeled fit run inside the query.",
+)
+def rerank_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .operators.clustering import ivf_probe_batch, write_ivf_index
+    from .operators.quality import hashed_features, lr_score, lr_train
+    from .operators.similarity import cosine
+    from .queries_ext import _scan_path
+
+    e = load(spark, sf_dir, "embeddings")
+    path = _scan_path(sf_dir, "ivf_index_rerank_batch")
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivf_index(e, path)
+    # stage 1: per-query candidates from the on-disk index only
+    anchors = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    probe = ivf_probe_batch(spark, path, anchors, nprobe=2)
+    lists = spark.read.parquet(f"{path}/lists").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+        F.col("list_id").cast("int").alias("list_id"),
+    )
+    wr = W.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("doc_id")
+    )
+    cand = (
+        lists.join(F.broadcast(probe), "list_id")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .select(
+            "qid",
+            "doc_id",
+            F.round(cosine(F.col("nv"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .withColumn("retrieval_rank", F.row_number().over(wr))
+        .filter(F.col("retrieval_rank") <= 10)
+    )
+    # stage 2: each DISTINCT candidate doc meets the model exactly once
+    d = load(spark, sf_dir, "documents")
+    wts = lr_train(d.filter(F.col("doc_id") < 200), iters=3, lr=0.1)
+    docs_c = d.join(
+        F.broadcast(cand.select("doc_id").distinct()), "doc_id"
+    )
+    x = hashed_features(docs_c, label=F.lit(0))
+    s = lr_score(x, wts).select("doc_id", "score_micro")
+    out = cand.join(F.broadcast(s), "doc_id")
+    wf = W.partitionBy("qid").orderBy(
+        F.col("score_micro").desc(), F.col("cos_sim").desc(), F.col("doc_id")
+    )
+    return out.select(
+        "qid",
+        "doc_id",
+        "cos_sim",
+        F.col("retrieval_rank").cast("long").alias("retrieval_rank"),
+        "score_micro",
+        F.row_number().over(wf).cast("long").alias("rerank_rank"),
     )
