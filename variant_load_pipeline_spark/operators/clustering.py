@@ -246,18 +246,38 @@ def pq_fit_encode(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d_sub = dim // m
-    subs = base.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(s).alias("s"),
-                    F.slice("qv", s * d_sub + 1, d_sub).alias("qsub"),
-                )
-                for s in range(m)
-            ])
-        ).alias("e"),
-    ).select(id_col, "e.s", F.col("e.qsub").alias("qsub")).persist()
+    # size the subvector table's partitioning by DATA VOLUME, capped at
+    # cluster parallelism: the fit loop runs 1+iters+1 multi-stage
+    # actions over this table, and at small n a caller-inherited 32-way
+    # split pays 32 tasks of fixed overhead per stage for rows that fit
+    # in one (measured 3x on the whole fit at sf0.1).  At scale the cap
+    # restores full parallelism; the math is partition-independent
+    # (exact integer sums + argmin), so results are identical.
+    n_rows = base.count()
+    n_parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            (n_rows * m) // 4096 + 1,
+        ),
+    )
+    subs = (
+        base.select(
+            F.col(id_col),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("qv", s * d_sub + 1, d_sub).alias("qsub"),
+                    )
+                    for s in range(m)
+                ])
+            ).alias("e"),
+        )
+        .select(id_col, "e.s", F.col("e.qsub").alias("qsub"))
+        .repartition(n_parts)
+        .persist()
+    )
 
     def assign_join(cents_by_s):
         rows = [
@@ -360,9 +380,14 @@ def write_pq_index(
         for s, book in enumerate(codebooks)
         for cl, cv in book
     ]
+    # repartition(1), NOT coalesce(1): coalescing a Python-parallelized
+    # local relation folds every input slice's Python-worker roundtrip
+    # into ONE sequential task (measured 5-6s for 128 rows); repartition
+    # keeps the slices parallel and funnels only the written bytes
+    # (0.8s).  Readers sort after collect, so file row order is free.
     spark.createDataFrame(
         rows, "s int, cluster int, centroid array<bigint>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/codebooks")
 
 
 def read_pq_index(
@@ -412,7 +437,10 @@ def write_ivf_index(
     ).select(
         F.col(list_col).alias("list_id"), F.col(vec_col).alias("centroid")
     )
-    cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # repartition(1) keeps the upstream join parallel (coalesce(1) would
+    # collapse it into the single write task); probe readers sort the
+    # collected centroids, so file row order is free
+    cent.repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
 def append_ivf_batch(
