@@ -923,3 +923,45 @@ def test_corpus_mine_negatives_tool(spark, tmp_path):
         .collect()
     )
     assert got == want and got
+
+
+def test_corpus_compact_tool(spark, tmp_path):
+    """CorpusCompact folds both the LSH index and the kept corpus;
+    matching decisions and the doc set are unchanged afterwards."""
+    import os
+
+    from variant_load_pipeline_spark import cli
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    idx = str(tmp_path / "idx")
+    kept = str(tmp_path / "kept")
+    docs0 = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo foxtrot golf hotel india "
+              "juliet kilo lima mike november oscar papa quebec romeo")],
+        "doc_id long, text string",
+    )
+    ing.seed_lsh_ingest(docs0, idx)
+    sink = ing.lsh_ingest_sink(spark, idx, kept, threshold=0.8)
+    sink(
+        spark.createDataFrame(
+            [(11, "zulu yankee xray whiskey victor uniform tango sierra "
+                  "romeo8 quebec8 papa8 oscar8 november8 mike8 lima8")],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    out = str(tmp_path / "report")
+    cli.main(
+        [
+            "--tool", "CorpusCompact",
+            "--index", idx, "--kept", kept, "--batch-id", "0",
+            "--out", out,
+        ],
+        spark=spark,
+    )
+    report = {r["store"]: r["folded"] for r in spark.read.parquet(out).collect()}
+    assert report == {"index": 1, "kept": 1}
+    assert [d for d in os.listdir(f"{idx}/bands") if d.startswith("ingest_")] == ["ingest_batch=-2"]
+    assert sorted(
+        r["doc_id"] for r in ing.read_kept(spark, kept).collect()
+    ) == [11]

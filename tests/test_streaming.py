@@ -956,3 +956,62 @@ def test_compact_lsh_index_lone_batch_folds(spark, tmp_path):
     sink(_doc(spark, 11, _BASE_WORDS[1]), 0)
     got = {r["doc_id"] for r in ing.read_kept(spark, kept).collect()}
     assert got == {11}
+
+
+def test_compact_kept_folds_corpus_partitions(spark, tmp_path):
+    """compact_kept folds the accepted-corpus batch partitions into one
+    generation without changing the doc set, keeps accepting afterwards,
+    and a crash-window leftover (folded partition not yet deleted) is
+    removed by the next fold's doc_id dedup rather than duplicating the
+    corpus."""
+    import os
+    import shutil
+
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    idx = str(tmp_path / "idx")
+    kept = str(tmp_path / "kept")
+    ing.seed_lsh_ingest(_doc(spark, 1, _BASE_WORDS[0]), idx)
+    sink = ing.lsh_ingest_sink(spark, idx, kept, threshold=0.8)
+    sink(_doc(spark, 11, _BASE_WORDS[1]), 0)
+    sink(_doc(spark, 21, _BASE_WORDS[2]), 1)
+
+    before = sorted(
+        r["doc_id"] for r in ing.read_kept(spark, kept).collect()
+    )
+    assert ing.compact_kept(spark, kept, upto_batch_id=1) == 2
+    gens = [d for d in os.listdir(kept) if d.startswith("ingest_batch=")]
+    assert gens == ["ingest_batch=-2"]
+    after = sorted(
+        r["doc_id"] for r in ing.read_kept(spark, kept).collect()
+    )
+    assert after == before == [11, 21]
+
+    # ingest continues after the fold; novel doc accepted
+    sink(
+        spark.createDataFrame(
+            [(31, "completely novel words that match nothing stored "
+                  "zulu2 yankee2 xray2 whiskey2 victor2 uniform2 tango9 "
+                  "sierra9 romeo9 quebec9 papa9 oscar9 november9 mike9")],
+            "doc_id long, text string",
+        ),
+        2,
+    )
+    assert sorted(
+        r["doc_id"] for r in ing.read_kept(spark, kept).collect()
+    ) == [11, 21, 31]
+
+    # crash window: the folded generation coexists with a leftover copy
+    # of a source partition; the next fold dedups on doc_id
+    shutil.copytree(
+        f"{kept}/ingest_batch=2", f"{kept}/.stash_b2"
+    )
+    ing.compact_kept(spark, kept, upto_batch_id=2)
+    shutil.copytree(f"{kept}/.stash_b2", f"{kept}/ingest_batch=2")
+    shutil.rmtree(f"{kept}/.stash_b2")
+    # duplicated state visible to a raw reader mid-window
+    assert ing.read_kept(spark, kept).count() == 4
+    ing.compact_kept(spark, kept, upto_batch_id=2)
+    assert sorted(
+        r["doc_id"] for r in ing.read_kept(spark, kept).collect()
+    ) == [11, 21, 31]

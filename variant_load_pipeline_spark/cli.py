@@ -500,6 +500,30 @@ def _corpus_search(spark, args) -> None:
     out.write.mode("overwrite").parquet(args.out)
 
 
+@tool("CorpusCompact")
+def _corpus_compact(spark, args) -> None:
+    """Ingest-store maintenance: fold committed batch partitions into
+    one generation.  --index <lsh index path> compacts the bands +
+    shingles stores (streaming/ingest.compact_lsh_index); --kept
+    <accepted-corpus path> compacts the output corpus with doc_id dedup
+    (compact_kept).  --batch-id = highest COMMITTED batch id (the
+    checkpoint contract).  Writes a 1-row (store, folded) report to
+    --out."""
+    from .streaming.ingest import compact_kept, compact_lsh_index
+
+    upto = args.batch_id if args.batch_id is not None else 0
+    report = []
+    if args.index:
+        report.append(("index", compact_lsh_index(spark, args.index, upto)))
+    if args.kept:
+        report.append(("kept", compact_kept(spark, args.kept, upto)))
+    if not report:
+        raise SystemExit("CorpusCompact needs --index and/or --kept")
+    spark.createDataFrame(
+        report, "store string, folded int"
+    ).repartition(1).write.mode("overwrite").parquet(args.out)
+
+
 @tool("CorpusEpochManifest")
 def _corpus_epoch_manifest(spark, args) -> None:
     """documents parquet (doc_id, ...) -> per-epoch shard manifests at
@@ -627,6 +651,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int)
     p.add_argument("--shards", type=int)
     p.add_argument("--anchor-every", dest="anchor_every", type=int)
+    p.add_argument("--kept")
     p.add_argument("--gzip", action="store_true")
     p.add_argument("--addp", action="store_true")
     p.add_argument(

@@ -331,48 +331,91 @@ def compact_lsh_index(spark, index_path: str, upto_batch_id: int) -> int:
     Returns the number of batch (non-generation) partitions folded.
     Uses the Hadoop FileSystem API so the same code runs on HDFS/S3A.
     """
+    folded = 0
+    for sub in ("bands", "shingles"):
+        folded = max(
+            folded,
+            _fold_ingest_partitions(spark, f"{index_path}/{sub}", upto_batch_id),
+        )
+    return folded
+
+
+def _fold_ingest_partitions(
+    spark, root: str, upto_batch_id: int, dedup_cols: list[str] | None = None
+) -> int:
+    """The generation-fold shared by compact_lsh_index and compact_kept:
+    merge every ``ingest_batch=<bid>`` partition under ``root`` with
+    bid < 0 (generations) or bid <= upto_batch_id (committed batches)
+    into one fresh generation, crash-safe (write temp, rename, delete
+    sources last; abort if the rename reports failure).  With
+    ``dedup_cols``, the merged rows dropDuplicates on those columns —
+    required when duplicates in the folded store are NOT harmless (the
+    kept corpus), making the fold idempotent across a crash during the
+    delete phase.  Returns the number of batch partitions folded."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
 
     def fs_path(s):
         return jvm.org.apache.hadoop.fs.Path(s)
 
-    folded = 0
-    for sub in ("bands", "shingles"):
-        root = f"{index_path}/{sub}"
-        fs = fs_path(root).getFileSystem(conf)
-        parts, bids = [], []
-        for st in fs.listStatus(fs_path(root)):
-            name = st.getPath().getName()
-            if not name.startswith("ingest_batch="):
-                continue
-            bid = int(name.split("=", 1)[1])
-            if bid < 0 or bid <= upto_batch_id:
-                parts.append(name)
-                bids.append(bid)
-        if not parts:
+    fs = fs_path(root).getFileSystem(conf)
+    parts, bids = [], []
+    for st in fs.listStatus(fs_path(root)):
+        name = st.getPath().getName()
+        if not name.startswith("ingest_batch="):
             continue
-        if len(parts) == 1 and bids[0] < 0:
-            continue  # a lone generation is already compact; a lone BATCH
-            # partition still folds (it must become a generation, or the
-            # redelivery exclusion guard keeps applying to committed rows)
-        new_gen = min([-1] + [b for b in bids if b < 0]) - 1
-        merged = spark.read.parquet(*[f"{root}/{p}" for p in parts])
-        tmp = f"{root}/.compact_tmp"
-        merged.coalesce(
-            max(1, spark.sparkContext.defaultParallelism // 4)
-        ).write.mode("overwrite").parquet(tmp)
-        # Hadoop FileSystem.rename signals failure by returning false, not
-        # by throwing; falling through to the deletes would destroy the
-        # only copy of the folded partitions.  Abort BEFORE any delete —
-        # the temp dir is dot-prefixed, so readers never see a half state.
-        if not fs.rename(fs_path(tmp), fs_path(f"{root}/ingest_batch={new_gen}")):
-            raise IOError(
-                f"compact_lsh_index: rename {tmp} -> "
-                f"{root}/ingest_batch={new_gen} failed; aborting before "
-                "deleting source partitions"
-            )
-        for p in parts:
-            fs.delete(fs_path(f"{root}/{p}"), True)
-        folded = max(folded, len([b for b in bids if b >= 0]))
-    return folded
+        bid = int(name.split("=", 1)[1])
+        if bid < 0 or bid <= upto_batch_id:
+            parts.append(name)
+            bids.append(bid)
+    if not parts:
+        return 0
+    if len(parts) == 1 and bids[0] < 0:
+        return 0  # a lone generation is already compact; a lone BATCH
+        # partition still folds (it must become a generation, or the
+        # redelivery exclusion guard keeps applying to committed rows)
+    new_gen = min([-1] + [b for b in bids if b < 0]) - 1
+    merged = spark.read.parquet(*[f"{root}/{p}" for p in parts])
+    if dedup_cols:
+        merged = merged.dropDuplicates(dedup_cols)
+    tmp = f"{root}/.compact_tmp"
+    merged.coalesce(
+        max(1, spark.sparkContext.defaultParallelism // 4)
+    ).write.mode("overwrite").parquet(tmp)
+    # Hadoop FileSystem.rename signals failure by returning false, not
+    # by throwing; falling through to the deletes would destroy the
+    # only copy of the folded partitions.  Abort BEFORE any delete —
+    # the temp dir is dot-prefixed, so readers never see a half state.
+    if not fs.rename(fs_path(tmp), fs_path(f"{root}/ingest_batch={new_gen}")):
+        raise IOError(
+            f"compaction: rename {tmp} -> "
+            f"{root}/ingest_batch={new_gen} failed; aborting before "
+            "deleting source partitions"
+        )
+    for p in parts:
+        fs.delete(fs_path(f"{root}/{p}"), True)
+    return len([b for b in bids if b >= 0])
+
+
+def compact_kept(
+    spark, kept_path: str, upto_batch_id: int, id_col: str = "doc_id"
+) -> int:
+    """Fold the accepted-corpus partitions (``kept/ingest_batch=<id>``,
+    one per micro-batch from lsh_ingest_sink) into one generation — the
+    same O(batches) -> O(1) maintenance compact_lsh_index gives the
+    index, applied to the OUTPUT corpus whose partition-discovery cost
+    otherwise grows with every batch.
+
+    **Same contract: ``upto_batch_id`` must be committed to the
+    stream's checkpoint** — a folded batch redelivered afterwards would
+    overwrite a now-empty partition slot and duplicate its docs.
+    Unlike the index (where duplicates are harmless), kept rows are the
+    corpus, so the fold dropDuplicates on ``id_col``: a crash between
+    the generation rename and the source deletes leaves duplicates that
+    the NEXT fold removes, and readers that need exactly-once rows in
+    the crash window can dropDuplicates(id_col) themselves.  read_kept
+    is unchanged (generations are just ``ingest_batch<0`` partitions).
+    """
+    return _fold_ingest_partitions(
+        spark, kept_path, upto_batch_id, dedup_cols=[id_col]
+    )
