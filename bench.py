@@ -222,6 +222,7 @@ HEADLINE_V5 = [
     "epoch_shard_manifest",
     "ann_hard_negatives_ivf",
     "rerank_batch_topk",
+    "ivf_centroid_drift_report",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -302,6 +303,8 @@ EAGER_CONSTRUCT = {
     "ann_hard_negatives_ivf",
     # IVF index write + labeled-subset fit run at construction
     "rerank_batch_topk",
+    # seed index write + delta batch append run at construction
+    "ivf_centroid_drift_report",
 }
 
 

@@ -20,6 +20,10 @@ training-side artifacts, each with a DuckDB oracle.
                         retrieve from the persisted index in one plan;
                         each DISTINCT candidate doc meets the expensive
                         classifier exactly once
+  ivf_centroid_drift_report  maintenance monitor #2: exact integer
+                        squared distance between each list's stored
+                        centroid and its CURRENT (seed+delta) member
+                        mean — the retrain trigger occupancy can't see
 
 Float discipline follows the repo-wide micro-unit idiom (floor(x*1e6+0.5)
 to BIGINT before any sum / ranking).
@@ -507,4 +511,145 @@ def rerank_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("retrieval_rank").cast("long").alias("retrieval_rank"),
         "score_micro",
         F.row_number().over(wf).cast("long").alias("rerank_rank"),
+    )
+
+
+# ===========================================================================
+# IVF centroid-drift monitor: the retrain trigger for assignment QUALITY
+# ===========================================================================
+_DRIFT_DIM = 64
+_DRIFT_SCALE = 1000
+
+
+@register(
+    "ivf_centroid_drift_report",
+    f"""
+    WITH seed AS (SELECT * FROM embeddings WHERE vec_id % 4 <> 3),
+    cent AS (
+        SELECT e.label AS list_id, e.embedding AS cv
+        FROM seed e
+        JOIN (SELECT label, MIN(vec_id) AS mv FROM seed GROUP BY label) m
+          ON e.label = m.label AND e.vec_id = m.mv
+    ),
+    cq AS (
+        SELECT list_id, dim,
+               CAST(floor(CAST(cv[dim+1] AS DOUBLE)*{_DRIFT_SCALE})
+                    AS BIGINT) AS cval
+        FROM (SELECT list_id, unnest(range(0, {_DRIFT_DIM})) AS dim, cv
+              FROM cent)
+    ),
+    mq AS (
+        SELECT label AS list_id, vec_id, dim,
+               CAST(floor(CAST(embedding[dim+1] AS DOUBLE)*{_DRIFT_SCALE})
+                    AS BIGINT) AS val
+        FROM (SELECT label, vec_id,
+                     unnest(range(0, {_DRIFT_DIM})) AS dim, embedding
+              FROM embeddings)
+    ),
+    md AS (
+        SELECT list_id, dim,
+               CAST(floor(SUM(val)::DOUBLE / COUNT(*)) AS BIGINT) AS mval,
+               COUNT(*) AS n
+        FROM mq GROUP BY list_id, dim
+    ),
+    dd AS (
+        SELECT md.list_id,
+               SUM((md.mval - cq.cval) * (md.mval - cq.cval))
+                   AS drift_dist2,
+               MAX(md.n) AS n_members
+        FROM md JOIN cq ON md.list_id = cq.list_id AND md.dim = cq.dim
+        GROUP BY md.list_id
+    ),
+    nd AS (
+        SELECT label AS list_id, COUNT(*) AS n_delta
+        FROM embeddings WHERE vec_id % 4 = 3 GROUP BY label
+    )
+    SELECT CAST(dd.list_id AS BIGINT) AS list_id,
+           CAST(dd.n_members AS BIGINT) AS n_members,
+           CAST(COALESCE(nd.n_delta, 0) AS BIGINT) AS n_delta,
+           CAST(dd.drift_dist2 AS BIGINT) AS drift_dist2
+    FROM dd LEFT JOIN nd ON dd.list_id = nd.list_id
+    """,
+    doc="IVF index maintenance monitor #2 — centroid DRIFT, the retrain "
+    "trigger ivf_list_skew_report's occupancy signal can't see: append-"
+    "only ingest (append_ivf_batch) leaves the stored representative "
+    "centroids frozen at seed time, so as deltas accumulate, each "
+    "list's member mean walks away from its centroid and probe recall "
+    "decays even while occupancy stays balanced.  Per list: member "
+    "count, delta count, and the exact integer squared distance "
+    "between the stored centroid and the CURRENT member mean (seed + "
+    "delta read back from the persisted index), in milli-unit "
+    "quantization — floor-of-mean per dimension, so the number is "
+    "bit-reproducible and comparable across runs.  Plan: one union of "
+    "the partitioned stores, one (list,dim) partial agg, a broadcast "
+    "join against the posexploded centroid table, one final list agg — "
+    "no collects beyond the model-sized centroid table.  Eager-"
+    "construct: seed write + delta append run inside the query.",
+)
+def ivf_centroid_drift_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from .operators.clustering import (
+        append_ivf_batch,
+        int_vectors,
+        write_ivf_index,
+    )
+    from .queries_ext import _scan_path
+
+    e = load(spark, sf_dir, "embeddings")
+    seed = e.filter(F.col("vec_id") % 4 != 3)
+    batch = e.filter(F.col("vec_id") % 4 == 3)
+    path = _scan_path(sf_dir, "ivf_drift")
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivf_index(seed, path)
+    append_ivf_batch(batch, path, batch_id=1)
+    # everything below sees ONLY the on-disk index (seed + delta)
+    lists = spark.read.parquet(f"{path}/lists").select(
+        F.col("list_id").cast("long").alias("list_id"),
+        int_vectors(F.col("embedding"), _DRIFT_SCALE).alias("qv"),
+    )
+    delta = spark.read.parquet(f"{path}/lists_delta").select(
+        F.col("list_id").cast("long").alias("list_id"),
+        int_vectors(F.col("embedding"), _DRIFT_SCALE).alias("qv"),
+    )
+    members = lists.unionByName(delta)
+    dims = members.select(
+        "list_id", F.posexplode("qv").alias("dim", "val")
+    )
+    md = dims.groupBy("list_id", "dim").agg(
+        F.floor(F.sum("val") / F.count(F.lit(1))).cast("long").alias("mval"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cq = (
+        spark.read.parquet(f"{path}/centroids")
+        .select(
+            F.col("list_id").cast("long").alias("list_id"),
+            F.posexplode(
+                int_vectors(F.col("centroid"), _DRIFT_SCALE)
+            ).alias("dim", "cval"),
+        )
+    )
+    dd = (
+        md.join(F.broadcast(cq), ["list_id", "dim"])
+        .groupBy("list_id")
+        .agg(
+            F.sum(
+                (F.col("mval") - F.col("cval"))
+                * (F.col("mval") - F.col("cval"))
+            ).alias("drift_dist2"),
+            F.max("n").alias("n_members"),
+        )
+    )
+    nd = delta.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_delta")
+    )
+    return dd.join(nd, "list_id", "left").select(
+        "list_id",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.coalesce(F.col("n_delta"), F.lit(0))
+        .cast("long")
+        .alias("n_delta"),
+        F.col("drift_dist2").cast("long").alias("drift_dist2"),
     )
