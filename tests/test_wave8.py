@@ -133,3 +133,39 @@ def test_ivf_probe_batch_matches_bruteforce(spark, tmp_path):
         for lid in ranked[:3]:
             expected.add((r["qid"], lid))
     assert got == expected and got
+
+
+def test_edit_distance_occupancy_guard_contracts(spark):
+    """The two-tier occupancy guard: (a) when no bucket crosses the
+    cutoff the guard is a no-op (guarded == unguarded on the test
+    corpus); (b) when the cutoff is forced below real occupancy, every
+    surviving candidate bucket is within the cap and reported pairs are
+    a SUBSET of the unguarded pairs (the documented recall trade, never
+    new false pairs)."""
+    import variant_load_pipeline_spark.queries_corpus as qc
+
+    sf = "/root/testdata/sf0.01"
+
+    def run():
+        return {
+            (r["id_a"], r["id_b"], r["edit_dist"])
+            for r in qc.edit_distance_dup_pairs_q(spark, sf).collect()
+        }
+
+    # (a) no-op at the shipped cutoff (max sf0.01 occupancy is ~23)
+    baseline = run()
+    assert baseline
+    old_cut = qc._ED_BUCKET_CUTOFF
+    try:
+        qc._ED_BUCKET_CUTOFF = 10 ** 9  # effectively unguarded
+        assert run() == baseline
+        # (b) cutoff below the hottest bucket: recall trade only —
+        # a subset of the unguarded pairs, never new false pairs
+        qc._ED_BUCKET_CUTOFF = 10
+        assert run() <= baseline
+        # (c) cutoff 1: every >=2-doc bucket drops through both tiers,
+        # so no candidate pair survives — the hard cap really caps
+        qc._ED_BUCKET_CUTOFF = 1
+        assert run() == set()
+    finally:
+        qc._ED_BUCKET_CUTOFF = old_cut
