@@ -223,6 +223,7 @@ HEADLINE_V5 = [
     "ann_hard_negatives_ivf",
     "rerank_batch_topk",
     "ivf_centroid_drift_report",
+    "lsh_match_probe_only",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -305,6 +306,9 @@ EAGER_CONSTRUCT = {
     "rerank_batch_topk",
     # seed index write + delta batch append run at construction
     "ivf_centroid_drift_report",
+    # index is write-if-missing: only the first (non-median) repeat
+    # pays the build — the median measures the per-batch probe alone
+    "lsh_match_probe_only",
 }
 
 

@@ -24,6 +24,10 @@ training-side artifacts, each with a DuckDB oracle.
                         squared distance between each list's stored
                         centroid and its CURRENT (seed+delta) member
                         mean — the retrain trigger occupancy can't see
+  lsh_match_probe_only  the per-batch steady-state dedup cost: probe
+                        the pre-persisted LSH index (write-if-missing,
+                        source-salted path) without the one-time build
+                        lsh_incremental_match's row includes
 
 Float discipline follows the repo-wide micro-unit idiom (floor(x*1e6+0.5)
 to BIGINT before any sum / ranking).
@@ -652,4 +656,60 @@ def ivf_centroid_drift_report(
         .cast("long")
         .alias("n_delta"),
         F.col("drift_dist2").cast("long").alias("drift_dist2"),
+    )
+
+
+# ===========================================================================
+# LSH incremental match, PROBE-ONLY form: the index pre-persists OUTSIDE
+# the timed path
+# ===========================================================================
+from .queries_corpus import _lsh_incremental_sql  # noqa: E402
+
+
+@register(
+    "lsh_match_probe_only",
+    _lsh_incremental_sql(),
+    doc="The probe half of lsh_incremental_match measured on its own: "
+    "the corpus LSH index persists ONLY if absent (write-if-missing, "
+    "path salted with the md5 of the dedup chain's source so a code "
+    "change can never serve a stale index), so after the first run the "
+    "timed path is purely what per-batch ingest pays at steady state — "
+    "band-hash the batch, equi-join the persisted band table, exact-"
+    "Jaccard verify against the persisted shingle table.  This is the "
+    "row that shows the per-batch serving cost WITHOUT the one-time "
+    "index build lsh_incremental_match's row includes (the build-once/"
+    "query-many economics made measurable, the keeplist_delta_refresh_"
+    "only treatment applied to the dedup index).  Same oracle as "
+    "lsh_incremental_match.",
+)
+def lsh_match_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import inspect
+
+    from .operators import dedup as dd
+    from .operators.dedup import match_lsh_index, write_lsh_index
+    from .queries_ext import _scan_path
+
+    d = load(spark, sf_dir, "documents")
+    salt = hashlib.md5(
+        (inspect.getsource(dd) + "|mod10|t=0.6").encode()
+    ).hexdigest()[:10]
+    path = _scan_path(sf_dir, f"lsh_index_ro_{salt}")
+    marker = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{path}/shingles/_SUCCESS"
+    )
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(marker):
+        write_lsh_index(d.filter(F.col("doc_id") % 10 != 0), path)
+    # the timed path: the batch probes ONLY the on-disk index
+    out = match_lsh_index(
+        spark,
+        path,
+        d.filter(F.col("doc_id") % 10 == 0),
+        threshold=0.6,
+    )
+    return out.select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        F.col("corpus_id").cast("long").alias("corpus_id"),
+        "jaccard",
     )
