@@ -224,6 +224,7 @@ HEADLINE_V5 = [
     "rerank_batch_topk",
     "ivf_centroid_drift_report",
     "lsh_match_probe_only",
+    "ivf_assign_ingest",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -309,6 +310,8 @@ EAGER_CONSTRUCT = {
     # index is write-if-missing: only the first (non-median) repeat
     # pays the build — the median measures the per-batch probe alone
     "lsh_match_probe_only",
+    # seed index write + assignment + delta append run at construction
+    "ivf_assign_ingest",
 }
 
 

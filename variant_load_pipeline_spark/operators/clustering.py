@@ -608,6 +608,25 @@ def ivf_probe_batch(
     )
 
 
+def ivf_assign_batch(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each arriving vector to its NEAREST inverted list of a
+    persisted index — the ingestion step append_ivf_batch needs when new
+    vectors carry no list key (the production case; the FAISS add()
+    assignment).  Nearest = highest 6-dp cosine against the stored
+    centroids, ties to the smaller list_id — ivf_probe_batch with
+    nprobe=1, so the choice compiles into whole-stage codegen and no
+    join is planned.  Returns the batch columns plus ``list_id``."""
+    q = batch.withColumn("__qv", F.col(vec_col).cast("array<double>"))
+    assigned = ivf_probe_batch(spark, path, q, nprobe=1, qvec_col="__qv")
+    return assigned.drop("__qv")
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     query_rows: list,

@@ -28,6 +28,10 @@ training-side artifacts, each with a DuckDB oracle.
                         the pre-persisted LSH index (write-if-missing,
                         source-salted path) without the one-time build
                         lsh_incremental_match's row includes
+  ivf_assign_ingest     streaming vector ingestion's batch body:
+                        nearest-centroid assignment (vectors arrive
+                        with no list key) + idempotent delta append,
+                        read back from disk for the hash
 
 Float discipline follows the repo-wide micro-unit idiom (floor(x*1e6+0.5)
 to BIGINT before any sum / ranking).
@@ -712,4 +716,77 @@ def lsh_match_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("batch_id").cast("long").alias("batch_id"),
         F.col("corpus_id").cast("long").alias("corpus_id"),
         "jaccard",
+    )
+
+
+# ===========================================================================
+# Streaming vector ingestion: nearest-centroid assignment + delta append
+# ===========================================================================
+@register(
+    "ivf_assign_ingest",
+    f"""
+    WITH seed AS (SELECT * FROM embeddings WHERE vec_id % 4 <> 3),
+    cent AS (
+        SELECT e.label AS list_id, e.embedding AS cv
+        FROM seed e
+        JOIN (SELECT label, MIN(vec_id) AS mv FROM seed GROUP BY label) m
+          ON e.label = m.label AND e.vec_id = m.mv
+    ),
+    batch AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 3
+    ),
+    asg AS (
+        SELECT vec_id, list_id FROM (
+            SELECT b.vec_id, cent.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                       {_COS6.format(a='cent.cv', b='b.embedding')} DESC,
+                       cent.list_id) AS rk
+            FROM batch b CROSS JOIN cent
+        ) WHERE rk = 1
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(list_id AS BIGINT) AS list_id
+    FROM asg
+    """,
+    doc="The ingestion half of streaming vector indexing: arriving "
+    "vectors carry NO list key, so each is assigned to its nearest "
+    "inverted list by 6-dp cosine against the persisted centroid table "
+    "(ties to the smaller list_id) and appended as a delta partition — "
+    "ivf_assign_batch + append_ivf_batch, the foreachBatch body of "
+    "streaming/ingest.ivf_ingest_sink.  Assignment compiles into "
+    "whole-stage-codegen array algebra over the collected centroids "
+    "(ivf_probe_batch with nprobe=1 — no join planned); the returned "
+    "rows are the DELTA STORE READ BACK from disk, so a hash match "
+    "proves assignment AND persistence round-trip together.  The "
+    "oracle replays the min-id-representative centroid pick and the "
+    "argmax-cosine assignment CTE-by-CTE.  Eager-construct: seed index "
+    "write + assignment + delta append run inside the query.",
+)
+def ivf_assign_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .operators.clustering import (
+        append_ivf_batch,
+        ivf_assign_batch,
+        write_ivf_index,
+    )
+    from .queries_ext import _scan_path
+
+    e = load(spark, sf_dir, "embeddings")
+    seed = e.filter(F.col("vec_id") % 4 != 3)
+    batch = e.filter(F.col("vec_id") % 4 == 3).select(
+        "vec_id", "embedding"
+    )
+    path = _scan_path(sf_dir, "ivf_assign")
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivf_index(seed, path)
+    assigned = ivf_assign_batch(spark, path, batch)
+    append_ivf_batch(
+        assigned, path, batch_id=1, list_col="list_id"
+    )
+    # everything below sees ONLY the on-disk delta store
+    d = spark.read.parquet(f"{path}/lists_delta")
+    return d.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("list_id").cast("long").alias("list_id"),
     )

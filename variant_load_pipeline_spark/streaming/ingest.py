@@ -419,3 +419,46 @@ def compact_kept(
     return _fold_ingest_partitions(
         spark, kept_path, upto_batch_id, dedup_cols=[id_col]
     )
+
+
+def ivf_ingest_sink(
+    spark,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Build the ``foreachBatch`` sink for STREAMING vector ingestion
+    into a persisted IVF index: each micro-batch's vectors are assigned
+    to their nearest inverted list (ivf_assign_batch — codegen
+    nearest-centroid choice against the stored centroid table, the
+    production case where arriving vectors carry no list key), then
+    appended as a delta partition under the batch's own id
+    (append_ivf_batch's dynamic overwrite), so a checkpoint-replayed
+    batch overwrites itself instead of duplicating vectors —
+    exactly-once under redelivery.  Probes (ivf_probe_topk /
+    ivf_probe_batch callers reading lists + lists_delta) see every
+    committed batch without a rebuild; centroid drift from append-only
+    ingest is what ivf_centroid_drift_report monitors.
+
+    Use::
+
+        stream.writeStream.foreachBatch(
+            ivf_ingest_sink(spark, idx)
+        ).option("checkpointLocation", ckpt).start()
+    """
+    from ..operators.clustering import append_ivf_batch, ivf_assign_batch
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = ivf_assign_batch(
+            spark, index_path, batch_df, id_col=id_col, vec_col=vec_col
+        )
+        append_ivf_batch(
+            assigned,
+            index_path,
+            batch_id=batch_id,
+            list_col="list_id",
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    return sink
