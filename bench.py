@@ -225,6 +225,7 @@ HEADLINE_V5 = [
     "ivf_centroid_drift_report",
     "lsh_match_probe_only",
     "ivf_assign_ingest",
+    "cluster_balanced_sample",
 ]
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -312,6 +313,8 @@ EAGER_CONSTRUCT = {
     "lsh_match_probe_only",
     # seed index write + assignment + delta append run at construction
     "ivf_assign_ingest",
+    # the k-means fit loop (assign/update collects) runs at construction
+    "cluster_balanced_sample",
 }
 
 

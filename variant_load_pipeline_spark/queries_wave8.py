@@ -32,6 +32,9 @@ training-side artifacts, each with a DuckDB oracle.
                         nearest-centroid assignment (vectors arrive
                         with no list key) + idempotent delta append,
                         read back from disk for the hash
+  cluster_balanced_sample  diversity-preserving selection: each k-means
+                        cluster contributes a fixed quota in seeded-hash
+                        order — the balancing step after semantic dedup
 
 Float discipline follows the repo-wide micro-unit idiom (floor(x*1e6+0.5)
 to BIGINT before any sum / ranking).
@@ -789,4 +792,75 @@ def ivf_assign_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("list_id").cast("long").alias("list_id"),
+    )
+
+
+# ===========================================================================
+# Cluster-balanced sampling: diversity-preserving data selection
+# ===========================================================================
+from .queries_corpus import _km_chain_sql, _KM_K, _KM_ITERS, _KM_SCALE  # noqa: E402
+
+_CBS_QUOTA = 20
+
+
+@register(
+    "cluster_balanced_sample",
+    f"""
+    WITH {_km_chain_sql()},
+    h AS (
+        SELECT vec_id, cluster,
+               ('0x' || substr(md5('cbs_' || CAST(vec_id AS VARCHAR)),
+                1, 8))::BIGINT AS hv
+        FROM aF
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(cluster AS INT) AS cluster,
+           CAST(pick_rank AS BIGINT) AS pick_rank
+    FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                   ORDER BY hv, vec_id) AS pick_rank
+        FROM h
+    ) WHERE pick_rank <= {_CBS_QUOTA}
+    """,
+    doc="Cluster-balanced data selection: the k-means clustering of the "
+    "embedding space (the kmeans_embeddings fit, bit-identical) becomes "
+    f"a diversity quota — each cluster contributes its first "
+    f"{_CBS_QUOTA} members in deterministic seeded-hash order, so the "
+    "sample covers every region of embedding space instead of letting "
+    "the head cluster dominate (the balancing step semantic-dedup "
+    "pipelines run after SemDeDup pruning; quota-per-cluster is the "
+    "public recipe).  Per-cluster rank is a cluster-partitioned window "
+    "(never global); the hash order makes the sample reproducible and "
+    "refresh-stable — re-running on the same corpus picks the same "
+    "rows.  Oracle replays the full k-means chain plus the quota "
+    "window CTE-by-CTE.",
+)
+def cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .functions.text import shingle_hash
+    from .operators.clustering import kmeans_fit_assign
+
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    asg = kmeans_fit_assign(
+        e, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE
+    ).select(
+        "vec_id",
+        "cluster",
+        shingle_hash(
+            F.concat(F.lit("cbs_"), F.col("vec_id").cast("string"))
+        ).alias("hv"),
+    )
+    wnd = W.partitionBy("cluster").orderBy("hv", "vec_id")
+    return (
+        asg.withColumn("pick_rank", F.row_number().over(wnd))
+        .filter(F.col("pick_rank") <= _CBS_QUOTA)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("pick_rank").cast("long").alias("pick_rank"),
+        )
     )
