@@ -135,6 +135,101 @@ def test_ivf_probe_batch_matches_bruteforce(spark, tmp_path):
     assert got == expected and got
 
 
+def test_epoch_manifest_custom_id_col(spark, tmp_path):
+    """id_col is normalized to doc_id before hashing, so a non-default
+    id column must produce the SAME manifest as the default (regression:
+    the hash once referenced the pre-alias name and raised)."""
+    from variant_load_pipeline_spark.plans.export import (
+        read_epoch_manifest,
+        write_epoch_manifest,
+    )
+
+    docs = Q.load(spark, SF, "documents").select("doc_id").limit(50)
+    p1 = str(tmp_path / "m_default")
+    p2 = str(tmp_path / "m_custom")
+    write_epoch_manifest(docs, p1, epochs=1, shards=2)
+    write_epoch_manifest(
+        docs.withColumnRenamed("doc_id", "my_id"),
+        p2,
+        epochs=1,
+        shards=2,
+        id_col="my_id",
+    )
+    rows = lambda p: sorted(
+        (r["epoch"], r["shard"], r["hv"], r["doc_id"])
+        for r in read_epoch_manifest(spark, p).collect()
+    )
+    assert rows(p1) == rows(p2) and rows(p1)
+
+
+def test_read_ivf_lists_merges_delta(spark, tmp_path):
+    """Batch-probe candidate fetch (read_ivf_lists) must see vectors
+    appended after the seed write — the store CorpusSearch's
+    ivf_probe_topk already merges (regression: miners once read only
+    the seed lists)."""
+    from variant_load_pipeline_spark.operators.clustering import (
+        append_ivf_batch,
+        read_ivf_lists,
+        write_ivf_index,
+    )
+
+    e = Q.load(spark, SF, "embeddings")
+    seed = e.filter(F.col("vec_id") % 4 != 3)
+    delta = e.filter(F.col("vec_id") % 4 == 3)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(seed, path)
+    assert read_ivf_lists(spark, path).count() == seed.count()
+    append_ivf_batch(delta, path, batch_id=1)
+    got = {r["vec_id"] for r in read_ivf_lists(spark, path).collect()}
+    assert got == {r["vec_id"] for r in e.collect()}
+
+
+def test_corpus_compact_requires_batch_id(spark, tmp_path):
+    """CorpusCompact without --batch-id must refuse (a silent default
+    could fold an uncommitted batch and duplicate docs on redelivery)."""
+    import pytest
+
+    from variant_load_pipeline_spark.cli import main
+
+    with pytest.raises(SystemExit):
+        main(
+            [
+                "--tool", "CorpusCompact",
+                "--kept", str(tmp_path / "kept"),
+                "--out", str(tmp_path / "out"),
+            ],
+            spark,
+        )
+
+
+def test_data_fingerprint_tracks_files(spark, tmp_path):
+    """The write-if-missing cache salt's data fingerprint: stable across
+    calls on unchanged data, different across datasets, and changed by
+    an in-place rewrite (mtime/size digest)."""
+    import shutil
+    import time
+
+    from variant_load_pipeline_spark.queries_ext import _data_fingerprint
+
+    f1 = _data_fingerprint(spark, SF, "documents")
+    assert f1 == _data_fingerprint(spark, SF, "documents")
+    assert f1 != _data_fingerprint(spark, "/root/testdata/sf0.001", "documents")
+    # copy to a tmp sf_dir, rewrite in place -> fingerprint changes
+    sf2 = tmp_path / "sf"
+    sf2.mkdir()
+    src = "/root/testdata/sf0.001/documents.parquet"
+    dst = str(sf2 / "documents.parquet")
+    (shutil.copy if os.path.isfile(src) else shutil.copytree)(src, dst)
+    g1 = _data_fingerprint(spark, str(sf2), "documents")
+    time.sleep(1.1)  # mtime granularity
+    Q.load(spark, str(sf2), "documents").limit(5).write.mode(
+        "overwrite"
+    ).parquet(dst + ".tmp")
+    (os.remove if os.path.isfile(dst) else shutil.rmtree)(dst)
+    shutil.move(dst + ".tmp", dst)
+    assert _data_fingerprint(spark, str(sf2), "documents") != g1
+
+
 def test_edit_distance_occupancy_guard_contracts(spark):
     """The two-tier occupancy guard: (a) when no bucket crosses the
     cutoff the guard is a no-op (guarded == unguarded on the test

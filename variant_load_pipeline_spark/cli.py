@@ -511,7 +511,15 @@ def _corpus_compact(spark, args) -> None:
     --out."""
     from .streaming.ingest import compact_kept, compact_lsh_index
 
-    upto = args.batch_id if args.batch_id is not None else 0
+    # --batch-id is the checkpoint-commit watermark; a silent default
+    # could fold an uncommitted batch and duplicate docs on redelivery,
+    # so omitting it is an error, not a guess
+    if args.batch_id is None:
+        raise SystemExit(
+            "CorpusCompact requires --batch-id (highest batch id "
+            "COMMITTED to the stream checkpoint)"
+        )
+    upto = args.batch_id
     report = []
     if args.index:
         report.append(("index", compact_lsh_index(spark, args.index, upto)))
@@ -547,10 +555,12 @@ def _corpus_mine_negatives(spark, args) -> None:
     --docs <embeddings parquet> (anchors = every --anchor-every'th
     vec_id) -> parquet (qid, nid, rk) of each anchor's top---k most-
     similar DIFFERENT-label vectors among its --nprobe probed lists
-    (ivf_probe_batch; oracle-gated by ann_hard_negatives_ivf)."""
+    (ivf_probe_batch; oracle-gated by ann_hard_negatives_ivf).
+    Candidates come from read_ivf_lists (seed + ingest delta), so
+    mining over an appended index sees what CorpusSearch sees."""
     from pyspark.sql.window import Window as W
 
-    from .operators.clustering import ivf_probe_batch
+    from .operators.clustering import ivf_probe_batch, read_ivf_lists
     from .operators.similarity import cosine
 
     e = _read(spark, args.docs)
@@ -566,7 +576,7 @@ def _corpus_mine_negatives(spark, args) -> None:
         anchors,
         nprobe=args.nprobe if args.nprobe is not None else 3,
     )
-    lists = spark.read.parquet(f"{args.index}/lists").select(
+    lists = read_ivf_lists(spark, args.index).select(
         F.col("vec_id").alias("nid"),
         F.col("embedding").cast("array<double>").alias("nv"),
         F.col("list_id").cast("int").alias("list_id"),

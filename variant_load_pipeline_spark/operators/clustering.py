@@ -485,6 +485,33 @@ def append_ivf_batch(
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
 
+def read_ivf_lists(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The complete candidate store of a persisted IVF index: the seed
+    ``lists`` table unioned with the ingest ``lists_delta`` store when
+    one exists (append_ivf_batch / ivf_ingest_sink) — what EVERY probe
+    reader must scan, or vectors appended after the seed write are
+    silently invisible to mining/rerank while CorpusSearch sees them.
+    Both stores are partitioned by ``list_id``, so a probe's equi-join
+    or IN-filter on ``list_id`` partition-prunes each side.  Existence
+    is probed via the Hadoop FileSystem API (works on HDFS/S3A)."""
+    lists = spark.read.parquet(f"{path}/lists").select(
+        id_col, vec_col, "list_id"
+    )
+    delta_dir = f"{path}/lists_delta"
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(delta_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        lists = lists.unionByName(
+            spark.read.parquet(delta_dir).select(id_col, vec_col, "list_id")
+        )
+    return lists
+
+
 def ivf_probe_topk(
     spark,
     path: str,
@@ -516,27 +543,11 @@ def ivf_probe_topk(
         key=lambda r: (-round(cos(list(r["centroid"]), query_vec), 6), r["list_id"]),
     )
     probes = [int(r["list_id"]) for r in ranked[:nprobe]]
-    lists = spark.read.parquet(f"{path}/lists").filter(
+    # seed + any ingest delta under the SAME list_id partition pruning
+    # (read_ivf_lists), so an appended index answers without a rebuild
+    lists = read_ivf_lists(spark, path).filter(
         F.col("list_id").isin(probes)
     )
-    # merge the ingest delta store, if any (append_ivf_batch): the probe
-    # reads seed + delta under the SAME list_id partition pruning, so an
-    # appended index answers without a rebuild.  Existence is probed via
-    # the Hadoop FileSystem API (not os.path) so the same code sees a
-    # delta store on HDFS/S3A, matching compact_lsh_index.
-    delta_dir = f"{path}/lists_delta"
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(delta_dir)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(hpath):
-        delta = (
-            spark.read.parquet(delta_dir)
-            .filter(F.col("list_id").isin(probes))
-            .select("vec_id", "embedding", "list_id")
-        )
-        lists = lists.select("vec_id", "embedding", "list_id").unionByName(
-            delta
-        )
     if exclude_id is not None:
         lists = lists.filter(F.col("vec_id") != exclude_id)
     qv = F.array(*[F.lit(float(x)) for x in query_vec])

@@ -109,7 +109,9 @@ def write_epoch_manifest(
     ).select(
         "doc_id",
         F.col("epoch").cast("long").alias("epoch"),
-        _epoch_hash(F.col("epoch"), F.col(id_col)).alias("hv"),
+        # the first select already normalized id_col to "doc_id"; hashing
+        # must reference the alias or any non-default id_col raises
+        _epoch_hash(F.col("epoch"), F.col("doc_id")).alias("hv"),
     )
     out = h.select(
         "epoch",

@@ -2450,6 +2450,31 @@ def _scan_path(sf_dir: str, name: str) -> str:
     return f"/tmp/vlp_scan_{token}_{name}"
 
 
+def _data_fingerprint(spark, sf_dir: str, table: str) -> str:
+    """Cheap fingerprint of a source table's parquet files for
+    write-if-missing cache salts: md5 over the sorted (relative path,
+    length, mtime) listing — a driver-side FileSystem walk, no Spark
+    job.  Regenerating the sf_dir parquet in place changes mtime/size,
+    so a cached index/snapshot salted with this can never silently
+    serve results for data that no longer exists.  Hadoop FS API so the
+    same code fingerprints HDFS/S3A stores."""
+    import hashlib
+
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(f"{sf_dir}/{table}.parquet")
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    entries = []
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        entries.append(
+            f"{p.rsplit('/' + table + '.parquet/', 1)[-1]}|"
+            f"{st.getLen()}|{st.getModificationTime()}"
+        )
+    return hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()[:10]
+
+
 # Fixture-writer bound: every driver-side collect of generated fixture
 # lines is capped to a deterministic top-N — Spark takes
 # orderBy(<generator tuple>).limit(CAP) (TakeOrderedAndProject: per-

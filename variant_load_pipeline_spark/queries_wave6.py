@@ -1028,12 +1028,20 @@ def keeplist_delta_refresh_only(
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    # the path is salted with the md5 of the keep-list chain's SOURCE and
-    # the snapshot parameters: any code or parameter change invalidates
-    # the cached snapshot automatically (a stale snapshot from an older
-    # chain would otherwise hash-mismatch the oracle, which recomputes)
+    # the path is salted with the md5 of the keep-list chain's SOURCE,
+    # the snapshot parameters, AND a data fingerprint (file size/mtime
+    # digest of the documents parquet): any code, parameter, or in-place
+    # data regeneration invalidates the cached snapshot automatically (a
+    # stale snapshot would otherwise hash-mismatch the oracle, which
+    # recomputes)
+    from .queries_ext import _data_fingerprint
+
     salt = hashlib.md5(
-        (inspect.getsource(dd) + "|doc_id<250|t=0.8").encode()
+        (
+            inspect.getsource(dd)
+            + "|doc_id<250|t=0.8|"
+            + _data_fingerprint(spark, sf_dir, "documents")
+        ).encode()
     ).hexdigest()[:10]
     path = _scan_path(sf_dir, f"keeplist_snapshot_ro_{salt}")
     # build-once: only the FIRST run (cold snapshot) pays the snapshot

@@ -133,7 +133,11 @@ def contrastive_triplets_ivf(
 ) -> DataFrame:
     import shutil
 
-    from .operators.clustering import ivf_probe_batch, write_ivf_index
+    from .operators.clustering import (
+        ivf_probe_batch,
+        read_ivf_lists,
+        write_ivf_index,
+    )
     from .operators.similarity import cosine
     from .queries_ext import _scan_path
 
@@ -160,7 +164,10 @@ def contrastive_triplets_ivf(
         )
         .dropDuplicates(["qid", "list_id"])
     )
-    lists = spark.read.parquet(f"{path}/lists").select(
+    # candidate fetch reads seed + any ingest delta (read_ivf_lists), so
+    # a miner over an appended index sees what CorpusSearch sees; at this
+    # call site the index is freshly written (no delta) — results equal
+    lists = read_ivf_lists(spark, path).select(
         F.col("vec_id").alias("nid"),
         F.col("embedding").cast("array<double>").alias("nv"),
         F.col("list_id").cast("int").alias("list_id"),
@@ -346,7 +353,11 @@ _HN_NPROBE = 3
 def ann_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
-    from .operators.clustering import ivf_probe_batch, write_ivf_index
+    from .operators.clustering import (
+        ivf_probe_batch,
+        read_ivf_lists,
+        write_ivf_index,
+    )
     from .operators.similarity import cosine
     from .queries_ext import _scan_path
 
@@ -361,7 +372,7 @@ def ann_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("qlabel"),
     )
     probe = ivf_probe_batch(spark, path, anchors, nprobe=_HN_NPROBE)
-    lists = spark.read.parquet(f"{path}/lists").select(
+    lists = read_ivf_lists(spark, path).select(
         F.col("vec_id").alias("nid"),
         F.col("embedding").cast("array<double>").alias("nv"),
         F.col("list_id").cast("int").alias("list_id"),
@@ -469,7 +480,11 @@ _RERANK_BATCH_SQL = (
 def rerank_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
-    from .operators.clustering import ivf_probe_batch, write_ivf_index
+    from .operators.clustering import (
+        ivf_probe_batch,
+        read_ivf_lists,
+        write_ivf_index,
+    )
     from .operators.quality import hashed_features, lr_score, lr_train
     from .operators.similarity import cosine
     from .queries_ext import _scan_path
@@ -484,7 +499,7 @@ def rerank_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("qv"),
     )
     probe = ivf_probe_batch(spark, path, anchors, nprobe=2)
-    lists = spark.read.parquet(f"{path}/lists").select(
+    lists = read_ivf_lists(spark, path).select(
         F.col("vec_id").alias("doc_id"),
         F.col("embedding").cast("array<double>").alias("nv"),
         F.col("list_id").cast("int").alias("list_id"),
@@ -695,11 +710,18 @@ def lsh_match_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators import dedup as dd
     from .operators.dedup import match_lsh_index, write_lsh_index
-    from .queries_ext import _scan_path
+    from .queries_ext import _data_fingerprint, _scan_path
 
     d = load(spark, sf_dir, "documents")
+    # salt = code source + params + a DATA fingerprint (file size/mtime
+    # digest): regenerating the sf_dir parquet in place invalidates the
+    # cached index instead of silently serving stale matches
     salt = hashlib.md5(
-        (inspect.getsource(dd) + "|mod10|t=0.6").encode()
+        (
+            inspect.getsource(dd)
+            + "|mod10|t=0.6|"
+            + _data_fingerprint(spark, sf_dir, "documents")
+        ).encode()
     ).hexdigest()[:10]
     path = _scan_path(sf_dir, f"lsh_index_ro_{salt}")
     marker = spark._jvm.org.apache.hadoop.fs.Path(
