@@ -58,15 +58,71 @@ def _argmin_exprs(
     return F.element_at(cl_arr, pos), F.array_min(dists)
 
 
+# Above this many scalar literals (k * dim) the model no longer rides
+# into the plan as expressions: Catalyst plans with tens of thousands of
+# literals inflate task binaries toward the ~1 MB whole-stage-codegen
+# pathology measured in pq_fit_encode (and at production IVF k ~ sqrt(n)
+# — 1e4-1e6 lists — fail to compile outright), so probe/assign
+# auto-switch to the broadcast-join argmin whose codegen is
+# constant-size however large k*dim grows.  4096 keeps fixture-scale
+# plans on the (faster, join-free) literal path; the boundary is pinned
+# by a golden test proving both paths bit-identical.
+IVF_LITERAL_MAX_TERMS = 4096
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: list[tuple[int, list[int]]],
     qv_col: str = "qv",
+    strategy: str = "auto",
 ) -> DataFrame:
-    """Adds (cluster, dist_sq) — see _argmin_exprs."""
-    cluster, dist_sq = _argmin_exprs(F.col(qv_col), centroids)
-    return df.withColumn("dist_sq", dist_sq).withColumn(
-        "cluster", cluster
+    """Adds (cluster, dist_sq): exact squared-distance argmin over the
+    centroid model, ties to the smallest cluster id.
+
+    ``strategy``: 'literal' compiles the centroids into plan expressions
+    (_argmin_exprs — no join planned; right at small k*dim), 'join'
+    broadcasts them as a table and takes min(struct(dist, cluster)) —
+    identical math and tie-break, constant-size codegen at any k*dim
+    (the fit_centroids pattern).  'auto' switches at
+    IVF_LITERAL_MAX_TERMS scalar literals."""
+    if strategy == "auto":
+        strategy = (
+            "literal"
+            if len(centroids) * len(centroids[0][1]) <= IVF_LITERAL_MAX_TERMS
+            else "join"
+        )
+    if strategy == "literal":
+        cluster, dist_sq = _argmin_exprs(F.col(qv_col), centroids)
+        return df.withColumn("dist_sq", dist_sq).withColumn(
+            "cluster", cluster
+        )
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(cl), [int(v) for v in cv]) for cl, cv in centroids],
+        "cluster int, cvec array<bigint>",
+    )
+    d = F.aggregate(
+        F.zip_with(F.col(qv_col), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # one row key per input row; evaluated below the broadcast join, so
+    # every (row, centroid) copy shares it and the groupBy restores the
+    # original row exactly (F.first over identical copies)
+    qk = df.withColumn("__rowid", F.monotonically_increasing_id())
+    agg = (
+        qk.crossJoin(F.broadcast(cdf))
+        .withColumn("__d", d)
+        .groupBy("__rowid")
+        .agg(
+            *[F.first(c).alias(c) for c in df.columns],
+            F.min(F.struct(F.col("__d"), F.col("cluster"))).alias("__mm"),
+        )
+    )
+    return agg.select(
+        *df.columns,
+        F.col("__mm.__d").alias("dist_sq"),
+        F.col("__mm.cluster").alias("cluster"),
     )
 
 
@@ -512,6 +568,25 @@ def read_ivf_lists(
     return lists
 
 
+def _choose_ivf_strategy(spark, path: str):
+    """Pick literal-compile vs broadcast-join for a persisted index's
+    probe/assign by the measured k*dim boundary (IVF_LITERAL_MAX_TERMS),
+    WITHOUT ever collecting an over-threshold centroid table: one
+    bounded collect of at most threshold//dim + 1 rows decides, and when
+    the literal path wins those same rows ARE the model (no second
+    read).  Returns ('literal', sorted_rows) or ('join', None)."""
+    cdf = spark.read.parquet(f"{path}/centroids")
+    first = cdf.first()
+    if first is None:
+        raise ValueError(f"empty centroid table at {path}/centroids")
+    dim = max(1, len(first["centroid"]))
+    k_cap = IVF_LITERAL_MAX_TERMS // dim + 1
+    rows = cdf.limit(k_cap).collect()
+    if len(rows) * dim <= IVF_LITERAL_MAX_TERMS:
+        return "literal", sorted(rows, key=lambda r: int(r["list_id"]))
+    return "join", None
+
+
 def ivf_probe_topk(
     spark,
     path: str,
@@ -519,6 +594,7 @@ def ivf_probe_topk(
     nprobe: int = 2,
     k: int = 10,
     exclude_id: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Answer a top-k query from a persisted IVF index (write_ivf_index):
     score the centroid table (tiny, driver-collected) to pick the
@@ -527,22 +603,53 @@ def ivf_probe_topk(
     so the parquet scan prunes to the probed lists.
 
     Exact cosine re-rank inside the probed lists; ties to smaller id.
+
+    ``strategy``: 'literal' ranks the driver-collected centroid table in
+    Python (right at small k — the table is model state); 'join' ranks
+    it with a Spark job against the single query vector's d literals
+    (constant-size codegen, nothing collected — the path production
+    k ~ sqrt(n) needs); 'auto' switches at IVF_LITERAL_MAX_TERMS.
     """
     from .similarity import cosine
 
-    cents = spark.read.parquet(f"{path}/centroids").collect()
+    cents = None
+    if strategy == "auto":
+        strategy, cents = _choose_ivf_strategy(spark, path)
+    if strategy == "literal":
+        if cents is None:
+            cents = spark.read.parquet(f"{path}/centroids").collect()
 
-    def cos(u, v):
-        du = sum(a * b for a, b in zip(u, v))
-        nu = sum(a * a for a in u) ** 0.5
-        nv = sum(b * b for b in v) ** 0.5
-        return du / (nu * nv) if nu and nv else 0.0
+        def cos(u, v):
+            du = sum(a * b for a, b in zip(u, v))
+            nu = sum(a * a for a in u) ** 0.5
+            nv = sum(b * b for b in v) ** 0.5
+            return du / (nu * nv) if nu and nv else 0.0
 
-    ranked = sorted(
-        cents,
-        key=lambda r: (-round(cos(list(r["centroid"]), query_vec), 6), r["list_id"]),
-    )
-    probes = [int(r["list_id"]) for r in ranked[:nprobe]]
+        ranked = sorted(
+            cents,
+            key=lambda r: (
+                -round(cos(list(r["centroid"]), query_vec), 6),
+                r["list_id"],
+            ),
+        )
+        probes = [int(r["list_id"]) for r in ranked[:nprobe]]
+    else:
+        qlit = F.array(*[F.lit(float(x)) for x in query_vec]).cast(
+            "array<double>"
+        )
+        probes = [
+            int(r["list_id"])
+            for r in spark.read.parquet(f"{path}/centroids")
+            .select(
+                F.col("list_id").cast("int").alias("list_id"),
+                F.round(
+                    cosine(F.col("centroid").cast("array<double>"), qlit), 6
+                ).alias("__cs"),
+            )
+            .orderBy(F.col("__cs").desc(), F.col("list_id"))
+            .limit(nprobe)
+            .collect()
+        ]
     # seed + any ingest delta under the SAME list_id partition pruning
     # (read_ivf_lists), so an appended index answers without a rebuild
     lists = read_ivf_lists(spark, path).filter(
@@ -578,44 +685,92 @@ def ivf_probe_batch(
     queries: DataFrame,
     nprobe: int = 2,
     qvec_col: str = "qv",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Batch IVF probe: augment each row of ``queries`` with the
     ``nprobe`` nearest inverted lists of a persisted index
     (write_ivf_index) — the multi-anchor twin of ivf_probe_topk.
+    Ranking is 6-dp cosine DESC, list_id ASC (deterministic ties) on
+    BOTH strategies; emits one row per (query row, probed list) with a
+    ``list_id`` column appended; downstream candidate fetch is then a
+    plain equi-join on list_id against the partition-pruned lists table.
 
-    The centroid table is MODEL STATE (one row per list), so it collects
-    to the driver once and the per-anchor probe choice compiles into
-    whole-stage-codegen array algebra: cosine against each centroid
-    literal, sort_array over (neg_cos, list_id) structs (= cosine DESC,
-    list_id ASC — deterministic ties), slice(nprobe), explode.  No join
-    is planned for probe selection at all; downstream candidate fetch is
-    then a plain equi-join on list_id against the partition-pruned lists
-    table.  Emits one row per (query row, probed list) with a `list_id`
-    column appended.
+    ``strategy='literal'`` (small k*dim): the centroid table is MODEL
+    STATE (one row per list), so it collects to the driver once and the
+    per-anchor probe choice compiles into whole-stage-codegen array
+    algebra — cosine against each centroid literal, sort_array over
+    (neg_cos, list_id) structs, slice(nprobe), explode; no join is
+    planned for probe selection at all.
+
+    ``strategy='join'`` (production k ~ sqrt(n), 1e4-1e6 lists): a plan
+    with k*dim literals would inflate task binaries past the
+    whole-stage-codegen pathology (the pq_fit_encode lesson), so the
+    centroid table rides as DATA — broadcast crossJoin, the same
+    (neg_cos, list_id) structs collect_list'd + array_sort'd + sliced
+    per query row (keyed by a pre-join monotonic row id, so duplicate
+    query rows each keep their own probes) — identical math and ties,
+    constant-size codegen at any k*dim.
+
+    ``strategy='auto'`` switches at IVF_LITERAL_MAX_TERMS scalar
+    literals via one bounded collect (_choose_ivf_strategy).
     """
     from .similarity import cosine
 
-    cents = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
-        key=lambda r: int(r["list_id"]),
+    cents = None
+    if strategy == "auto":
+        strategy, cents = _choose_ivf_strategy(spark, path)
+    if strategy == "literal":
+        if cents is None:
+            cents = sorted(
+                spark.read.parquet(f"{path}/centroids").collect(),
+                key=lambda r: int(r["list_id"]),
+            )
+        entries = []
+        for r in cents:
+            cv = F.array(*[F.lit(float(x)) for x in r["centroid"]]).cast(
+                "array<double>"
+            )
+            cs = F.round(
+                cosine(F.col(qvec_col).cast("array<double>"), cv), 6
+            )
+            entries.append(
+                F.struct(
+                    (-cs).alias("neg_cos"),
+                    F.lit(int(r["list_id"])).cast("int").alias("list_id"),
+                )
+            )
+        probe_arr = F.slice(F.sort_array(F.array(*entries)), 1, nprobe)
+        return queries.withColumn(
+            "list_id", F.explode(probe_arr.getField("list_id"))
+        )
+    cdf = spark.read.parquet(f"{path}/centroids").select(
+        F.col("list_id").cast("int").alias("__plist"),
+        F.col("centroid").cast("array<double>").alias("__cv"),
     )
-    entries = []
-    for r in cents:
-        cv = F.array(*[F.lit(float(x)) for x in r["centroid"]]).cast(
-            "array<double>"
-        )
-        cs = F.round(
-            cosine(F.col(qvec_col).cast("array<double>"), cv), 6
-        )
-        entries.append(
+    cs = F.round(
+        cosine(F.col(qvec_col).cast("array<double>"), F.col("__cv")), 6
+    )
+    out_cols = [c for c in queries.columns if c != "list_id"]
+    qk = queries.withColumn("__rowid", F.monotonically_increasing_id())
+    agg = (
+        qk.crossJoin(F.broadcast(cdf))
+        .withColumn(
+            "__e",
             F.struct(
                 (-cs).alias("neg_cos"),
-                F.lit(int(r["list_id"])).cast("int").alias("list_id"),
-            )
+                F.col("__plist").alias("list_id"),
+            ),
         )
-    probe_arr = F.slice(F.sort_array(F.array(*entries)), 1, nprobe)
-    return queries.withColumn(
-        "list_id", F.explode(probe_arr.getField("list_id"))
+        .groupBy("__rowid")
+        .agg(
+            *[F.first(c).alias(c) for c in out_cols],
+            F.slice(
+                F.array_sort(F.collect_list("__e")), 1, nprobe
+            ).alias("__p"),
+        )
+    )
+    return agg.select(
+        *out_cols, F.explode(F.col("__p").getField("list_id")).alias("list_id")
     )
 
 
@@ -625,16 +780,21 @@ def ivf_assign_batch(
     batch: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Assign each arriving vector to its NEAREST inverted list of a
     persisted index — the ingestion step append_ivf_batch needs when new
     vectors carry no list key (the production case; the FAISS add()
     assignment).  Nearest = highest 6-dp cosine against the stored
     centroids, ties to the smaller list_id — ivf_probe_batch with
-    nprobe=1, so the choice compiles into whole-stage codegen and no
-    join is planned.  Returns the batch columns plus ``list_id``."""
+    nprobe=1, so the choice compiles into whole-stage codegen below the
+    IVF_LITERAL_MAX_TERMS boundary and auto-switches to the
+    broadcast-join argmin above it.  Returns the batch columns plus
+    ``list_id``."""
     q = batch.withColumn("__qv", F.col(vec_col).cast("array<double>"))
-    assigned = ivf_probe_batch(spark, path, q, nprobe=1, qvec_col="__qv")
+    assigned = ivf_probe_batch(
+        spark, path, q, nprobe=1, qvec_col="__qv", strategy=strategy
+    )
     return assigned.drop("__qv")
 
 
