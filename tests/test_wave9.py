@@ -103,6 +103,196 @@ def test_ivf_assign_batch_join_strategy_identical(spark, tmp_path):
     assert asg("literal") == asg("join") and asg("literal")
 
 
+def _topk(spark, path, qv, k=8):
+    from variant_load_pipeline_spark.operators.clustering import (
+        ivf_probe_topk,
+    )
+
+    return [
+        tuple(r)
+        for r in ivf_probe_topk(spark, path, qv, nprobe=2, k=k).collect()
+    ]
+
+
+def _build_appended_index(spark, tmp_path, name="ivf"):
+    from variant_load_pipeline_spark.operators.clustering import (
+        append_ivf_batch,
+        write_ivf_index,
+    )
+
+    e = Q.load(spark, SF, "embeddings")
+    path = str(tmp_path / name)
+    write_ivf_index(e.filter(F.col("vec_id") % 4 != 3), path)
+    append_ivf_batch(e.filter(F.col("vec_id") % 4 == 3), path, batch_id=1)
+    qv = [float(x) for x in e.select("embedding").first()["embedding"]]
+    return e, path, qv
+
+
+def test_ivf_compact_probe_identical_and_uncommitted_kept(spark, tmp_path):
+    """Folding committed deltas must be invisible to probes, and a delta
+    batch ABOVE the commit watermark must stay in place (uncommitted
+    batches are not safe to fold)."""
+    import os
+
+    from variant_load_pipeline_spark.operators.clustering import (
+        append_ivf_batch,
+        compact_ivf_index,
+        read_ivf_lists,
+        write_ivf_index,
+    )
+
+    e = Q.load(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(e.filter(F.col("vec_id") % 8 < 5), path)
+    append_ivf_batch(e.filter(F.col("vec_id") % 8 == 5), path, batch_id=1)
+    append_ivf_batch(e.filter(F.col("vec_id") % 8 == 6), path, batch_id=2)
+    append_ivf_batch(e.filter(F.col("vec_id") % 8 == 7), path, batch_id=3)
+    qv = [float(x) for x in e.select("embedding").first()["embedding"]]
+    before = _topk(spark, path, qv)
+    # fold batches 1-2 only; batch 3 is past the commit watermark
+    assert compact_ivf_index(spark, path, upto_batch_id=2) == 2
+    assert sorted(os.listdir(f"{path}/lists_delta")) == ["batch_id=3"]
+    assert _topk(spark, path, qv) == before
+    n_all = e.count()
+    assert read_ivf_lists(spark, path).count() == n_all
+    # second fold takes the last batch and removes the delta store
+    assert compact_ivf_index(spark, path, upto_batch_id=3) == 1
+    assert not os.path.exists(f"{path}/lists_delta")
+    assert _topk(spark, path, qv) == before
+    assert spark.read.parquet(f"{path}/lists").count() == n_all
+
+
+def test_ivf_compact_mid_crash_recovery(spark, tmp_path):
+    """Crash BETWEEN the two swap renames (lists renamed away, new
+    lists not yet in place): the next compact call must restore the
+    pre-fold store and then complete the fold — probes identical."""
+    import os
+    import shutil
+
+    from variant_load_pipeline_spark.operators.clustering import (
+        compact_ivf_index,
+    )
+
+    e, path, qv = _build_appended_index(spark, tmp_path)
+    before = _topk(spark, path, qv)
+    # simulate the torn swap: lists moved aside, temp leftover on disk
+    shutil.move(f"{path}/lists", f"{path}/.lists_old")
+    (tmp_path / "ivf" / ".lists_tmp").mkdir()
+    assert not os.path.exists(f"{path}/lists")
+    assert compact_ivf_index(spark, path, upto_batch_id=1) >= 1
+    assert os.path.exists(f"{path}/lists")
+    assert not os.path.exists(f"{path}/.lists_old")
+    assert _topk(spark, path, qv) == before
+
+
+def test_ivf_compact_delete_crash_is_idempotent(spark, tmp_path):
+    """Crash DURING the delete phase (deltas already folded into lists
+    but their partitions still on disk): re-running the fold dedups on
+    vec_id, so the store converges to exactly-once rows."""
+    import shutil
+
+    from variant_load_pipeline_spark.operators.clustering import (
+        compact_ivf_index,
+        read_ivf_lists,
+    )
+
+    e, path, qv = _build_appended_index(spark, tmp_path)
+    n_all = e.count()
+    before = _topk(spark, path, qv)
+    compact_ivf_index(spark, path, upto_batch_id=1)
+    # simulate the crash leftovers: re-append the SAME batch rows as a
+    # stale delta partition (now duplicating folded lists rows)
+    from variant_load_pipeline_spark.operators.clustering import (
+        append_ivf_batch,
+    )
+
+    append_ivf_batch(
+        e.filter(F.col("vec_id") % 4 == 3), path, batch_id=1
+    )
+    assert read_ivf_lists(spark, path).count() == n_all + (
+        e.filter(F.col("vec_id") % 4 == 3).count()
+    )
+    compact_ivf_index(spark, path, upto_batch_id=1)
+    assert read_ivf_lists(spark, path).count() == n_all
+    assert _topk(spark, path, qv) == before
+
+
+def test_ivf_retrain_resets_drift(spark, tmp_path):
+    """After compact(retrain_centroids=True), every list's centroid IS
+    the milli floor-of-mean of its members — recomputing the drift
+    statistic yields 0 for every list (the monitor's reset state)."""
+    from variant_load_pipeline_spark.operators.clustering import (
+        compact_ivf_index,
+        int_vectors,
+    )
+
+    e, path, qv = _build_appended_index(spark, tmp_path)
+    compact_ivf_index(spark, path, upto_batch_id=1, retrain_centroids=True)
+    members = spark.read.parquet(f"{path}/lists").select(
+        F.col("list_id").cast("long").alias("list_id"),
+        F.posexplode(int_vectors(F.col("embedding"))).alias("dim", "val"),
+    )
+    md = members.groupBy("list_id", "dim").agg(
+        F.floor(F.sum("val") / F.count(F.lit(1))).cast("long").alias("mval")
+    )
+    cq = spark.read.parquet(f"{path}/centroids").select(
+        F.col("list_id").cast("long").alias("list_id"),
+        F.posexplode(int_vectors(F.col("centroid"))).alias("dim", "cval"),
+    )
+    drift = (
+        md.join(cq, ["list_id", "dim"])
+        .groupBy("list_id")
+        .agg(
+            F.sum(
+                (F.col("mval") - F.col("cval"))
+                * (F.col("mval") - F.col("cval"))
+            ).alias("d2")
+        )
+    )
+    rows = drift.collect()
+    assert rows and all(r["d2"] == 0 for r in rows)
+
+
+def test_cli_corpus_compact_ivf_and_retrain(spark, tmp_path):
+    """CorpusCompact --ivf folds the delta store; CorpusRetrain folds
+    AND retrains, and requires --batch-id."""
+    import os
+
+    import pytest
+
+    from variant_load_pipeline_spark.cli import main
+
+    e, path, qv = _build_appended_index(spark, tmp_path)
+    before = _topk(spark, path, qv)
+    out = str(tmp_path / "report")
+    main(
+        ["--tool", "CorpusCompact", "--ivf", path, "--batch-id", "1",
+         "--out", out],
+        spark,
+    )
+    assert {
+        (r["store"], r["folded"])
+        for r in spark.read.parquet(out).collect()
+    } == {("ivf", 1)}
+    assert not os.path.exists(f"{path}/lists_delta")
+    assert _topk(spark, path, qv) == before
+    with pytest.raises(SystemExit):
+        main(
+            ["--tool", "CorpusRetrain", "--ivf", path, "--out", out], spark
+        )
+    main(
+        ["--tool", "CorpusRetrain", "--ivf", path, "--batch-id", "1",
+         "--out", out],
+        spark,
+    )
+    # retrained centroid table readable and one row per list
+    cents = spark.read.parquet(f"{path}/centroids")
+    n_lists = spark.read.parquet(f"{path}/lists").select(
+        "list_id"
+    ).distinct().count()
+    assert cents.count() == n_lists
+
+
 def test_assign_clusters_join_strategy_identical(spark):
     """k-means assignment: the broadcast-join min(struct) argmin equals
     the literal argmin on real vectors AND breaks exact-distance ties to

@@ -506,9 +506,12 @@ def _corpus_compact(spark, args) -> None:
     one generation.  --index <lsh index path> compacts the bands +
     shingles stores (streaming/ingest.compact_lsh_index); --kept
     <accepted-corpus path> compacts the output corpus with doc_id dedup
-    (compact_kept).  --batch-id = highest COMMITTED batch id (the
-    checkpoint contract).  Writes a 1-row (store, folded) report to
-    --out."""
+    (compact_kept); --ivf <ivf index path> folds lists_delta batches
+    into the main lists store (operators/clustering.compact_ivf_index,
+    probe results identical before/after).  --batch-id = highest
+    COMMITTED batch id (the checkpoint contract).  Writes a per-store
+    (store, folded) report to --out."""
+    from .operators.clustering import compact_ivf_index
     from .streaming.ingest import compact_kept, compact_lsh_index
 
     # --batch-id is the checkpoint-commit watermark; a silent default
@@ -525,10 +528,41 @@ def _corpus_compact(spark, args) -> None:
         report.append(("index", compact_lsh_index(spark, args.index, upto)))
     if args.kept:
         report.append(("kept", compact_kept(spark, args.kept, upto)))
+    if args.ivf:
+        report.append(("ivf", compact_ivf_index(spark, args.ivf, upto)))
     if not report:
-        raise SystemExit("CorpusCompact needs --index and/or --kept")
+        raise SystemExit("CorpusCompact needs --index, --kept and/or --ivf")
     spark.createDataFrame(
         report, "store string, folded int"
+    ).repartition(1).write.mode("overwrite").parquet(args.out)
+
+
+@tool("CorpusRetrain")
+def _corpus_retrain(spark, args) -> None:
+    """Act on the IVF maintenance monitors from the command line: fold
+    committed lists_delta batches into the main lists store AND retrain
+    every list's centroid to the exact floor-of-mean of its current
+    members (operators/clustering.compact_ivf_index with
+    retrain_centroids=True; oracle-gated by ivf_retrain_centroids) —
+    what ivf_centroid_drift_report's trigger asks for when append-only
+    ingest has walked the member mean away from the frozen seed
+    centroid.  --ivf <index path>, --batch-id = highest COMMITTED batch
+    id (the checkpoint contract — required, like CorpusCompact).
+    Writes a 1-row (store, folded) report to --out."""
+    from .operators.clustering import compact_ivf_index
+
+    if args.batch_id is None:
+        raise SystemExit(
+            "CorpusRetrain requires --batch-id (highest batch id "
+            "COMMITTED to the stream checkpoint)"
+        )
+    if not args.ivf:
+        raise SystemExit("CorpusRetrain needs --ivf <index path>")
+    folded = compact_ivf_index(
+        spark, args.ivf, args.batch_id, retrain_centroids=True
+    )
+    spark.createDataFrame(
+        [("ivf", folded)], "store string, folded int"
     ).repartition(1).write.mode("overwrite").parquet(args.out)
 
 
@@ -662,6 +696,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shards", type=int)
     p.add_argument("--anchor-every", dest="anchor_every", type=int)
     p.add_argument("--kept")
+    p.add_argument("--ivf")
     p.add_argument("--gzip", action="store_true")
     p.add_argument("--addp", action="store_true")
     p.add_argument(

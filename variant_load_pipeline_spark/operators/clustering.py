@@ -541,6 +541,158 @@ def append_ivf_batch(
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
 
+def compact_ivf_index(
+    spark,
+    path: str,
+    upto_batch_id: int,
+    retrain_centroids: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> int:
+    """Fold committed ``lists_delta`` batches into the main ``lists``
+    store — the maintenance job that closes the IVF ingest loop: under
+    ivf_ingest_sink delta partitions accumulate O(batches) (each probe
+    pays their listing and their files dodge the seed's partition
+    layout), so when the ivf_list_skew_report / ivf_centroid_drift_report
+    monitors trigger, this fold restores the O(1)-partition
+    build-once shape WITHOUT re-assigning any vector (assignments are
+    frozen at ingest time; probe results are identical before and after
+    the fold by construction, pinned by test).
+
+    **Contract: ``upto_batch_id`` must be at or below the last batch id
+    COMMITTED to the stream's checkpoint** (the compact_lsh_index
+    contract): a folded batch redelivered afterwards would re-append its
+    vectors as a fresh delta and duplicate them until the next fold's
+    ``dropDuplicates(id_col)`` removes them.
+
+    ``retrain_centroids=True`` additionally recomputes each list's
+    centroid as the milli-quantized floor-of-mean of its CURRENT
+    (post-fold) members — the retrain the drift monitor asks for, in
+    exact integer arithmetic so the new model is bit-reproducible and
+    engine-portable (oracle-gated by ivf_retrain_centroids).
+
+    Crash-safe swap (Hadoop FileSystem API, runs on HDFS/S3A):
+
+    1. write the merged rows (seed + committed deltas, deduped on
+       ``id_col`` so a re-run after any crash is idempotent) to a
+       dot-prefixed temp dir, invisible to readers;
+    2. rename ``lists`` -> ``.lists_old``, then temp -> ``lists``
+       (abort on a false-returning rename, before anything is deleted);
+    3. delete the folded delta partitions, then ``.lists_old``
+       (centroid swap, when retraining, follows the same order).
+
+    A crash before (2) leaves only hidden temp dirs (overwritten next
+    run).  A crash BETWEEN the two renames leaves ``lists`` missing —
+    the next call detects ``.lists_old`` without ``lists`` and renames
+    it back before starting over.  A crash during (3) leaves duplicates
+    (folded rows still present as deltas) that probes see double until
+    the next fold dedups them — readers needing exactly-once rows in
+    that window dropDuplicates(id_col), the compact_kept contract.
+
+    Returns the number of delta batch partitions folded.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def fs_path(s):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    fs = fs_path(path).getFileSystem(conf)
+
+    def swap_in(live: str, old: str, tmp: str) -> None:
+        if not fs.rename(fs_path(live), fs_path(old)):
+            raise IOError(f"compaction: rename {live} -> {old} failed")
+        if not fs.rename(fs_path(tmp), fs_path(live)):
+            # restore immediately: the live dir must never stay missing
+            fs.rename(fs_path(old), fs_path(live))
+            raise IOError(f"compaction: rename {tmp} -> {live} failed")
+
+    # recovery from a crash between the two swap renames (live missing,
+    # old present): restore the pre-fold store, then fold normally
+    for live, old in (
+        (f"{path}/lists", f"{path}/.lists_old"),
+        (f"{path}/centroids", f"{path}/.centroids_old"),
+    ):
+        if not fs.exists(fs_path(live)) and fs.exists(fs_path(old)):
+            if not fs.rename(fs_path(old), fs_path(live)):
+                raise IOError(f"compaction recovery: {old} -> {live} failed")
+
+    delta_root = f"{path}/lists_delta"
+    batches: list[int] = []
+    if fs.exists(fs_path(delta_root)):
+        for st in fs.listStatus(fs_path(delta_root)):
+            name = st.getPath().getName()
+            if name.startswith("batch_id="):
+                bid = int(name.split("=", 1)[1])
+                if bid <= upto_batch_id:
+                    batches.append(bid)
+    if not batches and not retrain_centroids:
+        return 0
+
+    folded = 0
+    if batches:
+        # seed + COMMITTED deltas only; uncommitted (> upto) delta
+        # partitions simply stay in place and keep serving probes
+        committed = (
+            spark.read.option("basePath", delta_root)
+            .parquet(delta_root)
+            .filter(F.col("batch_id") <= upto_batch_id)
+            .select(id_col, vec_col, "list_id")
+        )
+        merged = (
+            spark.read.parquet(f"{path}/lists")
+            .select(id_col, vec_col, "list_id")
+            .unionByName(committed)
+            .dropDuplicates([id_col])
+        )
+        tmp = f"{path}/.lists_tmp"
+        merged.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+        swap_in(f"{path}/lists", f"{path}/.lists_old", tmp)
+        for bid in batches:
+            fs.delete(fs_path(f"{delta_root}/batch_id={bid}"), True)
+        # drop the delta root too when nothing (uncommitted batches)
+        # remains — an empty dir would break readers' schema inference
+        if not any(
+            st.getPath().getName().startswith("batch_id=")
+            for st in fs.listStatus(fs_path(delta_root))
+        ):
+            fs.delete(fs_path(delta_root), True)
+        fs.delete(fs_path(f"{path}/.lists_old"), True)
+        folded = len(batches)
+
+    if retrain_centroids:
+        # new centroid = floor-of-mean of milli-quantized members per
+        # (list, dim), back to double units — exact integer arithmetic,
+        # order-free sums, bit-reproducible across engines
+        post = spark.read.parquet(f"{path}/lists")
+        cent = (
+            post.select(
+                F.col("list_id").cast("long").alias("list_id"),
+                F.posexplode(int_vectors(F.col(vec_col), scale)).alias(
+                    "dim", "val"
+                ),
+            )
+            .groupBy("list_id", "dim")
+            .agg(
+                (F.floor(F.sum("val") / F.count(F.lit(1))) / F.lit(scale))
+                .alias("cval")
+            )
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                    lambda x: x["cval"],
+                ).alias("centroid")
+            )
+        )
+        ctmp = f"{path}/.centroids_tmp"
+        cent.repartition(1).write.mode("overwrite").parquet(ctmp)
+        swap_in(f"{path}/centroids", f"{path}/.centroids_old", ctmp)
+        fs.delete(fs_path(f"{path}/.centroids_old"), True)
+    return folded
+
+
 def read_ivf_lists(
     spark,
     path: str,
@@ -561,7 +713,12 @@ def read_ivf_lists(
     delta_dir = f"{path}/lists_delta"
     hpath = spark._jvm.org.apache.hadoop.fs.Path(delta_dir)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(hpath):
+    # the batch_id= check also tolerates an empty delta root (a crash
+    # window of compact_ivf_index) that schema inference would reject
+    if fs.exists(hpath) and any(
+        st.getPath().getName().startswith("batch_id=")
+        for st in fs.listStatus(hpath)
+    ):
         lists = lists.unionByName(
             spark.read.parquet(delta_dir).select(id_col, vec_col, "list_id")
         )

@@ -1,0 +1,201 @@
+"""Wave-9 operators: the IVF maintenance loop closed (delta fold +
+centroid retrain), each with a DuckDB oracle.
+
+  ivf_compact_probe_parity  fold the ingest delta store into the main
+                        lists store (compact_ivf_index) and answer a
+                        batch probe from the FOLDED index — the oracle
+                        replays seed centroids + full-corpus candidates,
+                        so a hash match proves the fold changed nothing
+                        a probe can see
+  ivf_retrain_centroids the retrain the drift monitor asks for:
+                        compact with retrain_centroids=True recomputes
+                        each list's centroid as the exact milli-unit
+                        floor-of-mean of its post-fold members; the
+                        oracle recomputes the same integer arithmetic
+                        from the base table
+
+Float discipline follows the repo-wide micro-unit idiom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .queries import load, register
+from .queries_wave7 import _COS6
+
+# ===========================================================================
+# IVF delta fold: probe parity across compaction
+# ===========================================================================
+_CP_NPROBE = 2
+_CP_TOPK = 5
+
+
+@register(
+    "ivf_compact_probe_parity",
+    f"""
+    WITH seed AS (SELECT * FROM embeddings WHERE vec_id % 4 <> 3),
+    cent AS (
+        SELECT e.label AS list_id, e.embedding AS cv
+        FROM seed e
+        JOIN (SELECT label, MIN(vec_id) AS mv FROM seed GROUP BY label) m
+          ON e.label = m.label AND e.vec_id = m.mv
+    ),
+    q AS (
+        SELECT vec_id AS qid, embedding AS qv
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    probe AS (
+        SELECT qid, list_id FROM (
+            SELECT q.qid, cent.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                       {_COS6.format(a='cent.cv', b='q.qv')} DESC,
+                       cent.list_id) AS rk
+            FROM q CROSS JOIN cent
+        ) WHERE rk <= {_CP_NPROBE}
+    ),
+    sims AS (
+        SELECT q.qid, e.vec_id AS nid,
+               {_COS6.format(a='e.embedding', b='q.qv')} AS cos_sim
+        FROM q JOIN probe p ON p.qid = q.qid
+        JOIN embeddings e ON e.label = p.list_id
+        WHERE e.vec_id <> q.qid
+    )
+    SELECT qid, nid, cos_sim, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT qid, nid, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, nid) AS rk
+        FROM sims
+    ) WHERE rk <= {_CP_TOPK}
+    """,
+    doc="The IVF maintenance fold proven invisible to serving: the query "
+    "seeds an index (vec_id % 4 <> 3), appends the rest as an ingest "
+    "delta batch, folds the delta into the main lists store "
+    "(compact_ivf_index — crash-safe temp-write/rename/delete-last "
+    "swap, assignments frozen, centroids untouched), then answers a "
+    f"batch probe (nprobe={_CP_NPROBE}, top-{_CP_TOPK} per anchor) from "
+    "the FOLDED index alone.  The oracle replays seed-centroid probe "
+    "ranking over the FULL corpus — exactly what probing seed+delta "
+    "before the fold returns — so a hash match proves probe results "
+    "are identical before/after compaction (the partition count went "
+    "from O(batches) to O(1); nothing else moved).  Eager-construct: "
+    "seed write + delta append + fold run inside the query.",
+)
+def ivf_compact_probe_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .operators.clustering import (
+        append_ivf_batch,
+        compact_ivf_index,
+        ivf_probe_batch,
+        read_ivf_lists,
+        write_ivf_index,
+    )
+    from .operators.similarity import cosine
+    from .queries_ext import _scan_path
+
+    e = load(spark, sf_dir, "embeddings")
+    path = _scan_path(sf_dir, "ivf_compact")
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivf_index(e.filter(F.col("vec_id") % 4 != 3), path)
+    append_ivf_batch(e.filter(F.col("vec_id") % 4 == 3), path, batch_id=1)
+    compact_ivf_index(spark, path, upto_batch_id=1)
+    # everything below sees ONLY the folded on-disk index
+    anchors = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    probe = ivf_probe_batch(spark, path, anchors, nprobe=_CP_NPROBE)
+    lists = read_ivf_lists(spark, path).select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+        F.col("list_id").cast("int").alias("list_id"),
+    )
+    sims = (
+        lists.join(F.broadcast(probe), "list_id")
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("nv"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    wnd = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        sims.withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= _CP_TOPK)
+        .select("qid", "nid", "cos_sim", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# ===========================================================================
+# IVF centroid retrain: the drift monitor's trigger acted on
+# ===========================================================================
+_RT_DIM = 64
+_RT_SCALE = 1000
+
+
+@register(
+    "ivf_retrain_centroids",
+    f"""
+    WITH mq AS (
+        SELECT label AS list_id, dim,
+               CAST(floor(CAST(embedding[dim+1] AS DOUBLE)*{_RT_SCALE})
+                    AS BIGINT) AS val
+        FROM (SELECT label, unnest(range(0, {_RT_DIM})) AS dim, embedding
+              FROM embeddings)
+    )
+    SELECT CAST(list_id AS BIGINT) AS list_id,
+           CAST(dim AS BIGINT) AS dim,
+           CAST(floor(SUM(val)::DOUBLE / COUNT(*)) AS BIGINT) AS cmilli
+    FROM mq GROUP BY list_id, dim
+    """,
+    doc="Centroid RETRAIN — acting on ivf_centroid_drift_report's "
+    "trigger: the query seeds an index, appends an ingest delta, then "
+    "runs compact_ivf_index(retrain_centroids=True), which folds the "
+    "delta AND replaces every list's centroid with the exact "
+    "milli-unit floor-of-mean of its current members (integer sums — "
+    "order-free, bit-reproducible, the fit_centroids update rule "
+    "applied to the persisted index).  Returned rows are the retrained "
+    "centroid table READ BACK from disk, exploded to (list, dim, "
+    "milli-value); the oracle recomputes the same arithmetic from the "
+    "base table, so a hash match proves fold + retrain + persistence "
+    "round-trip exactly.  After this, drift_dist2 for every list is 0 "
+    "by construction — the monitor's reset state.  Eager-construct: "
+    "seed write + delta append + retrain run inside the query.",
+)
+def ivf_retrain_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .operators.clustering import (
+        append_ivf_batch,
+        compact_ivf_index,
+        write_ivf_index,
+    )
+    from .queries_ext import _scan_path
+
+    e = load(spark, sf_dir, "embeddings")
+    path = _scan_path(sf_dir, "ivf_retrain")
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivf_index(e.filter(F.col("vec_id") % 4 != 3), path)
+    append_ivf_batch(e.filter(F.col("vec_id") % 4 == 3), path, batch_id=1)
+    compact_ivf_index(
+        spark, path, upto_batch_id=1, retrain_centroids=True, scale=_RT_SCALE
+    )
+    # everything below sees ONLY the retrained on-disk centroid table.
+    # Stored cval = m / scale for integer m; floor(cval*scale + 0.5)
+    # recovers m exactly (the value is within 1 ulp of m/scale, so the
+    # +0.5 lands strictly inside (m, m+1) before the floor).
+    cent = spark.read.parquet(f"{path}/centroids")
+    return cent.select(
+        F.col("list_id").cast("long").alias("list_id"),
+        F.posexplode("centroid").alias("dim", "cval"),
+    ).select(
+        "list_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("cval") * _RT_SCALE + F.lit(0.5))
+        .cast("long")
+        .alias("cmilli"),
+    )
