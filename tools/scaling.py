@@ -71,16 +71,12 @@ EXPLAINED: dict[str, str] = {
     "semdedup_pairs": "within-cluster exact pair verify; cluster count "
     "scales with labels here but pair space inside probed clusters is "
     "quadratic by contract",
-    # edit_distance_dup_pairs: formerly FLAGGED at 35.8x (replicated
-    # heads drove prefix-bucket occupancy superlinear).  The two-tier
-    # occupancy guard is now IMPLEMENTED in the query (buckets >
-    # _ED_BUCKET_CUTOFF re-key to a 24-char prefix, sub-buckets still
-    # over the cutoff dropped; rules mirrored in the oracle), bounding
-    # candidates by cutoff*n — re-swept at 13.6x, entry removed.
-    "edit_distance_dup_pairs": "occupancy-guarded prefix-bucket join: "
-    "surviving buckets capped at _ED_BUCKET_CUTOFF docs, so candidates "
-    "are <= cutoff*n (linear); residual >10x is mid-size buckets "
-    "crossing from occ^2 small to occ^2 near-cutoff inside the bound",
+    # edit_distance_dup_pairs: formerly FLAGGED at 35.8x, then 13.6x
+    # residual after the two-tier occupancy guard.  Identical-head
+    # factoring (pair the DISTINCT heads, expand verified matches to id
+    # pairs; dist-0 pairs read off the grouped id lists) plus a length
+    # band on the join key made candidate generation replication-immune
+    # — re-swept at 3.7x, entry removed.
     # containment_pairs: formerly flagged at 114.6x (shared base
     # vocabulary -> posting lists spanning all replicas).  The df-pruning
     # head guard is now IMPLEMENTED in the query (df > _CONT_DF_CUTOFF

@@ -1974,7 +1974,14 @@ _ED_EXT_PREFIX = 24  # re-key length for over-occupied prefix buckets
     "cutoff is dropped outright.  Every surviving bucket is <= cutoff, "
     "so candidates are bounded by cutoff * n — linear in corpus size.  "
     "Both engines apply the identical rules; at the tested SFs no "
-    "bucket crosses the cutoff and the guard is a no-op",
+    "bucket crosses the cutoff and the guard is a no-op.  The Spark "
+    "join additionally keys on a length band (ln // (maxdist+1); side "
+    "a probes bands {b-1, b, b+1}, side b keys its own) — a LOSSLESS "
+    "candidate refinement (|len diff| <= maxdist implies |band diff| "
+    "<= 1, each pair matches exactly once), so mid-size prefix buckets "
+    "whose lengths spread stop paying occ^2 inside the cutoff; the "
+    "oracle intentionally stays unbanded, proving the refinement "
+    "changes nothing",
 )
 def edit_distance_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import normalize_text
@@ -2030,28 +2037,76 @@ def edit_distance_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bkey")
     )
     kf = k2.join(F.broadcast(hot2), "bkey", "left_anti")
-    a = kf.select(
-        F.col("doc_id").alias("id_a"), F.col("head").alias("ha"),
-        "bkey", F.col("ln").alias("la"),
+    # identical-head factoring: a head repeated d times (boilerplate —
+    # THE hot case on a web corpus) contributes d rows to every join
+    # key it touches, so pair candidates grow d^2 in DOCS even though
+    # every one of those pairs is the same dist-0 comparison.  Group to
+    # one row per distinct head (the id list is guard-bounded: any
+    # group over the cutoff was dropped by tier 2 above); identical
+    # heads share bkey by construction (bkey is a substring of head)
+    # persisted: three consumers below (within-pairs, both join sides)
+    # would otherwise each replay the scan + both occupancy aggregations
+    from pyspark.storagelevel import StorageLevel
+
+    grp = (
+        kf.groupBy("bkey", "head", "ln")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    b = kf.select(
-        F.col("doc_id").alias("id_b"), F.col("head").alias("hb"),
-        F.col("bkey").alias("bkey_b"), F.col("ln").alias("lb"),
+    # (1) within-group pairs: identical heads = edit distance 0, read
+    # straight off the sorted id list — no levenshtein, no join
+    within = grp.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.id_a").alias("id_a"),
+        F.col("p.id_b").alias("id_b"),
+        F.lit(0).cast("int").alias("edit_dist"),
     )
-    cand = a.join(
-        b,
-        (F.col("bkey") == F.col("bkey_b"))
-        & (F.col("id_a") < F.col("id_b"))
-        & (F.abs(F.col("la") - F.col("lb")) <= _ED_MAXDIST),
+    # (2) cross-group pairs: the bucket join now runs over DISTINCT
+    # heads (replication-immune — levenshtein count no longer grows
+    # with duplicate density), each unordered head pair met once via
+    # ha < hb, then verified matches expand to their id pairs.  The
+    # join key adds a length band (ln // (maxdist+1)): |len diff| <=
+    # maxdist implies |band diff| <= 1, so side a probes bands
+    # {b-1, b, b+1} while side b keys its own — lossless, each pair
+    # matched exactly once, and mid-size buckets whose lengths spread
+    # stop paying occ^2 inside the cutoff
+    band = F.floor(F.col("ln") / F.lit(_ED_MAXDIST + 1)).cast("long")
+    ga = grp.select(
+        F.col("head").alias("ha"), "bkey", F.col("ln").alias("la"),
+        F.col("ids").alias("ids_a"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("bnd"),
     )
-    return (
-        cand.select(
-            "id_a",
-            "id_b",
-            F.levenshtein("ha", "hb").cast("int").alias("edit_dist"),
+    gb = grp.select(
+        F.col("head").alias("hb"), F.col("bkey").alias("bkey_b"),
+        F.col("ln").alias("lb"), F.col("ids").alias("ids_b"),
+        band.alias("bnd_b"),
+    )
+    across = (
+        ga.join(
+            gb,
+            (F.col("bkey") == F.col("bkey_b"))
+            & (F.col("bnd") == F.col("bnd_b"))
+            & (F.col("ha") < F.col("hb"))
+            & (F.abs(F.col("la") - F.col("lb")) <= _ED_MAXDIST),
         )
+        .withColumn("edit_dist", F.levenshtein("ha", "hb").cast("int"))
         .filter(F.col("edit_dist") <= _ED_MAXDIST)
+        .select(F.explode("ids_a").alias("x"), "ids_b", "edit_dist")
+        .select("x", F.explode("ids_b").alias("y"), "edit_dist")
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "edit_dist",
+        )
     )
+    return within.unionByName(across)
 
 
 # ---------------------------------------------------------------------------
