@@ -216,6 +216,7 @@ def contrastive_triplets_ivf(
 # ===========================================================================
 _MANIFEST_EPOCHS = 3
 _MANIFEST_SHARDS = 8
+_MANIFEST_CHUNK = 1024  # order-audit md5 chain granularity
 
 
 @register(
@@ -230,15 +231,28 @@ _MANIFEST_SHARDS = 8
                ('0x' || substr(md5('epoch' || CAST(epoch AS VARCHAR) || '_'
                     || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
         FROM ep
+    ),
+    h2 AS (
+        SELECT epoch, CAST(hv % {_MANIFEST_SHARDS} AS BIGINT) AS shard,
+               hv, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY epoch,
+                                  hv % {_MANIFEST_SHARDS}
+                                  ORDER BY hv, doc_id) AS pos
+        FROM h
+    ),
+    ck AS (
+        SELECT epoch, shard, (pos - 1) // {_MANIFEST_CHUNK} AS chunk,
+               COUNT(*) AS cnt,
+               (list(doc_id ORDER BY hv, doc_id))[1] AS cfirst,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY hv, doc_id)) AS cmd5
+        FROM h2 GROUP BY epoch, shard, (pos - 1) // {_MANIFEST_CHUNK}
     )
-    SELECT epoch,
-           CAST(hv % {_MANIFEST_SHARDS} AS BIGINT) AS shard,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST((list(doc_id ORDER BY hv, doc_id))[1] AS BIGINT)
-               AS first_doc,
-           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY hv, doc_id))
-               AS order_md5
-    FROM h GROUP BY epoch, hv % {_MANIFEST_SHARDS}
+    SELECT epoch, shard,
+           CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           CAST((list(cfirst ORDER BY chunk))[1] AS BIGINT) AS first_doc,
+           md5(string_agg(cmd5, ',' ORDER BY chunk)) AS order_md5
+    FROM ck GROUP BY epoch, shard
     """,
     doc="Per-epoch data-order export — the one training-side artifact "
     "the shard sink didn't yet emit: for each of "
@@ -251,9 +265,13 @@ _MANIFEST_SHARDS = 8
     "write_epoch_manifest (parquet partitioned by (epoch, shard), "
     "rows pre-sorted so file order IS training order) and aggregates "
     "the READ-BACK: per (epoch, shard) the doc count, the first doc, "
-    "and an md5 over the comma-joined ordered ids — a hash match "
-    "proves the persisted manifest round-trips the exact order.  "
-    "Eager-construct: the manifest write runs inside the query.",
+    "and a CHAINED order md5 — ids md5 per "
+    f"{_MANIFEST_CHUNK}-doc chunk of the training order, then one md5 "
+    "over the chunk digests in chunk order — a hash match proves the "
+    "persisted manifest round-trips the exact order while no task ever "
+    "materializes more than a chunk of ids (the flat variant "
+    "concentrated n/shards ids into one array per task — a multi-GB "
+    "aggregate at 100x).  Eager-construct: the write runs inside.",
 )
 def epoch_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -268,26 +286,57 @@ def epoch_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, path, epochs=_MANIFEST_EPOCHS, shards=_MANIFEST_SHARDS
     )
     # everything below sees ONLY the on-disk manifest
-    m = read_epoch_manifest(spark, path)
-    agg = m.groupBy(
+    m = read_epoch_manifest(spark, path).select(
         F.col("epoch").cast("long").alias("epoch"),
         F.col("shard").cast("long").alias("shard"),
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.array_sort(F.collect_list(F.struct("hv", "doc_id"))).alias(
-            "__ord"
+        "hv",
+        "doc_id",
+    )
+    # training position -> chunk id: the sort-based window streams and
+    # spills; only chunk-sized arrays are ever materialized below
+    wnd = W.partitionBy("epoch", "shard").orderBy("hv", "doc_id")
+    pos = m.withColumn(
+        "chunk",
+        F.floor((F.row_number().over(wnd) - 1) / _MANIFEST_CHUNK).cast(
+            "long"
         ),
     )
-    return agg.select(
-        "epoch",
-        "shard",
-        "n_docs",
-        F.element_at("__ord", 1).getField("doc_id").alias("first_doc"),
+    ck = (
+        pos.groupBy("epoch", "shard", "chunk")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.array_sort(F.collect_list(F.struct("hv", "doc_id"))).alias(
+                "__ord"
+            ),
+        )
+        .select(
+            "epoch",
+            "shard",
+            "chunk",
+            "cnt",
+            F.element_at("__ord", 1).getField("doc_id").alias("cfirst"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        "__ord",
+                        lambda x: x.getField("doc_id").cast("string"),
+                    ),
+                )
+            ).alias("cmd5"),
+        )
+    )
+    return ck.groupBy("epoch", "shard").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.min(F.struct("chunk", "cfirst"))
+        .getField("cfirst")
+        .alias("first_doc"),
         F.md5(
             F.concat_ws(
                 ",",
                 F.transform(
-                    "__ord", lambda x: x.getField("doc_id").cast("string")
+                    F.array_sort(F.collect_list(F.struct("chunk", "cmd5"))),
+                    lambda x: x.getField("cmd5"),
                 ),
             )
         ).alias("order_md5"),
