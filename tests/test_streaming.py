@@ -1074,3 +1074,85 @@ def test_ivf_ingest_through_real_stream(spark, tmp_path):
     # other batch's rows are untouched (dynamic partition overwrite)
     n_after = spark.read.parquet(f"{idx}/lists_delta").count()
     assert n_after <= n_before
+
+
+def test_epoch_manifest_through_real_stream(spark, tmp_path):
+    """Streaming epoch-manifest emission: docs pushed through
+    epoch_manifest_sink in micro-batches accumulate to EXACTLY the
+    batch writer's rows (a doc's (epoch, shard, hv) depends only on its
+    id), each group file is pre-sorted in training order, and a
+    checkpoint-replay redelivery overwrites its own partition instead
+    of duplicating rows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from variant_load_pipeline_spark import queries as Q
+    from variant_load_pipeline_spark.plans.export import (
+        read_epoch_manifest,
+        write_epoch_manifest,
+    )
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    sf = "/root/testdata/sf0.001"
+    docs = Q.load(spark, sf, "documents").select("doc_id")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    man = str(tmp_path / "manifest")
+    docs.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            ing.epoch_manifest_sink(spark, man, epochs=2, shards=4)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # stream == batch: same (epoch, shard, hv, doc_id) rows
+    batch_man = str(tmp_path / "manifest_batch")
+    write_epoch_manifest(docs, batch_man, epochs=2, shards=4)
+    rows = lambda p: sorted(
+        (r["epoch"], r["shard"], r["hv"], r["doc_id"])
+        for r in read_epoch_manifest(spark, p)
+        .select("epoch", "shard", "hv", "doc_id")
+        .collect()
+    )
+    assert rows(man) == rows(batch_man) and rows(man)
+
+    # file-order contract per (ingest_batch, epoch, shard) group
+    batches = sorted(
+        d for d in os.listdir(man) if d.startswith("ingest_batch=")
+    )
+    assert len(batches) == 3
+    checked = 0
+    for b in batches:
+        for root, _dirs, files in os.walk(f"{man}/{b}"):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                tbl = pq.read_table(f"{root}/{f}")
+                ordered = list(
+                    zip(
+                        tbl.column("hv").to_pylist(),
+                        tbl.column("doc_id").to_pylist(),
+                    )
+                )
+                assert ordered == sorted(ordered), (b, root)
+                checked += 1
+    assert checked >= 3 * 2 * 2  # several (batch, epoch, shard) files
+
+    # redelivery: replay batch 0 with a subset — its partition is
+    # overwritten (2 epochs x 7 docs = 14 rows), others untouched
+    replay = docs.limit(7)
+    ing.epoch_manifest_sink(spark, man, epochs=2, shards=4)(replay, 0)
+    b0 = spark.read.parquet(f"{man}/ingest_batch=0")
+    assert b0.count() == 14
+    assert rows(man) != []  # still readable as one manifest

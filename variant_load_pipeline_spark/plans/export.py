@@ -103,6 +103,22 @@ def write_epoch_manifest(
     sorted within the task on the order key, so the file's row order IS
     the manifest order (readers stream it; no re-sort at load time).
     """
+    (
+        epoch_manifest_rows(docs, epochs, shards, id_col)
+        .repartition("epoch", "shard")
+        .sortWithinPartitions("epoch", "shard", "hv", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("epoch", "shard")
+        .parquet(path)
+    )
+
+
+def epoch_manifest_rows(
+    docs: DataFrame, epochs: int, shards: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """The per-doc manifest derivation shared by the batch writer and
+    the streaming sink: (epoch, shard, hv, doc_id) for every (doc,
+    epoch), shard and order hash from the epoch-seeded portable hash."""
     h = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.sequence(F.lit(1), F.lit(epochs))).alias("epoch"),
@@ -113,18 +129,11 @@ def write_epoch_manifest(
         # must reference the alias or any non-default id_col raises
         _epoch_hash(F.col("epoch"), F.col("doc_id")).alias("hv"),
     )
-    out = h.select(
+    return h.select(
         "epoch",
         (F.col("hv") % shards).cast("long").alias("shard"),
         "hv",
         "doc_id",
-    )
-    (
-        out.repartition("epoch", "shard")
-        .sortWithinPartitions("epoch", "shard", "hv", "doc_id")
-        .write.mode("overwrite")
-        .partitionBy("epoch", "shard")
-        .parquet(path)
     )
 
 

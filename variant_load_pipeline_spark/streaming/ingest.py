@@ -421,6 +421,55 @@ def compact_kept(
     )
 
 
+def epoch_manifest_sink(
+    spark,
+    manifest_path: str,
+    epochs: int = 3,
+    shards: int = 8,
+    id_col: str = "doc_id",
+):
+    """Build the ``foreachBatch`` sink for STREAMING epoch-manifest
+    emission: training-data pipelines re-emit shard manifests as the
+    kept corpus grows, so each arriving micro-batch of accepted docs
+    appends its (epoch, shard, hv, doc_id) rows — the same epoch-seeded
+    derivation as plans.export.write_epoch_manifest — under the batch's
+    OWN ``ingest_batch=<id>`` partition (idempotent overwrite: a
+    checkpoint-replayed batch overwrites itself, never duplicates —
+    exactly-once under redelivery, the lsh_ingest_sink recipe; a doc's
+    (epoch, shard, hv) depends only on its id, so redelivery cannot
+    even move a row).
+
+    Layout: ``manifest/ingest_batch=<b>/epoch=<e>/shard=<s>/`` with each
+    group's file pre-sorted on (hv, doc_id) — WITHIN a batch, file order
+    is training order, exactly the batch writer's contract; ACROSS
+    batches a shard's training order is (ingest_batch, hv, doc_id):
+    later-ingested docs train after earlier ones, so an in-progress
+    epoch never reshuffles already-served positions.  The accumulated
+    manifest equals write_epoch_manifest over the union of all batches
+    row-for-row (stream==batch test); read it back with
+    read_epoch_manifest (partition discovery adds ingest_batch).
+
+    Use::
+
+        stream.writeStream.foreachBatch(
+            epoch_manifest_sink(spark, manifest)
+        ).option("checkpointLocation", ckpt).start()
+    """
+    from ..plans.export import epoch_manifest_rows
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = epoch_manifest_rows(batch_df, epochs, shards, id_col)
+        (
+            out.repartition("epoch", "shard")
+            .sortWithinPartitions("epoch", "shard", "hv", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("epoch", "shard")
+            .parquet(f"{manifest_path}/ingest_batch={batch_id}")
+        )
+
+    return sink
+
+
 def ivf_ingest_sink(
     spark,
     index_path: str,
