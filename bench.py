@@ -228,6 +228,15 @@ HEADLINE_V5 = [
     "cluster_balanced_sample",
 ]
 
+# sixth, versioned group: round-9 additions (IVF maintenance loop +
+# token-priced packing).  Separate total (`value_v6`) keeps earlier
+# group totals comparable across rounds.
+HEADLINE_V6 = [
+    "ivf_compact_probe_parity",
+    "ivf_retrain_centroids",
+    "sequence_packing_tokens",
+]
+
 # Queries whose plan CONSTRUCTION performs distributed work (the
 # connected-components localCheckpoint+count loop runs eagerly): for
 # these the timer must wrap construction too, or the measurement reads
@@ -315,6 +324,10 @@ EAGER_CONSTRUCT = {
     "ivf_assign_ingest",
     # the k-means fit loop (assign/update collects) runs at construction
     "cluster_balanced_sample",
+    # seed write + delta append + compaction fold run at construction
+    "ivf_compact_probe_parity",
+    # seed write + delta append + fold + centroid retrain at construction
+    "ivf_retrain_centroids",
 }
 
 
@@ -399,6 +412,7 @@ def main() -> None:
     timings_v3 = run_group(HEADLINE_V3)
     timings_v4 = run_group(HEADLINE_V4)
     timings_v5 = run_group(HEADLINE_V5)
+    timings_v6 = run_group(HEADLINE_V6)
 
     total = round(sum(timings.values()), 3)
 
@@ -417,6 +431,7 @@ def main() -> None:
                 "queries_v3": timings_v3,
                 "queries_v4": timings_v4,
                 "queries_v5": timings_v5,
+                "queries_v6": timings_v6,
                 "timing_note": "eager-construct queries "
                 + ",".join(sorted(EAGER_CONSTRUCT))
                 + " timed construct+execute; rest execute-only",
@@ -436,12 +451,14 @@ def main() -> None:
                 "value_v3": round(sum(timings_v3.values()), 3),
                 "value_v4": round(sum(timings_v4.values()), 3),
                 "value_v5": round(sum(timings_v5.values()), 3),
+                "value_v6": round(sum(timings_v6.values()), 3),
                 "calib": calib,
                 "value_norm": norm(total),
                 "value_v2_norm": norm(sum(timings_v2.values())),
                 "value_v3_norm": norm(sum(timings_v3.values())),
                 "value_v4_norm": norm(sum(timings_v4.values())),
                 "value_v5_norm": norm(sum(timings_v5.values())),
+                "value_v6_norm": norm(sum(timings_v6.values())),
             }
         )
     )

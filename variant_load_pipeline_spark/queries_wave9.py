@@ -199,3 +199,88 @@ def ivf_retrain_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cmilli"),
     )
+
+
+# ===========================================================================
+# Tokenizer-fertility-aware packing: bin budgets priced in BPE tokens
+# ===========================================================================
+_SPT_BUDGET = 2048
+
+
+def _spt_sql() -> str:
+    from .queries_corpus import _BPE_FOLD, _BPE_FROZEN, _NORM_SQL
+
+    seq = "trim(regexp_replace(word, '(.)', '\\1 ', 'g'))"
+    for a, b in _BPE_FROZEN:
+        seq = _BPE_FOLD.format(seq=seq, a=f"'{a}'", b=f"'{b}'")
+    return f"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS word
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, {seq} AS seq FROM w WHERE word <> ''
+    ),
+    d AS (
+        SELECT doc_id,
+               CAST(SUM(len(string_split(seq, ' '))) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM s GROUP BY doc_id
+    ),
+    st AS (
+        SELECT doc_id, n_bpe_tokens, doc_id % 8 AS shard,
+            CAST(floor(COALESCE(SUM(n_bpe_tokens) OVER (
+                PARTITION BY doc_id % 8 ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / {_SPT_BUDGET}.0) AS INT) AS bin_id,
+            ROW_NUMBER() OVER (
+                PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        FROM d
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           n_bpe_tokens,
+           CAST(shard AS BIGINT) AS shard,
+           bin_id,
+           CAST(rn - MIN(rn) OVER (PARTITION BY shard, bin_id) + 1 AS INT)
+               AS bin_pos
+    FROM st
+    """
+
+
+@register(
+    "sequence_packing_tokens",
+    _spt_sql(),
+    doc="Tokenizer-fertility-aware packing: sequence_packing bins by "
+    "WHITESPACE token counts, but a training batch's budget is spent in "
+    "TOKENIZER tokens — the same text costs different amounts under "
+    "different vocabularies (fertility).  This twin prices each doc "
+    "with the frozen-merge BPE encoder (bpe_apply_fixed's "
+    "vocabulary-encode + broadcast-join accounting, reused verbatim) "
+    f"and greedily packs docs into {_SPT_BUDGET}-BPE-token bins per "
+    "hash shard (pack_chunks: exclusive running sum / budget, per-"
+    "shard windows, never a global sort).  Docs whose normalized text "
+    "has no words have no token cost and drop out, as in "
+    "bpe_apply_fixed.  The oracle replays encode, per-doc counts, "
+    "cumsum, binning, and in-bin position exactly",
+)
+def sequence_packing_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import pack_chunks
+    from .queries_corpus import bpe_apply_fixed_q
+
+    toks = bpe_apply_fixed_q(spark, sf_dir).select(
+        "doc_id", "n_bpe_tokens"
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.lit(0).cast("int").alias("chunk_idx"),
+        F.col("n_bpe_tokens").cast("int").alias("n_chunk_tokens"),
+        (F.col("doc_id") % 8).alias("shard"),
+    )
+    out = pack_chunks(chunks, token_budget=_SPT_BUDGET, shard_col="shard")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chunk_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("shard").cast("long").alias("shard"),
+        "bin_id",
+        "bin_pos",
+    )
