@@ -185,6 +185,29 @@ def test_ivf_compact_mid_crash_recovery(spark, tmp_path):
     assert _topk(spark, path, qv) == before
 
 
+def test_ivf_compact_stale_old_copy_recovery(spark, tmp_path):
+    """Crash AFTER the swap but before .lists_old's delete (both dirs
+    present): the next compact removes the stale copy and proceeds —
+    no rename-onto-existing failure, probes identical."""
+    import os
+    import shutil
+
+    from variant_load_pipeline_spark.operators.clustering import (
+        append_ivf_batch,
+        compact_ivf_index,
+    )
+
+    e, path, qv = _build_appended_index(spark, tmp_path)
+    before = _topk(spark, path, qv)
+    compact_ivf_index(spark, path, upto_batch_id=1)
+    # simulate the leftover stale copy + a fresh committed delta
+    shutil.copytree(f"{path}/lists", f"{path}/.lists_old")
+    append_ivf_batch(e.limit(3), path, batch_id=2)
+    assert compact_ivf_index(spark, path, upto_batch_id=2) == 1
+    assert not os.path.exists(f"{path}/.lists_old")
+    assert _topk(spark, path, qv) == before
+
+
 def test_ivf_compact_delete_crash_is_idempotent(spark, tmp_path):
     """Crash DURING the delete phase (deltas already folded into lists
     but their partitions still on disk): re-running the fold dedups on

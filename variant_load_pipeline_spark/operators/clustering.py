@@ -608,15 +608,23 @@ def compact_ivf_index(
             fs.rename(fs_path(old), fs_path(live))
             raise IOError(f"compaction: rename {tmp} -> {live} failed")
 
-    # recovery from a crash between the two swap renames (live missing,
-    # old present): restore the pre-fold store, then fold normally
+    # recovery from prior crashes: (a) between the two swap renames
+    # (live missing, old present) — restore the pre-fold store; (b)
+    # after the swap but before the old copy's delete (both present) —
+    # the live store is the complete fold, so the old copy is stale and
+    # must go or this run's own swap rename would hit an existing dest
     for live, old in (
         (f"{path}/lists", f"{path}/.lists_old"),
         (f"{path}/centroids", f"{path}/.centroids_old"),
     ):
-        if not fs.exists(fs_path(live)) and fs.exists(fs_path(old)):
-            if not fs.rename(fs_path(old), fs_path(live)):
-                raise IOError(f"compaction recovery: {old} -> {live} failed")
+        if fs.exists(fs_path(old)):
+            if not fs.exists(fs_path(live)):
+                if not fs.rename(fs_path(old), fs_path(live)):
+                    raise IOError(
+                        f"compaction recovery: {old} -> {live} failed"
+                    )
+            else:
+                fs.delete(fs_path(old), True)
 
     delta_root = f"{path}/lists_delta"
     batches: list[int] = []
