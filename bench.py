@@ -237,6 +237,28 @@ HEADLINE_V6 = [
     "sequence_packing_tokens",
 ]
 
+# Drift probes: a fixed, diverse subset of the headline groups used to
+# measure HOST drift between rounds on byte-identical code.  The no-IO
+# `calib` ruler over-responds to host load relative to IO/shuffle-mixed
+# queries (measured r8->r9: calib ratio 0.76 vs 0.92 median raw ratio
+# on unchanged queries), so cross-round comparisons bridge on these
+# instead: for each probe the record carries its wall time AND the md5
+# of its query function's source — compare rounds only on probes whose
+# md5 matches (the code is byte-identical, so the ratio IS host drift),
+# then judge each group's normalized movement against that bridge.
+DRIFT_PROBES = [
+    "q1_pricing_summary",       # scan + partial agg
+    "q21_waiting_suppliers",    # multi-join + anti/semi
+    "a_grouping_sets_counts",   # grouping sets
+    "events_sessionize",        # stateful window
+    "cdc_chunk_dedup",          # text chunking
+    "countmin_heavy_hitters",   # sketch
+    "dup_span_removal",         # gram join + rewrite
+    "quality_lr_apply_persisted",  # ML chain + persisted model
+    "ivf_list_skew_report",     # tiny IVF monitor (fixed-cost floor)
+]
+
+
 # Queries whose plan CONSTRUCTION performs distributed work (the
 # connected-components localCheckpoint+count loop runs eagerly): for
 # these the timer must wrap construction too, or the measurement reads
@@ -414,6 +436,24 @@ def main() -> None:
     timings_v5 = run_group(HEADLINE_V5)
     timings_v6 = run_group(HEADLINE_V6)
 
+    all_t = {}
+    for t in (timings, timings_v2, timings_v3, timings_v4, timings_v5,
+              timings_v6):
+        all_t.update(t)
+    import hashlib
+    import inspect
+
+    drift_probe = {
+        name: {
+            "sec": all_t[name],
+            "md5": hashlib.md5(
+                inspect.getsource(reg[name].spark_fn).encode()
+            ).hexdigest()[:10],
+        }
+        for name in DRIFT_PROBES
+        if name in all_t
+    }
+
     total = round(sum(timings.values()), 3)
 
     def norm(x: float) -> float:
@@ -442,10 +482,13 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "calib_note": "calib = median sec of a fixed synthetic "
                 "no-IO workload (host-speed ruler); value_*_norm = "
-                "value_* / calib — compare THESE across rounds (raw "
-                "totals drift 25-70% with host load; r<=7 records have "
-                "no calib, so their raw values compare only to each "
-                "other)",
+                "value_* / calib.  CAVEAT (measured r8->r9): the no-IO "
+                "ruler over-responds to host load vs IO/shuffle-mixed "
+                "queries (calib ratio 0.76 vs 0.92 median raw ratio on "
+                "byte-identical queries) — bridge rounds on drift_probe "
+                "instead: median sec ratio over probes whose md5 "
+                "matches IS the host drift; divide group ratios by it",
+                "drift_probe": drift_probe,
                 "value": total,
                 "value_v2": round(sum(timings_v2.values()), 3),
                 "value_v3": round(sum(timings_v3.values()), 3),
