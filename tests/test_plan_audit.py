@@ -59,6 +59,58 @@ def test_ivf_persisted_probe_prunes_partitions(spark):
     assert "list_id" in plan.split("PartitionFilters")[1].split("]")[0]
 
 
+def test_ivf_compacted_probe_prunes_partitions(spark):
+    """After compact_ivf_index folds the delta store, a probe against
+    the folded index must keep the exact shape the seed index had:
+    candidate fetch is a broadcast equi-join over a partition-pruned
+    lists scan — the fold is invisible to the plan, not just to the
+    results."""
+    plan = plan_of(spark, "ivf_compact_probe_parity")
+    assert "BroadcastHashJoin" in plan
+    assert "PartitionFilters" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_probe_join_strategy_constant_codegen(spark, tmp_path):
+    """Above IVF_LITERAL_MAX_TERMS the probe must ride the centroid
+    table as broadcast DATA: the join-path plan stays constant-size
+    however large k*dim grows, while the literal path's plan embeds
+    every centroid.  Pinned by comparing plan text sizes on the same
+    over-threshold index."""
+    from pyspark.sql import functions as F
+
+    from variant_load_pipeline_spark.operators.clustering import (
+        IVF_LITERAL_MAX_TERMS,
+        ivf_probe_batch,
+        write_ivf_index,
+    )
+
+    e = Q.load(spark, SF, "embeddings")
+    dim = len(e.select("embedding").first()["embedding"])
+    n_lists = IVF_LITERAL_MAX_TERMS // dim + 1  # just over the boundary
+    path = str(tmp_path / "ivf")
+    write_ivf_index(e.withColumn("label", F.col("vec_id") % n_lists), path)
+    anchors = e.limit(20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+
+    def plan(strategy):
+        df = ivf_probe_batch(spark, path, anchors, strategy=strategy)
+        return spark._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    lit_plan, join_plan = plan("literal"), plan("join")
+    # the literal plan carries k*dim scalar literals; the join plan's
+    # text must be a small fraction of it (constant-size codegen)
+    assert len(join_plan) < len(lit_plan) / 5, (
+        len(join_plan),
+        len(lit_plan),
+    )
+    assert "CartesianProduct" not in join_plan
+
+
 def test_emb_near_dup_is_equi_join_with_hoisted_norms(spark):
     """emb_near_dup_cosine's scale shape, pinned after a round-5 timing
     drift: the candidate pairing must be an EQUI hash join on the label
