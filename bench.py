@@ -235,6 +235,7 @@ HEADLINE_V6 = [
     "ivf_compact_probe_parity",
     "ivf_retrain_centroids",
     "sequence_packing_tokens",
+    "ann_hard_negatives_probe_only",
 ]
 
 # Drift probes: a fixed, diverse subset of the headline groups used to
@@ -350,6 +351,9 @@ EAGER_CONSTRUCT = {
     "ivf_compact_probe_parity",
     # seed write + delta append + fold + centroid retrain at construction
     "ivf_retrain_centroids",
+    # index is write-if-missing: only the first (non-median) repeat pays
+    # the build — the median measures the per-batch mining probe alone
+    "ann_hard_negatives_probe_only",
 }
 
 
