@@ -236,6 +236,7 @@ HEADLINE_V6 = [
     "ivf_retrain_centroids",
     "sequence_packing_tokens",
     "ann_hard_negatives_probe_only",
+    "quality_pr_sweep",
 ]
 
 # Drift probes: a fixed, diverse subset of the headline groups used to
@@ -354,6 +355,8 @@ EAGER_CONSTRUCT = {
     # index is write-if-missing: only the first (non-median) repeat pays
     # the build — the median measures the per-batch mining probe alone
     "ann_hard_negatives_probe_only",
+    # the feature-matrix localCheckpoint + GD fit run at construction
+    "quality_pr_sweep",
 }
 
 

@@ -369,3 +369,105 @@ def ann_hard_negatives_probe_only(
         .filter(F.col("rk") <= 5)
         .select("qid", "nid", F.col("rk").cast("long").alias("rk"))
     )
+
+
+# ===========================================================================
+# Classifier threshold sweep: the operating-point picker of the lifecycle
+# ===========================================================================
+from .queries_wave6 import _lr_chain_sql  # noqa: E402
+
+_PR_SWEEP_SQL = (
+    _lr_chain_sql()
+    + """
+    , zf AS (
+        SELECT x.doc_id, x.y,
+               SUM(CAST(w3.wm AS DOUBLE) * x.cnt) / 1e6 AS z
+        FROM x JOIN w3 ON x.bucket = w3.bucket
+        GROUP BY x.doc_id, x.y
+    ),
+    sc AS (
+        SELECT CAST(FLOOR(1e6 / (1.0 + EXP(-z)) + 0.5) AS BIGINT)
+                   AS score_micro,
+               CAST(y AS INTEGER) AS label
+        FROM zf
+    ),
+    thr AS (SELECT CAST(u.t * 100000 AS BIGINT) AS thr_micro
+            FROM UNNEST(range(1, 10)) AS u(t)),
+    ag AS (
+        SELECT thr_micro,
+            SUM(CASE WHEN score_micro >= thr_micro AND label = 1
+                     THEN 1 ELSE 0 END) AS tp,
+            SUM(CASE WHEN score_micro >= thr_micro AND label = 0
+                     THEN 1 ELSE 0 END) AS fp,
+            SUM(CASE WHEN score_micro < thr_micro AND label = 1
+                     THEN 1 ELSE 0 END) AS fn
+        FROM sc CROSS JOIN thr GROUP BY thr_micro
+    )
+    SELECT thr_micro,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CASE WHEN tp + fp > 0
+                THEN CAST(FLOOR(1e6 * tp / (tp + fp) + 0.5) AS BIGINT)
+                ELSE 0 END AS precision_micro,
+           CASE WHEN tp + fn > 0
+                THEN CAST(FLOOR(1e6 * tp / (tp + fn) + 0.5) AS BIGINT)
+                ELSE 0 END AS recall_micro,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN CAST(FLOOR(1e6 * 2 * tp / (2 * tp + fp + fn) + 0.5)
+                          AS BIGINT)
+                ELSE 0 END AS f1_micro
+    FROM ag
+    """
+)
+
+
+@register(
+    "quality_pr_sweep",
+    _PR_SWEEP_SQL,
+    doc="Classifier OPERATING-POINT sweep — the threshold picker that "
+    "completes the lifecycle (train -> score -> calibrate -> pick): "
+    "precision / recall / F1 at nine sigmoid thresholds (0.1 .. 0.9) "
+    "in ONE pass — scores cross-join the 9-row threshold table "
+    "(broadcast; the only fan-out is x9) and a single conditional "
+    "aggregation produces every operating point, instead of nine "
+    "filtered re-scans.  Counts are exact integers; each ratio is one "
+    "double division micro-rounded identically in both engines.  A "
+    "curation run reads this table to pick the keep threshold that "
+    "hits its recall or precision target (the ECE row says whether "
+    "the scores are calibrated; this row says where to cut them).",
+)
+def quality_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import hashed_features, lr_fit, lr_score
+
+    d = load(spark, sf_dir, "documents")
+    x = hashed_features(d).localCheckpoint(eager=True)
+    w = lr_fit(x, iters=3, lr=0.1)
+    s = lr_score(x, w).select("score_micro", "label")
+    thr = spark.range(1, 10).select(
+        (F.col("id") * 100000).cast("long").alias("thr_micro")
+    )
+    hit = F.col("score_micro") >= F.col("thr_micro")
+    pos = F.col("label") == 1
+    ag = (
+        s.crossJoin(F.broadcast(thr))
+        .groupBy("thr_micro")
+        .agg(
+            F.sum(F.when(hit & pos, 1).otherwise(0)).alias("tp"),
+            F.sum(F.when(hit & ~pos, 1).otherwise(0)).alias("fp"),
+            F.sum(F.when(~hit & pos, 1).otherwise(0)).alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    ratio = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.floor(F.lit(1e6) * num / den + F.lit(0.5)).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    return ag.select(
+        "thr_micro",
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        ratio(tp, tp + fp).alias("precision_micro"),
+        ratio(tp, tp + fn).alias("recall_micro"),
+        ratio(2 * tp, 2 * tp + fp + fn).alias("f1_micro"),
+    )
