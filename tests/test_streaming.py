@@ -1076,6 +1076,62 @@ def test_ivf_ingest_through_real_stream(spark, tmp_path):
     assert n_after <= n_before
 
 
+def test_decontam_gate_through_real_stream(spark, tmp_path):
+    """Decontamination-at-ingest: training docs pushed through
+    decontam_gate_sink in micro-batches keep EXACTLY the docs the batch
+    `decontaminate` query reports as clean (n_shared_grams == 0), and a
+    checkpoint-replay redelivery overwrites its own partition."""
+    from variant_load_pipeline_spark import queries as Q
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    sf = "/root/testdata/sf0.001"
+    docs = Q.load(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    grams = str(tmp_path / "bench_grams")
+    kept = str(tmp_path / "kept")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ing.write_benchmark_grams(bench, grams, k=4)
+    train.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            ing.decontam_gate_sink(spark, grams, kept, k=4)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        r["doc_id"] for r in ing.read_kept(spark, kept).collect()
+    )
+    # batch twin: the decontaminate query's clean set over the same split
+    want = sorted(
+        r["doc_id"]
+        for r in Q.registry()["decontaminate"]
+        .spark_fn(spark, sf)
+        .filter(F.col("contaminated") == "F")
+        .collect()
+    )
+    assert got == want and got
+    # the gate actually dropped something (the fixture has contamination)
+    assert len(got) < train.count()
+
+    # redelivery: replaying batch 0 with a subset overwrites its own
+    # partition; the keep verdict is text-only, so rows never change
+    ing.decontam_gate_sink(spark, grams, kept, k=4)(train.limit(8), 0)
+    b0 = spark.read.parquet(f"{kept}/ingest_batch=0")
+    assert b0.count() <= 8
+
+
 def test_epoch_manifest_through_real_stream(spark, tmp_path):
     """Streaming epoch-manifest emission: docs pushed through
     epoch_manifest_sink in micro-batches accumulate to EXACTLY the

@@ -211,6 +211,77 @@ def quality_gate_sink(
     return sink
 
 
+def write_benchmark_grams(
+    bench_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    k: int = 4,
+) -> None:
+    """Persist the benchmark word n-gram set ONCE — the decontamination
+    index (the build-once/query-many split applied to eval-leakage
+    filtering: benchmarks change rarely; the corpus arrives forever)."""
+    from ..functions.text import word_ngrams
+
+    (
+        bench_docs.select(
+            F.explode(word_ngrams(F.col(text_col), k)).alias("gram")
+        )
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def decontam_gate_sink(
+    spark,
+    grams_path: str,
+    kept_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+):
+    """Decontamination-at-ingest — the third streaming gate (after the
+    dedup and quality gates): each arriving micro-batch's docs are
+    n-grammed and any doc sharing a gram with the PERSISTED benchmark
+    set (write_benchmark_grams) is dropped before it can enter the
+    training corpus — eval leakage filtered at the door instead of by a
+    full-corpus sweep later.
+
+    Plan per batch: gram the batch, map-side semi join against the
+    broadcast benchmark gram set (benchmarks are dimension-sized by
+    construction — the batch decontaminate query's own stance), anti
+    join the contaminated ids out, idempotent per-batch partition
+    overwrite (kept/ingest_batch=<id>, the quality_gate_sink recipe) —
+    exactly-once under redelivery; membership depends only on the doc's
+    own text, so a replay cannot change any verdict.
+
+    The batch twin is the `decontaminate` query's n_shared_grams == 0
+    selection over the same frame — the stream==batch equivalence test
+    asserts identical keep sets.
+    """
+    from ..functions.text import word_ngrams
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        grams = spark.read.parquet(grams_path)
+        bg = batch_df.select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col(text_col), k)).alias("gram"),
+        )
+        dirty = (
+            bg.join(F.broadcast(grams), "gram", "leftsemi")
+            .select(id_col)
+            .distinct()
+        )
+        keep = batch_df.join(dirty, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        keep.write.mode("overwrite").parquet(
+            f"{kept_path}/ingest_batch={batch_id}"
+        )
+
+    return sink
+
+
 def drift_counts_sink(
     spark,
     counts_path: str,
