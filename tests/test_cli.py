@@ -526,6 +526,29 @@ def test_cli_corpus_decontaminate(spark, tmp_path):
     assert rows[1]["contaminated"] == "T" and rows[1]["n_shared_grams"] >= 1
     assert rows[0]["contaminated"] == "F" and rows[2]["contaminated"] == "F"
 
+    # the index half: CorpusBenchIndex persists the gram set the
+    # streaming decontam gate probes; gating the same docs against it
+    # keeps exactly the clean ones
+    grams = str(tmp_path / "bench_grams")
+    main(
+        ["--tool", "CorpusBenchIndex", "--bench", bench, "--k", "4",
+         "--out", grams],
+        spark,
+    )
+    assert spark.read.parquet(grams).count() >= 1
+    from variant_load_pipeline_spark.streaming.ingest import (
+        decontam_gate_sink,
+    )
+
+    kept = str(tmp_path / "kept_gate")
+    decontam_gate_sink(spark, grams, kept, k=4)(
+        spark.read.parquet(src), 0
+    )
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{kept}/ingest_batch=0").collect()
+    ) == [0, 2]
+
 
 def test_cli_corpus_tokenize(spark, tmp_path):
     src = str(tmp_path / "docs4")

@@ -537,6 +537,22 @@ def _corpus_compact(spark, args) -> None:
     ).repartition(1).write.mode("overwrite").parquet(args.out)
 
 
+@tool("CorpusBenchIndex")
+def _corpus_bench_index(spark, args) -> None:
+    """benchmark documents parquet (doc_id, text) -> persisted word
+    n-gram set at --out (streaming/ingest.write_benchmark_grams) — the
+    build-once decontamination index decontam_gate_sink probes per
+    arriving batch (--k gram width, default 4; matches the batch
+    `decontaminate` query)."""
+    from .streaming.ingest import write_benchmark_grams
+
+    write_benchmark_grams(
+        _read(spark, args.bench),
+        args.out,
+        k=args.k if args.k is not None else 4,
+    )
+
+
 @tool("CorpusRetrain")
 def _corpus_retrain(spark, args) -> None:
     """Act on the IVF maintenance monitors from the command line: fold
