@@ -587,6 +587,9 @@ _ALLOWED_UNBOUNDED_JOINS = {
     "lm_persisted_surprisal",  # 1-row (N, V) model constants broadcast
     "docs_contract_report",    # 1-row metrics frame exploded
     "backfill_report",         # 1-row max-week scalar join
+    "quality_pr_sweep",        # same GD chain 1-row scalar joins + the
+                               # broadcast 9-row threshold table (the
+                               # only fan-out is x9, constant in corpus)
 }
 
 
