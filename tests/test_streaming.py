@@ -1076,6 +1076,90 @@ def test_ivf_ingest_through_real_stream(spark, tmp_path):
     assert n_after <= n_before
 
 
+def _manifest_global_order(man):
+    """Per (epoch, shard): doc ids in training order — ingest_batch
+    partitions ascending, then physical file row order (the reader
+    contract)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    order = {}
+    batches = sorted(
+        (d for d in os.listdir(man) if d.startswith("ingest_batch=")),
+        key=lambda d: int(d.split("=")[1]),
+    )
+    for b in batches:
+        for epoch_dir in sorted(os.listdir(f"{man}/{b}")):
+            if not epoch_dir.startswith("epoch="):
+                continue
+            for shard_dir in sorted(os.listdir(f"{man}/{b}/{epoch_dir}")):
+                if not shard_dir.startswith("shard="):
+                    continue
+                key = (epoch_dir, shard_dir)
+                for f in sorted(
+                    os.listdir(f"{man}/{b}/{epoch_dir}/{shard_dir}")
+                ):
+                    if not f.endswith(".parquet"):
+                        continue
+                    tbl = pq.read_table(
+                        f"{man}/{b}/{epoch_dir}/{shard_dir}/{f}"
+                    )
+                    order.setdefault(key, []).extend(
+                        tbl.column("doc_id").to_pylist()
+                    )
+    return order
+
+
+def test_epoch_manifest_compaction_preserves_order(spark, tmp_path):
+    """compact_epoch_manifest folds batch partitions into one NEGATIVE
+    generation without moving a single training position: the
+    per-(epoch, shard) doc order read back through the reader contract
+    (ingest_batch ascending, file row order) is identical before and
+    after each fold, and a crash-leftover duplicate partition converges
+    on the next fold."""
+    import os
+    import shutil
+
+    from variant_load_pipeline_spark import queries as Q
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    sf = "/root/testdata/sf0.001"
+    docs = Q.load(spark, sf, "documents").select("doc_id")
+    man = str(tmp_path / "manifest")
+    sink = ing.epoch_manifest_sink(spark, man, epochs=2, shards=4)
+    # three deterministic micro-batches
+    sink(docs.filter(F.col("doc_id") % 3 == 0), 0)
+    sink(docs.filter(F.col("doc_id") % 3 == 1), 1)
+    sink(docs.filter(F.col("doc_id") % 3 == 2), 2)
+    before = _manifest_global_order(man)
+    assert before and all(v for v in before.values())
+
+    def batch_ids():
+        return sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(man)
+            if d.startswith("ingest_batch=")
+        )
+
+    # fold the committed half: batches 0-1 -> one generation; batch 2 live
+    assert ing.compact_epoch_manifest(spark, man, upto_batch_id=1) == 2
+    ids = batch_ids()
+    assert len(ids) == 2 and ids[0] < 0 and ids[1] == 2, ids
+    assert _manifest_global_order(man) == before
+
+    # crash leftover: a folded batch's partition resurfaces; the next
+    # fold dedups it away and the order STILL matches
+    sink(docs.filter(F.col("doc_id") % 3 == 1), 1)
+    assert ing.compact_epoch_manifest(spark, man, upto_batch_id=2) >= 1
+    ids = batch_ids()
+    assert len(ids) == 1 and ids[0] < 0, ids
+    assert _manifest_global_order(man) == before
+
+    # a lone generation is already compact — fold is a no-op
+    assert ing.compact_epoch_manifest(spark, man, upto_batch_id=99) == 0
+
+
 def test_decontam_gate_through_real_stream(spark, tmp_path):
     """Decontamination-at-ingest: training docs pushed through
     decontam_gate_sink in micro-batches keep EXACTLY the docs the batch

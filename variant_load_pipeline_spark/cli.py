@@ -508,11 +508,17 @@ def _corpus_compact(spark, args) -> None:
     <accepted-corpus path> compacts the output corpus with doc_id dedup
     (compact_kept); --ivf <ivf index path> folds lists_delta batches
     into the main lists store (operators/clustering.compact_ivf_index,
-    probe results identical before/after).  --batch-id = highest
-    COMMITTED batch id (the checkpoint contract).  Writes a per-store
-    (store, folded) report to --out."""
+    probe results identical before/after); --manifest <epoch-manifest
+    path> folds streaming manifest batches into one generation with
+    training order preserved (compact_epoch_manifest).  --batch-id =
+    highest COMMITTED batch id (the checkpoint contract).  Writes a
+    per-store (store, folded) report to --out."""
     from .operators.clustering import compact_ivf_index
-    from .streaming.ingest import compact_kept, compact_lsh_index
+    from .streaming.ingest import (
+        compact_epoch_manifest,
+        compact_kept,
+        compact_lsh_index,
+    )
 
     # --batch-id is the checkpoint-commit watermark; a silent default
     # could fold an uncommitted batch and duplicate docs on redelivery,
@@ -530,8 +536,14 @@ def _corpus_compact(spark, args) -> None:
         report.append(("kept", compact_kept(spark, args.kept, upto)))
     if args.ivf:
         report.append(("ivf", compact_ivf_index(spark, args.ivf, upto)))
+    if args.manifest:
+        report.append(
+            ("manifest", compact_epoch_manifest(spark, args.manifest, upto))
+        )
     if not report:
-        raise SystemExit("CorpusCompact needs --index, --kept and/or --ivf")
+        raise SystemExit(
+            "CorpusCompact needs --index, --kept, --ivf and/or --manifest"
+        )
     spark.createDataFrame(
         report, "store string, folded int"
     ).repartition(1).write.mode("overwrite").parquet(args.out)
@@ -713,6 +725,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--anchor-every", dest="anchor_every", type=int)
     p.add_argument("--kept")
     p.add_argument("--ivf")
+    p.add_argument("--manifest")
     p.add_argument("--gzip", action="store_true")
     p.add_argument("--addp", action="store_true")
     p.add_argument(

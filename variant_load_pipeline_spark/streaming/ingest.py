@@ -529,9 +529,14 @@ def epoch_manifest_sink(
     from ..plans.export import epoch_manifest_rows
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # src_batch duplicates the partition value as DATA so the
+        # compaction fold (compact_epoch_manifest) can keep the global
+        # (src_batch, hv, doc_id) training order inside a folded
+        # generation file
         out = epoch_manifest_rows(batch_df, epochs, shards, id_col)
         (
-            out.repartition("epoch", "shard")
+            out.withColumn("src_batch", F.lit(int(batch_id)).cast("long"))
+            .repartition("epoch", "shard")
             .sortWithinPartitions("epoch", "shard", "hv", "doc_id")
             .write.mode("overwrite")
             .partitionBy("epoch", "shard")
@@ -539,6 +544,84 @@ def epoch_manifest_sink(
         )
 
     return sink
+
+
+def compact_epoch_manifest(
+    spark, manifest_path: str, upto_batch_id: int
+) -> int:
+    """Fold committed streaming-manifest batch partitions
+    (``ingest_batch=<id>``, one per micro-batch from
+    epoch_manifest_sink) plus every existing generation into ONE fresh
+    generation — the O(batches) -> O(1) partition-count maintenance the
+    LSH index (compact_lsh_index), kept corpus (compact_kept), and IVF
+    index (compact_ivf_index) already have, applied to the manifest
+    store, WITHOUT breaking its one load-bearing contract: within each
+    (epoch, shard), physical file row order IS the training order.
+
+    Order preservation: a shard's cross-batch training order is
+    (ingest_batch, hv, doc_id).  The folded generation's rows are
+    written pre-sorted on (src_batch, hv, doc_id) — src_batch is the
+    original batch id the sink stored as data — and the generation id
+    is NEGATIVE, so a reader streaming ``ingest_batch`` partitions in
+    ascending order still serves every folded doc before any live
+    batch's docs, in exactly the pre-fold order (pinned by test).
+
+    **Same checkpoint contract as the other folds**: ``upto_batch_id``
+    must be committed — a folded batch redelivered afterwards would
+    re-append its rows as a fresh partition; the next fold's
+    (epoch, shard, doc_id) dedup removes them (keeping the smallest
+    src_batch, so order converges deterministically).
+
+    Crash-safe: temp write (dot-prefixed) -> rename to the new
+    generation -> delete folded partitions last; rename failure aborts
+    before any delete (the _fold_ingest_partitions recipe).  Returns
+    the number of batch (non-generation) partitions folded.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def fs_path(s):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    fs = fs_path(manifest_path).getFileSystem(conf)
+    parts, bids = [], []
+    for st in fs.listStatus(fs_path(manifest_path)):
+        name = st.getPath().getName()
+        if not name.startswith("ingest_batch="):
+            continue
+        bid = int(name.split("=", 1)[1])
+        if bid < 0 or bid <= upto_batch_id:
+            parts.append(name)
+            bids.append(bid)
+    if not parts or (len(parts) == 1 and bids[0] < 0):
+        return 0
+    merged = (
+        spark.read.option("basePath", manifest_path)
+        .parquet(*[f"{manifest_path}/{p}" for p in parts])
+        .groupBy("epoch", "shard", "doc_id", "hv")
+        # crash-leftover duplicates collapse to the SMALLEST src_batch,
+        # so re-folds converge to one deterministic order
+        .agg(F.min("src_batch").alias("src_batch"))
+    )
+    tmp = f"{manifest_path}/.compact_tmp"
+    (
+        merged.select("epoch", "shard", "hv", "doc_id", "src_batch")
+        .repartition("epoch", "shard")
+        .sortWithinPartitions("epoch", "shard", "src_batch", "hv", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("epoch", "shard")
+        .parquet(tmp)
+    )
+    new_gen = min([-1] + [b for b in bids if b < 0]) - 1
+    dest = f"{manifest_path}/ingest_batch={new_gen}"
+    if not fs.rename(fs_path(tmp), fs_path(dest)):
+        raise IOError(
+            f"manifest compaction: rename {tmp} -> {dest} failed; "
+            "aborting before deleting source partitions"
+        )
+    for p in parts:
+        fs.delete(fs_path(f"{manifest_path}/{p}"), True)
+    return len([b for b in bids if b >= 0])
 
 
 def ivf_ingest_sink(
