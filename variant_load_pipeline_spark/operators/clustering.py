@@ -91,38 +91,54 @@ def assign_clusters(
             if len(centroids) * len(centroids[0][1]) <= IVF_LITERAL_MAX_TERMS
             else "join"
         )
+    # pre-existing cluster/dist_sq columns are REPLACED on both paths
+    # (the literal path's withColumn used to overwrite them silently while
+    # the join path collided on the broadcast table's names): dropping
+    # first makes the two strategies interchangeable on that edge
+    base = df.drop("cluster", "dist_sq")
     if strategy == "literal":
         cluster, dist_sq = _argmin_exprs(F.col(qv_col), centroids)
-        return df.withColumn("dist_sq", dist_sq).withColumn(
+        return base.withColumn("dist_sq", dist_sq).withColumn(
             "cluster", cluster
         )
     spark = df.sparkSession
+
+    def fresh(n: str) -> str:
+        # internal-name guard: suffix until absent from the input columns
+        while n in base.columns:
+            n += "_"
+        return n
+
+    rid, cvn, cln, dn, mmn = (
+        fresh("__rowid"), fresh("__cvec"), fresh("__cl"), fresh("__d"),
+        fresh("__mm"),
+    )
     cdf = spark.createDataFrame(
         [(int(cl), [int(v) for v in cv]) for cl, cv in centroids],
         "cluster int, cvec array<bigint>",
-    )
+    ).select(F.col("cluster").alias(cln), F.col("cvec").alias(cvn))
     d = F.aggregate(
-        F.zip_with(F.col(qv_col), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.zip_with(F.col(qv_col), F.col(cvn), lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     # one row key per input row; evaluated below the broadcast join, so
     # every (row, centroid) copy shares it and the groupBy restores the
     # original row exactly (F.first over identical copies)
-    qk = df.withColumn("__rowid", F.monotonically_increasing_id())
+    qk = base.withColumn(rid, F.monotonically_increasing_id())
     agg = (
         qk.crossJoin(F.broadcast(cdf))
-        .withColumn("__d", d)
-        .groupBy("__rowid")
+        .withColumn(dn, d)
+        .groupBy(rid)
         .agg(
-            *[F.first(c).alias(c) for c in df.columns],
-            F.min(F.struct(F.col("__d"), F.col("cluster"))).alias("__mm"),
+            *[F.first(c).alias(c) for c in base.columns],
+            F.min(F.struct(F.col(dn), F.col(cln))).alias(mmn),
         )
     )
     return agg.select(
-        *df.columns,
-        F.col("__mm.__d").alias("dist_sq"),
-        F.col("__mm.cluster").alias("cluster"),
+        *base.columns,
+        F.col(mmn).getField(dn).alias("dist_sq"),
+        F.col(mmn).getField(cln).alias("cluster"),
     )
 
 
@@ -560,11 +576,27 @@ def compact_ivf_index(
     frozen at ingest time; probe results are identical before and after
     the fold by construction, pinned by test).
 
+    **Incremental by partition**: only ``list_id`` partitions that have
+    committed delta rows are rewritten; every untouched invlist
+    partition directory is left byte-identical on disk (pinned by
+    test).  At 100 TB that makes the maintenance job's cost O(delta) —
+    a skew-triggered fold of a few hot lists no longer rewrites the
+    whole index (the per-chromosome incremental-loading stance,
+    reference ``changes.txt:32-36``, applied to the invlist store).
+
     **Contract: ``upto_batch_id`` must be at or below the last batch id
     COMMITTED to the stream's checkpoint** (the compact_lsh_index
     contract): a folded batch redelivered afterwards would re-append its
     vectors as a fresh delta and duplicate them until the next fold's
-    ``dropDuplicates(id_col)`` removes them.
+    per-id dedup removes them.  Id collisions resolve DETERMINISTICALLY:
+    delta beats seed and a later batch beats an earlier one (the row
+    with the highest source batch id wins), so re-folds converge to one
+    store whatever order crashes interleave.  Collisions can only be
+    same-list by construction — ivf_assign_batch is deterministic
+    against the stored centroid table, so a redelivered vector lands in
+    the list it landed in before; re-ingesting an EXISTING id after a
+    centroid retrain (the one way to split an id across lists) is
+    outside the ingest contract (ids are append-only unique).
 
     ``retrain_centroids=True`` additionally recomputes each list's
     centroid as the milli-quantized floor-of-mean of its CURRENT
@@ -572,23 +604,29 @@ def compact_ivf_index(
     exact integer arithmetic so the new model is bit-reproducible and
     engine-portable (oracle-gated by ivf_retrain_centroids).
 
-    Crash-safe swap (Hadoop FileSystem API, runs on HDFS/S3A):
+    Crash-safe swap, now per touched partition (Hadoop FileSystem API,
+    runs on HDFS/S3A):
 
-    1. write the merged rows (seed + committed deltas, deduped on
-       ``id_col`` so a re-run after any crash is idempotent) to a
-       dot-prefixed temp dir, invisible to readers;
-    2. rename ``lists`` -> ``.lists_old``, then temp -> ``lists``
-       (abort on a false-returning rename, before anything is deleted);
+    1. write the merged rows of TOUCHED lists (their seed partitions +
+       committed delta rows, deduped per id) to a dot-prefixed temp dir
+       partitioned by ``list_id``, invisible to readers;
+    2. per touched list: rename ``lists/list_id=L`` ->
+       ``.lists_old/list_id=L``, then temp partition -> live (abort on
+       a false-returning rename, restoring the moved-out partition,
+       before anything is deleted);
     3. delete the folded delta partitions, then ``.lists_old``
-       (centroid swap, when retraining, follows the same order).
+       (centroid swap, when retraining, stays whole-table — the
+       centroid table is model-sized).
 
     A crash before (2) leaves only hidden temp dirs (overwritten next
-    run).  A crash BETWEEN the two renames leaves ``lists`` missing —
-    the next call detects ``.lists_old`` without ``lists`` and renames
-    it back before starting over.  A crash during (3) leaves duplicates
-    (folded rows still present as deltas) that probes see double until
-    the next fold dedups them — readers needing exactly-once rows in
-    that window dropDuplicates(id_col), the compact_kept contract.
+    run).  A crash MID-SWAP leaves some partitions moved out — the next
+    call renames back every ``.lists_old/list_id=L`` whose live
+    partition is missing and deletes the rest, before starting over (a
+    legacy whole-store ``.lists_old`` without ``lists`` restores
+    wholesale).  A crash during (3) leaves duplicates (folded rows
+    still present as deltas) that probes see double until the next fold
+    dedups them — readers needing exactly-once rows in that window
+    dropDuplicates(id_col), the compact_kept contract.
 
     Returns the number of delta batch partitions folded.
     """
@@ -608,23 +646,40 @@ def compact_ivf_index(
             fs.rename(fs_path(old), fs_path(live))
             raise IOError(f"compaction: rename {tmp} -> {live} failed")
 
-    # recovery from prior crashes: (a) between the two swap renames
-    # (live missing, old present) — restore the pre-fold store; (b)
-    # after the swap but before the old copy's delete (both present) —
-    # the live store is the complete fold, so the old copy is stale and
-    # must go or this run's own swap rename would hit an existing dest
-    for live, old in (
-        (f"{path}/lists", f"{path}/.lists_old"),
-        (f"{path}/centroids", f"{path}/.centroids_old"),
-    ):
-        if fs.exists(fs_path(old)):
-            if not fs.exists(fs_path(live)):
-                if not fs.rename(fs_path(old), fs_path(live)):
-                    raise IOError(
-                        f"compaction recovery: {old} -> {live} failed"
-                    )
-            else:
-                fs.delete(fs_path(old), True)
+    # recovery from prior crashes.  lists (per-partition swap): a
+    # whole-store .lists_old with lists missing is a legacy/total torn
+    # swap — restore wholesale; otherwise rename back every moved-out
+    # partition whose live dir is missing (mid-swap crash) and delete
+    # the rest (stale copies from a crash after the swap).  centroids
+    # (whole-table swap, model-sized): the original two-state recovery.
+    lists_live, lists_old = f"{path}/lists", f"{path}/.lists_old"
+    if fs.exists(fs_path(lists_old)):
+        if not fs.exists(fs_path(lists_live)):
+            if not fs.rename(fs_path(lists_old), fs_path(lists_live)):
+                raise IOError(
+                    f"compaction recovery: {lists_old} -> {lists_live} failed"
+                )
+        else:
+            for st in fs.listStatus(fs_path(lists_old)):
+                name = st.getPath().getName()
+                dest = f"{lists_live}/{name}"
+                if name.startswith("list_id=") and not fs.exists(
+                    fs_path(dest)
+                ):
+                    if not fs.rename(st.getPath(), fs_path(dest)):
+                        raise IOError(
+                            f"compaction recovery: restore {name} failed"
+                        )
+            fs.delete(fs_path(lists_old), True)
+    live, old = f"{path}/centroids", f"{path}/.centroids_old"
+    if fs.exists(fs_path(old)):
+        if not fs.exists(fs_path(live)):
+            if not fs.rename(fs_path(old), fs_path(live)):
+                raise IOError(
+                    f"compaction recovery: {old} -> {live} failed"
+                )
+        else:
+            fs.delete(fs_path(old), True)
 
     delta_root = f"{path}/lists_delta"
     batches: list[int] = []
@@ -640,23 +695,69 @@ def compact_ivf_index(
 
     folded = 0
     if batches:
-        # seed + COMMITTED deltas only; uncommitted (> upto) delta
-        # partitions simply stay in place and keep serving probes
+        from pyspark.sql.window import Window as W
+
+        # COMMITTED deltas only; uncommitted (> upto) delta partitions
+        # simply stay in place and keep serving probes.  batch_id rides
+        # along as the dedup precedence (delta > seed, later > earlier).
         committed = (
             spark.read.option("basePath", delta_root)
             .parquet(delta_root)
             .filter(F.col("batch_id") <= upto_batch_id)
-            .select(id_col, vec_col, "list_id")
+            .select(
+                id_col, vec_col, "list_id",
+                F.col("batch_id").cast("long").alias("__src"),
+            )
         )
-        merged = (
+        # the fold's working set: ONLY the lists the deltas touch — the
+        # distinct-list collect is bounded by the index's list count
+        # (model state, never data)
+        touched = sorted(
+            r["list_id"]
+            for r in committed.select("list_id").distinct().collect()
+        )
+        seed_touched = (
             spark.read.parquet(f"{path}/lists")
             .select(id_col, vec_col, "list_id")
-            .unionByName(committed)
-            .dropDuplicates([id_col])
+            # lands in PartitionFilters: only touched partitions read
+            .filter(F.col("list_id").isin([int(t) for t in touched]))
+            .withColumn("__src", F.lit(-1).cast("long"))
+        )
+        # deterministic winner per id: highest source batch id (delta
+        # over seed, later redelivery over earlier) — re-folds converge
+        w = W.partitionBy(id_col).orderBy(F.col("__src").desc())
+        merged = (
+            seed_touched.unionByName(committed)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, vec_col, "list_id")
         )
         tmp = f"{path}/.lists_tmp"
+        fs.delete(fs_path(tmp), True)
         merged.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
-        swap_in(f"{path}/lists", f"{path}/.lists_old", tmp)
+        # per-partition swap: untouched invlist dirs are never moved,
+        # copied, or rewritten — their bytes stay identical
+        old_root = f"{path}/.lists_old"
+        fs.mkdirs(fs_path(old_root))
+        for t in touched:
+            part = f"list_id={t}"
+            live_p = f"{path}/lists/{part}"
+            old_p = f"{old_root}/{part}"
+            tmp_p = f"{tmp}/{part}"
+            if not fs.exists(fs_path(tmp_p)):
+                continue  # defensive: all rows of a touched list deduped away
+            if fs.exists(fs_path(live_p)):
+                if not fs.rename(fs_path(live_p), fs_path(old_p)):
+                    raise IOError(
+                        f"compaction: rename {live_p} -> {old_p} failed"
+                    )
+            if not fs.rename(fs_path(tmp_p), fs_path(live_p)):
+                # restore immediately: a partition must never stay missing
+                if fs.exists(fs_path(old_p)):
+                    fs.rename(fs_path(old_p), fs_path(live_p))
+                raise IOError(
+                    f"compaction: rename {tmp_p} -> {live_p} failed"
+                )
         for bid in batches:
             fs.delete(fs_path(f"{delta_root}/batch_id={bid}"), True)
         # drop the delta root too when nothing (uncommitted batches)
@@ -666,7 +767,8 @@ def compact_ivf_index(
             for st in fs.listStatus(fs_path(delta_root))
         ):
             fs.delete(fs_path(delta_root), True)
-        fs.delete(fs_path(f"{path}/.lists_old"), True)
+        fs.delete(fs_path(old_root), True)
+        fs.delete(fs_path(tmp), True)
         folded = len(batches)
 
     if retrain_centroids:
@@ -790,10 +892,24 @@ def ivf_probe_topk(
             nv = sum(b * b for b in v) ** 0.5
             return du / (nu * nv) if nu and nv else 0.0
 
+        # HALF_UP 6-dp rounding matching F.round (which Spark evaluates
+        # as BigDecimal(shortest-decimal-repr).setScale(6, HALF_UP)) —
+        # Python's round() is banker's and can pick a DIFFERENT probe
+        # list than the join path when a cosine lands exactly on a 6-dp
+        # midpoint, breaking the documented strategy invariance
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def r6(x: float) -> float:
+            return float(
+                Decimal(repr(float(x))).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+
         ranked = sorted(
             cents,
             key=lambda r: (
-                -round(cos(list(r["centroid"]), query_vec), 6),
+                -r6(cos(list(r["centroid"]), query_vec)),
                 r["list_id"],
             ),
         )

@@ -2044,14 +2044,16 @@ def edit_distance_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one row per distinct head (the id list is guard-bounded: any
     # group over the cutoff was dropped by tier 2 above); identical
     # heads share bkey by construction (bkey is a substring of head)
-    # persisted: three consumers below (within-pairs, both join sides)
-    # would otherwise each replay the scan + both occupancy aggregations
-    from pyspark.storagelevel import StorageLevel
-
+    # lazy localCheckpoint, not persist(): three consumers below
+    # (within-pairs, both join sides) would otherwise each replay the
+    # scan + both occupancy aggregations; checkpoint blocks are
+    # reference-tracked, so repeated invocations (bench repeats) never
+    # accumulate leaked cache entries the way an un-unpersisted
+    # persist() does (the dedup_upsert stance, operators/upsert.py)
     grp = (
         kf.groupBy("bkey", "head", "ln")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     # (1) within-group pairs: identical heads = edit distance 0, read
     # straight off the sorted id list — no levenshtein, no join
