@@ -988,3 +988,98 @@ def test_corpus_compact_tool(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in ing.read_kept(spark, kept).collect()
     ) == [11]
+
+
+def test_cli_corpus_ingest_end_to_end(spark, tmp_path):
+    """CorpusIngest drives the composed ingest door (decontam -> quality
+    -> LSH dedup) through a REAL availableNow stream: artifacts built by
+    their own CLI tools (CorpusBenchIndex grams, CorpusClassify model),
+    seed via --seed-docs, accepted docs land as per-batch partitions in
+    --out.  Outcome is batching-independent by construction: the
+    synthetic docs have exactly one near-dup (of the seed), one
+    contaminated doc, and one wordless doc."""
+    import os
+
+    from variant_load_pipeline_spark import queries as Q
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four"
+    )
+    novel = (
+        "red orange yellow green blue indigo violet crimson scarlet amber "
+        "gold silver bronze copper iron steel titanium cobalt nickel zinc "
+        "lead tin mercury chromium platinum sodium calcium neon argon "
+        "xenon"
+    )
+    bench = (
+        "apple banana cherry damson elderberry fig grape honeydew "
+        "jackfruit kiwi lemon mango nectarine orange papaya quince "
+        "raspberry strawberry tangerine ugli vanilla watermelon ximenia "
+        "yuzu zucchini acorn barley clover dill endive"
+    )
+    contaminated = (
+        "apple banana cherry damson flute oboe cello viola harp trumpet "
+        "trombone tuba clarinet bassoon piccolo timpani cymbal marimba "
+        "organ accordion banjo mandolin sitar tabla didgeridoo kazoo "
+        "harmonica bagpipe lyre lute"
+    )
+
+    seed_p = str(tmp_path / "seed")
+    spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    ).write.parquet(seed_p)
+    bench_p = str(tmp_path / "benchdocs")
+    spark.createDataFrame(
+        [(900, bench)], "doc_id long, text string"
+    ).write.parquet(bench_p)
+    grams = str(tmp_path / "grams")
+    main(
+        ["--tool", "CorpusBenchIndex", "--bench", bench_p, "--k", "4",
+         "--out", grams],
+        spark=spark,
+    )
+    # model trained + persisted by its own tool (real labeled fixture)
+    model = str(tmp_path / "model")
+    main(
+        ["--tool", "CorpusClassify",
+         "--docs", "/root/testdata/sf0.001/documents.parquet",
+         "--model", model, "--out", str(tmp_path / "scores")],
+        spark=spark,
+    )
+
+    docs_p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (10, base.replace("echo", "reverb")),  # near-dup of seed
+            (11, novel),                           # kept
+            (12, contaminated),                    # decontam drop
+            (13, "?! ?! ?! ?!"),                   # wordless: quality drop
+        ],
+        "doc_id long, text string",
+    ).repartition(2).write.parquet(docs_p)
+
+    idx = str(tmp_path / "idx")
+    kept = str(tmp_path / "kept")
+    main(
+        ["--tool", "CorpusIngest", "--docs", docs_p, "--index", idx,
+         "--grams", grams, "--model", model, "--threshold-micro", "1",
+         "--seed-docs", seed_p, "--checkpoint", str(tmp_path / "ckpt"),
+         "--out", kept],
+        spark=spark,
+    )
+    assert {
+        r["doc_id"] for r in ing.read_kept(spark, kept).collect()
+    } == {11}
+    # per-batch kept partitions exist (file source, one file per batch)
+    assert any(
+        d.startswith("ingest_batch=") for d in os.listdir(kept)
+    )
+    # the survivor's index rows exist; dropped docs were never indexed
+    bands = spark.read.option("basePath", f"{idx}/bands").parquet(
+        f"{idx}/bands"
+    )
+    ids = {r["doc_id"] for r in bands.select("doc_id").distinct().collect()}
+    assert 11 in ids and ids.isdisjoint({10, 12, 13})

@@ -1296,3 +1296,189 @@ def test_epoch_manifest_through_real_stream(spark, tmp_path):
     b0 = spark.read.parquet(f"{man}/ingest_batch=0")
     assert b0.count() == 14
     assert rows(man) != []  # still readable as one manifest
+
+
+# ---------------------------------------------------------------------------
+# The COMPOSED ingest door: decontam -> quality -> LSH under one sink
+# ---------------------------------------------------------------------------
+def _bench_and_contaminated():
+    """A benchmark doc, a doc sharing its leading 4-gram (contaminated),
+    and a near-dup of the contaminated doc whose gram is broken (clean,
+    but jaccard ~0.9 vs the contaminated text)."""
+    bench = (
+        "apple banana cherry damson elderberry fig grape honeydew "
+        "jackfruit kiwi lemon mango nectarine orange papaya quince "
+        "raspberry strawberry tangerine ugli vanilla watermelon ximenia "
+        "yuzu zucchini acorn barley clover dill endive"
+    )
+    filler = (
+        "flute oboe cello viola harp trumpet trombone tuba clarinet "
+        "bassoon piccolo timpani cymbal marimba organ accordion banjo "
+        "mandolin sitar tabla didgeridoo kazoo harmonica bagpipe lyre lute"
+    )
+    contaminated = "apple banana cherry damson " + filler
+    near_contaminated = "apple banana plum damson " + filler
+    return bench, contaminated, near_contaminated
+
+
+def test_corpus_ingest_composed_gate_order_and_index_isolation(
+    spark, tmp_path
+):
+    """The composition contract: every gate fires inside ONE sink, and a
+    doc dropped by an EARLIER gate never enters the LSH index — so a
+    later clean near-duplicate of a decontam-rejected doc is KEPT (had
+    the rejected doc been indexed, its near-dup would be suppressed)."""
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    model = _fit_model(spark, tmp_path)
+    idx = str(tmp_path / "idx")
+    kept = str(tmp_path / "kept")
+    grams = str(tmp_path / "grams")
+    bench, contaminated, near_contaminated = _bench_and_contaminated()
+    ing.write_benchmark_grams(_doc(spark, 900, bench), grams, k=4)
+    ing.seed_lsh_ingest(_doc(spark, 1, _BASE_WORDS[0]), idx)
+    sink = ing.corpus_ingest_sink(
+        spark, idx, kept, grams_path=grams, model_path=model,
+        threshold_micro=1, threshold=0.8,
+    )
+
+    near_seed = _BASE_WORDS[0].replace("echo", "reverb")
+    batch0 = spark.createDataFrame(
+        [
+            (10, near_seed),       # near-dup of the SEED -> LSH gate drops
+            (11, _BASE_WORDS[1]),  # novel, wordy -> kept
+            (12, contaminated),    # shares a bench 4-gram -> decontam drops
+            (13, "?! ?! ?! ?!"),   # no words, no score row -> quality drops
+        ],
+        "doc_id long, text string",
+    )
+    sink(batch0, 0)
+    assert {
+        r["doc_id"] for r in ing.read_kept(spark, kept).collect()
+    } == {11}
+    # the index's batch-0 partition holds ONLY the survivor's rows: the
+    # decontam- and quality-dropped docs never entered the index
+    b0 = spark.read.parquet(f"{idx}/bands/ingest_batch=0")
+    assert {r["doc_id"] for r in b0.collect()} == {11}
+
+    batch1 = spark.createDataFrame(
+        [
+            # near-dup of batch-0's ACCEPTED doc 11 -> index grew -> drop
+            (20, _BASE_WORDS[1].replace("gold", "aurum")),
+            # near-dup of the decontam-DROPPED doc 12, gram broken: must
+            # be KEPT — doc 12 never reached the index
+            (22, near_contaminated),
+            (21, _BASE_WORDS[2]),  # novel -> kept
+        ],
+        "doc_id long, text string",
+    )
+    sink(batch1, 1)
+    assert {
+        r["doc_id"] for r in ing.read_kept(spark, kept).collect()
+    } == {11, 21, 22}
+
+
+def test_corpus_ingest_stream_equals_composed_batch_chain(spark, tmp_path):
+    """stream==batch for the composition: pushing real documents through
+    corpus_ingest_sink in micro-batches keeps EXACTLY what the composed
+    batch chain keeps — decontaminate-clean ∧ quality-keep applied as
+    batch predicates, then the (already-proven) solo dedup-at-ingest
+    sink over the SAME batch splits."""
+    from variant_load_pipeline_spark.functions.text import word_ngrams
+    from variant_load_pipeline_spark.operators import quality as ql
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    sf = "/root/testdata/sf0.001"
+    docs = Q.load(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    grams = str(tmp_path / "grams")
+    ing.write_benchmark_grams(bench, grams, k=4)
+    model = _fit_model(spark, tmp_path)
+
+    w = ql.read_quality_model(spark, model)
+    x = ql.hashed_features(train, label=F.lit(0))
+    scores = sorted(r.score_micro for r in ql.lr_score(x, w).collect())
+    thr = scores[len(scores) // 2]
+
+    # composed sink, three micro-batches
+    idx = str(tmp_path / "idx")
+    kept = str(tmp_path / "kept")
+    ing.seed_lsh_ingest(bench, idx)
+    sink = ing.corpus_ingest_sink(
+        spark, idx, kept, grams_path=grams, model_path=model,
+        threshold_micro=thr,
+    )
+    batches = [train.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, b in enumerate(batches):
+        sink(b, i)
+    got = sorted(
+        r["doc_id"] for r in ing.read_kept(spark, kept).collect()
+    )
+
+    # the composed BATCH chain: decontam-clean ∧ quality-keep as batch
+    # predicates, then the solo lsh_ingest_sink over the same splits
+    bgrams = spark.read.parquet(grams)
+    tg = train.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 4)).alias("gram")
+    )
+    dirty = tg.join(F.broadcast(bgrams), "gram", "leftsemi").select(
+        "doc_id"
+    ).distinct()
+    qual = ql.lr_score(x, w).filter(
+        F.col("score_micro") >= thr
+    ).select("doc_id")
+    pre = (
+        train.join(dirty, "doc_id", "left_anti")
+        .join(qual, "doc_id", "leftsemi")
+    )
+    idx2 = str(tmp_path / "idx2")
+    kept2 = str(tmp_path / "kept2")
+    ing.seed_lsh_ingest(bench, idx2)
+    solo = ing.lsh_ingest_sink(spark, idx2, kept2)
+    for i, b in enumerate(batches):
+        solo(b.join(pre.select("doc_id"), "doc_id", "leftsemi"), i)
+    want = sorted(
+        r["doc_id"] for r in ing.read_kept(spark, kept2).collect()
+    )
+    assert got == want and got
+    # the gates actually discriminated
+    assert len(got) < train.count()
+
+
+def test_corpus_ingest_redelivery_is_exactly_once(spark, tmp_path):
+    """Replaying a batch through the composed sink leaves every store
+    unchanged: same kept set, one generation of index rows per doc."""
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    model = _fit_model(spark, tmp_path)
+    idx = str(tmp_path / "idx")
+    kept = str(tmp_path / "kept")
+    grams = str(tmp_path / "grams")
+    bench, contaminated, _ = _bench_and_contaminated()
+    ing.write_benchmark_grams(_doc(spark, 900, bench), grams, k=4)
+    ing.seed_lsh_ingest(_doc(spark, 1, _BASE_WORDS[0]), idx)
+    sink = ing.corpus_ingest_sink(
+        spark, idx, kept, grams_path=grams, model_path=model,
+        threshold_micro=1,
+    )
+    batch = spark.createDataFrame(
+        [(11, _BASE_WORDS[1]), (12, contaminated)],
+        "doc_id long, text string",
+    )
+    sink(batch, 0)
+    first = sorted(
+        r["doc_id"] for r in ing.read_kept(spark, kept).collect()
+    )
+    assert first == [11]
+    sink(batch, 0)  # checkpoint replay
+    again = sorted(
+        r["doc_id"] for r in ing.read_kept(spark, kept).collect()
+    )
+    assert again == first
+    sh = spark.read.option("basePath", f"{idx}/shingles").parquet(
+        f"{idx}/shingles"
+    )
+    assert sh.filter(F.col("doc_id") == 11).select(
+        "ingest_batch"
+    ).distinct().count() == 1

@@ -565,6 +565,53 @@ def _corpus_bench_index(spark, args) -> None:
     )
 
 
+@tool("CorpusIngest")
+def _corpus_ingest(spark, args) -> None:
+    """The composed ingest door, end to end: stream --docs (parquet dir,
+    file source, availableNow, one file per micro-batch) through
+    streaming/ingest.corpus_ingest_sink — decontamination (--grams,
+    CorpusBenchIndex output) -> quality (--model + --threshold-micro,
+    CorpusClassify output) -> LSH near-dup (--index) under ONE
+    checkpoint (--checkpoint, default <out>_checkpoint); accepted docs
+    land in --out as idempotent per-batch partitions (read them back
+    with read_kept).  --seed-docs seeds the LSH index first
+    (seed_lsh_ingest) when the index does not exist yet.  Gates whose
+    artifact path is omitted are skipped — the solo sinks' semantics,
+    composed."""
+    from .streaming.ingest import corpus_ingest_sink, seed_lsh_ingest
+
+    if not args.index:
+        raise SystemExit("CorpusIngest needs --index <lsh index path>")
+    if args.seed_docs:
+        seed_lsh_ingest(_read(spark, args.seed_docs), args.index)
+    schema = spark.read.parquet(args.docs).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(args.docs)
+    )
+    sink = corpus_ingest_sink(
+        spark,
+        args.index,
+        args.out,
+        grams_path=args.grams,
+        model_path=args.model,
+        threshold_micro=(
+            args.threshold_micro
+            if args.threshold_micro is not None
+            else 500_000
+        ),
+    )
+    ckpt = args.checkpoint or f"{args.out}_checkpoint"
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 @tool("CorpusRetrain")
 def _corpus_retrain(spark, args) -> None:
     """Act on the IVF maintenance monitors from the command line: fold
@@ -726,6 +773,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kept")
     p.add_argument("--ivf")
     p.add_argument("--manifest")
+    p.add_argument("--grams")
+    p.add_argument("--checkpoint")
+    p.add_argument("--threshold-micro", dest="threshold_micro", type=int)
+    p.add_argument("--seed-docs", dest="seed_docs")
     p.add_argument("--gzip", action="store_true")
     p.add_argument("--addp", action="store_true")
     p.add_argument(

@@ -282,6 +282,153 @@ def decontam_gate_sink(
     return sink
 
 
+def corpus_ingest_sink(
+    spark,
+    index_path: str,
+    kept_path: str,
+    grams_path: str | None = None,
+    model_path: str | None = None,
+    threshold_micro: int = 500_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    gram_k: int = 4,
+):
+    """The COMPOSED production ingest door: all three streaming gates —
+    decontamination, quality, LSH near-dup — run over each micro-batch
+    in ONE ``foreachBatch`` under ONE checkpoint, in cost order:
+
+    1. within-batch exact dedup (min-id survivor per normalized-text
+       fingerprint — free relative to everything below);
+    2. decontamination gate (``grams_path``, write_benchmark_grams):
+       broadcast benchmark-gram semi join — the cheapest verdict, so it
+       thins the batch before anything heavier runs;
+    3. quality gate (``model_path``, write_quality_model): broadcast
+       64-row weight join + per-doc score, keep >= ``threshold_micro``;
+    4. LSH near-dup match against every index partition EXCEPT this
+       batch's own (the lsh_ingest_sink redelivery self-match guard,
+       doc-identity guard included) — the only gate that touches the
+       persisted index, fed the already-thinned batch.
+
+    Only FINAL survivors write: ``kept/ingest_batch=<id>`` and their
+    bands/shingles into the index's matching partitions — so a doc
+    dropped by an earlier gate NEVER enters the LSH index (the
+    composition-order semantics a production ingest needs: a
+    quality-rejected doc must not later suppress a clean near-duplicate
+    of itself).  Every write is an idempotent per-batch partition
+    overwrite; decontam/quality verdicts depend only on the doc's own
+    text and the persisted artifacts, and the dedup gate carries the
+    solo sink's two redelivery guards — the composition stays
+    exactly-once under checkpoint-replay.
+
+    ``grams_path`` / ``model_path`` of None skip that gate (the sink
+    degrades to the solo ones); equivalence with the composed BATCH
+    chain (decontaminate-clean ∧ quality-keep ∧ dedup-keep) is pinned
+    by test.  Operable via the ``CorpusIngest`` CLI tool.
+
+    Use::
+
+        stream.writeStream.foreachBatch(
+            corpus_ingest_sink(spark, idx, kept, grams, model)
+        ).option("checkpointLocation", ckpt).start()
+    """
+    from ..functions.text import normalize_text, word_ngrams
+    from ..operators.quality import (
+        hashed_features,
+        lr_score,
+        read_quality_model,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window as W
+
+        # gate 0: within-batch exact dedup (the lsh_ingest_sink step)
+        w = W.partitionBy(F.md5(normalize_text(F.col(text_col)))).orderBy(
+            F.col(id_col)
+        )
+        batch = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # gate 1: decontamination (broadcast benchmark grams)
+        if grams_path is not None:
+            grams = spark.read.parquet(grams_path)
+            bg = batch.select(
+                F.col(id_col),
+                F.explode(word_ngrams(F.col(text_col), gram_k)).alias(
+                    "gram"
+                ),
+            )
+            dirty = (
+                bg.join(F.broadcast(grams), "gram", "leftsemi")
+                .select(id_col)
+                .distinct()
+            )
+            batch = batch.join(dirty, id_col, "left_anti")
+        # gate 2: quality (broadcast persisted weights)
+        if model_path is not None:
+            wts = read_quality_model(spark, model_path)
+            x = hashed_features(
+                batch, text_col=text_col, id_col=id_col, label=F.lit(0)
+            )
+            keep_ids = (
+                lr_score(x, wts)
+                .filter(F.col("score_micro") >= threshold_micro)
+                .select(F.col("doc_id").alias(id_col))
+            )
+            batch = batch.join(keep_ids, id_col, "leftsemi")
+        # gate 3: LSH near-dup vs the persisted index (both redelivery
+        # guards of lsh_ingest_sink: partition exclusion + doc identity)
+        corpus_bands = (
+            spark.read.option("basePath", f"{index_path}/bands")
+            .parquet(f"{index_path}/bands")
+            .filter(F.col("ingest_batch") != batch_id)
+            .select(F.col(id_col).alias("corpus_id"), "band_idx", "band_hash")
+        )
+        corpus_sh = (
+            spark.read.option("basePath", f"{index_path}/shingles")
+            .parquet(f"{index_path}/shingles")
+            .filter(F.col("ingest_batch") != batch_id)
+            .select(F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_c"))
+        )
+        dup_ids = (
+            match_lsh_frames(
+                corpus_bands,
+                corpus_sh,
+                batch,
+                text_col=text_col,
+                id_col=id_col,
+                n_hashes=n_hashes,
+                bands=bands,
+                shingle_k=shingle_k,
+                threshold=threshold,
+            )
+            .filter(F.col("batch_id") != F.col("corpus_id"))
+            .select(F.col("batch_id").alias(id_col))
+            .distinct()
+        )
+        keep = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        # survivors only: kept corpus first, then THEIR index rows
+        keep.write.mode("overwrite").parquet(
+            f"{kept_path}/ingest_batch={batch_id}"
+        )
+        sh = _shingle_hash_table(keep, text_col, id_col, shingle_k)
+        _banded_from_hashes(sh, id_col, n_hashes, bands).write.mode(
+            "overwrite"
+        ).parquet(f"{index_path}/bands/ingest_batch={batch_id}")
+        sh.select(id_col, "sh").write.mode("overwrite").parquet(
+            f"{index_path}/shingles/ingest_batch={batch_id}"
+        )
+
+    return sink
+
+
 def drift_counts_sink(
     spark,
     counts_path: str,
