@@ -1083,3 +1083,98 @@ def test_cli_corpus_ingest_end_to_end(spark, tmp_path):
     )
     ids = {r["doc_id"] for r in bands.select("doc_id").distinct().collect()}
     assert 11 in ids and ids.isdisjoint({10, 12, 13})
+
+
+def _pp55(acc="NP_1", opos="7", oaa1="D", oaa2="N", aa1="D", aa2="N",
+          pred="benign"):
+    cols = [""] * 55
+    cols[0], cols[1], cols[2], cols[3] = acc, opos, oaa1, oaa2
+    cols[5] = "Q4TU74"
+    cols[6], cols[7], cols[8] = opos, aa1, aa2
+    cols[11] = pred
+    cols[14], cols[15] = "neutral", "0.001"
+    return "\t".join(cols)
+
+
+def test_cli_polyphen_loader2_stamps_and_routes_per_sample(spark, tmp_path):
+    """PolyphenLoader2: 9-col info (variant_transcript_id at col 2) ->
+    J16 pairing with the protein_status stamp, per-sample partition
+    routing (dynamic overwrite — a second sample never clobbers the
+    first), the K5 polyphen_status/uniprot_id/protein_id stamp onto
+    matched variant_transcript rows, and --existing as the K4
+    duplicate-probe (insert-if-not-exists on the reference's 10-key)."""
+    import os
+
+    rp = tmp_path / "res.tsv"
+    rp.write_text(
+        "#header\n"
+        + _pp55() + "\n"
+        + _pp55(oaa1="N", oaa2="D") + "\n"   # swapped AA -> rejected
+        + _pp55(pred="damaging") + "\n"      # duplicate 4-key -> 2nd info
+    )
+    ip = tmp_path / "res.info"
+    ip.write_text(
+        "101\t7001\tGeneA\tNP_1\t7\tD\tN\t+\t555\n"
+        "102\t7002\tGeneA\tNP_1\t7\tD\tN\t-\t556\n"
+    )
+    vt_p = str(tmp_path / "vt")
+    spark.createDataFrame(
+        [(7001, None, None, None), (7002, None, None, None),
+         (7003, None, None, None)],
+        "variant_transcript_id long, polyphen_status string, "
+        "uniprot_id string, protein_id string",
+    ).write.parquet(vt_p)
+    out = str(tmp_path / "out")
+
+    main(
+        ["--tool", "PolyphenLoader2", "--results", str(rp), "--info",
+         str(ip), "--variant-transcripts", vt_p, "--sample-id", "7",
+         "--out", out],
+        spark=spark,
+    )
+    # per-sample routing + protein_status stamp
+    poly = spark.read.parquet(f"{out}/polyphen")
+    assert os.path.isdir(f"{out}/polyphen/sample_id=7")
+    rows = {r["variant_id"]: r for r in poly.collect()}
+    assert set(rows) == {101, 102}
+    assert all(r["protein_status"] == "100 PERC MATCH" for r in rows.values())
+    assert rows[101]["variant_transcript_id"] == 7001
+    assert rows[102]["variant_transcript_id"] == 7002
+    # K5 stamp onto matched vt rows; unmatched row untouched
+    vt = {
+        r["variant_transcript_id"]: r
+        for r in spark.read.parquet(f"{out}/variant_transcripts").collect()
+    }
+    assert vt[7001]["polyphen_status"] == "benign"
+    assert vt[7002]["polyphen_status"] == "damaging"
+    assert vt[7001]["uniprot_id"] == "Q4TU74"
+    assert vt[7001]["protein_id"] == "NP_1"
+    assert vt[7003]["polyphen_status"] is None
+
+    # a SECOND sample routes beside the first (dynamic overwrite)
+    main(
+        ["--tool", "PolyphenLoader2", "--results", str(rp), "--info",
+         str(ip), "--sample-id", "8", "--out", out],
+        spark=spark,
+    )
+    assert os.path.isdir(f"{out}/polyphen/sample_id=7")
+    assert os.path.isdir(f"{out}/polyphen/sample_id=8")
+    assert spark.read.parquet(f"{out}/polyphen").count() == 4
+
+    # --existing: the 10-key duplicate probe keeps re-loads out (K4)
+    out2 = str(tmp_path / "out2")
+    main(
+        ["--tool", "PolyphenLoader2", "--results", str(rp), "--info",
+         str(ip), "--existing", f"{out}/polyphen", "--sample-id", "9",
+         "--out", out2],
+        spark=spark,
+    )
+    # zero survivors -> zero partitions written (empty dir, no data files)
+    assert not any(
+        d.startswith("sample_id=")
+        for d in (
+            os.listdir(f"{out2}/polyphen")
+            if os.path.isdir(f"{out2}/polyphen")
+            else []
+        )
+    )

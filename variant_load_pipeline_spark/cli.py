@@ -403,6 +403,75 @@ def _polyphen_loader(spark, args) -> None:
     paired.write.mode("overwrite").parquet(args.out)
 
 
+@tool("PolyphenLoader2")
+def _polyphen_loader2(spark, args) -> None:
+    """PolyphenLoader2.java:59-233: 55-col results + the 9-col .info
+    sidecar (variant_transcript_id at column 2, :68) -> consume-first-
+    match pairing (J16, info consumed in variant_id order like the
+    reference's it.remove() walk :281-303) with the swapped-AA QC filter
+    (:149-153) and protein_status = '100 PERC MATCH' (:165).  Routed
+    into PER-SAMPLE tables (getPolyphenTable/getVariantTranscriptTable
+    per sampleId, :62-63): here a ``sample_id=<n>`` partition of
+    ``<out>/polyphen``, overwritten dynamically so re-running one
+    sample never clobbers another's partition.  With --existing (a
+    prior polyphen parquet), the reference's duplicate probe
+    (:201-218) becomes insert-if-not-exists on the same 10-key (K4).
+    With --variant-transcripts, the matched rows are stamped
+    polyphen_status = prediction, uniprot_id, protein_id by
+    variant_transcript_id (:247-251, K5 merge_update) into
+    ``<out>/variant_transcripts/sample_id=<n>``."""
+    from .operators.upsert import insert_if_not_exists, merge_update
+    from .sources.polyphen import (
+        pair_results_with_info,
+        read_polyphen_info2,
+        read_polyphen_results,
+    )
+
+    paired = pair_results_with_info(
+        read_polyphen_results(spark, args.results),
+        read_polyphen_info2(spark, args.info),
+        extra_cols=["variant_transcript_id"],
+    )
+    ten_key = [
+        "variant_id", "protein_acc_id", "pos", "ref_aa", "var_aa",
+        "uniprot_acc_id", "transcript_rgd_id", "variant_transcript_id",
+        "o_aa1", "o_aa2",
+    ]
+    rows = paired
+    if args.existing:
+        rows = insert_if_not_exists(rows, _read(spark, args.existing), ten_key)
+    sample_id = args.sample_id if args.sample_id is not None else 0
+    rows = rows.withColumn("sample_id", F.lit(sample_id))
+
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rows.write.mode("overwrite").partitionBy("sample_id").parquet(
+            f"{args.out}/polyphen"
+        )
+        if args.variant_transcripts:
+            updates = rows.select(
+                "variant_transcript_id",
+                F.col("prediction").alias("polyphen_status"),
+                F.col("uniprot_acc_id").alias("uniprot_id"),
+                F.col("protein_acc_id").alias("protein_id"),
+            )
+            vt = merge_update(
+                _read(spark, args.variant_transcripts),
+                updates,
+                keys=["variant_transcript_id"],
+                set_cols=["polyphen_status", "uniprot_id", "protein_id"],
+            ).withColumn("sample_id", F.lit(sample_id))
+            vt.write.mode("overwrite").partitionBy("sample_id").parquet(
+                f"{args.out}/variant_transcripts"
+            )
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        else:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+
 @tool("UpdateVariantStatus")
 def _update_variant_status(spark, args) -> None:
     """UpdateVariantStatus.java:50-65: batched UPDATE as MERGE WHEN MATCHED."""

@@ -125,11 +125,43 @@ def read_polyphen_info(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def pair_results_with_info(results: DataFrame, info: DataFrame) -> DataFrame:
+def read_polyphen_info2(spark: SparkSession, path: str) -> DataFrame:
+    """The 9-column .info layout PolyphenLoader2 consumes
+    (PolyphenLoader2.java:68,160-168): unlike the 8-column variant above
+    (PolyphenLoader.java:187-195), ``variant_transcript_id`` sits at
+    column 2 and shifts everything after it — the id the loader needs to
+    stamp polyphen_status back onto variant_transcript rows."""
+    lines = spark.read.text(path).filter(~F.col("value").startswith("#"))
+    cols = F.split(F.col("value"), "\t", -1)
+    return lines.select(
+        F.try_element_at(cols, F.lit(1)).cast("long").alias("variant_id"),
+        F.try_element_at(cols, F.lit(2))
+        .cast("long")
+        .alias("variant_transcript_id"),
+        F.try_element_at(cols, F.lit(3)).alias("locus_name"),
+        F.try_element_at(cols, F.lit(4)).alias("protein_acc_id"),
+        F.try_element_at(cols, F.lit(5)).cast("int").alias("pos"),
+        F.try_element_at(cols, F.lit(6)).alias("ref_aa"),
+        F.try_element_at(cols, F.lit(7)).alias("var_aa"),
+        F.try_element_at(cols, F.lit(8)).alias("strand"),
+        F.when(
+            F.size(cols) > 8, F.try_element_at(cols, F.lit(9)).cast("long")
+        ).alias("transcript_rgd_id"),
+    )
+
+
+def pair_results_with_info(
+    results: DataFrame,
+    info: DataFrame,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
     """J16: match each result to ONE info row on the 4-key (protein_acc_id,
     pos, aa1, aa2) with consume-first-match semantics — the n-th duplicate
     result pairs with the n-th duplicate info row (file order on the info
-    side is approximated by variant_id order, deterministic)."""
+    side is approximated by variant_id order, deterministic).
+
+    ``extra_cols``: further info-side columns carried through the pairing
+    (PolyphenLoader2 needs ``variant_transcript_id``)."""
     r = results.withColumnRenamed("var_pos", "key_pos")
     i = info.select(
         F.col("protein_acc_id"),
@@ -140,6 +172,7 @@ def pair_results_with_info(results: DataFrame, info: DataFrame) -> DataFrame:
         F.col("locus_name").alias("gene_symbol"),
         "strand",
         "transcript_rgd_id",
+        *(extra_cols or []),
     )
     return consume_first_match_join(
         r,
