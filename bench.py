@@ -239,6 +239,14 @@ HEADLINE_V6 = [
     "quality_pr_sweep",
 ]
 
+# seventh, versioned group: round-10 additions (steady-state probe-only
+# twins for the miner + maintenance lifecycles).  Separate total
+# (`value_v7`) keeps earlier group totals comparable across rounds.
+HEADLINE_V7 = [
+    "contrastive_triplets_probe_only",
+    "ivf_compact_probe_only",
+]
+
 # Drift probes: a fixed, diverse subset of the headline groups used to
 # measure HOST drift between rounds on byte-identical code.  The no-IO
 # `calib` ruler over-responds to host load relative to IO/shuffle-mixed
@@ -357,7 +365,81 @@ EAGER_CONSTRUCT = {
     "ann_hard_negatives_probe_only",
     # the feature-matrix localCheckpoint + GD fit run at construction
     "quality_pr_sweep",
+    # index is write-if-missing: only the first (non-median) repeat pays
+    # the build — the median measures the per-batch mining probe alone
+    "contrastive_triplets_probe_only",
+    # seed+delta+fold are write-if-missing (a _FOLDED marker gates):
+    # only the first repeat pays the lifecycle — the median measures
+    # the post-compaction batch probe alone (steady-state serving)
+    "ivf_compact_probe_only",
 }
+
+
+def _drift_bridge(cur_probe: dict, cur_totals: dict) -> dict:
+    """Automate the round-over-round drift bridge: read the PREVIOUS
+    round's BENCH_r*.json (the driver records bench stdout's tail as a
+    string — possibly front-truncated, so the probe block and totals are
+    regex-extracted, never json.loads'd wholesale), match drift probes
+    by source md5 (byte-identical code => the sec ratio IS host drift),
+    and emit:
+
+      drift_vs_prev        median(cur_sec / prev_sec) over matched probes
+      drift_probes_matched how many of the probes were byte-identical
+      value*_bridged       (cur_total / prev_total) / drift per group —
+                           the host-drift-corrected round-over-round
+                           ratio (1.0 = flat, <1 = real win)
+
+    All-None when no prior BENCH record exists or nothing matched."""
+    import glob
+    import re
+
+    out: dict = {"drift_vs_prev": None, "drift_probes_matched": 0}
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r0*(\d+)", p).group(1)),
+    )
+    if not files:
+        return out
+    try:
+        rec = json.load(open(files[-1]))
+        tail = rec.get("tail") or ""
+    except (json.JSONDecodeError, OSError):
+        return out
+    # same-SF guard: a prev record at a different scale factor would
+    # "bridge" the SF difference as host drift — refuse, don't mislead
+    sm = re.search(r'"sf":\s*([0-9.]+)', tail)
+    cur_sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    if sm and cur_sf.replace(".", "").isdigit():
+        if float(sm.group(1)) != float(cur_sf):
+            return out
+    m = re.search(r'"drift_probe":\s*(\{(?:[^{}]|\{[^{}]*\})*\})', tail)
+    if not m:
+        return out
+    try:
+        prev_probe = json.loads(m.group(1))
+    except json.JSONDecodeError:
+        return out
+    ratios = []
+    for name, cur in cur_probe.items():
+        prev = prev_probe.get(name)
+        if prev and prev.get("md5") == cur["md5"] and prev.get("sec"):
+            ratios.append(cur["sec"] / prev["sec"])
+    if not ratios:
+        return out
+    drift = statistics.median(ratios)
+    out["drift_vs_prev"] = round(drift, 3)
+    out["drift_probes_matched"] = len(ratios)
+    for key, cur_total in cur_totals.items():
+        # anchored match: "value": or "value_vN": exactly (never _norm)
+        pm = re.search(rf'"{key}":\s*([0-9.]+)', tail)
+        if pm and drift:
+            prev_total = float(pm.group(1))
+            if prev_total:
+                out[f"{key}_bridged"] = round(
+                    (cur_total / prev_total) / drift, 3
+                )
+    return out
 
 
 def main() -> None:
@@ -442,10 +524,11 @@ def main() -> None:
     timings_v4 = run_group(HEADLINE_V4)
     timings_v5 = run_group(HEADLINE_V5)
     timings_v6 = run_group(HEADLINE_V6)
+    timings_v7 = run_group(HEADLINE_V7)
 
     all_t = {}
     for t in (timings, timings_v2, timings_v3, timings_v4, timings_v5,
-              timings_v6):
+              timings_v6, timings_v7):
         all_t.update(t)
     import hashlib
     import inspect
@@ -465,6 +548,17 @@ def main() -> None:
 
     def norm(x: float) -> float:
         return round(x / calib, 3) if calib else 0.0
+
+    cur_totals = {
+        "value": total,
+        "value_v2": round(sum(timings_v2.values()), 3),
+        "value_v3": round(sum(timings_v3.values()), 3),
+        "value_v4": round(sum(timings_v4.values()), 3),
+        "value_v5": round(sum(timings_v5.values()), 3),
+        "value_v6": round(sum(timings_v6.values()), 3),
+        "value_v7": round(sum(timings_v7.values()), 3),
+    }
+    bridge = _drift_bridge(drift_probe, cur_totals)
     # Key order matters: the round driver records only the TAIL of stdout
     # (~2000 chars), and the full record with 90+ per-query timings is
     # longer than that.  The big maps go FIRST and every scalar the driver
@@ -479,29 +573,32 @@ def main() -> None:
                 "queries_v4": timings_v4,
                 "queries_v5": timings_v5,
                 "queries_v6": timings_v6,
+                "queries_v7": timings_v7,
                 "timing_note": "eager-construct queries "
                 + ",".join(sorted(EAGER_CONSTRUCT))
                 + " timed construct+execute; rest execute-only",
+                # prose notes sit BEFORE drift_probe: the tail budget is
+                # spent on the probe block (next round's bridge input)
+                # and the scalars, never on static text
+                "calib_note": "calib = median sec of a fixed synthetic "
+                "no-IO workload (host-speed ruler); value_*_norm = "
+                "value_* / calib.  CAVEAT (measured r8->r9): the no-IO "
+                "ruler over-responds to host load vs IO/shuffle-mixed "
+                "queries — prefer the drift_probe bridge",
+                "bridge_note": "drift_vs_prev = median sec ratio over "
+                "drift probes whose source md5 matches the previous "
+                "round's BENCH record (byte-identical code => host "
+                "drift); value*_bridged = (cur/prev)/drift_vs_prev per "
+                "group — the drift-corrected round-over-round ratio "
+                "(1.0 flat, <1 real win)",
                 "metric": "headline_queries_total_runtime",
                 "unit": "sec",
                 "repeats": repeats,
                 "aggregation": "median",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "calib_note": "calib = median sec of a fixed synthetic "
-                "no-IO workload (host-speed ruler); value_*_norm = "
-                "value_* / calib.  CAVEAT (measured r8->r9): the no-IO "
-                "ruler over-responds to host load vs IO/shuffle-mixed "
-                "queries (calib ratio 0.76 vs 0.92 median raw ratio on "
-                "byte-identical queries) — bridge rounds on drift_probe "
-                "instead: median sec ratio over probes whose md5 "
-                "matches IS the host drift; divide group ratios by it",
                 "drift_probe": drift_probe,
-                "value": total,
-                "value_v2": round(sum(timings_v2.values()), 3),
-                "value_v3": round(sum(timings_v3.values()), 3),
-                "value_v4": round(sum(timings_v4.values()), 3),
-                "value_v5": round(sum(timings_v5.values()), 3),
-                "value_v6": round(sum(timings_v6.values()), 3),
+                **bridge,
+                **cur_totals,
                 "calib": calib,
                 "value_norm": norm(total),
                 "value_v2_norm": norm(sum(timings_v2.values())),
@@ -509,6 +606,7 @@ def main() -> None:
                 "value_v4_norm": norm(sum(timings_v4.values())),
                 "value_v5_norm": norm(sum(timings_v5.values())),
                 "value_v6_norm": norm(sum(timings_v6.values())),
+                "value_v7_norm": norm(sum(timings_v7.values())),
             }
         )
     )

@@ -2283,3 +2283,4 @@ from . import queries_wave6  # noqa: E402,F401
 from . import queries_wave7  # noqa: E402,F401
 from . import queries_wave8  # noqa: E402,F401
 from . import queries_wave9  # noqa: E402,F401
+from . import queries_wave10  # noqa: E402,F401
