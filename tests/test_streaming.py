@@ -1482,3 +1482,75 @@ def test_corpus_ingest_redelivery_is_exactly_once(spark, tmp_path):
     assert sh.filter(F.col("doc_id") == 11).select(
         "ingest_batch"
     ).distinct().count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Streaming PR-sweep split: additive (bucket, label) counts at ingest,
+# the operating-point re-pick as a pure batch query over the store
+# ---------------------------------------------------------------------------
+def test_quality_counts_stream_equals_batch_pr_sweep(spark, tmp_path):
+    """Docs pushed through quality_counts_sink in micro-batches yield a
+    pr_sweep_from_counts table IDENTICAL to the one-shot sweep over the
+    full frame with the same persisted model (quality_pr_sweep's exact
+    aggregation + micro-rounding) — the drift_counts/psi split applied
+    to the classifier's operating-point monitor."""
+    from variant_load_pipeline_spark.operators import quality as ql
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    model = _fit_model(spark, tmp_path)
+    counts = str(tmp_path / "counts")
+    docs = Q.load(spark, "/root/testdata/sf0.001", "documents")
+    sink = ing.quality_counts_sink(spark, model, counts)
+    for i in range(3):
+        sink(docs.filter(F.col("doc_id") % 3 == i), i)
+    got = sorted(
+        tuple(r) for r in ing.pr_sweep_from_counts(spark, counts).collect()
+    )
+
+    # batch twin: score the WHOLE frame with the same persisted weights,
+    # aggregate exactly as the (oracle-gated) quality_pr_sweep does
+    w = ql.read_quality_model(spark, model)
+    s = ql.lr_score(ql.hashed_features(docs), w).select(
+        "score_micro", "label"
+    )
+    thr = spark.range(1, 10).select(
+        (F.col("id") * 100000).cast("long").alias("thr_micro")
+    )
+    hit = F.col("score_micro") >= F.col("thr_micro")
+    pos = F.col("label") == 1
+    ag = (
+        s.crossJoin(F.broadcast(thr))
+        .groupBy("thr_micro")
+        .agg(
+            F.sum(F.when(hit & pos, 1).otherwise(0)).alias("tp"),
+            F.sum(F.when(hit & ~pos, 1).otherwise(0)).alias("fp"),
+            F.sum(F.when(~hit & pos, 1).otherwise(0)).alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    ratio = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.floor(F.lit(1e6) * num / den + F.lit(0.5)).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    want = sorted(
+        tuple(r)
+        for r in ag.select(
+            "thr_micro",
+            tp.cast("long").alias("tp"),
+            fp.cast("long").alias("fp"),
+            fn.cast("long").alias("fn"),
+            ratio(tp, tp + fp).alias("precision_micro"),
+            ratio(tp, tp + fn).alias("recall_micro"),
+            ratio(2 * tp, 2 * tp + fp + fn).alias("f1_micro"),
+        ).collect()
+    )
+    assert got == want and len(got) == 9
+    # the sweep actually discriminates (not all-keep / all-drop rows)
+    assert len({(r[1], r[2], r[3]) for r in got}) > 1
+
+    # redelivery: replaying a batch overwrites its own count partition —
+    # the accumulated sweep is unchanged
+    sink(docs.filter(F.col("doc_id") % 3 == 1), 1)
+    again = sorted(
+        tuple(r) for r in ing.pr_sweep_from_counts(spark, counts).collect()
+    )
+    assert again == got

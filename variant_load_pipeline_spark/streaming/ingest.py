@@ -513,6 +513,107 @@ def psi_from_counts(spark, counts_path: str, n_bins: int = 10) -> DataFrame:
     ).agg(F.sum("term_micro").cast("long").alias("psi_micro"))
 
 
+def quality_counts_sink(
+    spark,
+    model_path: str,
+    counts_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Operating-point-monitor-at-ingest — the drift_counts_sink split
+    applied to the classifier's PR sweep: each arriving micro-batch is
+    scored with the PERSISTED model (read_quality_model; labels = the
+    curated-source membership hashed_features derives) and reduced to at
+    most 20 ADDITIVE cells — (score decile bucket, label) counts —
+    appended as the batch's own idempotent ``ingest_batch=<id>``
+    partition (redelivery overwrites, never double-counts; a doc's
+    (bucket, label) depends only on its text and the frozen model, so a
+    replay cannot move a count either).
+
+    The expensive sweep never runs in the hot ingest path:
+    ``pr_sweep_from_counts`` re-picks the operating point from the
+    accumulated store whenever curation wants to re-cut the corpus —
+    exactly the additive-state-on-the-stream / analytics-on-the-store
+    split of drift_counts_sink + psi_from_counts.
+
+    Bucket b holds scores in [b*1e5, (b+1)*1e5) with the top bucket
+    closed at 1e6, so a threshold t*1e5 (t = 1..9, quality_pr_sweep's
+    grid) is hit by exactly the buckets >= t — the cumulative sums
+    reconstruct tp/fp/fn without per-doc state.
+    """
+    from ..operators.quality import (
+        hashed_features,
+        lr_score,
+        read_quality_model,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        w = read_quality_model(spark, model_path)
+        x = hashed_features(batch_df, text_col=text_col, id_col=id_col)
+        counts = (
+            lr_score(x, w)
+            .select(
+                F.least(
+                    F.floor(F.col("score_micro") / 100_000), F.lit(9)
+                )
+                .cast("int")
+                .alias("bucket"),
+                F.col("label").cast("int").alias("label"),
+            )
+            .groupBy("bucket", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        counts.write.mode("overwrite").parquet(
+            f"{counts_path}/ingest_batch={batch_id}"
+        )
+
+    return sink
+
+
+def pr_sweep_from_counts(spark, counts_path: str) -> DataFrame:
+    """Precision / recall / F1 at the nine sigmoid thresholds from the
+    accumulated (bucket, label) count store — identical math and
+    micro-rounding to the quality_pr_sweep batch query (its oracle gates
+    the arithmetic), but over counts that arrived incrementally across
+    any number of micro-batches.  The store is <= 20 rows however large
+    the corpus grows; the sweep is a 20 x 9 broadcast fan-out + one
+    conditional aggregation — O(1) in corpus size, which is the whole
+    point of the split."""
+    cnt = (
+        spark.read.option("basePath", counts_path)
+        .parquet(counts_path)
+        .groupBy("bucket", "label")
+        .agg(F.sum("c").alias("c"))
+    )
+    thr = spark.range(1, 10).select(
+        (F.col("id") * 100_000).cast("long").alias("thr_micro")
+    )
+    hit = F.col("bucket") * 100_000 >= F.col("thr_micro")
+    pos = F.col("label") == 1
+    ag = (
+        cnt.crossJoin(F.broadcast(thr))
+        .groupBy("thr_micro")
+        .agg(
+            F.sum(F.when(hit & pos, F.col("c")).otherwise(0)).alias("tp"),
+            F.sum(F.when(hit & ~pos, F.col("c")).otherwise(0)).alias("fp"),
+            F.sum(F.when(~hit & pos, F.col("c")).otherwise(0)).alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    ratio = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.floor(F.lit(1e6) * num / den + F.lit(0.5)).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    return ag.select(
+        "thr_micro",
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        ratio(tp, tp + fp).alias("precision_micro"),
+        ratio(tp, tp + fn).alias("recall_micro"),
+        ratio(2 * tp, 2 * tp + fp + fn).alias("f1_micro"),
+    )
+
+
 def compact_lsh_index(spark, index_path: str, upto_batch_id: int) -> int:
     """Fold batch index partitions 0..upto_batch_id plus every existing
     seed generation (``ingest_batch<0``) into ONE fresh seed generation —
