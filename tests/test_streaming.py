@@ -1554,3 +1554,59 @@ def test_quality_counts_stream_equals_batch_pr_sweep(spark, tmp_path):
         tuple(r) for r in ing.pr_sweep_from_counts(spark, counts).collect()
     )
     assert again == got
+
+
+def test_corpus_ingest_chains_epoch_manifest(spark, tmp_path):
+    """The fourth sink chained into the composed door: survivors'
+    manifest rows emit in the SAME batch, and the accumulated manifest
+    equals epoch_manifest_sink applied to the kept batches directly —
+    an accepted doc enters the training order the moment it clears the
+    gates, and a replayed batch moves nothing."""
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    idx = str(tmp_path / "idx")
+    kept = str(tmp_path / "kept")
+    man = str(tmp_path / "man")
+    ing.seed_lsh_ingest(_doc(spark, 1, _BASE_WORDS[0]), idx)
+    sink = ing.corpus_ingest_sink(
+        spark, idx, kept, manifest_path=man, epochs=2, shards=4
+    )
+    near_seed = _BASE_WORDS[0].replace("echo", "reverb")
+    sink(
+        spark.createDataFrame(
+            [(10, near_seed), (11, _BASE_WORDS[1])],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    sink(_doc(spark, 21, _BASE_WORDS[2]), 1)
+    got = _manifest_global_order(man)
+    # only survivors (11, 21) appear — never the rejected doc 10 — and
+    # wherever both share a (epoch, shard) group, batch-0's doc trains
+    # before batch-1's
+    assert got
+    all_ids = {d for v in got.values() for d in v}
+    assert all_ids == {11, 21}
+    for v in got.values():
+        if 11 in v and 21 in v:
+            assert v.index(11) < v.index(21)
+    man2 = str(tmp_path / "man2")
+    solo = ing.epoch_manifest_sink(spark, man2, epochs=2, shards=4)
+    for i, ids in enumerate([[11], [21]]):
+        solo(
+            ing.read_kept(spark, kept).filter(
+                F.col("doc_id").isin(ids)
+            ).select("doc_id", "text"),
+            i,
+        )
+    assert _manifest_global_order(man) == _manifest_global_order(man2)
+
+    # redelivery: replaying batch 0 overwrites its own manifest slot
+    sink(
+        spark.createDataFrame(
+            [(10, near_seed), (11, _BASE_WORDS[1])],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    assert _manifest_global_order(man) == _manifest_global_order(man2)

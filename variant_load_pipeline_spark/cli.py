@@ -646,7 +646,8 @@ def _corpus_ingest(spark, args) -> None:
     with read_kept).  --seed-docs seeds the LSH index first
     (seed_lsh_ingest) when the index does not exist yet.  Gates whose
     artifact path is omitted are skipped — the solo sinks' semantics,
-    composed."""
+    composed.  --manifest chains epoch-manifest emission (--epochs /
+    --shards): survivors enter the training order in the same batch."""
     from .streaming.ingest import corpus_ingest_sink, seed_lsh_ingest
 
     if not args.index:
@@ -670,6 +671,9 @@ def _corpus_ingest(spark, args) -> None:
             if args.threshold_micro is not None
             else 500_000
         ),
+        manifest_path=args.manifest,
+        epochs=args.epochs if args.epochs is not None else 3,
+        shards=args.shards if args.shards is not None else 8,
     )
     ckpt = args.checkpoint or f"{args.out}_checkpoint"
     q = (

@@ -296,6 +296,9 @@ def corpus_ingest_sink(
     shingle_k: int = 3,
     threshold: float = 0.8,
     gram_k: int = 4,
+    manifest_path: str | None = None,
+    epochs: int = 3,
+    shards: int = 8,
 ):
     """The COMPOSED production ingest door: all three streaming gates —
     decontamination, quality, LSH near-dup — run over each micro-batch
@@ -328,6 +331,12 @@ def corpus_ingest_sink(
     degrades to the solo ones); equivalence with the composed BATCH
     chain (decontaminate-clean ∧ quality-keep ∧ dedup-keep) is pinned
     by test.  Operable via the ``CorpusIngest`` CLI tool.
+
+    ``manifest_path`` chains the fourth sink: survivors' epoch-manifest
+    rows (epoch_manifest_sink — idempotent, order-preserving) emit in
+    the same batch, so an accepted doc enters the TRAINING ORDER the
+    moment it clears the door — ingest-to-training-order end to end
+    under one checkpoint.
 
     Use::
 
@@ -425,6 +434,14 @@ def corpus_ingest_sink(
         sh.select(id_col, "sh").write.mode("overwrite").parquet(
             f"{index_path}/shingles/ingest_batch={batch_id}"
         )
+        # the fourth sink, chained: survivors enter the training order
+        # in the same batch (keep is already checkpointed — the
+        # manifest derivation never replays the gates)
+        if manifest_path is not None:
+            epoch_manifest_sink(
+                spark, manifest_path, epochs=epochs, shards=shards,
+                id_col=id_col,
+            )(keep, batch_id)
 
     return sink
 
