@@ -1610,3 +1610,118 @@ def test_corpus_ingest_chains_epoch_manifest(spark, tmp_path):
         0,
     )
     assert _manifest_global_order(man) == _manifest_global_order(man2)
+
+
+# ---------------------------------------------------------------------------
+# Tiered (O(delta)) generation folds: compact only the committed batches
+# ---------------------------------------------------------------------------
+def _tree_md5s(root):
+    import hashlib
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, root)] = hashlib.md5(
+                    fh.read()
+                ).hexdigest()
+    return out
+
+
+def test_lsh_tier_fold_leaves_generations_untouched(spark, tmp_path):
+    """mode='tier': a fold touches ONLY the committed batch partitions —
+    every existing generation's files stay byte-identical (O(delta)
+    maintenance), matching is unchanged, and a later mode='full' fold
+    collapses the accumulated generations to one."""
+    import os
+
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    idx = str(tmp_path / "idx")
+    kept = str(tmp_path / "kept")
+    ing.seed_lsh_ingest(_doc(spark, 1, _BASE_WORDS[0]), idx)
+    sink = ing.lsh_ingest_sink(spark, idx, kept, threshold=0.8)
+    sink(_doc(spark, 11, _BASE_WORDS[1]), 0)
+
+    seed_bands = f"{idx}/bands/ingest_batch=-1"
+    seed_sh = f"{idx}/shingles/ingest_batch=-1"
+    before_b, before_s = _tree_md5s(seed_bands), _tree_md5s(seed_sh)
+
+    assert ing.compact_lsh_index(spark, idx, 0, mode="tier") == 1
+    # the seed generation was not rewritten, moved, or touched
+    assert _tree_md5s(seed_bands) == before_b
+    assert _tree_md5s(seed_sh) == before_s
+    gens = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{idx}/bands")
+        if d.startswith("ingest_batch=")
+    )
+    assert gens == [-2, -1]  # new generation BESIDE the old one
+
+    # matching unchanged: near-dups of the seed AND the folded batch
+    # both rejected, novel accepted
+    sink(
+        spark.createDataFrame(
+            [
+                (30, _BASE_WORDS[0].replace("echo", "reverb")),
+                (31, _BASE_WORDS[1].replace("gold", "aurum")),
+                (32, _BASE_WORDS[2]),
+            ],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    got = {r["doc_id"] for r in ing.read_kept(spark, kept).collect()}
+    assert got == {11, 32}
+
+    # the periodic full fold collapses generations + the new batch to one
+    assert ing.compact_lsh_index(spark, idx, 1, mode="full") >= 1
+    gens = [
+        d
+        for d in os.listdir(f"{idx}/bands")
+        if d.startswith("ingest_batch=")
+    ]
+    assert len(gens) == 1
+
+
+def test_kept_tier_fold_o_delta_and_full_collapse(spark, tmp_path):
+    """compact_kept mode='tier': committed kept batches fold into a new
+    generation beside the old ones (old files byte-identical); the
+    corpus reads back complete throughout; full mode collapses."""
+    import os
+
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    kept = str(tmp_path / "kept")
+    for i, wid in enumerate([(11, 0), (21, 1), (31, 2)]):
+        _doc(spark, wid[0], _BASE_WORDS[wid[1]]).write.parquet(
+            f"{kept}/ingest_batch={i}"
+        )
+    gens = lambda: sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(kept)
+        if d.startswith("ingest_batch=") and int(d.split("=")[1]) < 0
+    )
+    assert ing.compact_kept(spark, kept, 0, mode="tier") == 1
+    [g1] = gens()
+    gen1 = f"{kept}/ingest_batch={g1}"
+    before = _tree_md5s(gen1)
+    assert before
+    assert ing.compact_kept(spark, kept, 1, mode="tier") == 1
+    # the first generation's files were never touched by the second fold
+    assert len(gens()) == 2
+    assert _tree_md5s(gen1) == before
+    assert sorted(
+        r["doc_id"] for r in ing.read_kept(spark, kept).collect()
+    ) == [11, 21, 31]
+    assert ing.compact_kept(spark, kept, 2, mode="full") >= 1
+    assert len(gens()) == 1 and not any(
+        d.startswith("ingest_batch=")
+        for d in os.listdir(kept)
+        if int(d.split("=")[1]) >= 0
+    )
+    assert sorted(
+        r["doc_id"] for r in ing.read_kept(spark, kept).collect()
+    ) == [11, 21, 31]

@@ -580,7 +580,10 @@ def _corpus_compact(spark, args) -> None:
     probe results identical before/after); --manifest <epoch-manifest
     path> folds streaming manifest batches into one generation with
     training order preserved (compact_epoch_manifest).  --batch-id =
-    highest COMMITTED batch id (the checkpoint contract).  Writes a
+    highest COMMITTED batch id (the checkpoint contract).  --mode tier
+    (index/kept stores) folds ONLY the committed batches into a NEW
+    generation, leaving existing generations untouched — O(delta) per
+    fold, with a periodic --mode full collapse (LSM tiering).  Writes a
     per-store (store, folded) report to --out."""
     from .operators.clustering import compact_ivf_index
     from .streaming.ingest import (
@@ -598,11 +601,16 @@ def _corpus_compact(spark, args) -> None:
             "COMMITTED to the stream checkpoint)"
         )
     upto = args.batch_id
+    mode = args.mode or "full"
     report = []
     if args.index:
-        report.append(("index", compact_lsh_index(spark, args.index, upto)))
+        report.append(
+            ("index", compact_lsh_index(spark, args.index, upto, mode=mode))
+        )
     if args.kept:
-        report.append(("kept", compact_kept(spark, args.kept, upto)))
+        report.append(
+            ("kept", compact_kept(spark, args.kept, upto, mode=mode))
+        )
     if args.ivf:
         report.append(("ivf", compact_ivf_index(spark, args.ivf, upto)))
     if args.manifest:
@@ -847,6 +855,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ivf")
     p.add_argument("--manifest")
     p.add_argument("--grams")
+    p.add_argument("--mode", choices=["full", "tier"])
     p.add_argument("--checkpoint")
     p.add_argument("--threshold-micro", dest="threshold_micro", type=int)
     p.add_argument("--seed-docs", dest="seed_docs")

@@ -631,11 +631,23 @@ def pr_sweep_from_counts(spark, counts_path: str) -> DataFrame:
     )
 
 
-def compact_lsh_index(spark, index_path: str, upto_batch_id: int) -> int:
+def compact_lsh_index(
+    spark, index_path: str, upto_batch_id: int, mode: str = "full"
+) -> int:
     """Fold batch index partitions 0..upto_batch_id plus every existing
     seed generation (``ingest_batch<0``) into ONE fresh seed generation —
     the maintenance job that keeps the ingest index's partition count
     O(1) instead of O(batches).
+
+    ``mode='tier'`` is the O(delta) variant (the compact_ivf_index
+    round-10 stance applied here): fold ONLY the committed batch
+    partitions into a NEW generation and leave every existing generation
+    untouched on disk — each fold costs O(batches-since-last-fold)
+    instead of O(index).  Generations then accumulate O(folds); run a
+    periodic ``mode='full'`` fold when their count matters (the classic
+    LSM tiering split).  Readers are unchanged either way (any
+    ``ingest_batch<0`` partition is a generation; lsh_ingest_sink's
+    ``!= batch_id`` exclusion never skips them).
 
     **Contract: ``upto_batch_id`` must be at or below the last batch id
     COMMITTED to the stream's checkpoint.**  Compaction erases batch
@@ -671,13 +683,19 @@ def compact_lsh_index(spark, index_path: str, upto_batch_id: int) -> int:
     for sub in ("bands", "shingles"):
         folded = max(
             folded,
-            _fold_ingest_partitions(spark, f"{index_path}/{sub}", upto_batch_id),
+            _fold_ingest_partitions(
+                spark, f"{index_path}/{sub}", upto_batch_id, mode=mode
+            ),
         )
     return folded
 
 
 def _fold_ingest_partitions(
-    spark, root: str, upto_batch_id: int, dedup_cols: list[str] | None = None
+    spark,
+    root: str,
+    upto_batch_id: int,
+    dedup_cols: list[str] | None = None,
+    mode: str = "full",
 ) -> int:
     """The generation-fold shared by compact_lsh_index and compact_kept:
     merge every ``ingest_batch=<bid>`` partition under ``root`` with
@@ -687,7 +705,16 @@ def _fold_ingest_partitions(
     ``dedup_cols``, the merged rows dropDuplicates on those columns —
     required when duplicates in the folded store are NOT harmless (the
     kept corpus), making the fold idempotent across a crash during the
-    delete phase.  Returns the number of batch partitions folded."""
+    delete phase.  Returns the number of batch partitions folded.
+
+    ``mode='tier'`` folds ONLY committed BATCH partitions (bid >= 0)
+    into the new generation and leaves existing generations' files
+    untouched — O(delta) per fold, O(folds) generations (LSM tiering);
+    with ``dedup_cols``, duplicates ACROSS generations (crash leftovers)
+    survive a tier fold and are removed by the next 'full' one — the
+    same bounded-staleness window as compact_ivf_index's delete-crash
+    case, so readers needing exactly-once rows in that window
+    dropDuplicates themselves (the compact_kept contract verbatim)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
 
@@ -695,12 +722,16 @@ def _fold_ingest_partitions(
         return jvm.org.apache.hadoop.fs.Path(s)
 
     fs = fs_path(root).getFileSystem(conf)
-    parts, bids = [], []
+    parts, bids, all_gens = [], [], []
     for st in fs.listStatus(fs_path(root)):
         name = st.getPath().getName()
         if not name.startswith("ingest_batch="):
             continue
         bid = int(name.split("=", 1)[1])
+        if bid < 0:
+            all_gens.append(bid)
+        if mode == "tier" and bid < 0:
+            continue  # tier: existing generations stay byte-identical
         if bid < 0 or bid <= upto_batch_id:
             parts.append(name)
             bids.append(bid)
@@ -710,7 +741,9 @@ def _fold_ingest_partitions(
         return 0  # a lone generation is already compact; a lone BATCH
         # partition still folds (it must become a generation, or the
         # redelivery exclusion guard keeps applying to committed rows)
-    new_gen = min([-1] + [b for b in bids if b < 0]) - 1
+    # the new generation id must clear EVERY existing generation, even
+    # the ones a tier fold leaves out of the merge
+    new_gen = min([-1] + all_gens) - 1
     merged = spark.read.parquet(*[f"{root}/{p}" for p in parts])
     if dedup_cols:
         merged = merged.dropDuplicates(dedup_cols)
@@ -734,7 +767,11 @@ def _fold_ingest_partitions(
 
 
 def compact_kept(
-    spark, kept_path: str, upto_batch_id: int, id_col: str = "doc_id"
+    spark,
+    kept_path: str,
+    upto_batch_id: int,
+    id_col: str = "doc_id",
+    mode: str = "full",
 ) -> int:
     """Fold the accepted-corpus partitions (``kept/ingest_batch=<id>``,
     one per micro-batch from lsh_ingest_sink) into one generation — the
@@ -751,9 +788,14 @@ def compact_kept(
     the NEXT fold removes, and readers that need exactly-once rows in
     the crash window can dropDuplicates(id_col) themselves.  read_kept
     is unchanged (generations are just ``ingest_batch<0`` partitions).
+
+    ``mode='tier'``: fold only the committed batches into a new
+    generation, leaving existing generations' files untouched — O(delta)
+    per fold; crash-leftover duplicates across generations survive until
+    the next ``mode='full'`` fold (same reader contract as above).
     """
     return _fold_ingest_partitions(
-        spark, kept_path, upto_batch_id, dedup_cols=[id_col]
+        spark, kept_path, upto_batch_id, dedup_cols=[id_col], mode=mode
     )
 
 
