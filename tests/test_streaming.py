@@ -1725,3 +1725,82 @@ def test_kept_tier_fold_o_delta_and_full_collapse(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in ing.read_kept(spark, kept).collect()
     ) == [11, 21, 31]
+
+
+def test_count_store_compaction_never_double_counts(spark, tmp_path):
+    """Additive count stores fold WITHOUT double counting: rows carry
+    their origin batch id, so (a) the folded sweep equals the pre-fold
+    sweep exactly, and (b) a crash-leftover duplicate partition (a
+    folded batch resurfacing beside the generation) is deduped by the
+    next fold instead of inflating every sum."""
+    import os
+
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    model = _fit_model(spark, tmp_path)
+    counts = str(tmp_path / "counts")
+    docs = Q.load(spark, "/root/testdata/sf0.001", "documents")
+    sink = ing.quality_counts_sink(spark, model, counts)
+    for i in range(3):
+        sink(docs.filter(F.col("doc_id") % 3 == i), i)
+    before = sorted(
+        tuple(r) for r in ing.pr_sweep_from_counts(spark, counts).collect()
+    )
+
+    assert ing.compact_quality_counts(spark, counts, 1, mode="tier") == 2
+    assert sorted(
+        tuple(r) for r in ing.pr_sweep_from_counts(spark, counts).collect()
+    ) == before
+
+    # crash leftover: batch 1's partition resurfaces after it was folded
+    sink(docs.filter(F.col("doc_id") % 3 == 1), 1)
+    # the raw store now double-carries batch 1...
+    raw = (
+        spark.read.option("basePath", counts).parquet(counts)
+        .groupBy().sum("c").collect()[0][0]
+    )
+    folded_total = sum(r[1] + r[3] for r in before if r[0] == 100000)
+    assert raw > folded_total  # duplicates really are present
+    # ...and the next fold removes them exactly
+    assert ing.compact_quality_counts(spark, counts, 2, mode="full") >= 1
+    assert sorted(
+        tuple(r) for r in ing.pr_sweep_from_counts(spark, counts).collect()
+    ) == before
+    assert len(
+        [d for d in os.listdir(counts) if d.startswith("ingest_batch=")]
+    ) == 1
+
+
+def test_drift_count_store_compaction_preserves_psi(spark, tmp_path):
+    """compact_drift_counts folds the PSI monitor's store with origin-id
+    dedup — week-over-week PSI identical before and after."""
+    import datetime as dt
+
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    counts = str(tmp_path / "counts")
+    rows = [
+        ("click", dt.datetime(2024, 1, 1 + 7 * w, 12, 0, 0), float(v))
+        for w in range(2)
+        for v in (10, 60, 110, 160, 210, 260, 60 + 50 * w)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    sink = ing.drift_counts_sink(spark, counts)
+    sink(ev.filter(F.dayofmonth("ts") == 1), 0)
+    sink(ev.filter(F.dayofmonth("ts") != 1), 1)
+    before = sorted(
+        tuple(r) for r in ing.psi_from_counts(spark, counts).collect()
+    )
+    assert before
+    assert ing.compact_drift_counts(spark, counts, 1) == 2
+    assert sorted(
+        tuple(r) for r in ing.psi_from_counts(spark, counts).collect()
+    ) == before
+    # crash leftover resurfaces + refolds to the same PSI
+    sink(ev.filter(F.dayofmonth("ts") != 1), 1)
+    assert ing.compact_drift_counts(spark, counts, 1) >= 1
+    assert sorted(
+        tuple(r) for r in ing.psi_from_counts(spark, counts).collect()
+    ) == before

@@ -476,12 +476,33 @@ def drift_counts_sink(
             )
             .groupBy("event_type", "wk", "bin")
             .agg(F.count(F.lit(1)).alias("c"))
+            # origin batch as DATA so compact_drift_counts can dedup a
+            # crash-leftover duplicate partition instead of double-
+            # counting it (see compact_quality_counts)
+            .withColumn("src_batch", F.lit(int(batch_id)).cast("long"))
         )
         binned.write.mode("overwrite").parquet(
             f"{counts_path}/ingest_batch={batch_id}"
         )
 
     return sink
+
+
+def compact_drift_counts(
+    spark, counts_path: str, upto_batch_id: int, mode: str = "full"
+) -> int:
+    """Fold the drift-monitor count store's committed batch partitions
+    into a generation, deduping crash leftovers on the origin batch key
+    (src_batch, event_type, wk, bin) — see compact_quality_counts for
+    why additive counts need the origin id.  psi_from_counts is
+    unchanged."""
+    return _fold_ingest_partitions(
+        spark,
+        counts_path,
+        upto_batch_id,
+        dedup_cols=["src_batch", "event_type", "wk", "bin"],
+        mode=mode,
+    )
 
 
 def psi_from_counts(spark, counts_path: str, n_bins: int = 10) -> DataFrame:
@@ -579,12 +600,38 @@ def quality_counts_sink(
             )
             .groupBy("bucket", "label")
             .agg(F.count(F.lit(1)).alias("c"))
+            # origin batch as DATA (the epoch_manifest_sink src_batch
+            # trick): counts per (batch, key) are deterministic, so the
+            # compaction fold can dedup crash-leftover duplicates on
+            # (src_batch, keys) instead of double-counting them
+            .withColumn("src_batch", F.lit(int(batch_id)).cast("long"))
         )
         counts.write.mode("overwrite").parquet(
             f"{counts_path}/ingest_batch={batch_id}"
         )
 
     return sink
+
+
+def compact_quality_counts(
+    spark, counts_path: str, upto_batch_id: int, mode: str = "full"
+) -> int:
+    """Fold the PR-sweep count store's committed batch partitions into a
+    generation — additive counts CANNOT ride the plain generation fold
+    (a crash between the rename and the source deletes would leave both
+    copies and every reader would double-count), so rows carry their
+    origin batch id (``src_batch``) and the fold dedups on
+    (src_batch, bucket, label): counts per origin batch are
+    deterministic, duplicate rows are bit-identical, and a re-fold
+    converges to exactly-once sums.  Readers (pr_sweep_from_counts)
+    are unchanged.  ``mode='tier'`` as in compact_lsh_index."""
+    return _fold_ingest_partitions(
+        spark,
+        counts_path,
+        upto_batch_id,
+        dedup_cols=["src_batch", "bucket", "label"],
+        mode=mode,
+    )
 
 
 def pr_sweep_from_counts(spark, counts_path: str) -> DataFrame:
