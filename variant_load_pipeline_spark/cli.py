@@ -583,13 +583,18 @@ def _corpus_compact(spark, args) -> None:
     highest COMMITTED batch id (the checkpoint contract).  --mode tier
     (index/kept stores) folds ONLY the committed batches into a NEW
     generation, leaving existing generations untouched — O(delta) per
-    fold, with a periodic --mode full collapse (LSM tiering).  Writes a
-    per-store (store, folded) report to --out."""
+    fold, with a periodic --mode full collapse (LSM tiering).
+    --quality-counts / --drift-counts fold the additive count stores
+    with origin-batch dedup (compact_quality_counts /
+    compact_drift_counts — crash leftovers can never double-count).
+    Writes a per-store (store, folded) report to --out."""
     from .operators.clustering import compact_ivf_index
     from .streaming.ingest import (
+        compact_drift_counts,
         compact_epoch_manifest,
         compact_kept,
         compact_lsh_index,
+        compact_quality_counts,
     )
 
     # --batch-id is the checkpoint-commit watermark; a silent default
@@ -617,9 +622,28 @@ def _corpus_compact(spark, args) -> None:
         report.append(
             ("manifest", compact_epoch_manifest(spark, args.manifest, upto))
         )
+    if args.quality_counts:
+        report.append(
+            (
+                "quality_counts",
+                compact_quality_counts(
+                    spark, args.quality_counts, upto, mode=mode
+                ),
+            )
+        )
+    if args.drift_counts:
+        report.append(
+            (
+                "drift_counts",
+                compact_drift_counts(
+                    spark, args.drift_counts, upto, mode=mode
+                ),
+            )
+        )
     if not report:
         raise SystemExit(
-            "CorpusCompact needs --index, --kept, --ivf and/or --manifest"
+            "CorpusCompact needs --index, --kept, --ivf, --manifest, "
+            "--quality-counts and/or --drift-counts"
         )
     spark.createDataFrame(
         report, "store string, folded int"
@@ -855,6 +879,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ivf")
     p.add_argument("--manifest")
     p.add_argument("--grams")
+    p.add_argument("--quality-counts", dest="quality_counts")
+    p.add_argument("--drift-counts", dest="drift_counts")
     p.add_argument("--mode", choices=["full", "tier"])
     p.add_argument("--checkpoint")
     p.add_argument("--threshold-micro", dest="threshold_micro", type=int)
