@@ -483,3 +483,44 @@ def test_cdc_resynchronizes_after_insertion(_spark, ws, at):
     # the insertion can split/merge at most the chunk containing the
     # edit plus its successor on each side: bounded, not proportional
     assert changed <= 4, (ws, at, orig, edit)
+
+
+# ---------------------------------------------------------------------------
+# PR-sweep count-store reduction: the bucket <-> threshold equivalence
+# ---------------------------------------------------------------------------
+scores = st.lists(
+    st.tuples(
+        # adversarial score_micro values: exact threshold multiples,
+        # the 0 / 1e6 extremes, and arbitrary interior points
+        st.one_of(
+            st.sampled_from([0, 100_000, 500_000, 900_000, 1_000_000]),
+            st.integers(min_value=0, max_value=1_000_000),
+        ),
+        st.integers(min_value=0, max_value=1),
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(scores)
+def test_pr_sweep_bucket_reduction_is_lossless(pairs):
+    """quality_counts_sink reduces (score_micro, label) rows to 20
+    (decile bucket, label) cells; the reduction must reconstruct
+    tp/fp/fn EXACTLY at every threshold t*1e5 — i.e. bucket >= t iff
+    score >= t*1e5 for all scores in [0, 1e6], including scores landing
+    exactly ON a threshold and the two extremes (the invariant the
+    stream==batch test checks on real data, here pinned adversarially)."""
+    # the sink's reduction
+    cells: dict[tuple[int, int], int] = {}
+    for s, y in pairs:
+        b = min(s // 100_000, 9)
+        cells[(b, y)] = cells.get((b, y), 0) + 1
+    for t in range(1, 10):
+        thr = t * 100_000
+        tp = sum(c for (b, y), c in cells.items() if b >= t and y == 1)
+        fp = sum(c for (b, y), c in cells.items() if b >= t and y == 0)
+        fn = sum(c for (b, y), c in cells.items() if b < t and y == 1)
+        assert tp == sum(1 for s, y in pairs if s >= thr and y == 1)
+        assert fp == sum(1 for s, y in pairs if s >= thr and y == 0)
+        assert fn == sum(1 for s, y in pairs if s < thr and y == 1)
