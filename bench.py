@@ -395,12 +395,16 @@ def _drift_bridge(cur_probe: dict, cur_totals: dict) -> dict:
 
     out: dict = {"drift_vs_prev": None, "drift_probes_matched": 0}
     here = os.path.dirname(os.path.abspath(__file__))
-    files = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r0*(\d+)", p).group(1)),
-    )
-    if not files:
+    # keep only names the sort key can parse — a stray BENCH_rerun.json
+    # must degrade to "no prior record", never crash the emission
+    matched = [
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r0*(\d+)\.json$", p))
+    ]
+    if not matched:
         return out
+    files = [p for _, p in sorted(matched)]
     try:
         rec = json.load(open(files[-1]))
         tail = rec.get("tail") or ""

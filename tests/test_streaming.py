@@ -1761,7 +1761,12 @@ def test_count_store_compaction_never_double_counts(spark, tmp_path):
     )
     folded_total = sum(r[1] + r[3] for r in before if r[0] == 100000)
     assert raw > folded_total  # duplicates really are present
-    # ...and the next fold removes them exactly
+    # ...the READER is already exactly-once inside the crash window
+    # (dedup on (src_batch, keys) — duplicate rows are bit-identical)...
+    assert sorted(
+        tuple(r) for r in ing.pr_sweep_from_counts(spark, counts).collect()
+    ) == before
+    # ...and the next fold removes them from disk exactly
     assert ing.compact_quality_counts(spark, counts, 2, mode="full") >= 1
     assert sorted(
         tuple(r) for r in ing.pr_sweep_from_counts(spark, counts).collect()

@@ -441,7 +441,13 @@ def _polyphen_loader2(spark, args) -> None:
     if args.existing:
         rows = insert_if_not_exists(rows, _read(spark, args.existing), ten_key)
     sample_id = args.sample_id if args.sample_id is not None else 0
-    rows = rows.withColumn("sample_id", F.lit(sample_id))
+    # eager checkpoint: the plan is consumed twice (polyphen write, K5
+    # updates) — without it the window-heavy pairing re-executes, and
+    # an --existing pointing INSIDE --out (the reference's probe-the-
+    # table-you-insert-into shape) would be overwritten mid-lineage
+    rows = rows.withColumn(
+        "sample_id", F.lit(sample_id)
+    ).localCheckpoint(eager=True)
 
     old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -685,7 +691,15 @@ def _corpus_ingest(spark, args) -> None:
     if not args.index:
         raise SystemExit("CorpusIngest needs --index <lsh index path>")
     if args.seed_docs:
-        seed_lsh_ingest(_read(spark, args.seed_docs), args.index)
+        # seed only a MISSING index: re-running the same command to
+        # resume the checkpointed stream after a compaction folded the
+        # seed partition must not re-create it beside the generation
+        # (duplicate bands/shingles growing per resume/compact cycle)
+        hp = spark._jvm.org.apache.hadoop.fs.Path(f"{args.index}/bands")
+        if not hp.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        ).exists(hp):
+            seed_lsh_ingest(_read(spark, args.seed_docs), args.index)
     schema = spark.read.parquet(args.docs).schema
     stream = (
         spark.readStream.schema(schema)
@@ -703,6 +717,11 @@ def _corpus_ingest(spark, args) -> None:
             if args.threshold_micro is not None
             else 500_000
         ),
+        # --k must match the CorpusBenchIndex build, or the gram
+        # equi-join silently matches nothing; --threshold = LSH jaccard
+        # (the CorpusDedup knob)
+        gram_k=args.k if args.k is not None else 4,
+        threshold=args.threshold if args.threshold is not None else 0.8,
         manifest_path=args.manifest,
         epochs=args.epochs if args.epochs is not None else 3,
         shards=args.shards if args.shards is not None else 8,

@@ -185,7 +185,17 @@ def ivf_compact_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine
 
     e = load(spark, sf_dir, "embeddings")
-    path = _salted_ivf_path(spark, sf_dir, "ivf_compact_ro")
+    # the build RECIPE (seed/delta split, batch id, fold args) lives in
+    # this function, not the clustering module — salt with this source
+    # too, or editing the recipe would keep serving the stale fold
+    path = _salted_ivf_path(
+        spark,
+        sf_dir,
+        "ivf_compact_ro",
+        hashlib.md5(
+            inspect.getsource(ivf_compact_probe_only).encode()
+        ).hexdigest()[:10],
+    )
     # the _FOLDED marker is written only after the whole build-append-
     # fold chain completed, so a crash mid-build rebuilds from scratch
     fs, marker = _fs(spark, f"{path}/_FOLDED")

@@ -494,8 +494,10 @@ def compact_drift_counts(
     """Fold the drift-monitor count store's committed batch partitions
     into a generation, deduping crash leftovers on the origin batch key
     (src_batch, event_type, wk, bin) — see compact_quality_counts for
-    why additive counts need the origin id.  psi_from_counts is
-    unchanged."""
+    why additive counts need the origin id (and for the loud
+    src_batch-presence guard).  psi_from_counts applies the same
+    reader-side dedup."""
+    _require_src_batch(spark, counts_path)
     return _fold_ingest_partitions(
         spark,
         counts_path,
@@ -512,12 +514,12 @@ def psi_from_counts(spark, counts_path: str, n_bins: int = 10) -> DataFrame:
     incrementally across any number of micro-batches."""
     from pyspark.sql.window import Window as W
 
-    cnt = (
-        spark.read.option("basePath", counts_path)
-        .parquet(counts_path)
-        .groupBy("event_type", "wk", "bin")
-        .agg(F.sum("c").alias("c"))
-    )
+    raw = spark.read.option("basePath", counts_path).parquet(counts_path)
+    # reader-side exactly-once under compaction-crash leftovers (see
+    # pr_sweep_from_counts): identical rows per origin batch dedup away
+    if "src_batch" in raw.columns:
+        raw = raw.dropDuplicates(["src_batch", "event_type", "wk", "bin"])
+    cnt = raw.groupBy("event_type", "wk", "bin").agg(F.sum("c").alias("c"))
     weeks = cnt.select("event_type", "wk").distinct()
     spine = weeks.select(
         "event_type", "wk",
@@ -624,7 +626,12 @@ def compact_quality_counts(
     (src_batch, bucket, label): counts per origin batch are
     deterministic, duplicate rows are bit-identical, and a re-fold
     converges to exactly-once sums.  Readers (pr_sweep_from_counts)
-    are unchanged.  ``mode='tier'`` as in compact_lsh_index."""
+    apply the same (src_batch, keys) dedup, so even the crash WINDOW
+    (both copies on disk) reads exactly-once.  ``mode='tier'`` as in
+    compact_lsh_index.  Requires a store whose rows carry ``src_batch``
+    (every partition this repo's sinks write does; a store missing the
+    column fails loudly here rather than folding wrong)."""
+    _require_src_batch(spark, counts_path)
     return _fold_ingest_partitions(
         spark,
         counts_path,
@@ -632,6 +639,17 @@ def compact_quality_counts(
         dedup_cols=["src_batch", "bucket", "label"],
         mode=mode,
     )
+
+
+def _require_src_batch(spark, counts_path: str) -> None:
+    if "src_batch" not in spark.read.option(
+        "basePath", counts_path
+    ).parquet(counts_path).columns:
+        raise ValueError(
+            f"count store at {counts_path} lacks the src_batch column "
+            "(written by a pre-src_batch sink?) — folding it would "
+            "collapse distinct batches' counts; rewrite the store first"
+        )
 
 
 def pr_sweep_from_counts(spark, counts_path: str) -> DataFrame:
@@ -643,12 +661,16 @@ def pr_sweep_from_counts(spark, counts_path: str) -> DataFrame:
     the corpus grows; the sweep is a 20 x 9 broadcast fan-out + one
     conditional aggregation — O(1) in corpus size, which is the whole
     point of the split."""
-    cnt = (
-        spark.read.option("basePath", counts_path)
-        .parquet(counts_path)
-        .groupBy("bucket", "label")
-        .agg(F.sum("c").alias("c"))
-    )
+    raw = spark.read.option("basePath", counts_path).parquet(counts_path)
+    # reader-side exactly-once: a compaction crash can leave a folded
+    # batch's rows in BOTH the generation and its original partition;
+    # rows are bit-identical per origin batch, so deduping on
+    # (src_batch, keys) reads correct sums even inside that window
+    # (sinks written before src_batch existed lack the column — fall
+    # back to raw, matching their pre-compaction-era behavior)
+    if "src_batch" in raw.columns:
+        raw = raw.dropDuplicates(["src_batch", "bucket", "label"])
+    cnt = raw.groupBy("bucket", "label").agg(F.sum("c").alias("c"))
     thr = spark.range(1, 10).select(
         (F.col("id") * 100_000).cast("long").alias("thr_micro")
     )
