@@ -266,6 +266,10 @@ DRIFT_PROBES = [
     "dup_span_removal",         # gram join + rewrite
     "quality_lr_apply_persisted",  # ML chain + persisted model
     "ivf_list_skew_report",     # tiny IVF monitor (fixed-cost floor)
+    # round-10 widening (no r9 match; bridges r10 -> r11 onward):
+    "lsh_match_probe_only",     # persisted-index probe (v5 family)
+    "ann_hard_negatives_probe_only",  # IVF probe + mine (v6 family)
+    "sequence_packing_tokens",  # BPE encode + window packing (v6)
 ]
 
 

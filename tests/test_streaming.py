@@ -1809,3 +1809,49 @@ def test_drift_count_store_compaction_preserves_psi(spark, tmp_path):
     assert sorted(
         tuple(r) for r in ing.psi_from_counts(spark, counts).collect()
     ) == before
+
+
+def test_epoch_manifest_tier_fold_preserves_order(spark, tmp_path):
+    """compact_epoch_manifest mode='tier': committed batches fold into a
+    NEW ascending generation — existing generations' files stay
+    byte-identical (O(delta) maintenance) AND the global training order
+    is bit-for-bit the pre-fold order, across tier folds, interleaved
+    full folds, and the final collapse."""
+    import os
+
+    from variant_load_pipeline_spark import queries as Q
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    man = str(tmp_path / "man")
+    docs = Q.load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).limit(60)
+    sink = ing.epoch_manifest_sink(spark, man, epochs=2, shards=4)
+    for i in range(4):
+        sink(docs.filter(F.col("doc_id") % 4 == i), i)
+    before = _manifest_global_order(man)
+    assert before
+
+    gens = lambda: sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(man)
+        if d.startswith("ingest_batch=") and int(d.split("=")[1]) < 0
+    )
+    # tier fold #1: batches 0-1 -> one ascending generation
+    assert ing.compact_epoch_manifest(spark, man, 1, mode="tier") == 2
+    [g1] = gens()
+    g1_files = _tree_md5s(f"{man}/ingest_batch={g1}")
+    assert _manifest_global_order(man) == before
+    # tier fold #2: batches 2-3 -> a LATER generation; g1 untouched
+    assert ing.compact_epoch_manifest(spark, man, 3, mode="tier") == 2
+    assert gens() == [g1, g1 + 1]
+    assert _tree_md5s(f"{man}/ingest_batch={g1}") == g1_files
+    assert _manifest_global_order(man) == before
+    # full collapse: one deep generation, order STILL bit-identical
+    ing.compact_epoch_manifest(spark, man, 99, mode="full")
+    assert len(gens()) == 1 and gens()[0] < g1
+    assert _manifest_global_order(man) == before
+    # a tier fold AFTER the full collapse reuses the freed range
+    sink(docs.filter(F.col("doc_id") % 4 == 0), 4)
+    assert ing.compact_epoch_manifest(spark, man, 4, mode="tier") == 1
+    assert len(gens()) == 2 and max(gens()) > min(gens())

@@ -922,8 +922,11 @@ def epoch_manifest_sink(
     return sink
 
 
+_MANIFEST_TIER_BASE = -(1 << 20)
+
+
 def compact_epoch_manifest(
-    spark, manifest_path: str, upto_batch_id: int
+    spark, manifest_path: str, upto_batch_id: int, mode: str = "full"
 ) -> int:
     """Fold committed streaming-manifest batch partitions
     (``ingest_batch=<id>``, one per micro-batch from
@@ -944,9 +947,23 @@ def compact_epoch_manifest(
 
     **Same checkpoint contract as the other folds**: ``upto_batch_id``
     must be committed — a folded batch redelivered afterwards would
-    re-append its rows as a fresh partition; the next fold's
+    re-append its rows as a fresh partition; the next FULL fold's
     (epoch, shard, doc_id) dedup removes them (keeping the smallest
     src_batch, so order converges deterministically).
+
+    ``mode='tier'`` is the O(delta) variant: fold ONLY the committed
+    batch partitions, leaving existing generations' files untouched.
+    Because a generation's PARTITION id position IS its place in the
+    training order, tier generations allocate ASCENDING from a deep
+    base (max(existing)+1, starting at -2^20) — each fold's id sorts
+    after every earlier generation and before all live batches, so the
+    global (generation asc, then src_batch/hv/doc_id) order is exactly
+    the pre-fold order.  Full folds keep allocating DESCENDING below
+    everything (min-1), so the two modes interleave safely.  A folded
+    batch resurfacing after a crash and tier-folded again duplicates
+    its rows across generations until the next 'full' fold dedups —
+    readers needing exactly-once rows in that window dropDuplicates
+    (epoch, shard, doc_id), the compact_kept contract.
 
     Crash-safe: temp write (dot-prefixed) -> rename to the new
     generation -> delete folded partitions last; rename failure aborts
@@ -960,12 +977,16 @@ def compact_epoch_manifest(
         return jvm.org.apache.hadoop.fs.Path(s)
 
     fs = fs_path(manifest_path).getFileSystem(conf)
-    parts, bids = [], []
+    parts, bids, all_gens = [], [], []
     for st in fs.listStatus(fs_path(manifest_path)):
         name = st.getPath().getName()
         if not name.startswith("ingest_batch="):
             continue
         bid = int(name.split("=", 1)[1])
+        if bid < 0:
+            all_gens.append(bid)
+        if mode == "tier" and bid < 0:
+            continue  # tier: existing generations stay byte-identical
         if bid < 0 or bid <= upto_batch_id:
             parts.append(name)
             bids.append(bid)
@@ -988,7 +1009,24 @@ def compact_epoch_manifest(
         .partitionBy("epoch", "shard")
         .parquet(tmp)
     )
-    new_gen = min([-1] + [b for b in bids if b < 0]) - 1
+    if mode == "tier":
+        # ascending from the deep base: sorts AFTER every existing
+        # generation, BEFORE all live batches — training order intact
+        new_gen = (
+            max(all_gens) + 1 if all_gens else _MANIFEST_TIER_BASE
+        )
+        if new_gen >= 0:
+            raise ValueError(
+                "manifest tier-generation id space exhausted "
+                f"(next would be {new_gen}); run a mode='full' fold"
+            )
+    else:
+        # full folds allocate BELOW the tier base, so after a full
+        # collapse the entire (base, 0) range is free again for ~2^20
+        # tier folds — the two modes interleave without exhaustion
+        new_gen = min(
+            _MANIFEST_TIER_BASE - 1, min([-1] + all_gens) - 1
+        )
     dest = f"{manifest_path}/ingest_batch={new_gen}"
     if not fs.rename(fs_path(tmp), fs_path(dest)):
         raise IOError(
