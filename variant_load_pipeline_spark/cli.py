@@ -587,9 +587,10 @@ def _corpus_compact(spark, args) -> None:
     path> folds streaming manifest batches into one generation with
     training order preserved (compact_epoch_manifest).  --batch-id =
     highest COMMITTED batch id (the checkpoint contract).  --mode tier
-    (index/kept stores) folds ONLY the committed batches into a NEW
-    generation, leaving existing generations untouched — O(delta) per
-    fold, with a periodic --mode full collapse (LSM tiering).
+    (index/kept/manifest/count stores) folds ONLY the committed batches
+    into a NEW generation, leaving existing generations untouched —
+    O(delta) per fold, with a periodic --mode full collapse (LSM
+    tiering; the manifest variant keeps training order bit-for-bit).
     --quality-counts / --drift-counts fold the additive count stores
     with origin-batch dedup (compact_quality_counts /
     compact_drift_counts — crash leftovers can never double-count).
@@ -626,7 +627,10 @@ def _corpus_compact(spark, args) -> None:
         report.append(("ivf", compact_ivf_index(spark, args.ivf, upto)))
     if args.manifest:
         report.append(
-            ("manifest", compact_epoch_manifest(spark, args.manifest, upto))
+            (
+                "manifest",
+                compact_epoch_manifest(spark, args.manifest, upto, mode=mode),
+            )
         )
     if args.quality_counts:
         report.append(
