@@ -817,9 +817,20 @@ def _fold_ingest_partitions(
     if dedup_cols:
         merged = merged.dropDuplicates(dedup_cols)
     tmp = f"{root}/.compact_tmp"
-    merged.coalesce(
-        max(1, spark.sparkContext.defaultParallelism // 4)
-    ).write.mode("overwrite").parquet(tmp)
+    # size the generation's file count by INPUT volume (~quarter the
+    # folded file count, capped at cluster parallelism) — a fixed
+    # parallelism//4 cap packs a 100 TB corpus fold into ~8 files;
+    # micro-batch folds still collapse their many tiny files
+    n_files = sum(
+        1
+        for p in parts
+        for f in fs.listStatus(fs_path(f"{root}/{p}"))
+        if f.getPath().getName().endswith(".parquet")
+    )
+    n_out = max(
+        1, min(n_files // 4 + 1, spark.sparkContext.defaultParallelism)
+    )
+    merged.coalesce(n_out).write.mode("overwrite").parquet(tmp)
     # Hadoop FileSystem.rename signals failure by returning false, not
     # by throwing; falling through to the deletes would destroy the
     # only copy of the folded partitions.  Abort BEFORE any delete —
