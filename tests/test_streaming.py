@@ -1851,7 +1851,14 @@ def test_epoch_manifest_tier_fold_preserves_order(spark, tmp_path):
     ing.compact_epoch_manifest(spark, man, 99, mode="full")
     assert len(gens()) == 1 and gens()[0] < g1
     assert _manifest_global_order(man) == before
-    # a tier fold AFTER the full collapse reuses the freed range
+    # a tier fold AFTER the full collapse reuses the freed range AND
+    # appends batch 4's rows at the end of each group in order: batch 4
+    # re-sinks batch 0's docs, so per group the expected tail is that
+    # group's %4==0 subsequence, in its original relative order
     sink(docs.filter(F.col("doc_id") % 4 == 0), 4)
     assert ing.compact_epoch_manifest(spark, man, 4, mode="tier") == 1
     assert len(gens()) == 2 and max(gens()) > min(gens())
+    expected = {
+        g: v + [d for d in v if d % 4 == 0] for g, v in before.items()
+    }
+    assert _manifest_global_order(man) == expected

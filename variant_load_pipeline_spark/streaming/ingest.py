@@ -759,6 +759,32 @@ def compact_lsh_index(
     return folded
 
 
+def _list_ingest_partitions(
+    fs, fs_path, root: str, upto_batch_id: int, mode: str
+) -> tuple[list[str], list[int], list[int]]:
+    """Shared partition listing for every generation fold: returns
+    (foldable partition names, their batch ids, ALL generation ids —
+    including the ones a tier fold leaves untouched).  Validates
+    ``mode`` here so every fold rejects a typo loudly instead of
+    silently running the expensive full path."""
+    if mode not in ("full", "tier"):
+        raise ValueError(f"mode must be 'full' or 'tier', got {mode!r}")
+    parts, bids, all_gens = [], [], []
+    for st in fs.listStatus(fs_path(root)):
+        name = st.getPath().getName()
+        if not name.startswith("ingest_batch="):
+            continue
+        bid = int(name.split("=", 1)[1])
+        if bid < 0:
+            all_gens.append(bid)
+        if mode == "tier" and bid < 0:
+            continue  # tier: existing generations stay byte-identical
+        if bid < 0 or bid <= upto_batch_id:
+            parts.append(name)
+            bids.append(bid)
+    return parts, bids, all_gens
+
+
 def _fold_ingest_partitions(
     spark,
     root: str,
@@ -791,19 +817,9 @@ def _fold_ingest_partitions(
         return jvm.org.apache.hadoop.fs.Path(s)
 
     fs = fs_path(root).getFileSystem(conf)
-    parts, bids, all_gens = [], [], []
-    for st in fs.listStatus(fs_path(root)):
-        name = st.getPath().getName()
-        if not name.startswith("ingest_batch="):
-            continue
-        bid = int(name.split("=", 1)[1])
-        if bid < 0:
-            all_gens.append(bid)
-        if mode == "tier" and bid < 0:
-            continue  # tier: existing generations stay byte-identical
-        if bid < 0 or bid <= upto_batch_id:
-            parts.append(name)
-            bids.append(bid)
+    parts, bids, all_gens = _list_ingest_partitions(
+        fs, fs_path, root, upto_batch_id, mode
+    )
     if not parts:
         return 0
     if len(parts) == 1 and bids[0] < 0:
@@ -988,21 +1004,36 @@ def compact_epoch_manifest(
         return jvm.org.apache.hadoop.fs.Path(s)
 
     fs = fs_path(manifest_path).getFileSystem(conf)
-    parts, bids, all_gens = [], [], []
-    for st in fs.listStatus(fs_path(manifest_path)):
-        name = st.getPath().getName()
-        if not name.startswith("ingest_batch="):
-            continue
-        bid = int(name.split("=", 1)[1])
-        if bid < 0:
-            all_gens.append(bid)
-        if mode == "tier" and bid < 0:
-            continue  # tier: existing generations stay byte-identical
-        if bid < 0 or bid <= upto_batch_id:
-            parts.append(name)
-            bids.append(bid)
+    parts, bids, all_gens = _list_ingest_partitions(
+        fs, fs_path, manifest_path, upto_batch_id, mode
+    )
     if not parts or (len(parts) == 1 and bids[0] < 0):
         return 0
+    # allocate + validate the destination id BEFORE the fold job runs:
+    # an exhausted tier range must fail in milliseconds, not after the
+    # whole distributed read+shuffle+write of the delta
+    if mode == "tier":
+        # ascending from the deep base: sorts AFTER every existing
+        # generation, BEFORE all live batches — training order intact
+        new_gen = (
+            max(all_gens) + 1 if all_gens else _MANIFEST_TIER_BASE
+        )
+        if new_gen >= 0:
+            raise ValueError(
+                "manifest tier-generation id space exhausted "
+                f"(next would be {new_gen}) — a legacy store whose "
+                "generations sit above the tier base has no ascending "
+                "slots left; run ONE mode='full' fold (it re-allocates "
+                f"below {_MANIFEST_TIER_BASE}, freeing the whole tier "
+                "range), then resume tier folds"
+            )
+    else:
+        # full folds allocate BELOW the tier base, so after a full
+        # collapse the entire (base, 0) range is free again for ~2^20
+        # tier folds — the two modes interleave without exhaustion
+        new_gen = min(
+            _MANIFEST_TIER_BASE - 1, min([-1] + all_gens) - 1
+        )
     merged = (
         spark.read.option("basePath", manifest_path)
         .parquet(*[f"{manifest_path}/{p}" for p in parts])
@@ -1020,24 +1051,6 @@ def compact_epoch_manifest(
         .partitionBy("epoch", "shard")
         .parquet(tmp)
     )
-    if mode == "tier":
-        # ascending from the deep base: sorts AFTER every existing
-        # generation, BEFORE all live batches — training order intact
-        new_gen = (
-            max(all_gens) + 1 if all_gens else _MANIFEST_TIER_BASE
-        )
-        if new_gen >= 0:
-            raise ValueError(
-                "manifest tier-generation id space exhausted "
-                f"(next would be {new_gen}); run a mode='full' fold"
-            )
-    else:
-        # full folds allocate BELOW the tier base, so after a full
-        # collapse the entire (base, 0) range is free again for ~2^20
-        # tier folds — the two modes interleave without exhaustion
-        new_gen = min(
-            _MANIFEST_TIER_BASE - 1, min([-1] + all_gens) - 1
-        )
     dest = f"{manifest_path}/ingest_batch={new_gen}"
     if not fs.rename(fs_path(tmp), fs_path(dest)):
         raise IOError(
