@@ -1,11 +1,31 @@
-"""Streaming dedup-at-ingest: each arriving micro-batch of documents is
-matched against a PERSISTED LSH index, non-duplicates append to the kept
-corpus, and the survivors' bands/shingles append to the index — so later
-batches dedup against everything accepted before them.
+"""Corpus ingestion at 100 TB: the streaming gates, their composition,
+and every store's maintenance job.
 
-This is the production shape of corpus ingestion at 100 TB: the corpus
-is never re-signed (operators.dedup.write_lsh_index economics) and the
-ingest is exactly-once under checkpoint-replay redelivery:
+* Gates (each a ``foreachBatch`` sink, exactly-once under redelivery):
+  ``lsh_ingest_sink`` (dedup vs a persisted LSH index that grows with
+  the accepted corpus), ``quality_gate_sink`` (persisted-LR threshold),
+  ``decontam_gate_sink`` (benchmark n-gram leakage), and
+  ``corpus_ingest_sink`` — all three COMPOSED under one checkpoint
+  (decontam -> quality -> LSH; dropped docs never enter the index),
+  optionally chaining ``epoch_manifest_sink`` so survivors enter the
+  training order in the same batch.
+* Monitors as additive state: ``drift_counts_sink`` + psi_from_counts
+  (PSI), ``quality_counts_sink`` + pr_sweep_from_counts (operating-
+  point re-pick) — cheap counts on the stream, analytics on the store.
+* Maintenance: every store folds its O(batches) partitions —
+  ``compact_lsh_index`` / ``compact_kept`` / ``compact_epoch_manifest``
+  (training order preserved bit-for-bit) / ``compact_quality_counts`` /
+  ``compact_drift_counts`` (origin-batch dedup, never double-counts) —
+  each with ``mode='tier'`` for O(delta) folds (LSM tiering) and
+  crash-safe temp-write/rename/delete-last swaps.
+
+The founding gate, dedup-at-ingest: each arriving micro-batch of
+documents is matched against a PERSISTED LSH index, non-duplicates
+append to the kept corpus, and the survivors' bands/shingles append to
+the index — so later batches dedup against everything accepted before
+them.  The corpus is never re-signed (operators.dedup.write_lsh_index
+economics) and the ingest is exactly-once under checkpoint-replay
+redelivery:
 
 * every write is an overwrite of the batch's OWN deterministic
   ``ingest_batch=<id>`` partition (the idempotent_batch_sink recipe from
