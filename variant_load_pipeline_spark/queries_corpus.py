@@ -2324,9 +2324,12 @@ def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("word") != "")
     )
     wf = w.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-    s = wf.withColumn(
+    # persisted only for the merge loop below; released before return so
+    # repeated invocations (bench reruns) never accumulate cache entries
+    s0 = wf.withColumn(
         "seq", F.trim(F.regexp_replace("word", "(.)", "$1 "))
     ).persist()
+    s = s0
 
     def pair_counts(df):
         toks = F.split("seq", " ")
@@ -2373,6 +2376,9 @@ def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b = top["pr"].split(" ")
         merges.append((step, a + b, int(top["cnt"])))
         s = apply_merge(s, a, b).localCheckpoint(eager=True)
+    # every post-loop consumer reads the eager checkpoint, whose lineage
+    # no longer reaches the persisted frame — safe to release now
+    s0.unpersist()
     tok = (
         s.select("freq", F.explode(F.split("seq", " ")).alias("tok"))
         .groupBy("tok")
