@@ -532,7 +532,6 @@ _ALLOWED_UNBOUNDED_JOINS = {
     "tfidf_top_terms",       # 1-row doc-count constant
     "bm25_topk",             # 1-row stats constant
     "rrf_hybrid_topk",
-    "decontaminate",
     "gopher_quality_filter",
     "bpe_learn_merges",
     "weighted_sample_es",

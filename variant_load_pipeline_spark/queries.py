@@ -1379,7 +1379,9 @@ _DECON_GRAMS_SQL = f"""
     f"here) are flagged with their shared-gram count — the eval-leakage "
     f"filter of corpus curation.  Plan: benchmark grams dedup to a small "
     f"set that BROADCASTS; training grams meet it in a map-side semi "
-    f"join, so the corpus-sized side never shuffles on the gram key",
+    f"join BEFORE any shuffle, so only the (rare) contaminated grams "
+    f"ever hit the per-doc distinct — the corpus-sized gram table is "
+    f"never shuffled, persisted, or deduped wholesale",
 )
 def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import word_ngrams
@@ -1387,26 +1389,28 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    from pyspark.storagelevel import StorageLevel
-
-    # gram ONCE over the whole corpus and persist: the bench/train split
-    # filters the same exploded table instead of re-scanning + re-
-    # shingling documents twice (the near_dup_pairs fusion lesson — at
-    # corpus scale the gram scan IS the dominant cost)
-    all_grams = d.select(
-        "doc_id",
-        F.explode(word_ngrams(F.col("text"), _DECON_K)).alias("gram"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # benchmark side: grams of the held-out 2% only — re-scanning that
+    # sliver beats materializing a corpus-sized gram cache (a real
+    # benchmark set is its own small table; the modulo split is the
+    # fixture's stand-in)
     bench = (
-        all_grams.filter(F.col("doc_id") % 50 == 0)
-        .select("gram")
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(word_ngrams(F.col("text"), _DECON_K)).alias("gram"))
         .distinct()
     )
     train = d.filter(F.col("doc_id") % 50 != 0)
+    # training side: explode -> broadcast semi join FIRST (map-side, no
+    # shuffle of the full gram table), THEN distinct the survivors —
+    # semi-join-on-gram and distinct-on-(doc,gram) commute, and only
+    # contaminated grams (a tiny fraction by construction) reach the
+    # shuffle
     hits = (
-        all_grams.filter(F.col("doc_id") % 50 != 0)
-        .distinct()
+        train.select(
+            "doc_id",
+            F.explode(word_ngrams(F.col("text"), _DECON_K)).alias("gram"),
+        )
         .join(F.broadcast(bench), "gram", "left_semi")
+        .distinct()
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

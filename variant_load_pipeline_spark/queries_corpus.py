@@ -2938,12 +2938,51 @@ def allpairs_jaccard_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.filter(
         F.col("rn")
         <= F.col("s") - F.floor((4 * F.col("s") + 4) / 5) + 1
-    ).select("doc_id", "term")
+    ).select("doc_id", "s", "rn", "term")
+    # Two EXACT candidate prunes at the join, before the distinct and
+    # the array-verify ever see a pair:
+    # * length filter [Arasu et al. 2006]: J(a,b) <= min/max of the set
+    #   sizes, so a candidate needs min(sa,sb)*DEN >= max(sa,sb)*NUM;
+    # * positional filter [ppjoin, Xiao et al. 2008]: tokens rank in
+    #   the SAME global (df, term) order in every doc, so a shared
+    #   token at ranks (rna, rnb) bounds the overlap at
+    #   min(sa-rna, sb-rnb) + 1; the threshold needs
+    #   inter >= ceil(NUM*(sa+sb) / (NUM+DEN)).  The pair survives if
+    #   ANY shared prefix token's row passes — exact, because no token
+    #   before the FIRST shared one is in the intersection, so that
+    #   row's bound always admits a true pair.
+    overlap_min = F.floor(
+        (
+            _AP_T_NUM * (F.col("sa") + F.col("sb"))
+            + (_AP_T_NUM + _AP_T_DEN - 1)
+        )
+        / (_AP_T_NUM + _AP_T_DEN)
+    )
     cand = (
-        prefix.select(F.col("doc_id").alias("id_a"), "term")
+        prefix.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("s").alias("sa"),
+            F.col("rn").alias("rna"),
+            "term",
+        )
         .join(
-            prefix.select(F.col("doc_id").alias("id_b"), F.col("term").alias("term_b")),
-            (F.col("term") == F.col("term_b")) & (F.col("id_a") < F.col("id_b")),
+            prefix.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("s").alias("sb"),
+                F.col("rn").alias("rnb"),
+                F.col("term").alias("term_b"),
+            ),
+            (F.col("term") == F.col("term_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.least("sa", "sb") * _AP_T_DEN
+               >= F.greatest("sa", "sb") * _AP_T_NUM)
+            & (
+                F.least(
+                    F.col("sa") - F.col("rna"), F.col("sb") - F.col("rnb")
+                )
+                + 1
+                >= overlap_min
+            ),
         )
         .select("id_a", "id_b")
         .distinct()
