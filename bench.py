@@ -438,6 +438,13 @@ def _drift_bridge(cur_probe: dict, cur_totals: dict) -> dict:
     drift = statistics.median(ratios)
     out["drift_vs_prev"] = round(drift, 3)
     out["drift_probes_matched"] = len(ratios)
+    # the spread exposes WORKLOAD-DEPENDENT drift the median hides: a
+    # host whose single-thread speed moved but whose 32-way throughput
+    # didn't (observed r9->r10: 1-task-scan probes ~1.7x, shuffle-
+    # parallel probes ~0.8x, calib 1.8x) shows up as a wide spread —
+    # read group bridges against probes of the same shape, not the
+    # single median, when the spread is wide
+    out["drift_spread"] = [round(min(ratios), 3), round(max(ratios), 3)]
     for key, cur_total in cur_totals.items():
         # anchored match: "value": or "value_vN": exactly (never _norm)
         pm = re.search(rf'"{key}":\s*([0-9.]+)', tail)
