@@ -41,7 +41,24 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode runs ALL executor threads inside the driver JVM, so
+        # the driver heap IS the cluster memory: size it for the host
+        # (32 threads in 8g spends long sessions in GC; a 250-query
+        # sweep accumulates cached/checkpointed blocks).  Cluster
+        # masters take theirs from spark-submit.
+        .config(
+            "spark.driver.memory",
+            os.environ.get(
+                "SPARK_DRIVER_MEMORY",
+                "24g" if (master or "local").startswith("local") else "8g",
+            ),
+        )
+        # NOTE: spark.cleaner.periodicGC.interval stays at its 30min
+        # default — forcing System.gc() every 2min was measured to
+        # inject multi-second stop-the-world pauses into whatever query
+        # ran at that moment (emb_hashing_topk 3.3s -> 36s); with the
+        # right-sized heap the natural GC cadence cleans checkpoint
+        # blocks fine
     )
     if master.startswith("local"):
         # Local test profile only: split small test-scale parquet into enough
