@@ -2908,7 +2908,11 @@ _AP_T_NUM, _AP_T_DEN = 4, 5  # jaccard threshold 4/5, exact integers
     "is the brute-force ALL-PAIRS definition — equality of the two "
     "result sets IS the exactness proof, re-checked on every run.  "
     "Rare-token prefixes keep the inverted index's hot lists short; "
-    "document-frequency ordering is what bounds the candidate blowup",
+    "document-frequency ordering is what bounds the candidate blowup.  "
+    "Two further EXACT prunes ride in the candidate join condition: the "
+    "length filter (min/max size ratio must reach t) and the ppjoin "
+    "positional filter (remaining tokens after the shared prefix token "
+    "must still afford the required overlap)",
 )
 def allpairs_jaccard_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import normalize_text
