@@ -2366,19 +2366,24 @@ def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.withColumn("seq", F.aggregate(rest, first, fn))
 
     merges = []
-    for step in range(1, _BPE_MERGES + 1):
-        top = (
-            pair_counts(s)
-            .orderBy(F.col("cnt").desc(), "pr")
-            .limit(1)
-            .collect()[0]
-        )
-        a, b = top["pr"].split(" ")
-        merges.append((step, a + b, int(top["cnt"])))
-        s = apply_merge(s, a, b).localCheckpoint(eager=True)
-    # every post-loop consumer reads the eager checkpoint, whose lineage
-    # no longer reaches the persisted frame — safe to release now
-    s0.unpersist()
+    try:
+        for step in range(1, _BPE_MERGES + 1):
+            top = (
+                pair_counts(s)
+                .orderBy(F.col("cnt").desc(), "pr")
+                .limit(1)
+                .collect()[0]
+            )
+            a, b = top["pr"].split(" ")
+            merges.append((step, a + b, int(top["cnt"])))
+            s = apply_merge(s, a, b).localCheckpoint(eager=True)
+    finally:
+        # every post-loop consumer reads the eager checkpoint, whose
+        # lineage no longer reaches the persisted frame — and on the
+        # error path (e.g. a degenerate corpus with no pairs left makes
+        # collect()[0] raise) the block-manager entry must not leak
+        # across bench reruns
+        s0.unpersist()
     tok = (
         s.select("freq", F.explode(F.split("seq", " ")).alias("tok"))
         .groupBy("tok")

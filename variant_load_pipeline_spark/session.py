@@ -12,6 +12,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_heap_default() -> str:
+    """Default local-mode driver heap: min(24g, ~70% of physical RAM).
+
+    24g is the measured sweet spot for the 128 GiB / 32-thread bench host
+    (smaller heaps spend long registry sweeps in GC); on a host with less
+    RAM a fixed 24g would be OOM-killed or swap, so cap at 70% of what the
+    kernel reports.  Floor of 1g keeps the JVM bootable on tiny containers.
+    ``SPARK_DRIVER_MEMORY`` overrides unconditionally.
+    """
+    try:
+        total_bytes = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        return "24g"
+    budget_gb = int(total_bytes * 0.7 / (1 << 30))
+    return f"{max(1, min(24, budget_gb))}g"
+
+
 def get_spark(
     app_name: str = "variant_load_pipeline_spark",
     master: str | None = None,
@@ -44,13 +61,17 @@ def get_spark(
         # local mode runs ALL executor threads inside the driver JVM, so
         # the driver heap IS the cluster memory: size it for the host
         # (32 threads in 8g spends long sessions in GC; a 250-query
-        # sweep accumulates cached/checkpointed blocks).  Cluster
-        # masters take theirs from spark-submit.
+        # sweep accumulates cached/checkpointed blocks).  Capped at
+        # ~70% of physical RAM so a smaller CI container gets a heap it
+        # can actually back instead of an OOM-kill.  Cluster masters
+        # take theirs from spark-submit.
         .config(
             "spark.driver.memory",
             os.environ.get(
                 "SPARK_DRIVER_MEMORY",
-                "24g" if (master or "local").startswith("local") else "8g",
+                _local_heap_default()
+                if (master or "local").startswith("local")
+                else "8g",
             ),
         )
         # NOTE: spark.cleaner.periodicGC.interval stays at its 30min
