@@ -247,6 +247,17 @@ HEADLINE_V7 = [
     "ivf_compact_probe_only",
 ]
 
+# eighth, versioned group: round-11 additions (data selection, filtered
+# vector search, sketch set ops, late-interaction scoring).  Separate
+# total (`value_v8`) keeps earlier group totals comparable across rounds.
+HEADLINE_V8 = [
+    "rho_loss_selection",
+    "ann_filtered_topk",
+    "kmv_sketch_intersection",
+    "maxsim_late_interaction",
+    "unpivot_quality_metrics",
+]
+
 # Drift probes: a fixed, diverse subset of the headline groups used to
 # measure HOST drift between rounds on byte-identical code.  The no-IO
 # `calib` ruler over-responds to host load relative to IO/shuffle-mixed
@@ -268,6 +279,14 @@ DRIFT_PROBES = [
     "ivf_list_skew_report",     # tiny IVF monitor (fixed-cost floor)
     # round-10 widening (no r9 match; bridges r10 -> r11 onward):
     "lsh_match_probe_only",     # persisted-index probe (v5 family)
+    # round-11 widening — v2 (the largest group) previously had NO
+    # probes, and v7's steady-state rows had none either; probes are
+    # free (they reuse the group timings), so every group now has a
+    # same-shape bridge anchor:
+    "minhash_signatures",       # shingle explode + per-doc agg (v2)
+    "decontaminate",            # broadcast gram semi/anti join (v2)
+    "tfidf_top_terms",          # tokenize + term join (v2)
+    "ivf_compact_probe_only",   # post-fold steady-state probe (v7)
     "ann_hard_negatives_probe_only",  # IVF probe + mine (v6 family)
     "sequence_packing_tokens",  # BPE encode + window packing (v6)
 ]
@@ -376,6 +395,10 @@ EAGER_CONSTRUCT = {
     # only the first repeat pays the lifecycle — the median measures
     # the post-compaction batch probe alone (steady-state serving)
     "ivf_compact_probe_only",
+    # index is write-if-missing + the probe-strategy collect runs at
+    # construction: only the first repeat pays the build — the median
+    # measures the steady-state filtered query alone
+    "ann_filtered_topk",
 }
 
 
@@ -445,6 +468,14 @@ def _drift_bridge(cur_probe: dict, cur_totals: dict) -> dict:
     # read group bridges against probes of the same shape, not the
     # single median, when the spread is wide
     out["drift_spread"] = [round(min(ratios), 3), round(max(ratios), 3)]
+    if len(ratios) >= 4:
+        # quartiles bound the bridge honestly: value*_bridged divides by
+        # the MEDIAN, so when q1/q3 straddle a wide range the per-group
+        # "win"/"loss" within [bridged*median/q3, bridged*median/q1] is
+        # indistinguishable from drift — judge against the band
+        qs = statistics.quantiles(ratios, n=4)
+        out["drift_q1"] = round(qs[0], 3)
+        out["drift_q3"] = round(qs[2], 3)
     for key, cur_total in cur_totals.items():
         # anchored match: "value": or "value_vN": exactly (never _norm)
         pm = re.search(rf'"{key}":\s*([0-9.]+)', tail)
@@ -540,10 +571,11 @@ def main() -> None:
     timings_v5 = run_group(HEADLINE_V5)
     timings_v6 = run_group(HEADLINE_V6)
     timings_v7 = run_group(HEADLINE_V7)
+    timings_v8 = run_group(HEADLINE_V8)
 
     all_t = {}
     for t in (timings, timings_v2, timings_v3, timings_v4, timings_v5,
-              timings_v6, timings_v7):
+              timings_v6, timings_v7, timings_v8):
         all_t.update(t)
     import hashlib
     import inspect
@@ -572,6 +604,7 @@ def main() -> None:
         "value_v5": round(sum(timings_v5.values()), 3),
         "value_v6": round(sum(timings_v6.values()), 3),
         "value_v7": round(sum(timings_v7.values()), 3),
+        "value_v8": round(sum(timings_v8.values()), 3),
     }
     bridge = _drift_bridge(drift_probe, cur_totals)
     # Key order matters: the round driver records only the TAIL of stdout
@@ -589,6 +622,7 @@ def main() -> None:
                 "queries_v5": timings_v5,
                 "queries_v6": timings_v6,
                 "queries_v7": timings_v7,
+                "queries_v8": timings_v8,
                 "timing_note": "eager-construct queries "
                 + ",".join(sorted(EAGER_CONSTRUCT))
                 + " timed construct+execute; rest execute-only",
@@ -622,6 +656,7 @@ def main() -> None:
                 "value_v5_norm": norm(sum(timings_v5.values())),
                 "value_v6_norm": norm(sum(timings_v6.values())),
                 "value_v7_norm": norm(sum(timings_v7.values())),
+                "value_v8_norm": norm(sum(timings_v8.values())),
             }
         )
     )

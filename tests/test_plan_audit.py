@@ -589,6 +589,11 @@ _ALLOWED_UNBOUNDED_JOINS = {
     "quality_pr_sweep",        # same GD chain 1-row scalar joins + the
                                # broadcast 9-row threshold table (the
                                # only fan-out is x9, constant in corpus)
+    "rho_loss_selection",      # 1-row (N, V)x2 LM-constant broadcast
+    "maxsim_late_interaction",  # bounded query-token block x corpus
+                                # (exact baseline; ANN candidates at scale)
+    "kmv_sketch_intersection",  # 20x20 source pair frame (bounded by
+                                # source cardinality, not corpus size)
 }
 
 

@@ -1,0 +1,121 @@
+"""Wave-11 contracts: RHO selection shape, filtered-ANN predicate
+enforcement + index reuse, KMV estimator sanity bands, MaxSim score
+bounds, and unpivot row fan-out.  Value-level correctness is the DuckDB
+oracle's job (tools/check.py); these pin the semantics the hash can't
+express — predicates hold on every row, estimates land near truth,
+steady-state reruns reuse the persisted index."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from variant_load_pipeline_spark import queries as Q
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_rho_selection_is_per_source_topb(spark):
+    out = Q.registry()["rho_loss_selection"].spark_fn(spark, SF).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert by_src, "no sources selected"
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1)), src
+        assert len(rows) <= 20
+        # selection order IS the excess order (desc, doc_id tiebreak)
+        ex = [r["excess_micro"] for r in rows]
+        assert ex == sorted(ex, reverse=True) or all(
+            ex[i] > ex[i + 1]
+            or (ex[i] == ex[i + 1] and rows[i]["doc_id"] < rows[i + 1]["doc_id"])
+            for i in range(len(ex) - 1)
+        ), src
+
+
+def test_ann_filtered_topk_predicate_holds_and_index_reused(spark):
+    fn = Q.registry()["ann_filtered_topk"].spark_fn
+    first = fn(spark, SF).collect()
+    assert first, "no results"
+    for r in first:
+        assert r["nid"] % 3 == 0, "metadata predicate violated"
+        assert r["nid"] != r["qid"]
+        assert 1 <= r["rk"] <= 5
+    # second run must serve from the persisted index (write-if-missing)
+    # and return the identical result set
+    second = fn(spark, SF).collect()
+    key = lambda r: (r["qid"], r["rk"])  # noqa: E731
+    assert sorted(map(tuple, first), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, second), key=lambda t: (t[0], t[3])
+    )
+
+
+def test_kmv_estimates_track_truth(spark):
+    rows = Q.registry()["kmv_sketch_intersection"].spark_fn(
+        spark, SF
+    ).collect()
+    assert len(rows) == 190  # C(20, 2) source pairs
+    # exact union per pair, recomputed independently for the error band
+    from variant_load_pipeline_spark.functions.text import (
+        shingle_hash,
+        shingles,
+    )
+
+    g = (
+        Q.load(spark, SF, "documents")
+        .select("source", F.explode(shingles(F.col("text"), 3)).alias("g"))
+        .distinct()
+        .select("source", shingle_hash(F.col("g")).alias("h"))
+        .distinct()
+    )
+    per_src = {
+        r["source"]: r["n"]
+        for r in g.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for r in rows:
+        assert r["m"] <= r["k_eff"] <= 128
+        assert r["est_inter"] >= 0 and r["est_union"] > 0
+        # union truth >= max single side; estimator within ±50% of the
+        # inclusion-exclusion bound band at k=128 (~9% stderr)
+        lo = max(per_src[r["source_a"]], per_src[r["source_b"]])
+        hi = per_src[r["source_a"]] + per_src[r["source_b"]]
+        assert 0.5 * lo <= r["est_union"] <= 1.5 * hi, r
+        # intersection estimate brackets truth loosely (m/k resolution)
+        if r["exact_inter"] >= 200:
+            assert 0.3 * r["exact_inter"] <= r["est_inter"] <= 3.0 * r[
+                "exact_inter"
+            ], r
+
+
+def test_maxsim_scores_bounded_by_query_tokens(spark):
+    rows = Q.registry()["maxsim_late_interaction"].spark_fn(
+        spark, SF
+    ).collect()
+    assert rows
+    for r in rows:
+        # 10 query tokens, each max-cosine <= 1.0 -> score <= 10e6
+        assert r["score_micro"] <= 10_000_000
+        assert r["ddoc"] != r["qdoc"]
+        assert 1 <= r["rk"] <= 10
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r["qdoc"], []).append(r)
+    for qd, rs in per_q.items():
+        rs.sort(key=lambda r: r["rk"])
+        sc = [r["score_micro"] for r in rs]
+        assert sc == sorted(sc, reverse=True), qd
+
+
+def test_unpivot_fanout_and_values(spark):
+    d = Q.load(spark, SF, "documents")
+    n_docs = d.count()
+    out = Q.registry()["unpivot_quality_metrics"].spark_fn(spark, SF)
+    assert out.count() == 4 * n_docs
+    # n_chars rows must round-trip the source column exactly
+    back = (
+        out.filter(F.col("metric") == "n_chars")
+        .join(d.select("doc_id", "n_chars"), "doc_id")
+        .filter(F.col("value") != F.col("n_chars"))
+        .count()
+    )
+    assert back == 0

@@ -2288,3 +2288,4 @@ from . import queries_wave7  # noqa: E402,F401
 from . import queries_wave8  # noqa: E402,F401
 from . import queries_wave9  # noqa: E402,F401
 from . import queries_wave10  # noqa: E402,F401
+from . import queries_wave11  # noqa: E402,F401
