@@ -875,6 +875,32 @@ def test_corpus_index_and_search_tools(spark, tmp_path):
     )
     assert got2 == want2
 
+    # filtered search: --filter-mod pre-filters INSIDE the probed lists
+    # (ann_filtered_topk's semantics) — every hit satisfies the
+    # predicate, and the unfiltered result restricted to the predicate's
+    # survivors within the same probes ranks identically
+    hits3 = str(tmp_path / "hits_filtered")
+    cli.main(
+        [
+            "--tool", "CorpusSearch", "--docs", emb, "--index", idx,
+            "--query-id", "1", "--k", "10", "--nprobe", "2",
+            "--filter-mod", "3", "--out", hits3,
+        ],
+        spark=spark,
+    )
+    filt = spark.read.parquet(hits3).collect()
+    assert filt and all(r["vec_id"] % 3 == 0 for r in filt)
+    unfiltered_kept = [
+        r for r in spark.read.parquet(hits).collect() if r["vec_id"] % 3 == 0
+    ]
+    # pre-filter can only DEEPEN the candidate pool vs post-filtering
+    # the unfiltered top-k: every post-filter survivor appears, in order
+    got_ids = [r["vec_id"] for r in sorted(filt, key=lambda r: r["rk"])]
+    want_prefix = [
+        r["vec_id"] for r in sorted(unfiltered_kept, key=lambda r: r["rk"])
+    ]
+    assert got_ids[: len(want_prefix)] == want_prefix
+
 
 def test_corpus_epoch_manifest_tool(spark, tmp_path):
     """CorpusEpochManifest: the written manifest aggregates to exactly

@@ -553,7 +553,11 @@ def _corpus_search(spark, args) -> None:
     """Query a persisted IVF index: --index <path>, --query-id <vec_id
     of the query vector inside --docs>, --k / --nprobe knobs ->
     top-k parquet (vec_id, label, cos_sim, rk).  The probe reads ONLY
-    the probed lists' partitions (seed + any ingest delta)."""
+    the probed lists' partitions (seed + any ingest delta).  Optional
+    --filter-mod M answers the FILTERED search (keep candidates with
+    vec_id % M == 0 — the tenant/license predicate stand-in) by
+    pre-filtering inside the probed lists (ann_filtered_topk's
+    semantics); widen --nprobe for selective filters."""
     from .operators.clustering import ivf_probe_topk
 
     docs = _read(spark, args.docs)
@@ -564,6 +568,11 @@ def _corpus_search(spark, args) -> None:
     )
     if qrow is None:
         raise SystemExit(f"query vec_id {args.query_id} not found")
+    pred = (
+        (F.col("vec_id") % args.filter_mod == 0)
+        if getattr(args, "filter_mod", None)
+        else None
+    )
     out = ivf_probe_topk(
         spark,
         args.index,
@@ -571,6 +580,7 @@ def _corpus_search(spark, args) -> None:
         nprobe=args.nprobe if args.nprobe is not None else 2,
         k=args.k if args.k is not None else 10,
         exclude_id=args.query_id,
+        predicate=pred,
     )
     out.write.mode("overwrite").parquet(args.out)
 
@@ -895,6 +905,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--index")
     p.add_argument("--query-id", dest="query_id", type=int)
     p.add_argument("--nprobe", type=int)
+    p.add_argument("--filter-mod", dest="filter_mod", type=int)
     p.add_argument("--epochs", type=int)
     p.add_argument("--shards", type=int)
     p.add_argument("--anchor-every", dest="anchor_every", type=int)

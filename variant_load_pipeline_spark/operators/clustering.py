@@ -862,6 +862,7 @@ def ivf_probe_topk(
     k: int = 10,
     exclude_id: int | None = None,
     strategy: str = "auto",
+    predicate: "Column | None" = None,
 ) -> DataFrame:
     """Answer a top-k query from a persisted IVF index (write_ivf_index):
     score the centroid table (tiny, driver-collected) to pick the
@@ -870,6 +871,14 @@ def ivf_probe_topk(
     so the parquet scan prunes to the probed lists.
 
     Exact cosine re-rank inside the probed lists; ties to smaller id.
+
+    ``predicate`` (optional): a metadata filter Column over the lists
+    schema (vec_id/embedding/list_id) applied BEFORE the re-rank — the
+    filtered-search PRE-filter (FAISS IDSelector shape): it lands in
+    the same pruned scan as the probe's IN filter, so candidates are
+    dropped at the parquet reader, not after scoring.  For selective
+    predicates widen ``nprobe`` to keep the candidate pool deep enough
+    (the selectivity↔nprobe trade — see ann_filtered_topk).
 
     ``strategy``: 'literal' ranks the driver-collected centroid table in
     Python (right at small k — the table is model state); 'join' ranks
@@ -936,6 +945,8 @@ def ivf_probe_topk(
     lists = read_ivf_lists(spark, path).filter(
         F.col("list_id").isin(probes)
     )
+    if predicate is not None:
+        lists = lists.filter(predicate)
     if exclude_id is not None:
         lists = lists.filter(F.col("vec_id") != exclude_id)
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
