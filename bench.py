@@ -255,6 +255,7 @@ HEADLINE_V8 = [
     "ann_filtered_topk",
     "kmv_sketch_intersection",
     "maxsim_late_interaction",
+    "maxsim_rerank_ivf",
     "unpivot_quality_metrics",
 ]
 
@@ -399,6 +400,9 @@ EAGER_CONSTRUCT = {
     # construction: only the first repeat pays the build — the median
     # measures the steady-state filtered query alone
     "ann_filtered_topk",
+    # rep index is write-if-missing: the median measures the two-stage
+    # retrieve + MaxSim re-rank alone, not the one-time build
+    "maxsim_rerank_ivf",
 }
 
 

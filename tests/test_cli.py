@@ -902,6 +902,36 @@ def test_corpus_index_and_search_tools(spark, tmp_path):
     assert got_ids[: len(want_prefix)] == want_prefix
 
 
+def test_corpus_select_tool(spark, tmp_path):
+    """CorpusSelect: the written RHO selection matches the oracle-gated
+    rho_loss_selection rows exactly at the default knobs."""
+    from variant_load_pipeline_spark import cli
+    from variant_load_pipeline_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "selected")
+    cli.main(
+        [
+            "--tool", "CorpusSelect",
+            "--docs", f"{sf}/documents.parquet",
+            "--out", out,
+        ],
+        spark=spark,
+    )
+    cols = ["doc_id", "source", "n_tokens", "excess_micro", "rk"]
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out).select(*cols).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in Q.registry()["rho_loss_selection"]
+        .spark_fn(spark, sf)
+        .select(*cols)
+        .collect()
+    )
+    assert got == want
+
+
 def test_corpus_epoch_manifest_tool(spark, tmp_path):
     """CorpusEpochManifest: the written manifest aggregates to exactly
     the oracle-gated epoch_shard_manifest rows."""

@@ -106,6 +106,30 @@ def test_maxsim_scores_bounded_by_query_tokens(spark):
         assert sc == sorted(sc, reverse=True), qd
 
 
+def test_maxsim_rerank_candidates_come_from_probed_lists(spark):
+    """The two-stage row's results are a subset of the probed lists'
+    documents, scores agree with the exact row on shared (qdoc, ddoc)
+    pairs, and the second run reuses the persisted rep index."""
+    fn = Q.registry()["maxsim_rerank_ivf"].spark_fn
+    two_stage = fn(spark, SF).collect()
+    assert two_stage
+    exact = {
+        (r["qdoc"], r["ddoc"]): r["score_micro"]
+        for r in Q.registry()["maxsim_late_interaction"]
+        .spark_fn(spark, SF)
+        .collect()
+    }
+    for r in two_stage:
+        assert r["ddoc"] != r["qdoc"]
+        # MaxSim of a (q, d) pair is stage-independent: where both rows
+        # scored the pair, the micro scores must be identical
+        key = (r["qdoc"], r["ddoc"])
+        if key in exact:
+            assert exact[key] == r["score_micro"], key
+    again = fn(spark, SF).collect()
+    assert sorted(map(tuple, two_stage)) == sorted(map(tuple, again))
+
+
 def test_unpivot_fanout_and_values(spark):
     d = Q.load(spark, SF, "documents")
     n_docs = d.count()

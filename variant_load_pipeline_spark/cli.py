@@ -1096,6 +1096,33 @@ def _corpus_sample(spark, args) -> None:
     out.write.mode("overwrite").parquet(args.out)
 
 
+@tool("CorpusSelect")
+def _corpus_select(spark, args) -> None:
+    """RHO data selection over a documents parquet: score every doc by
+    reducible holdout loss (pool-LM − reference-LM excess surprisal;
+    pool = even doc_id, reference = odd) and keep the per-stratum top-b
+    (--budget, default 20; --stratum-col, default source — RHO selects
+    per batch, stratum≈shard is the batch unit).  Output parquet:
+    (doc_id, <stratum>, n_tokens, excess_micro, rk)."""
+    from pyspark.sql.window import Window as W
+
+    from .functions.text import rho_excess
+
+    docs = _read(spark, args.docs)
+    stratum = args.stratum_col or "source"
+    topb = args.budget if args.budget is not None else 20
+    sc = rho_excess(docs)
+    wnd = W.partitionBy(stratum).orderBy(
+        F.col("excess_micro").desc(), "doc_id"
+    )
+    out = (
+        sc.join(docs.select("doc_id", stratum), "doc_id")
+        .withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= topb)
+    )
+    out.write.mode("overwrite").parquet(args.out)
+
+
 @tool("CorpusQuality")
 def _corpus_quality(spark, args) -> None:
     """documents parquet -> per-doc quality/analysis parquet: length and

@@ -735,6 +735,75 @@ def unigram_surprisal(
     )
 
 
+def rho_excess(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pool_pred=None,
+):
+    """RHO reducible-holdout-loss scores [Mindermann et al. 2022;
+    token-level twin RHO-1, Lin et al. 2024 — public]: every document's
+    excess surprisal = (surprisal under the unigram LM of the training
+    POOL) − (surprisal under the holdout REFERENCE LM).  High excess =
+    the reference model finds the text learnable but the pool model
+    hasn't learnt it — the documents worth adding next.  ``pool_pred``
+    (boolean Column) splits pool from reference; default even/odd id.
+
+    Both LMs are add-1-smoothed with their own (N, V); per-term
+    surprisal rounds to integer micro-nats BEFORE the per-doc BIGINT
+    sum (summation-order free, oracle-replayable).  Plan shape: one
+    tokenize feeds tf and ONE conditional aggregation builds both
+    half-vocabularies side by side — one term shuffle and one tf↔vocab
+    join, not two of each; the combined (N, V)×2 frame is a 1-row
+    broadcast.  At trillion-token scale the vocabulary is exactly what
+    can't broadcast, so the term-keyed shuffle join is the honest plan.
+
+    Output: (id, n_tokens, excess_micro).
+    """
+    from pyspark.sql import functions as F
+
+    if pool_pred is None:
+        pool_pred = F.col(id_col) % 2 == 0
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(
+                normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+            )
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = toks.groupBy("term").agg(
+        F.sum(F.when(pool_pred, 1).otherwise(0)).alias("cw_p"),
+        F.sum(F.when(pool_pred, 0).otherwise(1)).alias("cw_r"),
+    )
+    consts = vocab.agg(
+        F.sum("cw_p").alias("np"),
+        F.sum(F.when(F.col("cw_p") > 0, 1).otherwise(0)).alias("vp"),
+        F.sum("cw_r").alias("nr"),
+        F.sum(F.when(F.col("cw_r") > 0, 1).otherwise(0)).alias("vr"),
+    )
+    s_pool = F.floor(
+        -F.log((F.col("cw_p") + 1.0) / (F.col("np") + F.col("vp")))
+        * 1e6
+        + 0.5
+    ).cast("long")
+    s_ref = F.floor(
+        -F.log((F.col("cw_r") + 1.0) / (F.col("nr") + F.col("vr")))
+        * 1e6
+        + 0.5
+    ).cast("long")
+    return (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(consts))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * (s_pool - s_ref)).alias("excess_micro"),
+        )
+    )
+
+
 def bigram_backoff_surprisal(
     train,
     score,

@@ -23,6 +23,10 @@ LLM-training-data lifecycle, each oracle-gated like every other row.
                         [Khattab & Zaharia 2020 — public]: per query
                         token, the max cosine over a document's token
                         vectors; per document, the sum over query tokens
+  maxsim_rerank_ivf     the two-stage SCALE path: single-vector IVF
+                        first stage recalls candidates, only they pay
+                        the MaxSim re-rank (the production ColBERT
+                        retrieve→re-rank split)
   unpivot_quality_metrics  wide→long stack()/UNPIVOT over per-document
                         quality metrics — the reshape surface an
                         engine-switcher expects next to the pivot row
@@ -114,54 +118,10 @@ _RHO_SQL = f"""
     "at trillion-token scale the vocabulary is what can't broadcast.",
 )
 def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import normalize_text
+    from .functions.text import rho_excess
 
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.split(normalize_text(F.coalesce(F.col("text"), F.lit(""))), " ")
-        ).alias("term"),
-    ).filter(F.col("term") != "")
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # BOTH half-vocabularies in ONE conditional aggregation: one term
-    # shuffle and one tf↔vocab join instead of two of each (the oracle's
-    # pool/refv CTEs are the per-half projections of this table; a term
-    # absent from a half has cw=0 here exactly like its LEFT-JOIN NULL
-    # coalesces to 0 there)
-    vocab = toks.groupBy("term").agg(
-        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias(
-            "cw_p"
-        ),
-        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias(
-            "cw_r"
-        ),
-    )
-    consts = vocab.agg(
-        F.sum("cw_p").alias("np"),
-        F.sum(F.when(F.col("cw_p") > 0, 1).otherwise(0)).alias("vp"),
-        F.sum("cw_r").alias("nr"),
-        F.sum(F.when(F.col("cw_r") > 0, 1).otherwise(0)).alias("vr"),
-    )
-    s_pool = F.floor(
-        -F.log((F.col("cw_p") + 1.0) / (F.col("np") + F.col("vp")))
-        * 1e6
-        + 0.5
-    ).cast("long")
-    s_ref = F.floor(
-        -F.log((F.col("cw_r") + 1.0) / (F.col("nr") + F.col("vr")))
-        * 1e6
-        + 0.5
-    ).cast("long")
-    sc = (
-        tf.join(vocab, "term")
-        .crossJoin(F.broadcast(consts))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").cast("long").alias("n_tokens"),
-            F.sum(F.col("tf") * (s_pool - s_ref)).alias("excess_micro"),
-        )
-    )
+    sc = rho_excess(d)
     wnd = W.partitionBy("source").orderBy(
         F.col("excess_micro").desc(), "doc_id"
     )
@@ -643,4 +603,177 @@ def unpivot_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'n_chars', n_chars, 'n_tokens', n_tokens, "
         "'n_distinct_tokens', n_distinct_tokens, 'n_lines', n_lines) "
         "as (metric, value)",
+    )
+
+
+# ===========================================================================
+# MaxSim two-stage: IVF first-stage recall + MaxSim re-rank (the
+# production ColBERT split)
+# ===========================================================================
+_MSR_NPROBE = 2
+_MSR_TOPK = 10
+
+_MSR_SQL = f"""
+    WITH t AS (
+        SELECT CAST(FLOOR(vec_id / {_MS_GROUP}) AS BIGINT) AS gdoc,
+               vec_id AS tok_id, label, embedding AS tv
+        FROM embeddings
+    ),
+    reps AS (
+        SELECT t.gdoc, t.label AS list_id, t.tv AS rv
+        FROM t
+        JOIN (SELECT gdoc, MIN(tok_id) AS mt FROM t GROUP BY gdoc) m
+          ON t.gdoc = m.gdoc AND t.tok_id = m.mt
+    ),
+    cent AS (
+        SELECT r.list_id, r.rv AS cv
+        FROM reps r
+        JOIN (SELECT list_id, MIN(gdoc) AS mg FROM reps GROUP BY list_id) c
+          ON r.list_id = c.list_id AND r.gdoc = c.mg
+    ),
+    q AS (SELECT gdoc AS qdoc, rv AS qrv FROM reps
+          WHERE gdoc < {_MS_QDOCS}),
+    pr AS (
+        SELECT qdoc, list_id FROM (
+            SELECT q.qdoc, c.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.qdoc ORDER BY
+                       ROUND(list_cosine_similarity(
+                           c.cv::DOUBLE[], q.qrv::DOUBLE[])::DOUBLE, 6)
+                           DESC, c.list_id) AS rk
+            FROM q CROSS JOIN cent c
+        ) WHERE rk <= {_MSR_NPROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT pr.qdoc, r.gdoc AS ddoc
+        FROM pr JOIN reps r ON r.list_id = pr.list_id
+        WHERE r.gdoc <> pr.qdoc
+    ),
+    qt AS (SELECT gdoc AS qdoc, tok_id AS qtok, tv AS qv FROM t
+           WHERE gdoc < {_MS_QDOCS}),
+    mx AS (
+        SELECT c.qdoc, qt.qtok, c.ddoc,
+               MAX(ROUND(list_cosine_similarity(
+                   qt.qv::DOUBLE[], dt.tv::DOUBLE[])::DOUBLE, 6)) AS mxv
+        FROM cand c
+        JOIN qt ON qt.qdoc = c.qdoc
+        JOIN t dt ON dt.gdoc = c.ddoc
+        GROUP BY c.qdoc, qt.qtok, c.ddoc
+    ),
+    sc AS (
+        SELECT qdoc, ddoc,
+               CAST(SUM(CAST(FLOOR(mxv * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS score_micro
+        FROM mx GROUP BY qdoc, ddoc
+    )
+    SELECT qdoc, ddoc, score_micro, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT qdoc, ddoc, score_micro,
+               ROW_NUMBER() OVER (PARTITION BY qdoc
+                                  ORDER BY score_micro DESC, ddoc) AS rk
+        FROM sc
+    ) WHERE rk <= {_MSR_TOPK}
+"""
+
+
+@register(
+    "maxsim_rerank_ivf",
+    _MSR_SQL,
+    doc="maxsim_late_interaction's SCALE path — the production ColBERT "
+    "two-stage split [Khattab & Zaharia 2020 — public]: a SINGLE-vector "
+    "first stage recalls candidate documents from the persisted IVF "
+    "index (each pseudo-document represented by its first token vector, "
+    "the CLS-embedding stand-in; probe = 2 nearest lists of the query "
+    "doc's representative), and only the candidates pay the multi-"
+    "vector MaxSim re-rank — the exact/approximate split the "
+    "rerank_batch_topk and *_ivf miner twins apply, here for multi-"
+    "vector scoring.  The rep index persists write-if-missing (salted "
+    "by clustering-module md5 + embeddings fingerprint), so the timed "
+    "path is steady state: probe choice + one equi-join on the "
+    "partition-pruned rep store + token joins keyed on the candidate "
+    "doc ids + the micro-rounded MaxSim aggregation tree.  Recall "
+    "trade vs the exact row: a true top-10 document whose rep lives "
+    "outside the probed lists is replaced by the best in-probe one — "
+    "standard two-stage behavior.  The oracle replays rep pick (min "
+    "tok_id per doc), centroid pick (min-gdoc rep per list), probe "
+    "ranking, candidate fetch, and the full MaxSim chain.",
+)
+def maxsim_rerank_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import (
+        ivf_probe_batch,
+        read_ivf_lists,
+        write_ivf_index,
+    )
+    from .operators.similarity import cosine
+
+    t = load(spark, sf_dir, "embeddings").select(
+        F.floor(F.col("vec_id") / _MS_GROUP).cast("long").alias("gdoc"),
+        F.col("vec_id").alias("tok_id"),
+        F.col("label"),
+        F.col("embedding").cast("array<double>").alias("tv"),
+    )
+    # single-vector doc representative: the doc's FIRST token vector
+    # (rename the grouped key before the self-join — both sides descend
+    # from t, so unqualified/qualified gdoc is ambiguous either way)
+    min_tok = (
+        t.groupBy("gdoc")
+        .agg(F.min("tok_id").alias("mt"))
+        .withColumnRenamed("gdoc", "mg")
+    )
+    reps = t.join(
+        min_tok,
+        (F.col("gdoc") == F.col("mg")) & (F.col("tok_id") == F.col("mt")),
+    ).select("gdoc", "label", F.col("tv").alias("rv"))
+    path = _salted_ivf_path(
+        spark, sf_dir, "ivf_msr", extra=f"g={_MS_GROUP}|np={_MSR_NPROBE}"
+    )
+    fs, marker = _fs(spark, f"{path}/centroids/_SUCCESS")
+    if not fs.exists(marker):
+        write_ivf_index(
+            reps, path, list_col="label", id_col="gdoc", vec_col="rv"
+        )
+    q = reps.filter(F.col("gdoc") < _MS_QDOCS).select(
+        F.col("gdoc").alias("qdoc"), F.col("rv").alias("qrv")
+    )
+    probe = ivf_probe_batch(
+        spark, path, q, nprobe=_MSR_NPROBE, qvec_col="qrv"
+    )
+    cand = (
+        read_ivf_lists(spark, path, id_col="gdoc", vec_col="rv")
+        .join(F.broadcast(probe.select("qdoc", "list_id")), "list_id")
+        .filter(F.col("gdoc") != F.col("qdoc"))
+        .select("qdoc", F.col("gdoc").alias("ddoc"))
+        .distinct()
+    )
+    qt = t.filter(F.col("gdoc") < _MS_QDOCS).select(
+        F.col("gdoc").alias("qdoc"),
+        F.col("tok_id").alias("qtok"),
+        F.col("tv").alias("qv"),
+    )
+    dt = t.select(F.col("gdoc").alias("ddoc"), F.col("tv").alias("dv"))
+    mx = (
+        cand.join(F.broadcast(qt), "qdoc")
+        .join(dt, "ddoc")
+        .select(
+            "qdoc",
+            "qtok",
+            "ddoc",
+            F.round(cosine(F.col("qv"), F.col("dv")), 6).alias("sim"),
+        )
+        .groupBy("qdoc", "qtok", "ddoc")
+        .agg(F.max("sim").alias("mxv"))
+    )
+    sc = (
+        mx.withColumn("mic", F.floor(F.col("mxv") * 1e6 + 0.5).cast("long"))
+        .groupBy("qdoc", "ddoc")
+        .agg(F.sum("mic").alias("score_micro"))
+    )
+    wnd = W.partitionBy("qdoc").orderBy(F.col("score_micro").desc(), "ddoc")
+    return (
+        sc.withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= _MSR_TOPK)
+        .select(
+            "qdoc",
+            "ddoc",
+            "score_micro",
+            F.col("rk").cast("long").alias("rk"),
+        )
     )
