@@ -83,6 +83,17 @@ SHOWCASE = [
      "exact all-pairs: prefix-token equi join with length + positional "
      "filters IN the join condition — candidates pruned before the "
      "distinct and the array-verify, no cartesian anywhere"),
+    ("ann_filtered_topk",
+     "filtered vector search: the metadata predicate (vec_id % 3 = 0) "
+     "lands in the SAME probed-lists scan as the probe's list_id "
+     "partition prune — PushedFilters carries the predicate, "
+     "PartitionFilters carries the probe, candidates die at the "
+     "parquet reader before any cosine is computed"),
+    ("maxsim_rerank_ivf",
+     "two-stage late interaction: candidate docs come from the "
+     "partition-pruned rep-index scan (single-vector first stage); "
+     "only candidate token pairs reach the MaxSim max/sum aggregation "
+     "tree — equi joins throughout, no token cross product"),
 ]
 
 MARKERS = [
