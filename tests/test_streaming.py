@@ -1727,6 +1727,49 @@ def test_kept_tier_fold_o_delta_and_full_collapse(spark, tmp_path):
     ) == [11, 21, 31]
 
 
+def test_read_kept_asof_time_travels_the_tier_store(spark, tmp_path):
+    """read_kept_asof: under tier folds the store is an LSM whose
+    generations ARE history — as-of fold k returns exactly the corpus
+    state when fold k ran, the plan partition-prunes to generations
+    -1..-k, and a crash-leftover duplicate never doubles a row."""
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    kept = str(tmp_path / "kept")
+    for i, wid in enumerate([(11, 0), (21, 1), (31, 2), (41, 0)]):
+        _doc(spark, wid[0], _BASE_WORDS[wid[1]]).write.parquet(
+            f"{kept}/ingest_batch={i}"
+        )
+    # fold 1 covers batches 0-1; fold 2 covers 2-3
+    assert ing.compact_kept(spark, kept, 1, mode="tier") == 2
+    assert ing.compact_kept(spark, kept, 3, mode="tier") == 2
+    asof1 = sorted(
+        r["doc_id"] for r in ing.read_kept_asof(spark, kept, 1).collect()
+    )
+    asof2 = sorted(
+        r["doc_id"] for r in ing.read_kept_asof(spark, kept, 2).collect()
+    )
+    assert asof1 == [11, 21]
+    assert asof2 == [11, 21, 31, 41]
+    # latest snapshot == the current-state reader (no live batches left)
+    assert asof2 == sorted(
+        r["doc_id"] for r in ing.read_kept(spark, kept).collect()
+    )
+    # the generation filter reaches the scan as a partition prune
+    plan = ing.read_kept_asof(spark, kept, 1)._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan and "ingest_batch" in plan
+    # crash window: a folded batch resurfacing beside its generation
+    # must not double rows in any snapshot
+    _doc(spark, 11, _BASE_WORDS[0]).write.parquet(f"{kept}/ingest_batch=0")
+    again = sorted(
+        r["doc_id"] for r in ing.read_kept_asof(spark, kept, 1).collect()
+    )
+    assert again == [11, 21]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ing.read_kept_asof(spark, kept, 0)
+
+
 def test_count_store_compaction_never_double_counts(spark, tmp_path):
     """Additive count stores fold WITHOUT double counting: rows carry
     their origin batch id, so (a) the folded sweep equals the pre-fold

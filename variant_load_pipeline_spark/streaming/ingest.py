@@ -180,6 +180,64 @@ def read_kept(spark, kept_path: str) -> DataFrame:
     return spark.read.option("basePath", kept_path).parquet(kept_path)
 
 
+def read_kept_asof(
+    spark, kept_path: str, fold: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Time-travel read of the kept corpus AS OF tier fold ``fold``
+    (1 = after the first fold): under ``compact_kept(mode='tier')`` the
+    store is an LSM — each fold writes generation ``-k`` and leaves
+    older generations' files byte-identical — so the corpus state at
+    fold k is exactly the union of generations ``-1..-k``, and this
+    reader is ONE partition-pruned filter (``-k <= ingest_batch < 0``),
+    no snapshot copies, no manifest beyond the directory layout.
+
+    Rows are deduped on ``id_col``: the documented tier-fold crash
+    window can leave a folded batch's rows in both a generation and a
+    leftover batch partition, and the per-generation filter must give
+    exactly-once rows regardless (same contract compact_kept documents
+    for current-state readers).
+
+    Only meaningful under tier folds — a ``mode='full'`` fold collapses
+    every generation into one, deliberately erasing history (run full
+    folds when history retention is no longer needed, exactly the
+    LSM major-compaction trade).
+
+    Generation ids are an implementation detail (folds allocate
+    strictly decreasing negatives, but the seed generation's slot means
+    they need not start at -1), so the fold ordinal maps to ids by
+    LISTING the store's generations and cutting at the k-th oldest —
+    a driver-side directory listing bounded by the number of folds,
+    the same O(generations) cost every tier reader already pays at
+    partition discovery.
+    """
+    if fold < 1:
+        raise ValueError(f"fold must be >= 1, got {fold}")
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(kept_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    gens = sorted(
+        (
+            int(st.getPath().getName().split("=", 1)[1])
+            for st in fs.listStatus(hpath)
+            if st.getPath().getName().startswith("ingest_batch=")
+            and int(st.getPath().getName().split("=", 1)[1]) < 0
+        ),
+        reverse=True,  # creation order: ids strictly decrease over time
+    )
+    if fold > len(gens):
+        raise ValueError(
+            f"store has {len(gens)} generations, asked for fold {fold}"
+        )
+    cutoff = gens[fold - 1]
+    return (
+        read_kept(spark, kept_path)
+        .filter(
+            (F.col("ingest_batch") < 0)
+            & (F.col("ingest_batch") >= cutoff)
+        )
+        .dropDuplicates([id_col])
+    )
+
+
 def quality_gate_sink(
     spark,
     model_path: str,
