@@ -1727,6 +1727,93 @@ def test_kept_tier_fold_o_delta_and_full_collapse(spark, tmp_path):
     ) == [11, 21, 31]
 
 
+def test_rho_gate_composes_in_corpus_ingest_sink(spark, tmp_path):
+    """corpus_ingest_sink with rho_model_path: a pool-memorized doc is
+    dropped by the RHO gate (negative excess at threshold 0), a
+    reference-distribution doc passes, and only the survivor's rows
+    enter the LSH index partition (final-survivors-only write)."""
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    idx = str(tmp_path / "idx")
+    kept = str(tmp_path / "kept")
+    model = str(tmp_path / "rho_model")
+    # pool (even id) memorizes words[0]; reference (odd id) holds words[1]
+    ing.write_rho_model(
+        _doc(spark, 0, _BASE_WORDS[0]).union(_doc(spark, 1, _BASE_WORDS[1])),
+        model,
+    )
+    ing.seed_lsh_ingest(_doc(spark, 1, _BASE_WORDS[2]), idx)
+    sink = ing.corpus_ingest_sink(
+        spark, idx, kept, rho_model_path=model, min_excess_micro=0,
+    )
+    batch = spark.createDataFrame(
+        [(10, _BASE_WORDS[0]), (11, _BASE_WORDS[1])],
+        "doc_id long, text string",
+    )
+    sink(batch, 0)
+    assert {
+        r["doc_id"] for r in ing.read_kept(spark, kept).collect()
+    } == {11}
+    b0 = spark.read.parquet(f"{idx}/bands/ingest_batch=0")
+    assert {r["doc_id"] for r in b0.collect()} == {11}
+
+
+def test_rho_gate_through_real_stream(spark, tmp_path):
+    """RHO selection-at-ingest: docs pushed through rho_gate_sink in
+    micro-batches keep EXACTLY the docs a one-shot scoring of the whole
+    frame keeps (batch-boundary invariance — the verdict depends only
+    on the doc's own text and the frozen model), every kept doc's
+    excess clears the threshold, and redelivery overwrites its own
+    partition."""
+    from variant_load_pipeline_spark import queries as Q
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    sf = "/root/testdata/sf0.001"
+    docs = Q.load(spark, sf, "documents").select("doc_id", "text")
+    model = str(tmp_path / "rho_model")
+    kept = str(tmp_path / "kept")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ing.write_rho_model(docs, model)
+    docs.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            ing.rho_gate_sink(spark, model, kept, min_excess_micro=0)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r["doc_id"] for r in ing.read_kept(spark, kept).collect())
+    scores = ing.rho_score_persisted(spark, model, docs)
+    want = sorted(
+        r["doc_id"]
+        for r in scores.filter(F.col("excess_micro") >= 0).collect()
+    )
+    assert got == want and got
+    # the gate is selective on this fixture (pool-half docs score low)
+    assert len(got) < docs.count()
+    # every pool doc (even id) was memorized by the pool LM -> excess
+    # can't beat a reference-trained doc of the same text distribution;
+    # at threshold 0 the kept set must skew to odd (reference) ids
+    odd = sum(1 for i in got if i % 2 == 1)
+    assert odd > len(got) / 2
+    # redelivery: replaying batch 0 with a subset overwrites its own
+    # partition; the verdict is text+model-only, so rows never change
+    ing.rho_gate_sink(spark, model, kept, min_excess_micro=0)(
+        docs.limit(8), 0
+    )
+    assert spark.read.parquet(f"{kept}/ingest_batch=0").count() <= 8
+
+
 def test_read_kept_asof_time_travels_the_tier_store(spark, tmp_path):
     """read_kept_asof: under tier folds the store is an LSM whose
     generations ARE history — as-of fold k returns exactly the corpus

@@ -695,7 +695,8 @@ def _corpus_ingest(spark, args) -> None:
     CorpusClassify output) -> LSH near-dup (--index) under ONE
     checkpoint (--checkpoint, default <out>_checkpoint); accepted docs
     land in --out as idempotent per-batch partitions (read them back
-    with read_kept).  --seed-docs seeds the LSH index first
+    with read_kept).  --rho-model (+ --min-excess-micro, CorpusSelect
+    --model output) adds the RHO selection gate after quality.  --seed-docs seeds the LSH index first
     (seed_lsh_ingest) when the index does not exist yet.  Gates whose
     artifact path is omitted are skipped — the solo sinks' semantics,
     composed.  --manifest chains epoch-manifest emission (--epochs /
@@ -739,6 +740,12 @@ def _corpus_ingest(spark, args) -> None:
         manifest_path=args.manifest,
         epochs=args.epochs if args.epochs is not None else 3,
         shards=args.shards if args.shards is not None else 8,
+        rho_model_path=args.rho_model,
+        min_excess_micro=(
+            args.min_excess_micro
+            if args.min_excess_micro is not None
+            else 0
+        ),
     )
     ckpt = args.checkpoint or f"{args.out}_checkpoint"
     q = (
@@ -906,6 +913,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--query-id", dest="query_id", type=int)
     p.add_argument("--nprobe", type=int)
     p.add_argument("--filter-mod", dest="filter_mod", type=int)
+    p.add_argument("--rho-model", dest="rho_model")
+    p.add_argument(
+        "--min-excess-micro", dest="min_excess_micro", type=int
+    )
     p.add_argument("--epochs", type=int)
     p.add_argument("--shards", type=int)
     p.add_argument("--anchor-every", dest="anchor_every", type=int)
@@ -1103,12 +1114,19 @@ def _corpus_select(spark, args) -> None:
     pool = even doc_id, reference = odd) and keep the per-stratum top-b
     (--budget, default 20; --stratum-col, default source — RHO selects
     per batch, stratum≈shard is the batch unit).  Output parquet:
-    (doc_id, <stratum>, n_tokens, excess_micro, rk)."""
+    (doc_id, <stratum>, n_tokens, excess_micro, rk).  --model <path>
+    additionally persists the two-LM model (write_rho_model) so the
+    streaming RHO gate (CorpusIngest --rho-model) scores future batches
+    against the same frozen selector."""
     from pyspark.sql.window import Window as W
 
     from .functions.text import rho_excess
 
     docs = _read(spark, args.docs)
+    if args.model:
+        from .streaming.ingest import write_rho_model
+
+        write_rho_model(docs, args.model)
     stratum = args.stratum_col or "source"
     topb = args.budget if args.budget is not None else 20
     sc = rho_excess(docs)

@@ -4,11 +4,12 @@ and every store's maintenance job.
 * Gates (each a ``foreachBatch`` sink, exactly-once under redelivery):
   ``lsh_ingest_sink`` (dedup vs a persisted LSH index that grows with
   the accepted corpus), ``quality_gate_sink`` (persisted-LR threshold),
-  ``decontam_gate_sink`` (benchmark n-gram leakage), and
-  ``corpus_ingest_sink`` — all three COMPOSED under one checkpoint
-  (decontam -> quality -> LSH; dropped docs never enter the index),
-  optionally chaining ``epoch_manifest_sink`` so survivors enter the
-  training order in the same batch.
+  ``decontam_gate_sink`` (benchmark n-gram leakage),
+  ``rho_gate_sink`` (RHO selection vs a persisted two-LM model), and
+  ``corpus_ingest_sink`` — all gates COMPOSED under one checkpoint
+  (decontam -> quality -> RHO -> LSH; dropped docs never enter the
+  index), optionally chaining ``epoch_manifest_sink`` so survivors
+  enter the training order in the same batch.
 * Monitors as additive state: ``drift_counts_sink`` + psi_from_counts
   (PSI), ``quality_counts_sink`` + pr_sweep_from_counts (operating-
   point re-pick) — cheap counts on the stream, analytics on the store.
@@ -360,6 +361,150 @@ def decontam_gate_sink(
     return sink
 
 
+def write_rho_model(
+    docs: DataFrame,
+    path: str,
+    pool_pred=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the RHO two-LM model ONCE (the build-once/query-many
+    split applied to data selection): the combined vocabulary table
+    (term, cw_pool, cw_ref) from one conditional aggregation plus the
+    1-row (N, V)×2 constants — functions.text.rho_excess's model half,
+    frozen to parquet so ingest batches score against a FIXED selector
+    instead of re-deriving LMs per batch (RHO's reference model is
+    trained once on holdout data by construction — Mindermann et al.
+    2022, public)."""
+    from ..functions.text import normalize_text
+
+    if pool_pred is None:
+        pool_pred = F.col(id_col) % 2 == 0
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(
+                normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+            )
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    vocab = toks.groupBy("term").agg(
+        F.sum(F.when(pool_pred, 1).otherwise(0)).alias("cw_p"),
+        F.sum(F.when(pool_pred, 0).otherwise(1)).alias("cw_r"),
+    )
+    consts = vocab.agg(
+        F.sum("cw_p").alias("np"),
+        F.sum(F.when(F.col("cw_p") > 0, 1).otherwise(0)).alias("vp"),
+        F.sum("cw_r").alias("nr"),
+        F.sum(F.when(F.col("cw_r") > 0, 1).otherwise(0)).alias("vr"),
+    )
+    vocab.write.mode("overwrite").parquet(f"{path}/vocab")
+    consts.write.mode("overwrite").parquet(f"{path}/consts")
+
+
+def rho_score_persisted(
+    spark,
+    model_path: str,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against the PERSISTED RHO model: excess_micro =
+    pool-LM surprisal − reference-LM surprisal in exact micro-nats
+    (rho_excess's scoring half, reading the frozen model).  Terms the
+    model never saw contribute the constant OOV excess
+    ln((nr+vr)/(np+vp)) per occurrence — deterministic, so a doc's
+    verdict depends only on its own text and the frozen model, never on
+    batch boundaries.  Output: (id, n_tokens, excess_micro)."""
+    from ..functions.text import normalize_text
+
+    vocab = spark.read.parquet(f"{model_path}/vocab")
+    consts = spark.read.parquet(f"{model_path}/consts")
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(
+                    normalize_text(F.coalesce(F.col(text_col), F.lit(""))),
+                    " ",
+                )
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    s_pool = F.floor(
+        -F.log(
+            (F.coalesce(F.col("cw_p"), F.lit(0)) + 1.0)
+            / (F.col("np") + F.col("vp"))
+        )
+        * 1e6
+        + 0.5
+    ).cast("long")
+    s_ref = F.floor(
+        -F.log(
+            (F.coalesce(F.col("cw_r"), F.lit(0)) + 1.0)
+            / (F.col("nr") + F.col("vr"))
+        )
+        * 1e6
+        + 0.5
+    ).cast("long")
+    return (
+        tf.join(vocab, "term", "left")
+        .crossJoin(F.broadcast(consts))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * (s_pool - s_ref)).alias("excess_micro"),
+        )
+    )
+
+
+def rho_gate_sink(
+    spark,
+    model_path: str,
+    kept_path: str,
+    min_excess_micro: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """RHO selection-at-ingest — the FOURTH streaming gate (after dedup,
+    quality, decontamination): each arriving micro-batch is scored
+    against the persisted two-LM model (write_rho_model) and only docs
+    with reducible holdout loss at or above ``min_excess_micro`` enter
+    the corpus — 'learnable, worth learning, not yet learnt' applied at
+    the door, the online form of rho_loss_selection's batch top-b.
+
+    Plan per batch: one tokenize, one term-keyed join against the model
+    vocabulary, the 1-row constants broadcast — the same shape as the
+    quality gate with the LR weight table swapped for the LM vocab.
+    Writes are idempotent per-batch partition overwrites
+    (kept/ingest_batch=<id>); a doc's verdict depends only on its own
+    text and the frozen model, so redelivery cannot change it and the
+    keep set is invariant to how the stream is micro-batched — the
+    stream==batch equivalence the gate tests pin.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        keep_ids = (
+            rho_score_persisted(
+                spark, model_path, batch_df, text_col=text_col,
+                id_col=id_col,
+            )
+            .filter(F.col("excess_micro") >= min_excess_micro)
+            .select(id_col)
+        )
+        keep = batch_df.join(keep_ids, id_col, "leftsemi").localCheckpoint(
+            eager=True
+        )
+        keep.write.mode("overwrite").parquet(
+            f"{kept_path}/ingest_batch={batch_id}"
+        )
+
+    return sink
+
+
 def corpus_ingest_sink(
     spark,
     index_path: str,
@@ -377,10 +522,13 @@ def corpus_ingest_sink(
     manifest_path: str | None = None,
     epochs: int = 3,
     shards: int = 8,
+    rho_model_path: str | None = None,
+    min_excess_micro: int = 0,
 ):
-    """The COMPOSED production ingest door: all three streaming gates —
-    decontamination, quality, LSH near-dup — run over each micro-batch
-    in ONE ``foreachBatch`` under ONE checkpoint, in cost order:
+    """The COMPOSED production ingest door: the streaming gates —
+    decontamination, quality, RHO selection (optional), LSH near-dup —
+    run over each micro-batch in ONE ``foreachBatch`` under ONE
+    checkpoint, in cost order:
 
     1. within-batch exact dedup (min-id survivor per normalized-text
        fingerprint — free relative to everything below);
@@ -389,6 +537,12 @@ def corpus_ingest_sink(
        thins the batch before anything heavier runs;
     3. quality gate (``model_path``, write_quality_model): broadcast
        64-row weight join + per-doc score, keep >= ``threshold_micro``;
+    3b. RHO selection gate (``rho_model_path``, write_rho_model): score
+       reducible holdout loss against the persisted two-LM model, keep
+       >= ``min_excess_micro`` — heavier than the quality gate (the LM
+       vocabulary joins on the term, it can't broadcast at scale), so
+       it runs after quality thins the batch but before the index-
+       touching dedup gate;
     4. LSH near-dup match against every index partition EXCEPT this
        batch's own (the lsh_ingest_sink redelivery self-match guard,
        doc-identity guard included) — the only gate that touches the
@@ -468,6 +622,18 @@ def corpus_ingest_sink(
                 .select(F.col("doc_id").alias(id_col))
             )
             batch = batch.join(keep_ids, id_col, "leftsemi")
+        # gate 3b: RHO selection (persisted two-LM model; term-keyed
+        # join — after quality thins the batch, before the index probe)
+        if rho_model_path is not None:
+            sel_ids = (
+                rho_score_persisted(
+                    spark, rho_model_path, batch, text_col=text_col,
+                    id_col=id_col,
+                )
+                .filter(F.col("excess_micro") >= min_excess_micro)
+                .select(id_col)
+            )
+            batch = batch.join(sel_ids, id_col, "leftsemi")
         # gate 3: LSH near-dup vs the persisted index (both redelivery
         # guards of lsh_ingest_sink: partition exclusion + doc identity)
         corpus_bands = (
