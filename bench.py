@@ -288,6 +288,8 @@ DRIFT_PROBES = [
     "decontaminate",            # broadcast gram semi/anti join (v2)
     "tfidf_top_terms",          # tokenize + term join (v2)
     "ivf_compact_probe_only",   # post-fold steady-state probe (v7)
+    "rho_loss_selection",       # two-LM scoring chain (v8)
+    "kmv_sketch_intersection",  # sketch windows + pair joins (v8)
     "ann_hard_negatives_probe_only",  # IVF probe + mine (v6 family)
     "sequence_packing_tokens",  # BPE encode + window packing (v6)
 ]

@@ -44,7 +44,6 @@ def test_ann_filtered_topk_predicate_holds_and_index_reused(spark):
     # second run must serve from the persisted index (write-if-missing)
     # and return the identical result set
     second = fn(spark, SF).collect()
-    key = lambda r: (r["qid"], r["rk"])  # noqa: E731
     assert sorted(map(tuple, first), key=lambda t: (t[0], t[3])) == sorted(
         map(tuple, second), key=lambda t: (t[0], t[3])
     )
