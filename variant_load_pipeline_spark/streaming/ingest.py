@@ -186,11 +186,12 @@ def read_kept_asof(
 ) -> DataFrame:
     """Time-travel read of the kept corpus AS OF tier fold ``fold``
     (1 = after the first fold): under ``compact_kept(mode='tier')`` the
-    store is an LSM — each fold writes generation ``-k`` and leaves
-    older generations' files byte-identical — so the corpus state at
-    fold k is exactly the union of generations ``-1..-k``, and this
-    reader is ONE partition-pruned filter (``-k <= ingest_batch < 0``),
-    no snapshot copies, no manifest beyond the directory layout.
+    store is an LSM — each fold writes ONE new generation partition and
+    leaves older generations' files byte-identical — so the corpus
+    state at fold k is exactly the union of the k OLDEST generations,
+    and this reader is ONE partition-pruned range filter over
+    ``ingest_batch``: no snapshot copies, no manifest beyond the
+    directory layout.
 
     Rows are deduped on ``id_col``: the documented tier-fold crash
     window can leave a folded batch's rows in both a generation and a
