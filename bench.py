@@ -257,6 +257,7 @@ HEADLINE_V8 = [
     "maxsim_late_interaction",
     "maxsim_rerank_ivf",
     "unpivot_quality_metrics",
+    "bm25_persisted_topk",
 ]
 
 # Drift probes: a fixed, diverse subset of the headline groups used to
@@ -405,6 +406,9 @@ EAGER_CONSTRUCT = {
     # rep index is write-if-missing: the median measures the two-stage
     # retrieve + MaxSim re-rank alone, not the one-time build
     "maxsim_rerank_ivf",
+    # lexical index is write-if-missing: the median measures the
+    # bucket-pruned posting probe alone, not the one-time build
+    "bm25_persisted_topk",
 }
 
 

@@ -531,6 +531,7 @@ _ALLOWED_UNBOUNDED_JOINS = {
     "doc_chunking",
     "tfidf_top_terms",       # 1-row doc-count constant
     "bm25_topk",             # 1-row stats constant
+    "bm25_persisted_topk",   # same 1-row stats constant, reloaded index
     "rrf_hybrid_topk",
     "gopher_quality_filter",
     "bpe_learn_merges",

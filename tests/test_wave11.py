@@ -129,6 +129,58 @@ def test_maxsim_rerank_candidates_come_from_probed_lists(spark):
     assert sorted(map(tuple, two_stage)) == sorted(map(tuple, again))
 
 
+def test_bm25_index_append_matches_rebuild(spark, tmp_path):
+    """The lexical-index lifecycle: build on a seed, append a batch
+    WITHOUT a rebuild, and the probe (seed + delta postings, summed
+    additive stats) ranks exactly like an index rebuilt from scratch
+    over the union; redelivering the append cannot double anything."""
+    from variant_load_pipeline_spark.operators import lexical as lx
+    from variant_load_pipeline_spark.queries import _BM25_TERMS
+
+    docs = Q.load(spark, SF, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 4 != 3)
+    batch = docs.filter(F.col("doc_id") % 4 == 3)
+
+    inc = str(tmp_path / "bm25_inc")
+    lx.write_bm25_index(seed, inc)
+    lx.append_bm25_batch(batch, inc, batch_id=7)
+    got = [
+        tuple(r)
+        for r in lx.bm25_probe_topk(spark, inc, _BM25_TERMS, k=20)
+        .orderBy("rk")
+        .collect()
+    ]
+
+    full = str(tmp_path / "bm25_full")
+    lx.write_bm25_index(docs, full)
+    want = [
+        tuple(r)
+        for r in lx.bm25_probe_topk(spark, full, _BM25_TERMS, k=20)
+        .orderBy("rk")
+        .collect()
+    ]
+    assert got == want and len(got) == 20
+
+    # redelivery: replaying the SAME batch overwrites its own partitions
+    # (postings, doclen, additive stats) — scores must not move
+    lx.append_bm25_batch(batch, inc, batch_id=7)
+    again = [
+        tuple(r)
+        for r in lx.bm25_probe_topk(spark, inc, _BM25_TERMS, k=20)
+        .orderBy("rk")
+        .collect()
+    ]
+    assert again == want
+
+    # the probe's postings scan partition-prunes to the terms' buckets
+    plan = (
+        lx.bm25_probe_topk(spark, inc, _BM25_TERMS, k=20)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "term_bucket" in plan and "PartitionFilters" in plan
+
+
 def test_unpivot_fanout_and_values(spark):
     d = Q.load(spark, SF, "documents")
     n_docs = d.count()

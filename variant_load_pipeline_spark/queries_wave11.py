@@ -31,6 +31,11 @@ LLM-training-data lifecycle, each oracle-gated like every other row.
                         quality metrics — the reshape surface an
                         engine-switcher expects next to the pivot row
                         (events_type_pivot)
+  bm25_persisted_topk   persisted LEXICAL index lifecycle (operators/
+                        lexical.py): bucket-partitioned postings +
+                        additive stats, build/append/probe — the BM25
+                        twin of ann_ivf_persisted_topk, completing
+                        hybrid retrieval's build-once/query-many story
 
 Float determinism follows the repo-wide idiom: cosines round to 6 dp,
 per-term/row contributions round to integer micro-units BEFORE any sum,
@@ -777,3 +782,52 @@ def maxsim_rerank_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+# ===========================================================================
+# Persisted BM25 lexical index: the lexical twin of the IVF lifecycle
+# ===========================================================================
+from .queries import _BM25_TERMS  # noqa: E402
+
+
+@register(
+    "bm25_persisted_topk",
+    _REGISTRY["bm25_topk"].oracle,
+    doc="Persisted-LEXICAL-index lifecycle — the BM25 twin of "
+    "ann_ivf_persisted_topk: the inverted index (postings partitioned "
+    "by term-hash bucket, doclen, additive stats rows) persists "
+    "write-if-missing (salted by the lexical module's source md5 + a "
+    "data fingerprint of documents), and the query is answered from "
+    "the RELOADED store — the postings scan prunes to the query "
+    "terms' buckets (PartitionFilters) with the term IN-list pushed "
+    "down (PushedFilters), the posting-list seek of a search engine "
+    "as partition pruning.  Scoring replays bm25_scores expression-"
+    "for-expression (per-term micro floors before the exact BIGINT "
+    "sum), so this row shares bm25_topk's oracle verbatim: any "
+    "write/read asymmetry in postings, doclen, or the additive stats "
+    "hash-mismatches.  Completes hybrid retrieval's build-once/"
+    "query-many story on the lexical side (rrf_hybrid_topk fuses the "
+    "two rankings; the vector side has had its persisted index since "
+    "ann_ivf_persisted_topk).",
+)
+def bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import inspect
+
+    from .operators import lexical as lx
+    from .queries_ext import _data_fingerprint, _scan_path
+
+    salt = hashlib.md5(
+        (
+            inspect.getsource(lx)
+            + "|bm25|"
+            + _data_fingerprint(spark, sf_dir, "documents")
+        ).encode()
+    ).hexdigest()[:10]
+    path = _scan_path(sf_dir, f"bm25_index_{salt}")
+    # stats writes LAST in write_bm25_index: its _SUCCESS gates against
+    # serving a half-written index
+    fs, marker = _fs(spark, f"{path}/stats/_SUCCESS")
+    if not fs.exists(marker):
+        lx.write_bm25_index(load(spark, sf_dir, "documents"), path)
+    return lx.bm25_probe_topk(spark, path, _BM25_TERMS, k=20)
