@@ -902,6 +902,51 @@ def test_corpus_index_and_search_tools(spark, tmp_path):
     assert got_ids[: len(want_prefix)] == want_prefix
 
 
+def test_corpus_lexical_tools(spark, tmp_path):
+    """CorpusLexIndex/CorpusLexSearch: seed build + batch append ->
+    search matches the operator chain over the union exactly."""
+    from variant_load_pipeline_spark import cli
+    from variant_load_pipeline_spark.operators import lexical as lx
+    from variant_load_pipeline_spark.queries import _BM25_TERMS
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    seed_p = str(tmp_path / "seed.parquet")
+    batch_p = str(tmp_path / "batch.parquet")
+    docs.filter("doc_id % 4 != 3").write.parquet(seed_p)
+    docs.filter("doc_id % 4 = 3").write.parquet(batch_p)
+    idx = str(tmp_path / "lex")
+    hits = str(tmp_path / "hits")
+    cli.main(
+        ["--tool", "CorpusLexIndex", "--docs", seed_p, "--out", idx],
+        spark=spark,
+    )
+    cli.main(
+        [
+            "--tool", "CorpusLexIndex", "--batch", batch_p,
+            "--batch-id", "3", "--out", idx,
+        ],
+        spark=spark,
+    )
+    cli.main(
+        [
+            "--tool", "CorpusLexSearch", "--index", idx,
+            "--terms", *_BM25_TERMS, "--k", "20", "--out", hits,
+        ],
+        spark=spark,
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(hits).collect())
+    full = str(tmp_path / "lex_full")
+    lx.write_bm25_index(docs, full)
+    want = sorted(
+        tuple(r)
+        for r in lx.bm25_probe_topk(spark, full, _BM25_TERMS, k=20).collect()
+    )
+    assert got == want and got
+
+
 def test_corpus_select_tool(spark, tmp_path):
     """CorpusSelect: the written RHO selection matches the oracle-gated
     rho_loss_selection rows exactly at the default knobs."""

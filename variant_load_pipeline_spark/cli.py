@@ -548,6 +548,43 @@ def _corpus_index(spark, args) -> None:
         write_ivf_index(_read(spark, args.docs), args.out)
 
 
+@tool("CorpusLexIndex")
+def _corpus_lex_index(spark, args) -> None:
+    """Build or grow the persisted BM25 lexical index: --docs + --out
+    builds the seed (write_bm25_index); --batch + --batch-id + --out
+    appends a document batch WITHOUT a rebuild (append_bm25_batch —
+    idempotent per-batch partitions, visible to the next search
+    immediately).  The lexical twin of CorpusIndex."""
+    from .operators.lexical import append_bm25_batch, write_bm25_index
+
+    if args.batch:
+        if args.batch_id is None:
+            raise SystemExit("--batch needs --batch-id")
+        append_bm25_batch(_read(spark, args.batch), args.out, args.batch_id)
+    else:
+        write_bm25_index(_read(spark, args.docs), args.out)
+
+
+@tool("CorpusLexSearch")
+def _corpus_lex_search(spark, args) -> None:
+    """BM25 top-k from the persisted lexical index: --index <path>,
+    --terms <t1 t2 ...>, --k -> ranked parquet (doc_id, bm25_micro,
+    rk).  The postings scan prunes to the terms' hash buckets (seed +
+    any appended deltas).  The lexical twin of CorpusSearch; fuse with
+    a vector ranking downstream the way rrf_hybrid_topk does."""
+    from .operators.lexical import bm25_probe_topk
+
+    if not args.terms:
+        raise SystemExit("CorpusLexSearch needs --terms")
+    out = bm25_probe_topk(
+        spark,
+        args.index,
+        list(args.terms),
+        k=args.k if args.k is not None else 20,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+
+
 @tool("CorpusSearch")
 def _corpus_search(spark, args) -> None:
     """Query a persisted IVF index: --index <path>, --query-id <vec_id
@@ -914,6 +951,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nprobe", type=int)
     p.add_argument("--filter-mod", dest="filter_mod", type=int)
     p.add_argument("--rho-model", dest="rho_model")
+    p.add_argument("--terms", nargs="+")
     p.add_argument(
         "--min-excess-micro", dest="min_excess_micro", type=int
     )
