@@ -258,6 +258,7 @@ HEADLINE_V8 = [
     "maxsim_rerank_ivf",
     "unpivot_quality_metrics",
     "bm25_persisted_topk",
+    "rho_persisted_selection",
 ]
 
 # Drift probes: a fixed, diverse subset of the headline groups used to
@@ -409,6 +410,9 @@ EAGER_CONSTRUCT = {
     # lexical index is write-if-missing: the median measures the
     # bucket-pruned posting probe alone, not the one-time build
     "bm25_persisted_topk",
+    # two-LM model is write-if-missing: the median measures scoring
+    # against the reloaded model alone, not the one-time model write
+    "rho_persisted_selection",
 }
 
 

@@ -591,6 +591,7 @@ _ALLOWED_UNBOUNDED_JOINS = {
                                # broadcast 9-row threshold table (the
                                # only fan-out is x9, constant in corpus)
     "rho_loss_selection",      # 1-row (N, V)x2 LM-constant broadcast
+    "rho_persisted_selection",  # same 1-row constants, reloaded model
     "maxsim_late_interaction",  # bounded query-token block x corpus
                                 # (exact baseline; ANN candidates at scale)
     "kmv_sketch_intersection",  # 20x20 source pair frame (bounded by

@@ -36,6 +36,10 @@ LLM-training-data lifecycle, each oracle-gated like every other row.
                         additive stats, build/append/probe — the BM25
                         twin of ann_ivf_persisted_topk, completing
                         hybrid retrieval's build-once/query-many story
+  rho_persisted_selection  the selection computed from the PERSISTED
+                        two-LM model (the RHO ingest gate's artifact) —
+                        shares rho_loss_selection's oracle verbatim,
+                        gating the model write/read roundtrip
 
 Float determinism follows the repo-wide idiom: cosines round to 6 dp,
 per-term/row contributions round to integer micro-units BEFORE any sum,
@@ -831,3 +835,57 @@ def bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not fs.exists(marker):
         lx.write_bm25_index(load(spark, sf_dir, "documents"), path)
     return lx.bm25_probe_topk(spark, path, _BM25_TERMS, k=20)
+
+
+@register(
+    "rho_persisted_selection",
+    _RHO_SQL,
+    doc="rho_loss_selection's PERSISTED-model twin: the two-LM selector "
+    "is written once (streaming/ingest.write_rho_model — the artifact "
+    "the RHO ingest gate consumes) and the selection is computed by "
+    "scoring against the RELOADED model (rho_score_persisted), write-"
+    "if-missing salted by the ingest module's source md5 + a data "
+    "fingerprint of documents.  Shares rho_loss_selection's oracle "
+    "VERBATIM: any asymmetry between the inline scoring chain and the "
+    "persisted vocab/consts roundtrip hash-mismatches — the lexical/"
+    "vector persisted-index gating stance applied to the data-selection "
+    "model, and the oracle gate behind the streaming rho_gate_sink.",
+)
+def rho_persisted_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import inspect
+
+    from .streaming import ingest as ing
+    from .queries_ext import _data_fingerprint, _scan_path
+
+    d = load(spark, sf_dir, "documents")
+    salt = hashlib.md5(
+        (
+            inspect.getsource(ing.write_rho_model)
+            + inspect.getsource(ing.rho_score_persisted)
+            + "|rho|"
+            + _data_fingerprint(spark, sf_dir, "documents")
+        ).encode()
+    ).hexdigest()[:10]
+    path = _scan_path(sf_dir, f"rho_model_{salt}")
+    # consts writes LAST in write_rho_model: its _SUCCESS gates against
+    # serving a half-written model
+    fs, marker = _fs(spark, f"{path}/consts/_SUCCESS")
+    if not fs.exists(marker):
+        ing.write_rho_model(d, path)
+    sc = ing.rho_score_persisted(spark, path, d)
+    wnd = W.partitionBy("source").orderBy(
+        F.col("excess_micro").desc(), "doc_id"
+    )
+    return (
+        sc.join(d.select("doc_id", "source"), "doc_id")
+        .withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= _RHO_TOPB)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            "n_tokens",
+            "excess_micro",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
