@@ -596,6 +596,20 @@ _ALLOWED_UNBOUNDED_JOINS = {
                                 # (exact baseline; ANN candidates at scale)
     "kmv_sketch_intersection",  # 20x20 source pair frame (bounded by
                                 # source cardinality, not corpus size)
+    "kmv_overlap_probe_only",   # same source-pair frame, read from the
+                                # persisted O(sources x k) sketch store
+    "bm25_compact_probe_only",  # bm25_topk's 1-row stats constant, over
+                                # the folded index
+    "bm25_idf_drift_report",    # two 1-row corpus-size constants
+                                # broadcast (seed-epoch N, current N)
+    "bm25_bucket_skew_report",  # 1-row grand-total broadcast over the
+                                # fixed 64-row bucket spine
+    "ann_filtered_auto_topk",   # exact-fallback branch only: bounded
+                                # anchor block x the FILTERED survivors
+                                # (fires exactly when that subset is
+                                # k-starved — tiny by definition); the
+                                # probe branch plans the pruned
+                                # broadcast equi-join
 }
 
 

@@ -554,15 +554,42 @@ def _corpus_lex_index(spark, args) -> None:
     builds the seed (write_bm25_index); --batch + --batch-id + --out
     appends a document batch WITHOUT a rebuild (append_bm25_batch —
     idempotent per-batch partitions, visible to the next search
-    immediately).  The lexical twin of CorpusIndex."""
-    from .operators.lexical import append_bm25_batch, write_bm25_index
+    immediately); --compact <index path> + --batch-id folds the
+    committed delta batches into the main store O(delta)
+    (compact_bm25_index — probe results identical before/after,
+    untouched bucket directories byte-identical) and writes a
+    (store, folded) report to --out; --batch-id is the checkpoint-
+    commit watermark, required for the same reason as CorpusCompact's.
+    The lexical twin of CorpusIndex/CorpusCompact."""
+    from .operators.lexical import (
+        append_bm25_batch,
+        compact_bm25_index,
+        write_bm25_index,
+    )
 
-    if args.batch:
+    if args.compact:
+        if args.batch_id is None:
+            raise SystemExit(
+                "CorpusLexIndex --compact requires --batch-id (highest "
+                "batch id committed to the stream's checkpoint)"
+            )
+        folded = compact_bm25_index(
+            spark, args.compact, upto_batch_id=args.batch_id
+        )
+        spark.createDataFrame(
+            [("bm25", folded)], "store string, folded int"
+        ).repartition(1).write.mode("overwrite").parquet(args.out)
+    elif args.batch:
         if args.batch_id is None:
             raise SystemExit("--batch needs --batch-id")
         append_bm25_batch(_read(spark, args.batch), args.out, args.batch_id)
-    else:
+    elif args.docs:
         write_bm25_index(_read(spark, args.docs), args.out)
+    else:
+        raise SystemExit(
+            "CorpusLexIndex needs --docs (build), --batch (append), "
+            "or --compact (fold)"
+        )
 
 
 @tool("CorpusLexSearch")
@@ -592,10 +619,17 @@ def _corpus_search(spark, args) -> None:
     top-k parquet (vec_id, label, cos_sim, rk).  The probe reads ONLY
     the probed lists' partitions (seed + any ingest delta).  Optional
     --filter-mod M answers the FILTERED search (keep candidates with
-    vec_id % M == 0 — the tenant/license predicate stand-in) by
-    pre-filtering inside the probed lists (ann_filtered_topk's
-    semantics); widen --nprobe for selective filters."""
-    from .operators.clustering import ivf_probe_topk
+    vec_id % M == 0 — the tenant/license predicate stand-in): without
+    an explicit --nprobe the strategy is SELF-ACTING
+    (clustering.choose_filtered_probe — widen nprobe from the measured
+    selectivity, or exact-score the filtered subset when probing would
+    visit every list anyway); an explicit --nprobe pins the manual
+    pre-filter-inside-probed-lists path (ann_filtered_topk's
+    semantics)."""
+    from .operators.clustering import (
+        ivf_probe_topk,
+        ivf_probe_topk_filtered,
+    )
 
     docs = _read(spark, args.docs)
     qrow = (
@@ -605,20 +639,34 @@ def _corpus_search(spark, args) -> None:
     )
     if qrow is None:
         raise SystemExit(f"query vec_id {args.query_id} not found")
+    # explicit None check: --filter-mod 0 must be rejected loudly, not
+    # silently ignored as falsy
+    if args.filter_mod is not None and args.filter_mod < 1:
+        raise SystemExit(
+            f"--filter-mod must be >= 1, got {args.filter_mod}"
+        )
     pred = (
         (F.col("vec_id") % args.filter_mod == 0)
-        if getattr(args, "filter_mod", None)
+        if args.filter_mod is not None
         else None
     )
-    out = ivf_probe_topk(
-        spark,
-        args.index,
-        [float(x) for x in qrow["embedding"]],
-        nprobe=args.nprobe if args.nprobe is not None else 2,
-        k=args.k if args.k is not None else 10,
-        exclude_id=args.query_id,
-        predicate=pred,
-    )
+    qv = [float(x) for x in qrow["embedding"]]
+    k = args.k if args.k is not None else 10
+    if pred is not None and args.nprobe is None:
+        out = ivf_probe_topk_filtered(
+            spark, args.index, qv, k=k, predicate=pred,
+            exclude_id=args.query_id,
+        )
+    else:
+        out = ivf_probe_topk(
+            spark,
+            args.index,
+            qv,
+            nprobe=args.nprobe if args.nprobe is not None else 2,
+            k=k,
+            exclude_id=args.query_id,
+            predicate=pred,
+        )
     out.write.mode("overwrite").parquet(args.out)
 
 
@@ -968,6 +1016,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint")
     p.add_argument("--threshold-micro", dest="threshold_micro", type=int)
     p.add_argument("--seed-docs", dest="seed_docs")
+    p.add_argument("--compact")
     p.add_argument("--gzip", action="store_true")
     p.add_argument("--addp", action="store_true")
     p.add_argument(

@@ -1066,6 +1066,109 @@ def ivf_probe_batch(
     )
 
 
+FILTERED_SAFETY = 3
+
+
+def choose_filtered_probe(
+    spark,
+    path: str,
+    predicate,
+    k: int,
+    safety: int = FILTERED_SAFETY,
+) -> tuple[str, int | None]:
+    """Make the filtered-ANN selectivity↔nprobe trade SELF-ACTING
+    (FAISS IDSelector guidance, public): a fixed nprobe against a
+    selective metadata predicate silently returns < k survivors, and a
+    widened nprobe against a permissive one wastes scan.  Measure the
+    predicate's survivor count with ONE column-pruned aggregate over
+    the lists store (the count reads only the predicate's columns —
+    cheap next to any vector scan, and cacheable per predicate), then:
+
+    * ``needed = ceil(safety*k*n_lists / survivors)`` — the probe
+      width at which the EXPECTED candidate pool inside the probed
+      lists is safety×k (survivors spread ~uniformly over lists);
+    * ``needed < n_lists``  -> ('probe', needed): prune to the needed
+      lists, the predicate rides the pruned scan as a pushed filter;
+    * ``needed >= n_lists`` (or zero survivors) -> ('exact', None):
+      probing would visit every list anyway, so score the filtered
+      subset exactly — for an ultra-selective predicate that subset is
+      tiny by definition, and exact scoring is both cheaper AND
+      recall-lossless.
+
+    The decision is a pure integer function of (survivors, n_lists,
+    k, safety), so an oracle replays it from the same counts — the
+    IVF literal/join auto-switch stance (``_choose_ivf_strategy``)
+    applied to filtered search; boundary goldens pin auto == each
+    strategy on both sides."""
+    surv = int(read_ivf_lists(spark, path).filter(predicate).count())
+    n_lists = int(spark.read.parquet(f"{path}/centroids").count())
+    if surv == 0:
+        return "exact", None
+    needed = (safety * k * n_lists + surv - 1) // surv
+    if needed >= n_lists:
+        return "exact", None
+    return "probe", int(needed)
+
+
+def ivf_probe_topk_filtered(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    predicate=None,
+    exclude_id: int | None = None,
+    safety: int = FILTERED_SAFETY,
+) -> DataFrame:
+    """Single-query metadata-filtered top-k with the SELF-ACTING
+    strategy (choose_filtered_probe): probe with the widened nprobe
+    when pruning still pays, exact-score the filtered subset when the
+    predicate is so selective that probing would visit every list
+    anyway (or match nothing) — the CorpusSearch --filter-mod path.
+    Same output schema and deterministic ties as ivf_probe_topk."""
+    from .similarity import cosine
+
+    if predicate is None:
+        return ivf_probe_topk(
+            spark, path, query_vec, k=k, exclude_id=exclude_id
+        )
+    strategy, nprobe = choose_filtered_probe(
+        spark, path, predicate, k, safety
+    )
+    if strategy == "probe":
+        return ivf_probe_topk(
+            spark,
+            path,
+            query_vec,
+            nprobe=nprobe,
+            k=k,
+            exclude_id=exclude_id,
+            predicate=predicate,
+        )
+    lists = read_ivf_lists(spark, path).filter(predicate)
+    if exclude_id is not None:
+        lists = lists.filter(F.col("vec_id") != exclude_id)
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = lists.select(
+        "vec_id",
+        F.col("list_id").cast("int").alias("label"),
+        F.round(
+            cosine(F.col("embedding").cast("array<double>"), qv), 6
+        ).alias("cos_sim"),
+    )
+    top = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(k)
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(F.col("cos_sim") * F.lit(0.0)).orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return top.select(
+        "vec_id",
+        "label",
+        "cos_sim",
+        F.row_number().over(w).cast("long").alias("rk"),
+    )
+
+
 def ivf_assign_batch(
     spark,
     path: str,

@@ -2289,3 +2289,4 @@ from . import queries_wave8  # noqa: E402,F401
 from . import queries_wave9  # noqa: E402,F401
 from . import queries_wave10  # noqa: E402,F401
 from . import queries_wave11  # noqa: E402,F401
+from . import queries_wave12  # noqa: E402,F401
