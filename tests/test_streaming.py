@@ -1793,10 +1793,18 @@ def test_rho_gate_through_real_stream(spark, tmp_path):
     q.awaitTermination(120)
 
     got = sorted(r["doc_id"] for r in ing.read_kept(spark, kept).collect())
+    # batch twin under the coalesce-to-0 contract: drop exactly the
+    # docs that SCORED below the threshold (token-less docs have no
+    # score row — excess vacuously 0, kept at threshold 0)
     scores = ing.rho_score_persisted(spark, model, docs)
+    below = {
+        r["doc_id"]
+        for r in scores.filter(F.col("excess_micro") < 0).collect()
+    }
     want = sorted(
         r["doc_id"]
-        for r in scores.filter(F.col("excess_micro") >= 0).collect()
+        for r in docs.select("doc_id").collect()
+        if r["doc_id"] not in below
     )
     assert got == want and got
     # the gate is selective on this fixture (pool-half docs score low)

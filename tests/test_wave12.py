@@ -511,6 +511,139 @@ def test_ann_filtered_auto_query_matches_exact_fallback(spark):
     assert got == want and got
 
 
+# ---------------------------------------------------------------------------
+# Ingest-door lexical stage + RHO gate updates
+# ---------------------------------------------------------------------------
+
+_W0 = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+)
+_W1 = (
+    "red orange yellow green blue indigo violet crimson scarlet amber "
+    "gold silver bronze copper iron steel titanium cobalt nickel zinc"
+)
+
+
+def _doc(spark, doc_id, text):
+    return spark.createDataFrame(
+        [(doc_id, text)], "doc_id long, text string"
+    )
+
+
+def test_ingest_door_lexical_stage(spark, tmp_path):
+    """The fifth sink stage: FINAL survivors' postings append into the
+    BM25 store in the same batch (delta-only bootstrap — no seed), a
+    gate-dropped doc never enters the postings, redelivery overwrites
+    its own partitions, and a later fold creates the seed with probes
+    unchanged."""
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    idx = str(tmp_path / "idx")
+    kept = str(tmp_path / "kept")
+    grams = str(tmp_path / "grams")
+    lex = str(tmp_path / "lex")
+    bench = "apple banana cherry damson elderberry fig grape honeydew"
+    ing.write_benchmark_grams(_doc(spark, 900, bench), grams, k=4)
+    ing.seed_lsh_ingest(_doc(spark, 1, _W0), idx)
+    sink = ing.corpus_ingest_sink(
+        spark, idx, kept, grams_path=grams, lex_index_path=lex
+    )
+    contaminated = "apple banana cherry damson " + _W0.replace(
+        "alpha", "omega"
+    )
+    batch = spark.createDataFrame(
+        [(10, contaminated), (11, _W1)], "doc_id long, text string"
+    )
+    sink(batch, 0)
+    assert {
+        r["doc_id"] for r in ing.read_kept(spark, kept).collect()
+    } == {11}
+    # only the survivor's postings entered the (delta-only) store
+    post = spark.read.parquet(f"{lex}/postings_delta")
+    assert {r["doc_id"] for r in post.collect()} == {11}
+    assert not os.path.exists(f"{lex}/postings")
+    got = lx.bm25_probe_topk(spark, lex, ["titanium"], k=5).collect()
+    assert [r["doc_id"] for r in got] == [11]
+    assert lx.bm25_probe_topk(spark, lex, ["apple"], k=5).count() == 0
+    # redelivery: the batch overwrites its own partitions, probe stable
+    sink(batch, 0)
+    assert lx.bm25_probe_topk(spark, lex, ["titanium"], k=5).count() == 1
+    # the fold bootstraps the seed from the delta-only store
+    assert lx.compact_bm25_index(spark, lex, upto_batch_id=0) == 1
+    assert os.path.exists(f"{lex}/postings")
+    assert not os.path.exists(f"{lex}/postings_delta")
+    got2 = lx.bm25_probe_topk(spark, lex, ["titanium"], k=5).collect()
+    assert [(r["doc_id"], r["bm25_micro"]) for r in got2] == [
+        (r["doc_id"], r["bm25_micro"]) for r in got
+    ]
+
+
+def test_rho_vocab_scan_prunes_buckets(spark, tmp_path):
+    """The RHO gate's vocab scan must prune to the batch's term-hash
+    buckets: write_rho_model partitions the vocab by vbucket and
+    rho_score_model(prune_buckets=True)'s filter lands in
+    PartitionFilters — the per-batch model scan is O(batch's buckets),
+    never the whole vocabulary."""
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    model = str(tmp_path / "rho")
+    ing.write_rho_model(
+        _docs(spark).filter(F.col("doc_id") < 100), model
+    )
+    assert any(
+        n.startswith("vbucket=") for n in os.listdir(f"{model}/vocab")
+    )
+    vocab, consts = ing.load_rho_model(spark, model)
+    batch = _doc(spark, 7, "alpha bravo zulu")
+    scored = ing.rho_score_model(
+        vocab, consts, batch, prune_buckets=True
+    )
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        scored._jdf.queryExecution(), "formatted"
+    )
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "vbucket" in ln
+    ]
+    assert pf, plan
+    # the prune is an IN over at most 3 buckets (3 distinct terms)
+    assert "vbucket" in pf[0] and " IN " in pf[0], pf[0]
+    # and pruned scoring equals unpruned scoring
+    unpruned = ing.rho_score_model(vocab, consts, batch)
+    assert sorted(tuple(r) for r in scored.collect()) == sorted(
+        tuple(r) for r in unpruned.collect()
+    )
+
+
+def test_rho_gate_zero_token_contract(spark, tmp_path):
+    """Token-less docs carry a vacuous excess of 0: kept at
+    min_excess_micro <= 0, dropped above — the coalesce-to-0 semantics
+    of the 'keep >= threshold' contract, in both the solo gate and the
+    composed door."""
+    from variant_load_pipeline_spark.streaming import ingest as ing
+
+    model = str(tmp_path / "rho")
+    # pool (even id) memorizes _W0; reference (odd id) holds _W1
+    ing.write_rho_model(
+        _doc(spark, 0, _W0).union(_doc(spark, 1, _W1)), model
+    )
+    batch = spark.createDataFrame(
+        [(50, "  "), (51, _W1), (52, _W0)], "doc_id long, text string"
+    )
+    kept0 = str(tmp_path / "kept0")
+    ing.rho_gate_sink(spark, model, kept0, min_excess_micro=0)(batch, 0)
+    assert {
+        r["doc_id"] for r in ing.read_kept(spark, kept0).collect()
+    } == {50, 51}  # token-less kept at 0; memorized pool doc dropped
+    kept1 = str(tmp_path / "kept1")
+    ing.rho_gate_sink(spark, model, kept1, min_excess_micro=1)(batch, 0)
+    got1 = {r["doc_id"] for r in ing.read_kept(spark, kept1).collect()}
+    assert 50 not in got1  # cannot clear a positive threshold
+    assert 52 not in got1
+
+
 def test_cli_corpus_search_auto_and_filter_mod_validation(spark, tmp_path):
     """CorpusSearch without --nprobe + --filter-mod routes through the
     self-acting strategy (here: exact fallback — every survivor ranked,

@@ -785,7 +785,10 @@ def _corpus_ingest(spark, args) -> None:
     (seed_lsh_ingest) when the index does not exist yet.  Gates whose
     artifact path is omitted are skipped — the solo sinks' semantics,
     composed.  --manifest chains epoch-manifest emission (--epochs /
-    --shards): survivors enter the training order in the same batch."""
+    --shards): survivors enter the training order in the same batch.
+    --lex-index chains BM25 postings appends: survivors become
+    lexically searchable (CorpusLexSearch) at the door; fold the
+    accumulated deltas with CorpusLexIndex --compact."""
     from .streaming.ingest import corpus_ingest_sink, seed_lsh_ingest
 
     if not args.index:
@@ -831,6 +834,7 @@ def _corpus_ingest(spark, args) -> None:
             if args.min_excess_micro is not None
             else 0
         ),
+        lex_index_path=args.lex_index,
     )
     ckpt = args.checkpoint or f"{args.out}_checkpoint"
     q = (
@@ -1017,6 +1021,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threshold-micro", dest="threshold_micro", type=int)
     p.add_argument("--seed-docs", dest="seed_docs")
     p.add_argument("--compact")
+    p.add_argument("--lex-index", dest="lex_index")
     p.add_argument("--gzip", action="store_true")
     p.add_argument("--addp", action="store_true")
     p.add_argument(

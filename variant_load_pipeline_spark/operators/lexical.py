@@ -196,8 +196,12 @@ def _delta_batches(spark, delta_dir: str) -> list[int]:
 
 def _folded_upto(spark, path: str) -> int:
     """The compaction watermark from the stats seed row (-1 when the
-    store predates folds or carries no watermark column).  A 1-row
+    store predates folds, carries no watermark column, or has no seed
+    yet — the delta-only store the ingest door bootstraps).  A 1-row
     bounded collect — model state, never data."""
+    fs, hpath = _fs_of(spark, f"{path}/stats")
+    if not fs.exists(hpath):
+        return -1
     st = spark.read.parquet(f"{path}/stats")
     if "folded_upto" not in st.columns:
         return -1
@@ -205,28 +209,44 @@ def _folded_upto(spark, path: str) -> int:
     return -1 if row is None or row["w"] is None else int(row["w"])
 
 
-def _delta_union(
+def _store_frame(
     spark,
-    base: DataFrame,
+    seed_dir: str,
     delta_dir: str,
     cols: list[str],
     watermark: int,
     dedup_cols: list[str] | None = None,
 ):
-    """Union a store's seed frame with its delta rows ABOVE the
-    compaction watermark (rows at or below it are already folded into
-    the seed — excluding them makes the fold's delete-crash window
-    read exactly-once).  With ``dedup_cols``, the merged frame also
+    """A sub-store's full reader frame: seed (when it exists — the
+    ingest door can bootstrap a store from deltas alone, LSM-style)
+    unioned with the delta rows ABOVE the compaction watermark (rows at
+    or below it are already folded into the seed — excluding them makes
+    the fold's delete-crash window read exactly-once).  With
+    ``dedup_cols`` and BOTH sides present, the merged frame also
     dropDuplicates — the defensive guard for postings/doclen, whose
     crash-leftover rows are bit-identical to their folded seed copies
-    (see module docstring); skipped entirely when no delta exists, so
-    the steady-state probe pays no extra exchange."""
-    if not _delta_batches(spark, delta_dir):
-        return base
-    delta = spark.read.parquet(delta_dir)
-    bcol = "batch_id" if "batch_id" in delta.columns else "bpart"
-    delta = delta.filter(F.col(bcol) > watermark).select(*cols)
-    merged = base.unionByName(delta)
+    (see module docstring); skipped whenever one side is absent, so the
+    steady-state (or delta-only) read pays no extra exchange."""
+    fs, hseed = _fs_of(spark, seed_dir)
+    seed = (
+        spark.read.parquet(seed_dir).select(*cols)
+        if fs.exists(hseed)
+        else None
+    )
+    delta = None
+    if _delta_batches(spark, delta_dir):
+        d = spark.read.parquet(delta_dir)
+        bcol = "batch_id" if "batch_id" in d.columns else "bpart"
+        delta = d.filter(F.col(bcol) > watermark).select(*cols)
+    if seed is None and delta is None:
+        raise ValueError(
+            f"no BM25 store at {seed_dir} (no seed, no deltas)"
+        )
+    if seed is None:
+        return delta
+    if delta is None:
+        return seed
+    merged = seed.unionByName(delta)
     if dedup_cols:
         merged = merged.dropDuplicates(dedup_cols)
     return merged
@@ -262,12 +282,9 @@ def bm25_probe_topk(
         }
     )
     w_mark = _folded_upto(spark, path)
-    post = spark.read.parquet(f"{path}/postings").select(
-        id_col, "term", "tf", "term_bucket"
-    )
-    post = _delta_union(
+    post = _store_frame(
         spark,
-        post,
+        f"{path}/postings",
         f"{path}/postings_delta",
         [id_col, "term", "tf", "term_bucket"],
         w_mark,
@@ -277,18 +294,20 @@ def bm25_probe_topk(
         F.col("term_bucket").isin(buckets)
         & F.col("term").isin(list(terms))
     ).select(id_col, "term", "tf")
-    dl = spark.read.parquet(f"{path}/doclen").select(id_col, "dl")
-    dl = _delta_union(
+    dl = _store_frame(
         spark,
-        dl,
+        f"{path}/doclen",
         f"{path}/doclen_delta",
         [id_col, "dl"],
         w_mark,
         dedup_cols=[id_col],
     )
-    st = spark.read.parquet(f"{path}/stats").select("n_docs", "sum_dl")
-    st = _delta_union(
-        spark, st, f"{path}/stats_delta", ["n_docs", "sum_dl"], w_mark
+    st = _store_frame(
+        spark,
+        f"{path}/stats",
+        f"{path}/stats_delta",
+        ["n_docs", "sum_dl"],
+        w_mark,
     )
     stats = st.agg(
         F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
@@ -420,17 +439,18 @@ def _fold_bucketed(
                     F.col("batch_id").cast("long").alias("__src"),
                 )
             )
-            seed_touched = (
-                spark.read.parquet(seed_dir)
-                .select(*key_cols, *data_cols, bucket_col)
-                # lands in PartitionFilters: only touched buckets read
-                .filter(F.col(bucket_col).isin(sorted(touched)))
-                .withColumn("__src", F.lit(-1).cast("long"))
-            )
+            if fs.exists(fs_path(seed_dir)):
+                seed_touched = (
+                    spark.read.parquet(seed_dir)
+                    .select(*key_cols, *data_cols, bucket_col)
+                    # lands in PartitionFilters: only touched buckets read
+                    .filter(F.col(bucket_col).isin(sorted(touched)))
+                    .withColumn("__src", F.lit(-1).cast("long"))
+                )
+                delta = seed_touched.unionByName(delta)
             wdd = W.partitionBy(*key_cols).orderBy(F.col("__src").desc())
             merged = (
-                seed_touched.unionByName(delta)
-                .withColumn("__rn", F.row_number().over(wdd))
+                delta.withColumn("__rn", F.row_number().over(wdd))
                 .filter(F.col("__rn") == 1)
                 .select(*key_cols, *data_cols, bucket_col)
             )
@@ -438,6 +458,9 @@ def _fold_bucketed(
             merged.write.mode("overwrite").partitionBy(
                 bucket_col
             ).parquet(tmp)
+            # a delta-only store (the ingest door's bootstrap) creates
+            # its seed dir at the first fold
+            fs.mkdirs(fs_path(seed_dir))
             fs.mkdirs(fs_path(old_root))
             for t in sorted(touched):
                 part = f"{bucket_col}={t}"
@@ -592,7 +615,11 @@ def compact_bm25_index(
     sbatches = _delta_batches(spark, f"{path}/stats_delta")
     committed = [b for b in sbatches if w_mark < b <= upto_batch_id]
     if committed or any(b <= w_mark for b in sbatches):
-        seed = spark.read.parquet(st_live).select("n_docs", "sum_dl")
+        seed = (
+            spark.read.parquet(st_live).select("n_docs", "sum_dl")
+            if fs.exists(fs_path(st_live))
+            else None
+        )
         if committed:
             delta = (
                 spark.read.parquet(f"{path}/stats_delta")
@@ -602,7 +629,7 @@ def compact_bm25_index(
                 )
                 .select("n_docs", "sum_dl")
             )
-            seed = seed.unionByName(delta)
+            seed = seed.unionByName(delta) if seed is not None else delta
         new_seed = seed.agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("sum_dl").cast("long").alias("sum_dl"),
@@ -613,10 +640,12 @@ def compact_bm25_index(
         )
         tmp = f"{path}/.stats_tmp"
         new_seed.repartition(1).write.mode("overwrite").parquet(tmp)
-        if not fs.rename(fs_path(st_live), fs_path(st_old)):
+        had_seed = fs.exists(fs_path(st_live))
+        if had_seed and not fs.rename(fs_path(st_live), fs_path(st_old)):
             raise IOError(f"compaction: rename {st_live} -> {st_old} failed")
         if not fs.rename(fs_path(tmp), fs_path(st_live)):
-            fs.rename(fs_path(st_old), fs_path(st_live))
+            if had_seed:
+                fs.rename(fs_path(st_old), fs_path(st_live))
             raise IOError(f"compaction: rename {tmp} -> {st_live} failed")
         for b in [x for x in sbatches if x <= upto_batch_id]:
             fs.delete(fs_path(f"{path}/stats_delta/bpart={b}"), True)
@@ -670,24 +699,35 @@ def bm25_idf_drift(
         F.countDistinct(id_col).alias("df_d")
     )
     # seed-side df for the delta terms only: bucket prune + term semi
+    # (a delta-only store — the door's bootstrap — has no seed epoch:
+    # df_seed = 0, n_seed = 0, drift measured from the empty index)
     buckets = dterms.select("term_bucket").distinct()
-    seed_post = (
-        spark.read.parquet(f"{path}/postings")
-        .join(F.broadcast(buckets), "term_bucket")
-        .join(F.broadcast(dterms.select("term")), "term", "leftsemi")
-        .select(id_col, "term")
-    )
-    df_s = seed_post.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df_s")
-    )
+    fs, hseed = _fs_of(spark, f"{path}/postings")
+    if fs.exists(hseed):
+        seed_post = (
+            spark.read.parquet(f"{path}/postings")
+            .join(F.broadcast(buckets), "term_bucket")
+            .join(F.broadcast(dterms.select("term")), "term", "leftsemi")
+            .select(id_col, "term")
+        )
+        df_s = seed_post.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df_s")
+        )
+    else:
+        df_s = spark.createDataFrame([], "term string, df_s long")
     # corpus sizes: seed epoch = the seed stats row; current = + deltas
-    st_seed = (
-        spark.read.parquet(f"{path}/stats")
-        .agg(F.sum("n_docs").alias("n_seed"))
-    )
-    st_all = _delta_union(
+    fs2, hstats = _fs_of(spark, f"{path}/stats")
+    if fs2.exists(hstats):
+        st_seed = spark.read.parquet(f"{path}/stats").agg(
+            F.sum("n_docs").alias("n_seed")
+        )
+    else:
+        st_seed = spark.range(1).select(
+            F.lit(0).cast("long").alias("n_seed")
+        )
+    st_all = _store_frame(
         spark,
-        spark.read.parquet(f"{path}/stats").select("n_docs"),
+        f"{path}/stats",
         f"{path}/stats_delta",
         ["n_docs"],
         w_mark,
@@ -749,11 +789,15 @@ def bm25_bucket_skew(spark, path: str, id_col: str = "doc_id") -> DataFrame:
     Dense 0..N_BUCKETS-1 spine so silent empty buckets are visible.
     All integer micro math — replayable in the oracle."""
     w_mark = _folded_upto(spark, path)
-    seed = (
-        spark.read.parquet(f"{path}/postings")
-        .groupBy("term_bucket")
-        .agg(F.count(F.lit(1)).alias("seed_rows"))
-    )
+    fs, hseed = _fs_of(spark, f"{path}/postings")
+    if fs.exists(hseed):
+        seed = (
+            spark.read.parquet(f"{path}/postings")
+            .groupBy("term_bucket")
+            .agg(F.count(F.lit(1)).alias("seed_rows"))
+        )
+    else:  # delta-only store (the ingest door's bootstrap)
+        seed = spark.createDataFrame([], "term_bucket int, seed_rows long")
     if _delta_batches(spark, f"{path}/postings_delta"):
         delta = (
             spark.read.parquet(f"{path}/postings_delta")

@@ -362,6 +362,9 @@ def decontam_gate_sink(
     return sink
 
 
+RHO_VOCAB_BUCKETS = 64
+
+
 def write_rho_model(
     docs: DataFrame,
     path: str,
@@ -376,8 +379,15 @@ def write_rho_model(
     frozen to parquet so ingest batches score against a FIXED selector
     instead of re-deriving LMs per batch (RHO's reference model is
     trained once on holdout data by construction — Mindermann et al.
-    2022, public)."""
-    from ..functions.text import normalize_text
+    2022, public).
+
+    The vocabulary is partitioned by ``vbucket = shingle_hash(term) %
+    RHO_VOCAB_BUCKETS`` (the BM25 postings recipe, operators/lexical):
+    the vocabulary is exactly the model half that CANNOT broadcast at
+    trillion-token scale, so per-batch scoring prunes the model scan to
+    the buckets the batch's terms actually hash into (PartitionFilters)
+    instead of re-shuffling the whole vocab every micro-batch."""
+    from ..functions.text import normalize_text, shingle_hash
 
     if pool_pred is None:
         pool_pred = F.col(id_col) % 2 == 0
@@ -399,28 +409,54 @@ def write_rho_model(
         F.sum("cw_r").alias("nr"),
         F.sum(F.when(F.col("cw_r") > 0, 1).otherwise(0)).alias("vr"),
     )
-    vocab.write.mode("overwrite").parquet(f"{path}/vocab")
+    vocab.withColumn(
+        "vbucket",
+        (shingle_hash(F.col("term")) % RHO_VOCAB_BUCKETS).cast("int"),
+    ).write.mode("overwrite").partitionBy("vbucket").parquet(
+        f"{path}/vocab"
+    )
     consts.write.mode("overwrite").parquet(f"{path}/consts")
 
 
-def rho_score_persisted(
-    spark,
-    model_path: str,
+def load_rho_model(spark, model_path: str) -> tuple[DataFrame, DataFrame]:
+    """Load the persisted two-LM model ONCE — (vocab, consts) frames
+    for rho_score_model.  Gates hoist this out of their per-batch sink
+    bodies so a long-running stream plans against the same loaded
+    frames instead of re-listing the model parquet every micro-batch."""
+    return (
+        spark.read.parquet(f"{model_path}/vocab"),
+        spark.read.parquet(f"{model_path}/consts"),
+    )
+
+
+def rho_score_model(
+    vocab: DataFrame,
+    consts: DataFrame,
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    prune_buckets: bool = False,
 ) -> DataFrame:
-    """Score documents against the PERSISTED RHO model: excess_micro =
+    """Score documents against LOADED RHO model frames: excess_micro =
     pool-LM surprisal − reference-LM surprisal in exact micro-nats
-    (rho_excess's scoring half, reading the frozen model).  Terms the
-    model never saw contribute the constant OOV excess
-    ln((nr+vr)/(np+vp)) per occurrence — deterministic, so a doc's
-    verdict depends only on its own text and the frozen model, never on
-    batch boundaries.  Output: (id, n_tokens, excess_micro)."""
-    from ..functions.text import normalize_text
+    (rho_excess's scoring half).  Terms the model never saw contribute
+    the constant OOV excess ln((np+vp)/(nr+vr)) per occurrence —
+    deterministic, so a doc's verdict depends only on its own text and
+    the frozen model, never on batch boundaries.  Docs whose normalized
+    text tokenizes to NOTHING emit no row (their excess is vacuously
+    zero — gates coalesce accordingly).  Output: (id, n_tokens,
+    excess_micro).
 
-    vocab = spark.read.parquet(f"{model_path}/vocab")
-    consts = spark.read.parquet(f"{model_path}/consts")
+    ``prune_buckets=True`` (the per-batch gate path, against a
+    bucket-partitioned vocab from write_rho_model): collect the
+    DISTINCT term-hash buckets the batch touches — bounded by
+    RHO_VOCAB_BUCKETS, model-shaped state, one tiny aggregate over the
+    batch's own tf — and filter the vocab scan to them, which lands in
+    PartitionFilters (pinned by test).  Leave False for full-corpus
+    scoring (every bucket is touched; the probe job would be pure
+    overhead)."""
+    from ..functions.text import normalize_text, shingle_hash
+
     tf = (
         df.select(
             F.col(id_col),
@@ -435,6 +471,19 @@ def rho_score_persisted(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    if prune_buckets and "vbucket" in vocab.columns:
+        tf = tf.localCheckpoint(eager=True)  # one tokenize, reused below
+        buckets = sorted(
+            r["b"]
+            for r in tf.select(
+                (shingle_hash(F.col("term")) % RHO_VOCAB_BUCKETS)
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        vocab = vocab.filter(F.col("vbucket").isin(buckets))
     s_pool = F.floor(
         -F.log(
             (F.coalesce(F.col("cw_p"), F.lit(0)) + 1.0)
@@ -452,13 +501,32 @@ def rho_score_persisted(
         + 0.5
     ).cast("long")
     return (
-        tf.join(vocab, "term", "left")
+        tf.join(vocab.select("term", "cw_p", "cw_r"), "term", "left")
         .crossJoin(F.broadcast(consts))
         .groupBy(id_col)
         .agg(
             F.sum("tf").cast("long").alias("n_tokens"),
             F.sum(F.col("tf") * (s_pool - s_ref)).alias("excess_micro"),
         )
+    )
+
+
+def rho_score_persisted(
+    spark,
+    model_path: str,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against the PERSISTED RHO model — load + score
+    in one call (rho_score_model over load_rho_model's frames, no
+    bucket pruning: the full-corpus scoring path touches every bucket
+    anyway).  Terms the model never saw contribute the constant OOV
+    excess ln((np+vp)/(nr+vr)) per occurrence.  Output: (id, n_tokens,
+    excess_micro)."""
+    vocab, consts = load_rho_model(spark, model_path)
+    return rho_score_model(
+        vocab, consts, df, text_col=text_col, id_col=id_col
     )
 
 
@@ -478,27 +546,47 @@ def rho_gate_sink(
     the door, the online form of rho_loss_selection's batch top-b.
 
     Plan per batch: one tokenize, one term-keyed join against the model
-    vocabulary, the 1-row constants broadcast — the same shape as the
-    quality gate with the LR weight table swapped for the LM vocab.
-    Writes are idempotent per-batch partition overwrites
-    (kept/ingest_batch=<id>); a doc's verdict depends only on its own
-    text and the frozen model, so redelivery cannot change it and the
-    keep set is invariant to how the stream is micro-batched — the
-    stream==batch equivalence the gate tests pin.
+    vocabulary PRUNED to the batch's term-hash buckets (the vocab is
+    what can't broadcast at scale — write_rho_model partitions it by
+    vbucket and rho_score_model's prune lands in PartitionFilters), the
+    1-row constants broadcast.  The model frames are loaded ONCE when
+    the sink is built, not re-read per micro-batch.  Writes are
+    idempotent per-batch partition overwrites (kept/ingest_batch=<id>);
+    a doc's verdict depends only on its own text and the frozen model,
+    so redelivery cannot change it and the keep set is invariant to how
+    the stream is micro-batched — the stream==batch equivalence the
+    gate tests pin.
+
+    Token-less docs (normalized text empty) have NO score row; their
+    excess is vacuously zero, so the gate drops only docs that SCORED
+    below the threshold — a token-less doc passes iff
+    ``min_excess_micro <= 0``, exactly the coalesce-to-0 semantics of
+    the 'keep >= min_excess_micro' contract.
     """
+    vocab, consts = load_rho_model(spark, model_path)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        keep_ids = (
-            rho_score_persisted(
-                spark, model_path, batch_df, text_col=text_col,
-                id_col=id_col,
+        drop_ids = (
+            rho_score_model(
+                vocab, consts, batch_df, text_col=text_col,
+                id_col=id_col, prune_buckets=True,
             )
-            .filter(F.col("excess_micro") >= min_excess_micro)
+            .filter(F.col("excess_micro") < min_excess_micro)
             .select(id_col)
         )
-        keep = batch_df.join(keep_ids, id_col, "leftsemi").localCheckpoint(
-            eager=True
-        )
+        keep = batch_df.join(drop_ids, id_col, "left_anti")
+        if min_excess_micro > 0:
+            # above zero, an unscored (token-less) doc cannot clear the
+            # threshold — coalesce(excess, 0) >= min fails
+            from ..functions.text import normalize_text
+
+            keep = keep.filter(
+                F.trim(
+                    normalize_text(F.coalesce(F.col(text_col), F.lit("")))
+                )
+                != ""
+            )
+        keep = keep.localCheckpoint(eager=True)
         keep.write.mode("overwrite").parquet(
             f"{kept_path}/ingest_batch={batch_id}"
         )
@@ -525,6 +613,7 @@ def corpus_ingest_sink(
     shards: int = 8,
     rho_model_path: str | None = None,
     min_excess_micro: int = 0,
+    lex_index_path: str | None = None,
 ):
     """The COMPOSED production ingest door: the streaming gates —
     decontamination, quality, RHO selection (optional), LSH near-dup —
@@ -571,6 +660,18 @@ def corpus_ingest_sink(
     moment it clears the door — ingest-to-training-order end to end
     under one checkpoint.
 
+    ``lex_index_path`` chains the fifth: FINAL survivors' postings
+    append into the persisted BM25 index (operators.lexical.
+    append_bm25_batch) in the same batch, so a kept doc becomes
+    LEXICALLY SEARCHABLE at the door — symmetric with the LSH band
+    writes, and a doc any earlier gate dropped never enters the
+    postings (pinned by the composition test).  The append's
+    disjoint-doc_id precondition holds by construction here: the door
+    admits each unique doc once (the dedup gates), and redelivery
+    overwrites the batch's own partitions.  Fold the accumulated
+    deltas with compact_bm25_index / ``CorpusLexIndex --compact`` when
+    the bm25_idf_drift / bm25_bucket_skew monitors trigger.
+
     Use::
 
         stream.writeStream.foreachBatch(
@@ -583,6 +684,12 @@ def corpus_ingest_sink(
         lr_score,
         read_quality_model,
     )
+
+    # persisted-model frames load ONCE at sink construction — a
+    # long-running stream must not re-list model parquet per batch
+    rho_vocab = rho_consts = None
+    if rho_model_path is not None:
+        rho_vocab, rho_consts = load_rho_model(spark, rho_model_path)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window as W
@@ -624,17 +731,30 @@ def corpus_ingest_sink(
             )
             batch = batch.join(keep_ids, id_col, "leftsemi")
         # gate 3b: RHO selection (persisted two-LM model; term-keyed
-        # join — after quality thins the batch, before the index probe)
+        # join against the vocab PRUNED to the batch's term buckets —
+        # after quality thins the batch, before the index probe).
+        # Token-less docs have no score row = excess vacuously 0, so
+        # only docs scoring BELOW the threshold drop (rho_gate_sink's
+        # coalesce-to-0 contract)
         if rho_model_path is not None:
-            sel_ids = (
-                rho_score_persisted(
-                    spark, rho_model_path, batch, text_col=text_col,
-                    id_col=id_col,
+            drop_ids = (
+                rho_score_model(
+                    rho_vocab, rho_consts, batch, text_col=text_col,
+                    id_col=id_col, prune_buckets=True,
                 )
-                .filter(F.col("excess_micro") >= min_excess_micro)
+                .filter(F.col("excess_micro") < min_excess_micro)
                 .select(id_col)
             )
-            batch = batch.join(sel_ids, id_col, "leftsemi")
+            batch = batch.join(drop_ids, id_col, "left_anti")
+            if min_excess_micro > 0:
+                batch = batch.filter(
+                    F.trim(
+                        normalize_text(
+                            F.coalesce(F.col(text_col), F.lit(""))
+                        )
+                    )
+                    != ""
+                )
         # gate 3: LSH near-dup vs the persisted index (both redelivery
         # guards of lsh_ingest_sink: partition exclusion + doc identity)
         corpus_bands = (
@@ -687,6 +807,16 @@ def corpus_ingest_sink(
                 spark, manifest_path, epochs=epochs, shards=shards,
                 id_col=id_col,
             )(keep, batch_id)
+        # the fifth, chained: survivors become lexically searchable in
+        # the same batch (idempotent per-batch partitions; a dropped
+        # doc never reaches the postings)
+        if lex_index_path is not None:
+            from ..operators.lexical import append_bm25_batch
+
+            append_bm25_batch(
+                keep, lex_index_path, batch_id,
+                text_col=text_col, id_col=id_col,
+            )
 
     return sink
 
