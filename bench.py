@@ -261,6 +261,19 @@ HEADLINE_V8 = [
     "rho_persisted_selection",
 ]
 
+# ninth, versioned group: round-12 additions (BM25 maintenance fold +
+# monitors, persisted KMV sketch probe, self-acting filtered ANN).
+# Separate total (`value_v9`) keeps earlier group totals comparable.
+HEADLINE_V9 = [
+    "bm25_compact_probe_only",
+    "bm25_idf_drift_report",
+    "bm25_bucket_skew_report",
+    "kmv_overlap_probe_only",
+    "ann_filtered_auto_topk",
+    "bm25_filtered_topk",
+    "maxsim_rerank_persisted",
+]
+
 # Drift probes: a fixed, diverse subset of the headline groups used to
 # measure HOST drift between rounds on byte-identical code.  The no-IO
 # `calib` ruler over-responds to host load relative to IO/shuffle-mixed
@@ -294,7 +307,20 @@ DRIFT_PROBES = [
     "kmv_sketch_intersection",  # sketch windows + pair joins (v8)
     "ann_hard_negatives_probe_only",  # IVF probe + mine (v6 family)
     "sequence_packing_tokens",  # BPE encode + window packing (v6)
+    # round-12 widening: v9 anchors (no prior match; bridge r12 -> r13
+    # onward)
+    "kmv_overlap_probe_only",   # persisted-sketch pair probe (v9)
+    "bm25_compact_probe_only",  # folded-lexical-store probe (v9)
 ]
+
+# Family assignment for probes that are NOT in any headline group (they
+# get a standalone timed run): group key -> used for that group's
+# family drift bridge.  minhash_signatures was listed as a v2 probe in
+# round 11 but never ran (it is not a v2 group member) — the standalone
+# run closes that gap.
+PROBE_FAMILY_OVERRIDE = {
+    "minhash_signatures": "value_v2",
+}
 
 
 # Queries whose plan CONSTRUCTION performs distributed work (the
@@ -413,10 +439,33 @@ EAGER_CONSTRUCT = {
     # two-LM model is write-if-missing: the median measures scoring
     # against the reloaded model alone, not the one-time model write
     "rho_persisted_selection",
+    # seed+append+fold are write-if-missing (_READY marker): the median
+    # measures the post-fold bucket-pruned probe alone (steady state)
+    "bm25_compact_probe_only",
+    # seed+append store is write-if-missing: the median measures the
+    # monitor scan alone (delta-vocab pruned / bucket aggregate)
+    "bm25_idf_drift_report",
+    "bm25_bucket_skew_report",
+    # sketch store is write-if-missing: the median measures the
+    # store-only pair estimation, never a corpus scan
+    "kmv_overlap_probe_only",
+    # index is write-if-missing + the strategy decision's survivor
+    # count runs at construction: the median measures the chosen
+    # branch's steady-state query alone
+    "ann_filtered_auto_topk",
+    # shares bm25_persisted_topk's write-if-missing store: the median
+    # measures the filtered bucket-pruned probe alone
+    "bm25_filtered_topk",
+    # rep index + token store are write-if-missing and the candidate
+    # bucket probe collects at construction: the median measures the
+    # two-stage retrieve + store-served re-rank alone
+    "maxsim_rerank_persisted",
 }
 
 
-def _drift_bridge(cur_probe: dict, cur_totals: dict) -> dict:
+def _drift_bridge(
+    cur_probe: dict, cur_totals: dict, families: dict | None = None
+) -> dict:
     """Automate the round-over-round drift bridge: read the PREVIOUS
     round's BENCH_r*.json (the driver records bench stdout's tail as a
     string — possibly front-truncated, so the probe block and totals are
@@ -426,9 +475,20 @@ def _drift_bridge(cur_probe: dict, cur_totals: dict) -> dict:
 
       drift_vs_prev        median(cur_sec / prev_sec) over matched probes
       drift_probes_matched how many of the probes were byte-identical
-      value*_bridged       (cur_total / prev_total) / drift per group —
-                           the host-drift-corrected round-over-round
-                           ratio (1.0 = flat, <1 = real win)
+      fam_drift            {"v1": r, "v2": r, ...} — the SAME ratio over
+                           only that group's own matched probes
+                           (``families`` maps probe -> group key): host
+                           drift is workload-dependent on this VM
+                           (spread [0.49, 2.84] observed in round 11),
+                           so each group bridges on probes of its own
+                           shape, never a cross-family median.  ONE
+                           compact map, not per-group keys — the whole
+                           probe block + scalars must fit the round
+                           driver's 2000-char stdout-tail window
+      value*_bridged       (cur_total / prev_total) / family drift —
+                           falling back to the global median when the
+                           group has no matched probe this round
+                           (1.0 = flat, <1 = real win)
 
     All-None when no prior BENCH record exists or nothing matched."""
     import glob
@@ -466,38 +526,48 @@ def _drift_bridge(cur_probe: dict, cur_totals: dict) -> dict:
     except json.JSONDecodeError:
         return out
     ratios = []
+    fam_ratios: dict[str, list[float]] = {}
     for name, cur in cur_probe.items():
         prev = prev_probe.get(name)
         if prev and prev.get("md5") == cur["md5"] and prev.get("sec"):
-            ratios.append(cur["sec"] / prev["sec"])
+            r = cur["sec"] / prev["sec"]
+            ratios.append(r)
+            fam = (families or {}).get(name)
+            if fam:
+                fam_ratios.setdefault(fam, []).append(r)
     if not ratios:
         return out
     drift = statistics.median(ratios)
     out["drift_vs_prev"] = round(drift, 3)
     out["drift_probes_matched"] = len(ratios)
+    fam_drift = {
+        fam: statistics.median(rs) for fam, rs in fam_ratios.items()
+    }
+    out["fam_drift"] = {
+        ("v1" if fam == "value" else fam.split("_", 1)[1]): round(
+            fam_drift[fam], 3
+        )
+        for fam in sorted(fam_drift)
+    }
     # the spread exposes WORKLOAD-DEPENDENT drift the median hides: a
     # host whose single-thread speed moved but whose 32-way throughput
     # didn't (observed r9->r10: 1-task-scan probes ~1.7x, shuffle-
     # parallel probes ~0.8x, calib 1.8x) shows up as a wide spread —
     # read group bridges against probes of the same shape, not the
     # single median, when the spread is wide
+    # q1/q3 dropped in round 12: fam_drift bounds each group on probes
+    # of its OWN shape, which is strictly more honest than global
+    # quartiles — and the tail window pays for every key
     out["drift_spread"] = [round(min(ratios), 3), round(max(ratios), 3)]
-    if len(ratios) >= 4:
-        # quartiles bound the bridge honestly: value*_bridged divides by
-        # the MEDIAN, so when q1/q3 straddle a wide range the per-group
-        # "win"/"loss" within [bridged*median/q3, bridged*median/q1] is
-        # indistinguishable from drift — judge against the band
-        qs = statistics.quantiles(ratios, n=4)
-        out["drift_q1"] = round(qs[0], 3)
-        out["drift_q3"] = round(qs[2], 3)
     for key, cur_total in cur_totals.items():
         # anchored match: "value": or "value_vN": exactly (never _norm)
         pm = re.search(rf'"{key}":\s*([0-9.]+)', tail)
-        if pm and drift:
+        if pm:
             prev_total = float(pm.group(1))
-            if prev_total:
+            d = fam_drift.get(key, drift)  # family first, global fallback
+            if prev_total and d:
                 out[f"{key}_bridged"] = round(
-                    (cur_total / prev_total) / drift, 3
+                    (cur_total / prev_total) / d, 3
                 )
     return out
 
@@ -586,11 +656,40 @@ def main() -> None:
     timings_v6 = run_group(HEADLINE_V6)
     timings_v7 = run_group(HEADLINE_V7)
     timings_v8 = run_group(HEADLINE_V8)
+    timings_v9 = run_group(HEADLINE_V9)
 
+    groups = {
+        "value": timings,
+        "value_v2": timings_v2,
+        "value_v3": timings_v3,
+        "value_v4": timings_v4,
+        "value_v5": timings_v5,
+        "value_v6": timings_v6,
+        "value_v7": timings_v7,
+        "value_v8": timings_v8,
+        "value_v9": timings_v9,
+    }
     all_t = {}
-    for t in (timings, timings_v2, timings_v3, timings_v4, timings_v5,
-              timings_v6, timings_v7, timings_v8):
+    for t in groups.values():
         all_t.update(t)
+    # probe -> its group, for the per-family drift bridge; probes in no
+    # group (PROBE_FAMILY_OVERRIDE) get a standalone timed run so every
+    # family keeps a same-shape anchor
+    families = {}
+    for fam, t in groups.items():
+        for name in t:
+            if name in DRIFT_PROBES:
+                families[name] = fam
+    standalone = [
+        p for p in DRIFT_PROBES if p not in all_t and p in reg
+    ] + [p for p in PROBE_FAMILY_OVERRIDE if p not in all_t and p in reg]
+    if standalone:
+        extra = run_group(sorted(set(standalone)))
+        all_t.update(extra)
+        for name in extra:
+            fam = PROBE_FAMILY_OVERRIDE.get(name)
+            if fam:
+                families[name] = fam
     import hashlib
     import inspect
 
@@ -601,7 +700,7 @@ def main() -> None:
                 inspect.getsource(reg[name].spark_fn).encode()
             ).hexdigest()[:10],
         }
-        for name in DRIFT_PROBES
+        for name in sorted(set(DRIFT_PROBES) | set(PROBE_FAMILY_OVERRIDE))
         if name in all_t
     }
 
@@ -611,16 +710,9 @@ def main() -> None:
         return round(x / calib, 3) if calib else 0.0
 
     cur_totals = {
-        "value": total,
-        "value_v2": round(sum(timings_v2.values()), 3),
-        "value_v3": round(sum(timings_v3.values()), 3),
-        "value_v4": round(sum(timings_v4.values()), 3),
-        "value_v5": round(sum(timings_v5.values()), 3),
-        "value_v6": round(sum(timings_v6.values()), 3),
-        "value_v7": round(sum(timings_v7.values()), 3),
-        "value_v8": round(sum(timings_v8.values()), 3),
+        fam: round(sum(t.values()), 3) for fam, t in groups.items()
     }
-    bridge = _drift_bridge(drift_probe, cur_totals)
+    bridge = _drift_bridge(drift_probe, cur_totals, families)
     # Key order matters: the round driver records only the TAIL of stdout
     # (~2000 chars), and the full record with 90+ per-query timings is
     # longer than that.  The big maps go FIRST and every scalar the driver
@@ -637,23 +729,29 @@ def main() -> None:
                 "queries_v6": timings_v6,
                 "queries_v7": timings_v7,
                 "queries_v8": timings_v8,
+                "queries_v9": timings_v9,
                 "timing_note": "eager-construct queries "
                 + ",".join(sorted(EAGER_CONSTRUCT))
                 + " timed construct+execute; rest execute-only",
                 # prose notes sit BEFORE drift_probe: the tail budget is
                 # spent on the probe block (next round's bridge input)
-                # and the scalars, never on static text
+                # and the scalars, never on static text.  Per-group norm
+                # keys were dropped in round 12 to keep the probe block
+                # + scalars inside the driver's 2000-char tail window —
+                # the family bridges supersede them (calib_note caveat).
                 "calib_note": "calib = median sec of a fixed synthetic "
-                "no-IO workload (host-speed ruler); value_*_norm = "
-                "value_* / calib.  CAVEAT (measured r8->r9): the no-IO "
+                "no-IO workload (host-speed ruler); value_norm = "
+                "value / calib.  CAVEAT (measured r8->r9): the no-IO "
                 "ruler over-responds to host load vs IO/shuffle-mixed "
-                "queries — prefer the drift_probe bridge",
+                "queries — prefer the drift/family bridges",
                 "bridge_note": "drift_vs_prev = median sec ratio over "
                 "drift probes whose source md5 matches the previous "
                 "round's BENCH record (byte-identical code => host "
-                "drift); value*_bridged = (cur/prev)/drift_vs_prev per "
-                "group — the drift-corrected round-over-round ratio "
-                "(1.0 flat, <1 real win)",
+                "drift); fam_drift = {vN: the same over group N's OWN "
+                "probes} (drift is workload-dependent on this host); "
+                "value*_bridged = (cur/prev)/family-drift per group, "
+                "global-median fallback — the drift-corrected "
+                "round-over-round ratio (1.0 flat, <1 real win)",
                 "metric": "headline_queries_total_runtime",
                 "unit": "sec",
                 "repeats": repeats,
@@ -664,13 +762,6 @@ def main() -> None:
                 **cur_totals,
                 "calib": calib,
                 "value_norm": norm(total),
-                "value_v2_norm": norm(sum(timings_v2.values())),
-                "value_v3_norm": norm(sum(timings_v3.values())),
-                "value_v4_norm": norm(sum(timings_v4.values())),
-                "value_v5_norm": norm(sum(timings_v5.values())),
-                "value_v6_norm": norm(sum(timings_v6.values())),
-                "value_v7_norm": norm(sum(timings_v7.values())),
-                "value_v8_norm": norm(sum(timings_v8.values())),
             }
         )
     )

@@ -600,6 +600,8 @@ _ALLOWED_UNBOUNDED_JOINS = {
                                 # persisted O(sources x k) sketch store
     "bm25_compact_probe_only",  # bm25_topk's 1-row stats constant, over
                                 # the folded index
+    "bm25_filtered_topk",       # same 1-row stats constant; the filter
+                                # rides the pruned postings scan
     "bm25_idf_drift_report",    # two 1-row corpus-size constants
                                 # broadcast (seed-epoch N, current N)
     "bm25_bucket_skew_report",  # 1-row grand-total broadcast over the

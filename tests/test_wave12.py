@@ -323,6 +323,47 @@ def test_kmv_store_merge_law_and_redelivery(spark, tmp_path):
     assert got2 == got
 
 
+def test_kmv_fold_is_estimate_invisible(spark, tmp_path):
+    """compact_kmv_sketches: seed ∪ committed deltas re-bottom-k'd into
+    one generation — pair estimates identical before/after, uncommitted
+    batches stay, a delete-crash leftover collapses in the reader's
+    DISTINCT, and the CorpusCompact --kmv CLI drives it."""
+    from variant_load_pipeline_spark.cli import main
+    from variant_load_pipeline_spark.operators import sketches as sx
+
+    d = Q.load(spark, SF, "documents")
+    path = str(tmp_path / "kmv")
+    k = 32
+    sx.write_kmv_sketches(d.filter(F.col("doc_id") % 4 == 0), path, k=k)
+    sx.append_kmv_batch(d.filter(F.col("doc_id") % 4 == 1), path, 0, k=k)
+    sx.append_kmv_batch(d.filter(F.col("doc_id") % 4 == 2), path, 1, k=k)
+    est = lambda: sorted(  # noqa: E731
+        tuple(r)
+        for r in sx.kmv_pair_estimates(
+            sx.read_kmv_sketches(spark, path, k=k), k=k
+        ).collect()
+    )
+    before = est()
+    assert sx.compact_kmv_sketches(spark, path, 0, k=k) == 1
+    assert sorted(os.listdir(f"{path}/sketches_delta")) == ["batch_id=1"]
+    assert est() == before
+    # delete-crash leftover: re-append folded batch 0 — DISTINCT absorbs
+    sx.append_kmv_batch(d.filter(F.col("doc_id") % 4 == 1), path, 0, k=k)
+    assert est() == before
+    out = str(tmp_path / "report")
+    main(
+        ["--tool", "CorpusCompact", "--kmv", path, "--batch-id", "1",
+         "--out", out],
+        spark,
+    )
+    assert {
+        (r["store"], r["folded"])
+        for r in spark.read.parquet(out).collect()
+    } == {("kmv", 2)}
+    assert not os.path.exists(f"{path}/sketches_delta")
+    assert est() == before
+
+
 def test_kmv_probe_matches_direct_estimators(spark, tmp_path):
     """The store-only pair estimates equal the estimator columns of the
     from-scratch computation (kmv_sketch_intersection's math) on every
@@ -642,6 +683,40 @@ def test_rho_gate_zero_token_contract(spark, tmp_path):
     got1 = {r["doc_id"] for r in ing.read_kept(spark, kept1).collect()}
     assert 50 not in got1  # cannot clear a positive threshold
     assert 52 not in got1
+
+
+def test_cli_corpus_lex_search_filtered(spark, tmp_path):
+    """CorpusLexSearch --filter-mod: every hit satisfies the predicate,
+    scores equal the unfiltered probe's for surviving docs (IDF stays
+    corpus-wide — pre-filtering restricts candidates, never the
+    relevance model), and --filter-mod 0 is rejected."""
+    import pytest
+
+    from variant_load_pipeline_spark.cli import main
+
+    d = _docs(spark)
+    idx = str(tmp_path / "lex")
+    lx.write_bm25_index(d, idx)
+    hits = str(tmp_path / "hits")
+    with pytest.raises(SystemExit):
+        main(
+            ["--tool", "CorpusLexSearch", "--index", idx,
+             "--terms", *TERMS, "--filter-mod", "0", "--out", hits],
+            spark,
+        )
+    main(
+        ["--tool", "CorpusLexSearch", "--index", idx,
+         "--terms", *TERMS, "--k", "10", "--filter-mod", "3",
+         "--out", hits],
+        spark,
+    )
+    got = spark.read.parquet(hits).collect()
+    assert got and all(r["doc_id"] % 3 == 0 for r in got)
+    unfiltered = {
+        r["doc_id"]: r["bm25_micro"]
+        for r in lx.bm25_probe_topk(spark, idx, TERMS, k=500).collect()
+    }
+    assert all(unfiltered[r["doc_id"]] == r["bm25_micro"] for r in got)
 
 
 def test_cli_corpus_search_auto_and_filter_mod_validation(spark, tmp_path):

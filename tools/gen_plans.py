@@ -94,6 +94,16 @@ SHOWCASE = [
      "partition-pruned rep-index scan (single-vector first stage); "
      "only candidate token pairs reach the MaxSim max/sum aggregation "
      "tree — equi joins throughout, no token cross product"),
+    ("bm25_compact_probe_only",
+     "the FOLDED lexical store's steady state: the postings scan "
+     "prunes to the query terms' buckets (PartitionFilters) with the "
+     "term IN-list pushed down, ONE stats row, no delta-tree union "
+     "anywhere in the plan — the fold restored the build-once shape"),
+    ("kmv_overlap_probe_only",
+     "sketch-only set operations: every input scan reads the persisted "
+     "O(sources x k) sketch store — documents.parquet appears NOWHERE "
+     "in the plan; the only joins are the bounded source-pair frame "
+     "and per-pair window bottom-k with group limits"),
 ]
 
 MARKERS = [

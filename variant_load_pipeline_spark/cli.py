@@ -597,17 +597,31 @@ def _corpus_lex_search(spark, args) -> None:
     """BM25 top-k from the persisted lexical index: --index <path>,
     --terms <t1 t2 ...>, --k -> ranked parquet (doc_id, bm25_micro,
     rk).  The postings scan prunes to the terms' hash buckets (seed +
-    any appended deltas).  The lexical twin of CorpusSearch; fuse with
-    a vector ranking downstream the way rrf_hybrid_topk does."""
+    any appended deltas).  --filter-mod M answers the FILTERED search
+    (keep docs with doc_id % M == 0 — bm25_filtered_topk's semantics:
+    candidates pre-filter inside the pruned postings, IDF stays
+    corpus-wide).  The lexical twin of CorpusSearch; fuse with a
+    vector ranking downstream the way rrf_hybrid_topk does — with
+    --filter-mod on both tools, the fused result is fully-filtered
+    hybrid retrieval."""
     from .operators.lexical import bm25_probe_topk
 
     if not args.terms:
         raise SystemExit("CorpusLexSearch needs --terms")
+    if args.filter_mod is not None and args.filter_mod < 1:
+        raise SystemExit(
+            f"--filter-mod must be >= 1, got {args.filter_mod}"
+        )
     out = bm25_probe_topk(
         spark,
         args.index,
         list(args.terms),
         k=args.k if args.k is not None else 20,
+        predicate=(
+            (F.col("doc_id") % args.filter_mod == 0)
+            if args.filter_mod is not None
+            else None
+        ),
     )
     out.write.mode("overwrite").parquet(args.out)
 
@@ -689,6 +703,9 @@ def _corpus_compact(spark, args) -> None:
     --quality-counts / --drift-counts fold the additive count stores
     with origin-batch dedup (compact_quality_counts /
     compact_drift_counts — crash leftovers can never double-count).
+    --kmv <sketch store path> folds committed sketch batches into the
+    seed by the bottom-k-of-union merge law (operators/sketches.
+    compact_kmv_sketches — estimates identical before/after).
     Writes a per-store (store, folded) report to --out."""
     from .operators.clustering import compact_ivf_index
     from .streaming.ingest import (
@@ -745,10 +762,14 @@ def _corpus_compact(spark, args) -> None:
                 ),
             )
         )
+    if args.kmv:
+        from .operators.sketches import compact_kmv_sketches
+
+        report.append(("kmv", compact_kmv_sketches(spark, args.kmv, upto)))
     if not report:
         raise SystemExit(
             "CorpusCompact needs --index, --kept, --ivf, --manifest, "
-            "--quality-counts and/or --drift-counts"
+            "--quality-counts, --drift-counts and/or --kmv"
         )
     spark.createDataFrame(
         report, "store string, folded int"
@@ -1012,6 +1033,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--anchor-every", dest="anchor_every", type=int)
     p.add_argument("--kept")
     p.add_argument("--ivf")
+    p.add_argument("--kmv")
     p.add_argument("--manifest")
     p.add_argument("--grams")
     p.add_argument("--quality-counts", dest="quality_counts")

@@ -235,7 +235,11 @@ def _store_frame(
     )
     delta = None
     if _delta_batches(spark, delta_dir):
-        d = spark.read.parquet(delta_dir)
+        # explicit basePath: never let partition inference guess a
+        # common root from the leaf listing (folds delete batch dirs
+        # between reads — the cached file index would otherwise risk
+        # CONFLICTING_DIRECTORY_STRUCTURES)
+        d = spark.read.option("basePath", delta_dir).parquet(delta_dir)
         bcol = "batch_id" if "batch_id" in d.columns else "bpart"
         delta = d.filter(F.col(bcol) > watermark).select(*cols)
     if seed is None and delta is None:
@@ -260,6 +264,7 @@ def bm25_probe_topk(
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
+    predicate=None,
 ) -> DataFrame:
     """Answer a BM25 top-k query from the persisted index (seed + any
     appended deltas above the fold watermark): the postings scan prunes
@@ -269,7 +274,16 @@ def bm25_probe_topk(
     stats rows SUM to the corpus constants.  Scoring is bm25_scores'
     expression verbatim — per-term micro floors before the exact BIGINT
     doc sum — so the probe hash-matches the direct-computation oracle
-    before an append, after an append, and after a fold."""
+    before an append, after an append, and after a fold.
+
+    ``predicate`` (optional): a metadata filter Column over the
+    candidate doc ids (the tenant/lang/license pre-filter —
+    ivf_probe_topk's filtered-search shape on the LEXICAL side, the
+    hybrid-retrieval production search API): it drops candidates from
+    the already-bucket-pruned postings BEFORE length normalization and
+    ranking, while per-term IDF (df_t) and the corpus constants stay
+    CORPUS-WIDE — a filter restricts who may be returned, never what
+    the relevance model believes about term rarity."""
     import hashlib
 
     # the query terms' buckets, computed driver-side with the same
@@ -313,6 +327,9 @@ def bm25_probe_topk(
         F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
     )
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    if predicate is not None:
+        # pre-filter candidates AFTER df_t: IDF stays corpus-wide
+        tf = tf.filter(predicate)
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     idf = F.log(
         1.0
@@ -622,7 +639,8 @@ def compact_bm25_index(
         )
         if committed:
             delta = (
-                spark.read.parquet(f"{path}/stats_delta")
+                spark.read.option("basePath", f"{path}/stats_delta")
+                .parquet(f"{path}/stats_delta")
                 .filter(
                     (F.col("bpart") > w_mark)
                     & (F.col("bpart") <= upto_batch_id)
@@ -689,7 +707,8 @@ def bm25_idf_drift(
             "drift_micro long, rk long",
         )
     delta = (
-        spark.read.parquet(f"{path}/postings_delta")
+        spark.read.option("basePath", f"{path}/postings_delta")
+        .parquet(f"{path}/postings_delta")
         .filter(F.col("batch_id") > w_mark)
         .select(id_col, "term", "term_bucket")
     )
@@ -800,7 +819,8 @@ def bm25_bucket_skew(spark, path: str, id_col: str = "doc_id") -> DataFrame:
         seed = spark.createDataFrame([], "term_bucket int, seed_rows long")
     if _delta_batches(spark, f"{path}/postings_delta"):
         delta = (
-            spark.read.parquet(f"{path}/postings_delta")
+            spark.read.option("basePath", f"{path}/postings_delta")
+            .parquet(f"{path}/postings_delta")
             .filter(F.col("batch_id") > w_mark)
             .groupBy("term_bucket")
             .agg(F.count(F.lit(1)).alias("delta_rows"))

@@ -122,8 +122,14 @@ def read_kmv_sketches(spark, path: str, k: int = KMV_K) -> DataFrame:
         st.getPath().getName().startswith("batch_id=")
         for st in fs.listStatus(hpath)
     ):
+        # explicit basePath: partition inference must never guess a
+        # common root from the leaf listing (a fold deleting one batch
+        # dir between two reads in a session otherwise trips
+        # CONFLICTING_DIRECTORY_STRUCTURES on the cached file index)
         sk = sk.unionByName(
-            spark.read.parquet(delta_dir).select("source", "h")
+            spark.read.option("basePath", delta_dir)
+            .parquet(delta_dir)
+            .select("source", "h")
         )
     sk = sk.distinct()
     wnd = W.partitionBy("source").orderBy("h")
@@ -132,6 +138,81 @@ def read_kmv_sketches(spark, path: str, k: int = KMV_K) -> DataFrame:
         .filter(F.col("hrk") <= k)
         .select("source", "h")
     )
+
+
+def compact_kmv_sketches(spark, path: str, upto_batch_id: int, k: int = KMV_K) -> int:
+    """Fold committed sketch batches into the seed — the maintenance
+    job completing the store's lifecycle (its BM25/IVF siblings':
+    probes otherwise pay an O(batches) partition listing forever).
+    The fold IS the merge law: seed ∪ committed deltas, DISTINCT,
+    re-bottom-k per source — so the folded seed is bit-identical in
+    content to a from-scratch build over the same documents, and the
+    whole job is O(sources × k × generations) rows, never a corpus
+    scan.  Uncommitted batches (> ``upto_batch_id``) stay in place.
+
+    Crash-safe (temp write -> rename swap -> delete folded partitions
+    last): a delete-crash leaves folded rows in both the seed and a
+    leftover delta — harmless, the reader's DISTINCT collapses them
+    and the next fold removes the leftovers.  Same checkpoint contract
+    as every other fold: only fold batch ids the stream has committed.
+    Returns the number of batch partitions folded."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def fs_path(s):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    fs = fs_path(path).getFileSystem(conf)
+    live, old = f"{path}/sketches", f"{path}/.sketches_old"
+    # two-state recovery (whole-table swap: the store is model-sized)
+    if fs.exists(fs_path(old)):
+        if not fs.exists(fs_path(live)):
+            if not fs.rename(fs_path(old), fs_path(live)):
+                raise IOError(
+                    f"kmv compaction recovery: {old} -> {live} failed"
+                )
+        else:
+            fs.delete(fs_path(old), True)
+    delta_dir = f"{path}/sketches_delta"
+    if not fs.exists(fs_path(delta_dir)):
+        return 0
+    batches = sorted(
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(fs_path(delta_dir))
+        if st.getPath().getName().startswith("batch_id=")
+    )
+    committed = [b for b in batches if b <= upto_batch_id]
+    if not committed:
+        return 0
+    sk = spark.read.parquet(live).select("source", "h")
+    sk = sk.unionByName(
+        spark.read.option("basePath", delta_dir)
+        .parquet(*[f"{delta_dir}/batch_id={b}" for b in committed])
+        .select("source", "h")
+    ).distinct()
+    wnd = W.partitionBy("source").orderBy("h")
+    merged = (
+        sk.withColumn("hrk", F.row_number().over(wnd))
+        .filter(F.col("hrk") <= k)
+        .select("source", "h")
+    )
+    tmp = f"{path}/.sketches_tmp"
+    fs.delete(fs_path(tmp), True)
+    merged.write.mode("overwrite").partitionBy("source").parquet(tmp)
+    if not fs.rename(fs_path(live), fs_path(old)):
+        raise IOError(f"kmv compaction: rename {live} -> {old} failed")
+    if not fs.rename(fs_path(tmp), fs_path(live)):
+        fs.rename(fs_path(old), fs_path(live))
+        raise IOError(f"kmv compaction: rename {tmp} -> {live} failed")
+    for b in committed:
+        fs.delete(fs_path(f"{delta_dir}/batch_id={b}"), True)
+    if not any(
+        st.getPath().getName().startswith("batch_id=")
+        for st in fs.listStatus(fs_path(delta_dir))
+    ):
+        fs.delete(fs_path(delta_dir), True)
+    fs.delete(fs_path(old), True)
+    return len(committed)
 
 
 def kmv_pair_estimates(sketches: DataFrame, k: int = KMV_K) -> DataFrame:

@@ -31,6 +31,16 @@ selectivity↔nprobe strategy — each oracle-gated like every other row.
                         widened-nprobe vs exact-over-filtered-subset;
                         the oracle replays the DECISION and both
                         branches, so the switch itself is hash-gated
+  bm25_filtered_topk    hybrid FILTERED lexical retrieval: the metadata
+                        predicate pre-filters candidates inside the
+                        bucket-pruned postings while IDF stays corpus-
+                        wide — the production search-API shape on the
+                        BM25 side (CorpusLexSearch --filter-mod)
+  maxsim_rerank_persisted  maxsim_rerank_ivf with the re-rank fetch
+                        served from a PERSISTED gdoc-bucketed token
+                        store instead of re-deriving token vectors from
+                        the raw embeddings scan — completes the ColBERT
+                        lifecycle (shares the _MSR oracle verbatim)
 
 Float determinism follows the repo-wide idiom: cosines/IDFs round to
 6 dp / floor to integer micro-units before any sum or ranking; the only
@@ -550,4 +560,253 @@ def ann_filtered_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.withColumn("rk", F.row_number().over(wnd))
         .filter(F.col("rk") <= _FA_TOPK)
         .select("qid", "nid", "sim", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# ===========================================================================
+# Hybrid filtered lexical retrieval
+# ===========================================================================
+_BF_MOD = 3  # predicate: doc_id % _BF_MOD == 0
+
+_BF_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents
+    ),
+    t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM t
+        WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+        GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+    per_term AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                   ln(1.0 + (s.n_docs - d.dft + 0.5) / (d.dft + 0.5))
+                   * (tf.tf * (1.2 + 1.0))
+                   / (tf.tf + 1.2 * (1.0 - 0.75
+                      + 0.75 * dl.dl
+                        / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                   * 1e6 + 0.5) AS BIGINT) AS micro
+        FROM tf
+        JOIN dft d ON tf.term = d.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats s
+        WHERE tf.doc_id % {_BF_MOD} = 0
+    ),
+    scored AS (
+        SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS bm25_micro
+        FROM per_term GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, bm25_micro,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT doc_id, bm25_micro,
+               ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS rk
+        FROM scored
+    ) WHERE rk <= 20
+"""
+
+
+@register(
+    "bm25_filtered_topk",
+    _BF_SQL,
+    doc="Hybrid FILTERED lexical retrieval from the persisted BM25 "
+    "index — ann_filtered_topk's production search-API shape on the "
+    f"lexical side: a metadata predicate (doc_id % {_BF_MOD} = 0, the "
+    "tenant/lang/license stand-in) pre-filters candidates INSIDE the "
+    "bucket-pruned postings, BEFORE length normalization and ranking, "
+    "while per-term IDF (df_t) and the corpus constants stay CORPUS-"
+    "WIDE — a filter restricts who may be returned, never what the "
+    "relevance model believes about term rarity (the stance every "
+    "production engine takes; post-filtering the unfiltered top-k "
+    "would silently return < k survivors).  Served by the SAME "
+    "persisted store as bm25_persisted_topk (identical salt — "
+    "write-if-missing, shared); operable as CorpusLexSearch "
+    "--filter-mod, composing with the vector side's filtered probe "
+    "for fully-filtered hybrid (RRF) retrieval.  The oracle replays "
+    "corpus-wide df_t + the filtered per-term frame.",
+)
+def bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import lexical as lx
+    from .queries_ext import _data_fingerprint, _scan_path
+
+    # the EXACT salt of bm25_persisted_topk (queries_wave11) — the two
+    # rows share one on-disk store; first caller builds it
+    salt = hashlib.md5(
+        (
+            inspect.getsource(lx)
+            + "|bm25|"
+            + _data_fingerprint(spark, sf_dir, "documents")
+        ).encode()
+    ).hexdigest()[:10]
+    path = _scan_path(sf_dir, f"bm25_index_{salt}")
+    fs, marker = _fs(spark, f"{path}/stats/_SUCCESS")
+    if not fs.exists(marker):
+        lx.write_bm25_index(load(spark, sf_dir, "documents"), path)
+    return lx.bm25_probe_topk(
+        spark,
+        path,
+        _BM25_TERMS,
+        k=20,
+        predicate=F.col("doc_id") % _BF_MOD == 0,
+    )
+
+
+# ===========================================================================
+# Persisted MaxSim token store: the ColBERT lifecycle's last leg
+# ===========================================================================
+from .queries_wave11 import (  # noqa: E402
+    _MS_GROUP,
+    _MS_QDOCS,
+    _MSR_NPROBE,
+    _MSR_SQL,
+    _MSR_TOPK,
+)
+
+_TOK_BUCKETS = 64
+
+
+@register(
+    "maxsim_rerank_persisted",
+    _MSR_SQL,
+    doc="maxsim_rerank_ivf with the ColBERT lifecycle COMPLETED: the "
+    "re-rank's token fetch is served from a PERSISTED token-group "
+    "store — (gdoc, tok_id, tv) partitioned by gdoc-hash bucket, "
+    "written once (write-if-missing, salted) — instead of re-deriving "
+    "every token vector from the raw embeddings scan per query.  The "
+    "candidate docs still come from the persisted single-vector rep "
+    "index (the SAME salted path as maxsim_rerank_ivf — shared store); "
+    "the candidates' distinct gdoc buckets (bounded by the bucket "
+    "count — model-shaped state, one tiny collect, the RHO vocab-prune "
+    "recipe) prune the token scan to the buckets the re-rank actually "
+    "touches (PartitionFilters).  At 100 TB this is the difference "
+    "between a re-rank that reads O(candidate buckets) of the token "
+    "store and one that re-scans and re-groups the whole embedding "
+    "corpus per query batch.  Shares maxsim_rerank_ivf's oracle "
+    "VERBATIM: any write/read asymmetry in the token store "
+    "hash-mismatches.",
+)
+def maxsim_rerank_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import (
+        ivf_probe_batch,
+        read_ivf_lists,
+        write_ivf_index,
+    )
+    from .operators.similarity import cosine
+
+    t = load(spark, sf_dir, "embeddings").select(
+        F.floor(F.col("vec_id") / _MS_GROUP).cast("long").alias("gdoc"),
+        F.col("vec_id").alias("tok_id"),
+        F.col("label"),
+        F.col("embedding").cast("array<double>").alias("tv"),
+    )
+    # rep index: the exact maxsim_rerank_ivf path — shared store
+    rep_path = _salted_ivf_path(
+        spark, sf_dir, "ivf_msr", extra=f"g={_MS_GROUP}|np={_MSR_NPROBE}"
+    )
+    fs, marker = _fs(spark, f"{rep_path}/centroids/_SUCCESS")
+    if not fs.exists(marker):
+        min_tok = (
+            t.groupBy("gdoc")
+            .agg(F.min("tok_id").alias("mt"))
+            .withColumnRenamed("gdoc", "mg")
+        )
+        reps = t.join(
+            min_tok,
+            (F.col("gdoc") == F.col("mg"))
+            & (F.col("tok_id") == F.col("mt")),
+        ).select("gdoc", "label", F.col("tv").alias("rv"))
+        write_ivf_index(
+            reps, rep_path, list_col="label", id_col="gdoc", vec_col="rv"
+        )
+    # the token store: write-if-missing, gdoc-hash-bucketed
+    from .queries_ext import _data_fingerprint, _scan_path
+
+    tsalt = hashlib.md5(
+        (
+            f"tokstore|g={_MS_GROUP}|b={_TOK_BUCKETS}|"
+            + _data_fingerprint(spark, sf_dir, "embeddings")
+        ).encode()
+    ).hexdigest()[:10]
+    tok_path = _scan_path(sf_dir, f"msr_tokens_{tsalt}")
+    fs2, marker2 = _fs(spark, f"{tok_path}/_READY")
+    if not fs2.exists(marker2):
+        t.withColumn(
+            "gbucket",
+            F.pmod(F.col("gdoc"), F.lit(_TOK_BUCKETS)).cast("int"),
+        ).write.mode("overwrite").partitionBy("gbucket").parquet(
+            f"{tok_path}/tokens"
+        )
+        fs2.create(marker2, True).close()
+    tok = spark.read.parquet(f"{tok_path}/tokens")
+    # first stage: probe the rep index (maxsim_rerank_ivf verbatim)
+    reps_all = read_ivf_lists(spark, rep_path, id_col="gdoc", vec_col="rv")
+    q = reps_all.filter(F.col("gdoc") < _MS_QDOCS).select(
+        F.col("gdoc").alias("qdoc"), F.col("rv").alias("qrv")
+    )
+    probe = ivf_probe_batch(
+        spark, rep_path, q, nprobe=_MSR_NPROBE, qvec_col="qrv"
+    )
+    cand = (
+        reps_all.join(F.broadcast(probe.select("qdoc", "list_id")), "list_id")
+        .filter(F.col("gdoc") != F.col("qdoc"))
+        .select("qdoc", F.col("gdoc").alias("ddoc"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused: bucket probe + re-rank
+    )
+    # prune the token fetch to the candidates' buckets (bounded collect)
+    cbuckets = sorted(
+        r["b"]
+        for r in cand.select(
+            F.pmod(F.col("ddoc"), F.lit(_TOK_BUCKETS))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    qbuckets = sorted({q % _TOK_BUCKETS for q in range(_MS_QDOCS)})
+    qt = (
+        tok.filter(F.col("gbucket").isin(qbuckets))
+        .filter(F.col("gdoc") < _MS_QDOCS)
+        .select(
+            F.col("gdoc").alias("qdoc"),
+            F.col("tok_id").alias("qtok"),
+            F.col("tv").alias("qv"),
+        )
+    )
+    dt = tok.filter(F.col("gbucket").isin(cbuckets)).select(
+        F.col("gdoc").alias("ddoc"), F.col("tv").alias("dv")
+    )
+    mx = (
+        cand.join(F.broadcast(qt), "qdoc")
+        .join(dt, "ddoc")
+        .select(
+            "qdoc",
+            "qtok",
+            "ddoc",
+            F.round(cosine(F.col("qv"), F.col("dv")), 6).alias("sim"),
+        )
+        .groupBy("qdoc", "qtok", "ddoc")
+        .agg(F.max("sim").alias("mxv"))
+    )
+    sc = (
+        mx.withColumn("mic", F.floor(F.col("mxv") * 1e6 + 0.5).cast("long"))
+        .groupBy("qdoc", "ddoc")
+        .agg(F.sum("mic").alias("score_micro"))
+    )
+    wnd = W.partitionBy("qdoc").orderBy(F.col("score_micro").desc(), "ddoc")
+    return (
+        sc.withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= _MSR_TOPK)
+        .select(
+            "qdoc",
+            "ddoc",
+            "score_micro",
+            F.col("rk").cast("long").alias("rk"),
+        )
     )
