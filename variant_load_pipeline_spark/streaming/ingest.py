@@ -8,8 +8,10 @@ and every store's maintenance job.
   ``rho_gate_sink`` (RHO selection vs a persisted two-LM model), and
   ``corpus_ingest_sink`` — all gates COMPOSED under one checkpoint
   (decontam -> quality -> RHO -> LSH; dropped docs never enter the
-  index), optionally chaining ``epoch_manifest_sink`` so survivors
-  enter the training order in the same batch.
+  index), optionally chaining ``epoch_manifest_sink`` (survivors enter
+  the training order in the same batch) and the BM25 postings append
+  (survivors become lexically searchable at the door —
+  ``lex_index_path``).
 * Monitors as additive state: ``drift_counts_sink`` + psi_from_counts
   (PSI), ``quality_counts_sink`` + pr_sweep_from_counts (operating-
   point re-pick) — cheap counts on the stream, analytics on the store.
