@@ -308,9 +308,13 @@ DRIFT_PROBES = [
     "ann_hard_negatives_probe_only",  # IVF probe + mine (v6 family)
     "sequence_packing_tokens",  # BPE encode + window packing (v6)
     # round-12 widening: v9 anchors (no prior match; bridge r12 -> r13
-    # onward)
+    # onward), plus a SECOND v7 anchor — the r12 preview run showed
+    # ivf_compact_probe_only at 0.89x while its group sibling
+    # contrastive_triplets_probe_only sat in a 3x host slow-phase: one
+    # probe per family is exactly the single-probe-evidence trap
     "kmv_overlap_probe_only",   # persisted-sketch pair probe (v9)
     "bm25_compact_probe_only",  # folded-lexical-store probe (v9)
+    "contrastive_triplets_probe_only",  # miner probe (v7)
 ]
 
 # Family assignment for probes that are NOT in any headline group (they
