@@ -272,6 +272,7 @@ HEADLINE_V9 = [
     "ann_filtered_auto_topk",
     "bm25_filtered_topk",
     "maxsim_rerank_persisted",
+    "rrf_hybrid_filtered_topk",
 ]
 
 # Drift probes: a fixed, diverse subset of the headline groups used to
@@ -464,6 +465,10 @@ EAGER_CONSTRUCT = {
     # bucket probe collects at construction: the median measures the
     # two-stage retrieve + store-served re-rank alone
     "maxsim_rerank_persisted",
+    # both stores (lexical + IVF) are write-if-missing/shared and the
+    # query-vector fetch + probe choice collect at construction: the
+    # median measures the two filtered probes + the bounded fusion
+    "rrf_hybrid_filtered_topk",
 }
 
 

@@ -602,6 +602,9 @@ _ALLOWED_UNBOUNDED_JOINS = {
                                 # the folded index
     "bm25_filtered_topk",       # same 1-row stats constant; the filter
                                 # rides the pruned postings scan
+    "rrf_hybrid_filtered_topk",  # same 1-row stats constant + the
+                                 # bounded 2x20 fusion theta-join
+                                 # (rrf_hybrid_topk's idiom)
     "bm25_idf_drift_report",    # two 1-row corpus-size constants
                                 # broadcast (seed-epoch N, current N)
     "bm25_bucket_skew_report",  # 1-row grand-total broadcast over the

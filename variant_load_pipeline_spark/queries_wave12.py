@@ -41,6 +41,12 @@ selectivity↔nprobe strategy — each oracle-gated like every other row.
                         store instead of re-deriving token vectors from
                         the raw embeddings scan — completes the ColBERT
                         lifecycle (shares the _MSR oracle verbatim)
+  rrf_hybrid_filtered_topk  the capstone: FULLY-FILTERED hybrid
+                        retrieval — the filtered BM25 probe (persisted
+                        lexical store) and the filtered IVF probe
+                        (persisted vector store) fused by RRF, one
+                        metadata predicate across both systems — the
+                        production search-API endpoint end to end
 
 Float determinism follows the repo-wide idiom: cosines/IDFs round to
 6 dp / floor to integer micro-units before any sum or ranking; the only
@@ -660,6 +666,7 @@ def bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Persisted MaxSim token store: the ColBERT lifecycle's last leg
 # ===========================================================================
 from .queries_wave11 import (  # noqa: E402
+    _FILT_NPROBE,
     _MS_GROUP,
     _MS_QDOCS,
     _MSR_NPROBE,
@@ -807,6 +814,205 @@ def maxsim_rerank_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qdoc",
             "ddoc",
             "score_micro",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+# ===========================================================================
+# Fully-filtered hybrid retrieval: the capstone search-API endpoint
+# ===========================================================================
+_RRF_K = 60
+_RRF_TOPN = 20
+_RRF_OUT = 10
+_HF_NPROBE = 3  # matches ann_filtered_topk's documented trade
+
+_HF_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents
+    ),
+    t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM t
+        WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+        GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+    per_term AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                   ln(1.0 + (s.n_docs - d.dft + 0.5) / (d.dft + 0.5))
+                   * (tf.tf * (1.2 + 1.0))
+                   / (tf.tf + 1.2 * (1.0 - 0.75
+                      + 0.75 * dl.dl
+                        / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                   * 1e6 + 0.5) AS BIGINT) AS micro
+        FROM tf
+        JOIN dft d ON tf.term = d.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats s
+        WHERE tf.doc_id % {_BF_MOD} = 0
+    ),
+    scored AS (
+        SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS bm25_micro
+        FROM per_term GROUP BY doc_id
+    ),
+    s20 AS (
+        SELECT doc_id AS id, rk AS srk FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY bm25_micro DESC, doc_id) AS rk
+            FROM scored
+        ) WHERE rk <= {_RRF_TOPN}
+    ),
+    cent AS (
+        SELECT e.label AS list_id, e.embedding AS cv
+        FROM embeddings e
+        JOIN (SELECT label, MIN(vec_id) AS mv FROM embeddings
+              GROUP BY label) m
+          ON e.label = m.label AND e.vec_id = m.mv
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    pr AS (
+        SELECT list_id FROM (
+            SELECT c.list_id, ROW_NUMBER() OVER (ORDER BY
+                ROUND(list_cosine_similarity(
+                    c.cv::DOUBLE[], q.qv::DOUBLE[])::DOUBLE, 6)
+                    DESC, c.list_id) AS rk
+            FROM cent c CROSS JOIN q
+        ) WHERE rk <= {_HF_NPROBE}
+    ),
+    dsims AS (
+        SELECT e.vec_id AS id,
+               ROUND(list_cosine_similarity(
+                   e.embedding::DOUBLE[], q.qv::DOUBLE[])::DOUBLE, 6)
+                   AS sim
+        FROM pr
+        JOIN embeddings e ON e.label = pr.list_id
+        CROSS JOIN q
+        WHERE e.vec_id % {_BF_MOD} = 0 AND e.vec_id <> 0
+    ),
+    d20 AS (
+        SELECT id, rk AS drk FROM (
+            SELECT id, ROW_NUMBER() OVER (ORDER BY sim DESC, id) AS rk
+            FROM dsims
+        ) WHERE rk <= {_RRF_TOPN}
+    ),
+    fused AS (
+        SELECT COALESCE(s.id, d.id) AS id,
+               COALESCE(CAST(floor(1000000.0 / ({_RRF_K} + s.srk))
+                        AS BIGINT), 0)
+               + COALESCE(CAST(floor(1000000.0 / ({_RRF_K} + d.drk))
+                          AS BIGINT), 0) AS rrf_micro
+        FROM s20 s FULL OUTER JOIN d20 d ON s.id = d.id
+    )
+    SELECT CAST(id AS BIGINT) AS id, rrf_micro, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT id, rrf_micro,
+               ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, id) AS rk
+        FROM fused
+    ) WHERE rk <= {_RRF_OUT}
+"""
+
+
+@register(
+    "rrf_hybrid_filtered_topk",
+    _HF_SQL,
+    doc="FULLY-FILTERED hybrid retrieval — the production search-API "
+    "endpoint end to end, and the composition the filtered-probe rows "
+    "exist for: ONE metadata predicate (id % 3 = 0, the tenant/lang/"
+    "license stand-in; documents and embeddings share the id space — "
+    "the RAG dual-index shape) pre-filters BOTH systems' candidates, "
+    "the lexical list from the PERSISTED BM25 store (bm25_filtered_"
+    "topk's probe: bucket-pruned postings, corpus-wide IDF) and the "
+    "dense list from the PERSISTED IVF store (ann_filtered_topk's "
+    "probe: predicate inside the probed lists, nprobe widened to 3), "
+    "then Reciprocal Rank Fusion [Cormack et al. SIGIR'09 — public] "
+    "sums floor(1e6/(60+rank)) per system — exact integer fusion, "
+    "replayable.  Both stores persist write-if-missing and are SHARED "
+    "with their solo rows (identical salts), so the timed path is two "
+    "steady-state filtered probes + a bounded 2x20-row fusion (the "
+    "final rank is a broadcast theta-join over the bounded fused "
+    "frame, never a partition-less window).  The oracle replays both "
+    "filtered rankings and the fusion.  Operable as CorpusLexSearch "
+    "--filter-mod + CorpusSearch --filter-mod + downstream fuse.",
+)
+def rrf_hybrid_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import lexical as lx
+    from .operators.clustering import ivf_probe_topk, write_ivf_index
+    from .queries_ext import _data_fingerprint, _scan_path
+
+    pred_doc = F.col("doc_id") % _BF_MOD == 0
+    # lexical store: bm25_persisted_topk / bm25_filtered_topk's salt
+    salt = hashlib.md5(
+        (
+            inspect.getsource(lx)
+            + "|bm25|"
+            + _data_fingerprint(spark, sf_dir, "documents")
+        ).encode()
+    ).hexdigest()[:10]
+    lex_path = _scan_path(sf_dir, f"bm25_index_{salt}")
+    fs, marker = _fs(spark, f"{lex_path}/stats/_SUCCESS")
+    if not fs.exists(marker):
+        lx.write_bm25_index(load(spark, sf_dir, "documents"), lex_path)
+    s20 = lx.bm25_probe_topk(
+        spark, lex_path, _BM25_TERMS, k=_RRF_TOPN, predicate=pred_doc
+    ).select(F.col("doc_id").alias("id"), F.col("rk").alias("srk"))
+
+    # vector store: ann_filtered_topk's salt (shared)
+    e = load(spark, sf_dir, "embeddings")
+    ivf_path = _salted_ivf_path(
+        spark, sf_dir, "ivf_filt", extra=f"nprobe={_FILT_NPROBE}"
+    )
+    fs2, marker2 = _fs(spark, f"{ivf_path}/centroids/_SUCCESS")
+    if not fs2.exists(marker2):
+        write_ivf_index(e, ivf_path)
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()["embedding"]
+    ]
+    d20 = ivf_probe_topk(
+        spark,
+        ivf_path,
+        qv,
+        nprobe=_HF_NPROBE,
+        k=_RRF_TOPN,
+        exclude_id=0,
+        predicate=F.col("vec_id") % _BF_MOD == 0,
+    ).select(F.col("vec_id").alias("id"), F.col("rk").alias("drk"))
+
+    rrf = lambda rk: F.coalesce(  # noqa: E731
+        F.floor(F.lit(1000000.0) / (F.lit(_RRF_K) + F.col(rk))).cast(
+            "long"
+        ),
+        F.lit(0),
+    )
+    # bounded 2x20 fused frame: final rank via the broadcast theta
+    # self-join (rrf_hybrid_topk's idiom — a `col * 0` partition key on
+    # a non-nullable column would constant-fold into the partition-less
+    # window the plan audit forbids)
+    fused = s20.join(d20, "id", "full_outer").select(
+        "id", (rrf("srk") + rrf("drk")).alias("rrf_micro")
+    )
+    other = fused.select(
+        F.col("id").alias("o_id"), F.col("rrf_micro").alias("o_micro")
+    )
+    ahead = (F.col("o_micro") > F.col("rrf_micro")) | (
+        (F.col("o_micro") == F.col("rrf_micro"))
+        & (F.col("o_id") < F.col("id"))
+    )
+    return (
+        fused.join(F.broadcast(other), ahead, "left")
+        .groupBy("id", "rrf_micro")
+        .agg((F.count("o_id") + 1).alias("rk"))
+        .filter(F.col("rk") <= _RRF_OUT)
+        .select(
+            F.col("id").cast("long").alias("id"),
+            "rrf_micro",
             F.col("rk").cast("long").alias("rk"),
         )
     )
