@@ -3777,60 +3777,82 @@ def hll_distinct_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("gram"),
     )
-    h = g.select("source", shingle_hash(F.col("gram")).alias("hv"))
+    # ONE linear plan via GROUPING SETS ((source, gram), (gram)): the
+    # (source, gram) set yields the per-source distinct grams and the
+    # (gram)-only set yields the GLOBAL distinct grams — which, flowing
+    # through the same register aggregation under the '*ALL*' pseudo-
+    # source, IS the merged-register row (max over distinct grams) AND
+    # its exact count (sum of per-register counts).  What used to be
+    # FOUR scan+explode passes (per-source regs, ALL regs, per-source
+    # exact, global exact — Spark recomputes every multi-consumer
+    # subtree; exchange reuse does not fire across union branches) is
+    # now one scan, one explode, three shuffles, no join (guide §2.4,
+    # §1.1 first-principles minimum).
+    dd = g.groupingSets([["source", "gram"], ["gram"]], "source", "gram").agg(
+        F.grouping("source").alias("gid")
+    )
+    # a genuinely-null source must not merge into the pseudo-source row
+    # (the original inner join on source dropped null-source est rows)
+    dg = dd.where((F.col("gid") == 1) | F.col("source").isNotNull()).select(
+        F.when(F.col("gid") == 1, F.lit("*ALL*"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+        "gram",
+    )
+    h = dg.select("source", "gram", shingle_hash(F.col("gram")).alias("hv"))
     w = F.floor(F.col("hv") / _HLL_M).cast("long")
     rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
         F.lit(_HLL_WBITS) - F.floor(F.log2(w)).cast("int")
     )
     r = h.select("source", (F.col("hv") % _HLL_M).alias("j"), rho.alias("rho"))
-    reg_s = r.groupBy("source", "j").agg(F.max("rho").alias("m"))
-    reg_all = (
-        r.groupBy("j")
-        .agg(F.max("rho").alias("m"))
-        .select(F.lit("*ALL*").alias("source"), "j", "m")
-    )
-    regs = reg_s.unionByName(reg_all)
-    s = regs.groupBy("source").agg(
-        F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS + 1} - m)")
-        ).alias("s_present"),
-        F.count(F.lit(1)).alias("n_present"),
+    # per-(source, register) max rank + how many distinct grams hashed
+    # into that register: registers AND the per-source exact count come
+    # out of this single aggregate
+    sub = r.groupBy("source", "j").agg(
+        F.max("rho").alias("m"), F.count(F.lit(1)).alias("c")
     )
     alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
-    denom = F.col("s_present") + (
-        F.lit(_HLL_M) - F.col("n_present")
-    ) * F.lit(1 << (_HLL_WBITS + 1)).cast("long")
-    e_raw = (
-        alpha
-        * F.lit(_HLL_M)
-        * F.lit(_HLL_M)
-        * F.lit(1 << (_HLL_WBITS + 1)).cast("long")
-        / denom
-    )
-    e = F.when(
-        (e_raw <= 2.5 * _HLL_M) & (F.col("n_present") < _HLL_M),
-        F.lit(float(_HLL_M))
-        * F.log(
+
+    def estimate(s_present, n_present):
+        """Same harmonic-sum + linear-counting expressions as the oracle,
+        applied to (s_present, n_present) integer inputs."""
+        denom = s_present + (F.lit(_HLL_M) - n_present) * F.lit(
+            1 << (_HLL_WBITS + 1)
+        ).cast("long")
+        e_raw = (
+            alpha
+            * F.lit(_HLL_M)
+            * F.lit(_HLL_M)
+            * F.lit(1 << (_HLL_WBITS + 1)).cast("long")
+            / denom
+        )
+        e = F.when(
+            (e_raw <= 2.5 * _HLL_M) & (n_present < _HLL_M),
             F.lit(float(_HLL_M))
-            / (F.lit(_HLL_M) - F.col("n_present")).cast("double")
-        ),
-    ).otherwise(e_raw)
-    est = s.select(
-        "source",
-        F.col("n_present").cast("int").alias("occupied"),
-        F.floor(e + 0.5).cast("long").alias("hll_estimate"),
+            * F.log(
+                F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - n_present).cast("double")
+            ),
+        ).otherwise(e_raw)
+        return (
+            n_present.cast("int").alias("occupied"),
+            F.floor(e + 0.5).cast("long").alias("hll_estimate"),
+        )
+
+    shift = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS + 1} - m)")
+    # One aggregate yields EVERY output row: harmonic sum, occupied
+    # count, and exact distinct (= sum of per-register distinct-gram
+    # counts; grams within a group are distinct in dg and j partitions
+    # them).  The '*ALL*' pseudo-source rides the same chain — its
+    # registers are maxes over the global distinct grams (the HLL merge
+    # law's result) and its c-sum is the global exact count.
+    per_source = sub.groupBy("source").agg(
+        F.sum(shift).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum("c").alias("exact_distinct"),
     )
-    ex_s = g.groupBy("source").agg(
-        F.count_distinct("gram").alias("exact_distinct")
-    )
-    ex_all = g.agg(
-        F.count_distinct("gram").alias("exact_distinct")
-    ).select(F.lit("*ALL*").alias("source"), "exact_distinct")
-    ex = ex_s.unionByName(ex_all)
-    return est.join(ex, "source").select(
+    return per_source.select(
         "source",
-        "occupied",
-        "hll_estimate",
+        *estimate(F.col("s_present"), F.col("n_present")),
         F.col("exact_distinct").cast("long").alias("exact_distinct"),
     )
 
