@@ -158,15 +158,22 @@ def fingerprint(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-gram shingle array over normalized text (distinct, sorted —
-    deterministic input for MinHash)."""
+    """Word k-gram shingle array over normalized text.
+
+    The array is NOT deduplicated or sorted: every consumer is invariant
+    to duplicates and order — MinHash takes array_min over the hashes,
+    Jaccard verification uses array_intersect/array_union (set semantics
+    by definition), and the explode sites dedup with .distinct() — so
+    the per-row O(s log s) array_sort(array_distinct(...)) this helper
+    used to pay (~10% of a shingle pass) bought nothing downstream.
+    """
     words = F.split(normalize_text(text), " ")
     n = F.size(words)
     idx = F.sequence(F.lit(0), n - k)
     grams = F.transform(
         idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")
     )
-    return F.when(n >= k, F.array_sort(F.array_distinct(grams))).otherwise(
+    return F.when(n >= k, grams).otherwise(
         F.when(n > 0, F.array(F.array_join(words, " "))).otherwise(
             F.array().cast("array<string>")
         )
