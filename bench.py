@@ -337,6 +337,11 @@ PROBE_FAMILY_OVERRIDE = {
 # charging it against per-query runtime would distort the scale story
 # AND break comparability with rounds <= 4; they stay execute-only.
 EAGER_CONSTRUCT = {
+    # r13 measurement fix: the chunked path's lazy localCheckpoint still
+    # materializes its upstream (interval join + variant grouping) at
+    # CONSTRUCTION under AQE (toRdd finalizes and runs the stages), so
+    # execute-only timing missed roughly half the query's real work
+    "p29_annotate_chunked",
     "near_dup_components",
     "near_dup_components_star",
     "corpus_dedup_keeplist",

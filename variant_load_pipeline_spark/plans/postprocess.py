@@ -417,21 +417,23 @@ def annotate_variants(
             ).cast("int").alias("total_exon_count"),
         )
     )
+
+    mk = map_key
+    if fasta_strategy == "chunked":
+        # The chunked path never joins the per-transcript features array
+        # onto the PER-PAIR frame: pairs flow straight into the per-
+        # transcript variant grouping (one pass, one shuffle), and the
+        # features ride the broadcast `grouped` dim onto the transcript-
+        # cardinality side only.  Pairs lacking a feature row die at the
+        # final inner join exactly as the old pre-join filtered them.
+        out = _annotate_chunked(pairs, grouped, fasta, chunk_size, mk)
+        return _dedup_and_finish(out, existing_vt)
+
     pairs = pairs.join(
         F.broadcast(grouped),
         (pairs.transcript_rgd_id == grouped.transcript_rgd_id)
         & (pairs.v_chrom == grouped.f_chrom),
     ).drop(grouped.transcript_rgd_id).drop("f_chrom")
-
-    mk = map_key
-    if fasta_strategy == "chunked":
-        # pairs feeds two subtrees (transcript geometry + per-transcript
-        # variant groups): materialize once instead of recomputing the
-        # interval join + feature join per consumer (lazy localCheckpoint:
-        # blocks are GC-reclaimed, no unpersist bookkeeping)
-        pairs = pairs.localCheckpoint(eager=False)
-        out = _annotate_chunked(pairs, fasta, chunk_size, mk)
-        return _dedup_and_finish(out, existing_vt)
 
     fasta_map = {
         r["chromosome"]: r["seq"] for r in fasta.select("chromosome", "seq").collect()
@@ -640,11 +642,22 @@ def _dedup_and_finish(
 
 
 def _annotate_chunked(
-    pairs: DataFrame, fasta: DataFrame, chunk_size: int, mk: int | None
+    pairs: DataFrame,
+    grouped: DataFrame,
+    fasta: DataFrame,
+    chunk_size: int,
+    mk: int | None,
 ) -> DataFrame:
     """Chunked-FASTA kernel dispatch: transcripts pull only the sequence
     chunks their feature span covers; variants ride in per-transcript
-    arrays so each local sequence is shuffled once per transcript."""
+    arrays so each local sequence is shuffled once per transcript.
+
+    ``pairs`` arrives WITHOUT the features array (per-pair rows stay
+    narrow); ``grouped`` is the per-(transcript, chromosome) feature dim,
+    broadcast onto the transcript-cardinality side only.  The pair frame
+    is consumed exactly once (the variant grouping below) — the
+    transcript geometry derives from the grouped result, so no
+    checkpoint/recompute of the interval join is needed."""
     from ..sources.fasta import chunked_fasta
 
     chunks = chunked_fasta(fasta, chunk_size).select(
@@ -653,16 +666,39 @@ def _annotate_chunked(
         "chunk_start",
         F.col("seq").alias("cseq"),
     )
+    pv = (
+        pairs.groupBy("transcript_rgd_id", "v_chrom", "is_non_coding_ind")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    "variant_rgd_id",
+                    "var_start",
+                    "var_stop",
+                    "ref_nuc",
+                    "var_nuc",
+                )
+            ).alias("vars")
+        )
+        # two consumers (transcript geometry + the kernel join) over a
+        # transcript-cardinality frame: materialize once so the interval
+        # join upstream runs once (lazy localCheckpoint: blocks are
+        # GC-reclaimed, no unpersist bookkeeping)
+        .localCheckpoint(eager=False)
+    )
     starts = F.transform("features", lambda f: f["start_pos"])
     stops = F.transform("features", lambda f: f["stop_pos"])
     tx = (
-        pairs.select(
+        pv.select(
             F.col("transcript_rgd_id").alias("t_tid"),
             F.col("v_chrom").alias("t_chrom"),
-            "features",
-            "total_exon_count",
         )
         .dropDuplicates(["t_tid", "t_chrom"])
+        .join(
+            F.broadcast(grouped),
+            (F.col("t_tid") == grouped.transcript_rgd_id)
+            & (F.col("t_chrom") == grouped.f_chrom),
+        )
+        .select("t_tid", "t_chrom", "features", "total_exon_count")
         .withColumn("t_lo", F.array_min(starts))
         .withColumn("t_hi", F.array_max(stops))
         .withColumn(
@@ -712,33 +748,32 @@ def _annotate_chunked(
             ).alias("local_seq"),
         )
     )
-    pv = (
-        pairs.drop("features", "total_exon_count")
-        .groupBy("transcript_rgd_id", "v_chrom", "is_non_coding_ind")
-        .agg(
-            F.collect_list(
-                F.struct(
-                    "variant_rgd_id",
-                    "var_start",
-                    "var_stop",
-                    "ref_nuc",
-                    "var_nuc",
-                )
-            ).alias("vars")
-        )
-    )
+    # seq_tbl is transcript-cardinality with span-trimmed sequences (the
+    # same size class as the `grouped` dim that was already broadcast):
+    # broadcasting it keeps the variant-group side unshuffled
     joined = pv.join(
-        seq_tbl,
+        F.broadcast(seq_tbl),
         (pv.transcript_rgd_id == seq_tbl.t_tid) & (pv.v_chrom == seq_tbl.t_chrom),
     ).drop("t_tid", "t_chrom")
 
     cols = [n for n, _ in _OUT_FIELDS]
 
+    res_keys = [n for n, _ in _OUT_FIELDS if n not in
+                ("variant_rgd_id", "transcript_rgd_id", "map_key")]
+
     def run(iterator):
         import pandas as pd
 
         for pdf in iterator:
-            rows = []
+            # column-appender assembly (one list per output column, no
+            # per-row dict): the same per-task shape as the broadcast
+            # kernel — row dicts + DataFrame(list-of-dicts) were the
+            # slowest part of this loop
+            out_cols: dict[str, list] = {n: [] for n, _ in _OUT_FIELDS}
+            o_vrid = out_cols["variant_rgd_id"].append
+            o_trid = out_cols["transcript_rgd_id"].append
+            o_mk = out_cols["map_key"].append
+            appenders = [(out_cols[k].append, k) for k in res_keys]
             for r in pdf.itertuples(index=False):
                 shift = int(r.seq_offset) - 1
                 feats = [
@@ -751,6 +786,10 @@ def _annotate_chunked(
                     for f in r.features
                 ]
                 prep = prepare_transcript(feats, r.local_seq)
+                trid = r.transcript_rgd_id
+                tec = int(r.total_exon_count)
+                nci = r.is_non_coding_ind or "N"
+                seq = r.local_seq
                 for vr in r.vars:
                     res = annotate_pair(
                         int(vr["var_start"]) - shift,
@@ -758,21 +797,16 @@ def _annotate_chunked(
                         vr["ref_nuc"],
                         vr["var_nuc"],
                         feats,
-                        int(r.total_exon_count),
-                        r.is_non_coding_ind or "N",
-                        r.local_seq,
+                        tec,
+                        nci,
+                        seq,
                         prep=prep,
                     )
-                    rows.append(
-                        {
-                            "variant_rgd_id": vr["variant_rgd_id"],
-                            "transcript_rgd_id": r.transcript_rgd_id,
-                            "map_key": mk,
-                            **res,
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
-                columns=cols
-            )
+                    o_vrid(vr["variant_rgd_id"])
+                    o_trid(trid)
+                    o_mk(mk)
+                    for app, k in appenders:
+                        app(res[k])
+            yield pd.DataFrame(out_cols, columns=cols)
 
     return joined.mapInPandas(run, schema=VT_OUT_SCHEMA)
