@@ -355,44 +355,53 @@ def kmv_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import shingle_hash, shingles
 
     d = load(spark, sf_dir, "documents")
-    g = d.select(
+    # Multi-consumer subtrees are recomputed wholesale by Spark (no
+    # exchange reuse across union/join branches), and the old shape —
+    # g distinct, hs distinct, sk joined into a pairs frame twice, plus
+    # a gram self-join audit — re-executed the scan+explode EIGHT times.
+    # This shape runs it three: once for the sketch chain (deduping on
+    # (source, h) directly — the gram-level dedup bought nothing), once
+    # for a no-explode source roster, once for the per-gram audit.
+    raw = d.select(
         "source", F.explode(shingles(F.col("text"), 3)).alias("gram")
+    )
+    hs = raw.select(
+        "source", shingle_hash(F.col("gram")).alias("h")
     ).distinct()
-    hs = g.select("source", shingle_hash(F.col("gram")).alias("h")).distinct()
     wnd = W.partitionBy("source").orderBy("h")
     sk = (
         hs.withColumn("hrk", F.row_number().over(wnd))
         .filter(F.col("hrk") <= _KMV_K)
         .select("source", "h")
     )
-    srcs = g.select("source").distinct()
-    pairs = (
-        srcs.select(F.col("source").alias("source_a"))
-        .crossJoin(srcs.select(F.col("source").alias("source_b")))
-        .filter(F.col("source_a") < F.col("source_b"))
+    # sources with >= 1 shingle — identical to "appears in the gram
+    # frame" but needs no explode, just a per-doc size test
+    srcs = (
+        d.filter(F.size(shingles(F.col("text"), 3)) > 0)
+        .select("source")
+        .distinct()
     )
-    ua = pairs.join(
-        sk.withColumnRenamed("source", "source_a"), "source_a"
-    ).select(
-        "source_a",
-        "source_b",
-        "h",
-        F.lit(1).alias("ia"),
-        F.lit(0).alias("ib"),
+    # Both union roles from ONE sk x other-source fan-out: a sketch row
+    # (s, h) contributes h to every pair {s, o} — as the a-side when
+    # s < o, as the b-side otherwise.  Replaces the two pairs-join
+    # branches (which each re-derived sk AND the pairs frame).
+    x = (
+        sk.crossJoin(srcs.select(F.col("source").alias("other")))
+        .filter(F.col("source") != F.col("other"))
+        .select(
+            F.least("source", "other").alias("source_a"),
+            F.greatest("source", "other").alias("source_b"),
+            "h",
+            F.when(F.col("source") < F.col("other"), 1)
+            .otherwise(0)
+            .alias("ia"),
+            F.when(F.col("source") < F.col("other"), 0)
+            .otherwise(1)
+            .alias("ib"),
+        )
     )
-    ub = pairs.join(
-        sk.withColumnRenamed("source", "source_b"), "source_b"
-    ).select(
-        "source_a",
-        "source_b",
-        "h",
-        F.lit(0).alias("ia"),
-        F.lit(1).alias("ib"),
-    )
-    u = (
-        ua.unionByName(ub)
-        .groupBy("source_a", "source_b", "h")
-        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    u = x.groupBy("source_a", "source_b", "h").agg(
+        F.max("ia").alias("ia"), F.max("ib").alias("ib")
     )
     wnd2 = W.partitionBy("source_a", "source_b").orderBy("h")
     bott = u.withColumn("rk", F.row_number().over(wnd2)).filter(
@@ -403,13 +412,33 @@ def kmv_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("k_eff"),
         F.sum(F.col("ia") * F.col("ib")).alias("m"),
     )
-    ga = g.select(F.col("source").alias("source_a"), "gram")
-    gb = g.select(F.col("source").alias("source_b"), "gram")
-    ex = (
-        ga.join(gb, "gram")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    # Exact-overlap audit as ONE pass: per-gram distinct source set
+    # (collect_set dedups, so no pre-distinct needed), ordered pairs
+    # exploded from the bounded-by-source-cardinality set — the same
+    # counts the old gram self-join produced with two more full scans
+    # and a gram-keyed shuffle of each side.
+    pg = raw.groupBy("gram").agg(F.collect_set("source").alias("ss"))
+    prs = (
+        pg.filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ss"),
+                        lambda a: F.transform(
+                            F.filter(F.col("ss"), lambda b: b > a),
+                            lambda b: F.struct(
+                                a.alias("source_a"), b.alias("source_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.source_a", "p.source_b")
+    )
+    ex = prs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("exact_inter")
     )
     est_inter = F.round(
         (F.col("m") * (F.col("k_eff") - 1)).cast("double")
