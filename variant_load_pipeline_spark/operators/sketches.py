@@ -47,12 +47,13 @@ def _source_bottom_k(
     sketch/band operator in this repo ranks on)."""
     from ..functions.text import shingle_hash, shingles
 
+    # one dedup on (source, h) directly: the gram-level pre-distinct the
+    # build used to pay changed nothing about the distinct hash sets
     hs = (
         docs.select(
             F.col(src_col).alias("source"),
             F.explode(shingles(F.col(text_col), 3)).alias("gram"),
         )
-        .distinct()
         .select("source", shingle_hash(F.col("gram")).alias("h"))
         .distinct()
     )
