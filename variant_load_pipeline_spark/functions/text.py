@@ -29,6 +29,22 @@ def normalize_text(text: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
 
 
+def _let(value: Column, body) -> Column:
+    """Single-evaluation let-binding for expressions referenced inside
+    higher-order lambdas.
+
+    A lambda body is re-evaluated PER ELEMENT, including any expensive
+    subexpression that does not depend on the lambda variable — e.g. a
+    k-gram builder slicing `split(normalize(text))` inside its per-index
+    lambda re-normalizes and re-splits the document once per gram
+    (O(len^2) per row; measured 12-15x slower than evaluating the split
+    once).  `transform` evaluates its INPUT exactly once, so wrapping
+    the value in a single-element array and binding it as the lambda
+    variable makes every reference a cheap variable lookup.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count; empty/blank -> 0."""
     t = F.trim(F.coalesce(text, F.lit("")))
@@ -166,18 +182,25 @@ def shingles(text: Column, k: int = 3) -> Column:
     by definition), and the explode sites dedup with .distinct() — so
     the per-row O(s log s) array_sort(array_distinct(...)) this helper
     used to pay (~10% of a shingle pass) bought nothing downstream.
+
+    The word array is _let-bound: slicing it inside the per-gram lambda
+    would otherwise re-normalize + re-split the text once per gram
+    (measured 12-15x slower on the sf0.1 corpus).
     """
-    words = F.split(normalize_text(text), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), n - k)
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")
-    )
-    return F.when(n >= k, grams).otherwise(
-        F.when(n > 0, F.array(F.array_join(words, " "))).otherwise(
-            F.array().cast("array<string>")
+
+    def build(words: Column) -> Column:
+        n = F.size(words)
+        grams = F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(words, i + 1, k), " "),
         )
-    )
+        return F.when(n >= k, grams).otherwise(
+            F.when(n > 0, F.array(F.array_join(words, " "))).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+
+    return _let(F.split(normalize_text(text), " "), build)
 
 
 def shingle_hash(shingle: Column) -> Column:
@@ -322,12 +345,17 @@ def boilerplate_columns(text: Column) -> dict[str, Column]:
     n_lines = F.size(lines)
     n_nz = F.when(n_lines == 0, F.lit(1)).otherwise(n_lines)
     n_distinct = F.size(F.array_distinct(lines))
-    # most frequent line's share: max over distinct lines of their count
-    top_freq = F.array_max(
-        F.transform(
-            F.array_distinct(lines),
-            lambda d: F.size(F.filter(lines, lambda x: x == d)),
-        )
+    # most frequent line's share: max over distinct lines of their count.
+    # _let-bound: referencing `lines` inside the per-distinct-line lambda
+    # would re-split + re-filter the text once per distinct line
+    top_freq = _let(
+        lines,
+        lambda L: F.array_max(
+            F.transform(
+                F.array_distinct(L),
+                lambda d: F.size(F.filter(L, lambda x: x == d)),
+            )
+        ),
     )
     bullets = F.size(
         F.filter(lines, lambda x: F.trim(x).rlike(r"^[-*•]"))
@@ -640,16 +668,21 @@ def word_blocks(text: Column, k: int = 5) -> Column:
     Corpora WITH newlines should split on them instead (paragraph_dedup
     takes the block array, not the raw text, so either unit plugs in).
     Empty/NULL text -> empty array."""
-    w = F.split(normalize_text(F.coalesce(text, F.lit(""))), " ")
-    nb = F.ceil(F.size(w) / F.lit(float(k))).cast("int")
+
+    def build(w: Column) -> Column:
+        nb = F.ceil(F.size(w) / F.lit(float(k))).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), nb - 1),
+            lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
+        )
+
     return F.when(
         F.trim(F.coalesce(text, F.lit(""))) == "",
         F.array().cast("array<string>"),
     ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), nb - 1),
-            lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
-        )
+        # _let: slicing the word array inside the per-block lambda would
+        # re-split the text once per block
+        _let(F.split(normalize_text(F.coalesce(text, F.lit(""))), " "), build)
     )
 
 
@@ -671,8 +704,11 @@ def word_ngrams(text: Column, k: int = 3) -> Column:
     """Raw (non-distinct, in-order) word k-gram array over normalized
     text — the repetition-signal counterpart of ``shingles`` (which
     dedups and sorts for MinHash); empty/short docs give an empty array."""
-    return word_ngrams_from_words(
-        F.split(normalize_text(F.coalesce(text, F.lit(""))), " "), k
+    # _let: word_ngrams_from_words references w inside its per-gram
+    # lambda, so an inlined split would re-tokenize once per gram
+    return _let(
+        F.split(normalize_text(F.coalesce(text, F.lit(""))), " "),
+        lambda w: word_ngrams_from_words(w, k),
     )
 
 
