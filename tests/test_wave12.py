@@ -200,6 +200,65 @@ def test_bm25_append_after_fold_then_refold(spark, tmp_path):
     assert _probe(spark, path) == want
 
 
+def test_bm25_clean_append_probe_has_no_dedup(spark, tmp_path):
+    """r13 optimization contract: on a CLEAN appended store (no fold in
+    progress) the probe plans no Deduplicate — the defensive
+    dropDuplicates is gated on the fold's crash-window marker, so the
+    steady state pays neither of its exchanges and keeps the
+    term_bucket partition prune on the seed scan."""
+    _d, path = _build_appended(spark, tmp_path)
+    df = lx.bm25_probe_topk(spark, path, TERMS)
+    # Deduplicate survives only in the analyzed plan (the optimizer
+    # rewrites it to Aggregate, hiding it from later plan stages)
+    ana = df._jdf.queryExecution().analyzed().toString()
+    assert "Deduplicate" not in ana, ana
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [term_bucket" in plan.replace(
+        "PartitionFilters: [isnotnull(term_bucket), term_bucket",
+        "PartitionFilters: [term_bucket",
+    ), plan
+
+
+def test_bm25_fold_swap_crash_window_marker_dedups(spark, tmp_path):
+    """The swap-crash window (buckets swapped, folded deltas NOT yet
+    deleted, watermark NOT yet advanced): folded rows exist in both the
+    seed and a delta batch above the watermark.  The window leaves the
+    .folding marker on disk, so the probe dedups and stays exact, and
+    the drift monitor's anti-join keeps df_cur from double-counting;
+    the next fold converges the store and retires the marker."""
+    d = _docs(spark)
+    path = str(tmp_path / "lexw")
+    # seed that already CONTAINS batch 2's rows (as a completed swap
+    # would), plus the leftover not-yet-deleted delta for batch 2.  In
+    # the real window the STATS are still the pre-swap additive state
+    # (seed row + delta rows = exact totals) — replicated here by a
+    # seed built over all docs with the duplicate batch's stats delta
+    # removed, so only postings/doclen are double-served
+    lx.write_bm25_index(d, path)
+    lx.append_bm25_batch(d.filter(F.col("doc_id") % 4 == 3), path, 2)
+    shutil.rmtree(f"{path}/stats_delta")
+    full = str(tmp_path / "fullw")
+    lx.write_bm25_index(d, full)
+    want = _probe(spark, full)
+    # without the marker this state double-serves batch 2's postings
+    assert _probe(spark, path) != want
+    os.makedirs(f"{path}/{lx.FOLD_MARKER}", exist_ok=True)
+    df = lx.bm25_probe_topk(spark, path, TERMS)
+    ana = df._jdf.queryExecution().analyzed().toString()
+    assert "Deduplicate" in ana
+    assert _probe(spark, path) == want
+    # windowed drift monitor: every delta doc is already in the seed,
+    # so df_cur must equal df_seed (no double count)
+    rep = lx.bm25_idf_drift(spark, path).collect()
+    assert all(r["df_cur"] == r["df_seed"] for r in rep), rep
+    # the fold converges the store and closes the window
+    lx.compact_bm25_index(spark, path, upto_batch_id=2)
+    assert not os.path.exists(f"{path}/{lx.FOLD_MARKER}")
+    assert _probe(spark, path) == want
+
+
 def test_bm25_append_rejects_negative_batch_id(spark):
     import pytest
 

@@ -194,6 +194,23 @@ def _delta_batches(spark, delta_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _fold_in_progress(spark, path: str) -> bool:
+    """True while a fold's vulnerable window is open: the ``.folding``
+    marker is created before the first bucket swap and removed only
+    after every folded delta partition is deleted, so its presence is
+    the exact (and only directory-observable) signature of the
+    crash window in which folded rows can exist BOTH in the swapped
+    seed and in not-yet-deleted delta batches above the watermark.
+    Readers dedup only inside this window; the steady-state
+    (clean-append) probe pays no dedup exchange and keeps its bucket
+    PartitionFilters."""
+    fs, hpath = _fs_of(spark, f"{path}/{FOLD_MARKER}")
+    return bool(fs.exists(hpath))
+
+
+FOLD_MARKER = ".folding"
+
+
 def _folded_upto(spark, path: str) -> int:
     """The compaction watermark from the stats seed row (-1 when the
     store predates folds, carries no watermark column, or has no seed
@@ -296,13 +313,20 @@ def bm25_probe_topk(
         }
     )
     w_mark = _folded_upto(spark, path)
+    # Defensive dedup ONLY inside a fold's crash window (marker-gated):
+    # in the clean append steady state delta doc ids are disjoint from
+    # the seed by contract, and skipping the dropDuplicates both removes
+    # its two exchanges and lets the term_bucket filter reach the scans
+    # as PartitionFilters (a dedup keyed on (doc, term) blocks pushdown
+    # of the bucket predicate).
+    dirty = _fold_in_progress(spark, path)
     post = _store_frame(
         spark,
         f"{path}/postings",
         f"{path}/postings_delta",
         [id_col, "term", "tf", "term_bucket"],
         w_mark,
-        dedup_cols=[id_col, "term"],
+        dedup_cols=[id_col, "term"] if dirty else None,
     )
     tf = post.filter(
         F.col("term_bucket").isin(buckets)
@@ -314,7 +338,7 @@ def bm25_probe_topk(
         f"{path}/doclen_delta",
         [id_col, "dl"],
         w_mark,
-        dedup_cols=[id_col],
+        dedup_cols=[id_col] if dirty else None,
     )
     st = _store_frame(
         spark,
@@ -611,7 +635,18 @@ def compact_bm25_index(
             fs, fs_path, f"{path}/doclen", f"{path}/.doclen.old",
             "doc_bucket=",
         )
+        # no committed-above-watermark deltas remain, so no seed/delta
+        # duplication is possible: a leftover crash marker can be
+        # retired and probes drop back to the dedup-free plan
+        fs.delete(fs_path(f"{path}/{FOLD_MARKER}"), True)
         return 0
+
+    # open the vulnerable window: from the first bucket swap until the
+    # folded delta partitions are all deleted, folded rows can exist in
+    # BOTH the seed and a leftover delta batch above the watermark.
+    # Readers (bm25_probe_topk, bm25_idf_drift) dedup exactly while
+    # this marker exists — the clean steady state pays nothing.
+    fs.mkdirs(fs_path(f"{path}/{FOLD_MARKER}"))
 
     _fold_bucketed(
         spark, fs, fs_path,
@@ -674,6 +709,9 @@ def compact_bm25_index(
         ):
             fs.delete(fs_path(sd), True)
         fs.delete(fs_path(st_old), True)
+    # every folded delta partition is deleted and the watermark is live:
+    # close the vulnerable window
+    fs.delete(fs_path(f"{path}/{FOLD_MARKER}"), True)
     return len(folded_ids)
 
 
@@ -713,15 +751,12 @@ def bm25_idf_drift(
         .select(id_col, "term", "term_bucket")
     )
     dterms = delta.select("term", "term_bucket").distinct()
-    # delta-side df per term
-    df_d = delta.groupBy("term").agg(
-        F.countDistinct(id_col).alias("df_d")
-    )
     # seed-side df for the delta terms only: bucket prune + term semi
     # (a delta-only store — the door's bootstrap — has no seed epoch:
     # df_seed = 0, n_seed = 0, drift measured from the empty index)
     buckets = dterms.select("term_bucket").distinct()
     fs, hseed = _fs_of(spark, f"{path}/postings")
+    seed_post = None
     if fs.exists(hseed):
         seed_post = (
             spark.read.parquet(f"{path}/postings")
@@ -734,6 +769,21 @@ def bm25_idf_drift(
         )
     else:
         df_s = spark.createDataFrame([], "term string, df_s long")
+    # delta-side df per term.  Inside a fold's crash window (marker-
+    # gated, see _fold_in_progress) leftover delta rows can duplicate
+    # their already-folded seed copies — counting them would inflate
+    # df_cur ~2x for delta terms and could spuriously re-trigger a
+    # fold, so the window's delta docs are anti-joined against the
+    # seed postings first.  The clean steady state (disjoint doc ids
+    # by contract) skips the anti-join.
+    delta_docs = delta.select(id_col, "term")
+    if seed_post is not None and _fold_in_progress(spark, path):
+        delta_docs = delta_docs.join(
+            seed_post, [id_col, "term"], "left_anti"
+        )
+    df_d = delta_docs.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df_d")
+    )
     # corpus sizes: seed epoch = the seed stats row; current = + deltas
     fs2, hstats = _fs_of(spark, f"{path}/stats")
     if fs2.exists(hstats):
