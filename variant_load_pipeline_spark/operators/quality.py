@@ -99,6 +99,12 @@ def lr_fit(x: DataFrame, iters: int = 3, lr: float = 0.1) -> DataFrame:
                     .cast("long")
                 ).alias("wm"),
             )
+            # materialize the model-sized weight vector each step: w
+            # feeds the NEXT step twice (forward pass + update), and
+            # without a checkpoint the final plan re-executes ~2^iters
+            # copies of the whole chain (no subtree reuse across
+            # branches).  One tiny job per step instead.
+            .localCheckpoint(eager=True)
         )
     return w
 
