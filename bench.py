@@ -554,14 +554,25 @@ def _drift_bridge(
     drift = statistics.median(ratios)
     out["drift_vs_prev"] = round(drift, 3)
     out["drift_probes_matched"] = len(ratios)
+    # r13 hardening (single-probe-evidence trap): a family ratio built
+    # from ONE matched probe inherits that probe's full host-phase
+    # swing with no agreement signal — require >= 2 matched anchors per
+    # family, else that group bridges on the global median.  fam_n
+    # records each family's anchor count so n=1 bridges are legible.
     fam_drift = {
-        fam: statistics.median(rs) for fam, rs in fam_ratios.items()
+        fam: statistics.median(rs)
+        for fam, rs in fam_ratios.items()
+        if len(rs) >= 2
     }
+
+    def _short(fam: str) -> str:
+        return "v1" if fam == "value" else fam.split("_", 1)[1]
+
     out["fam_drift"] = {
-        ("v1" if fam == "value" else fam.split("_", 1)[1]): round(
-            fam_drift[fam], 3
-        )
-        for fam in sorted(fam_drift)
+        _short(fam): round(fam_drift[fam], 3) for fam in sorted(fam_drift)
+    }
+    out["fam_n"] = {
+        _short(fam): len(rs) for fam, rs in sorted(fam_ratios.items())
     }
     # the spread exposes WORKLOAD-DEPENDENT drift the median hides: a
     # host whose single-thread speed moved but whose 32-way throughput

@@ -382,6 +382,36 @@ def test_kmv_store_merge_law_and_redelivery(spark, tmp_path):
     assert got2 == got
 
 
+def test_kmv_delta_only_store_bootstraps(spark, tmp_path):
+    """A delta-only KMV store (append before any seed write — the
+    LSM-style bootstrap every other store supports) must serve reads
+    and fold into a first seed, matching the from-scratch sketch."""
+    from variant_load_pipeline_spark.operators import sketches as sx
+
+    d = Q.load(spark, SF, "documents")
+    path = str(tmp_path / "kmvd")
+    k = 32
+    sx.append_kmv_batch(d.filter(F.col("doc_id") % 2 == 0), path, 0, k=k)
+    sx.append_kmv_batch(d.filter(F.col("doc_id") % 2 == 1), path, 1, k=k)
+    full = str(tmp_path / "kmvf")
+    sx.write_kmv_sketches(d, full, k=k)
+    want = sorted(
+        tuple(r) for r in sx.read_kmv_sketches(spark, full, k=k).collect()
+    )
+    got = sorted(
+        tuple(r) for r in sx.read_kmv_sketches(spark, path, k=k).collect()
+    )
+    assert got == want
+    # first fold creates the seed from deltas alone
+    assert sx.compact_kmv_sketches(spark, path, 1, k=k) == 2
+    assert os.path.exists(f"{path}/sketches")
+    assert not os.path.exists(f"{path}/sketches_delta")
+    got2 = sorted(
+        tuple(r) for r in sx.read_kmv_sketches(spark, path, k=k).collect()
+    )
+    assert got2 == want
+
+
 def test_kmv_fold_is_estimate_invisible(spark, tmp_path):
     """compact_kmv_sketches: seed ∪ committed deltas re-bottom-k'd into
     one generation — pair estimates identical before/after, uncommitted

@@ -114,11 +114,21 @@ def append_kmv_batch(
 def read_kmv_sketches(spark, path: str, k: int = KMV_K) -> DataFrame:
     """The merged per-source sketch: seed ∪ deltas, DISTINCT, re-take
     the bottom-k — exactly the from-scratch sketch by the KMV merge
-    law.  O(sources × k × generations) rows in, O(sources × k) out."""
-    sk = spark.read.parquet(f"{path}/sketches").select("source", "h")
+    law.  O(sources × k × generations) rows in, O(sources × k) out.
+
+    A delta-only store (append_kmv_batch before any write_kmv_sketches
+    — the LSM-style bootstrap every other store supports) serves from
+    the delta union alone; the first fold creates the seed."""
+    seed_dir = f"{path}/sketches"
+    hseed = spark._jvm.org.apache.hadoop.fs.Path(seed_dir)
+    fs = hseed.getFileSystem(spark._jsc.hadoopConfiguration())
+    sk = (
+        spark.read.parquet(seed_dir).select("source", "h")
+        if fs.exists(hseed)
+        else None
+    )
     delta_dir = f"{path}/sketches_delta"
     hpath = spark._jvm.org.apache.hadoop.fs.Path(delta_dir)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(hpath) and any(
         st.getPath().getName().startswith("batch_id=")
         for st in fs.listStatus(hpath)
@@ -127,11 +137,14 @@ def read_kmv_sketches(spark, path: str, k: int = KMV_K) -> DataFrame:
         # common root from the leaf listing (a fold deleting one batch
         # dir between two reads in a session otherwise trips
         # CONFLICTING_DIRECTORY_STRUCTURES on the cached file index)
-        sk = sk.unionByName(
+        delta = (
             spark.read.option("basePath", delta_dir)
             .parquet(delta_dir)
             .select("source", "h")
         )
+        sk = sk.unionByName(delta) if sk is not None else delta
+    if sk is None:
+        raise ValueError(f"no KMV store at {path} (no seed, no deltas)")
     sk = sk.distinct()
     wnd = W.partitionBy("source").orderBy("h")
     return (
@@ -185,11 +198,18 @@ def compact_kmv_sketches(spark, path: str, upto_batch_id: int, k: int = KMV_K) -
     committed = [b for b in batches if b <= upto_batch_id]
     if not committed:
         return 0
-    sk = spark.read.parquet(live).select("source", "h")
-    sk = sk.unionByName(
+    # a delta-only store (the LSM bootstrap) has no seed yet: the first
+    # fold creates it from the committed deltas alone
+    had_seed = fs.exists(fs_path(live))
+    delta = (
         spark.read.option("basePath", delta_dir)
         .parquet(*[f"{delta_dir}/batch_id={b}" for b in committed])
         .select("source", "h")
+    )
+    sk = (
+        spark.read.parquet(live).select("source", "h").unionByName(delta)
+        if had_seed
+        else delta
     ).distinct()
     wnd = W.partitionBy("source").orderBy("h")
     merged = (
@@ -200,10 +220,11 @@ def compact_kmv_sketches(spark, path: str, upto_batch_id: int, k: int = KMV_K) -
     tmp = f"{path}/.sketches_tmp"
     fs.delete(fs_path(tmp), True)
     merged.write.mode("overwrite").partitionBy("source").parquet(tmp)
-    if not fs.rename(fs_path(live), fs_path(old)):
+    if had_seed and not fs.rename(fs_path(live), fs_path(old)):
         raise IOError(f"kmv compaction: rename {live} -> {old} failed")
     if not fs.rename(fs_path(tmp), fs_path(live)):
-        fs.rename(fs_path(old), fs_path(live))
+        if had_seed:
+            fs.rename(fs_path(old), fs_path(live))
         raise IOError(f"kmv compaction: rename {tmp} -> {live} failed")
     for b in committed:
         fs.delete(fs_path(f"{delta_dir}/batch_id={b}"), True)

@@ -733,9 +733,15 @@ def maxsim_rerank_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the token store: write-if-missing, gdoc-hash-bucketed
     from .queries_ext import _data_fingerprint, _scan_path
 
+    # salt includes this function's source (the store's write/read
+    # recipe lives here) per the _salted_lex_path/_salted_ivf_path
+    # convention: a future change to the token-store logic must re-key
+    # the on-disk store instead of silently serving a stale copy
     tsalt = hashlib.md5(
         (
             f"tokstore|g={_MS_GROUP}|b={_TOK_BUCKETS}|"
+            + inspect.getsource(maxsim_rerank_persisted)
+            + "|"
             + _data_fingerprint(spark, sf_dir, "embeddings")
         ).encode()
     ).hexdigest()[:10]
