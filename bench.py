@@ -660,7 +660,13 @@ def main() -> None:
             runs = []
             for _ in range(repeats):
                 # fresh plan per repeat: same-instance re-execution would
-                # skip completed shuffle map stages and under-time the query
+                # skip completed shuffle map stages and under-time the query.
+                # r13: ALSO drop the CacheManager state — operators that
+                # persist() an intermediate (the fused LSH/simhash family)
+                # would otherwise serve repeats 2..n from repeat 1's cache
+                # (plan-canonicalization lookup), under-timing the median;
+                # every repeat must compute from the parquet inputs
+                spark.catalog.clearCache()
                 if name in EAGER_CONSTRUCT:
                     t0 = time.time()
                     df = reg[name].spark_fn(spark, SF_DIR)

@@ -59,6 +59,7 @@ def main() -> None:
         runs = []
         for r in range(repeats):
             spark.sparkContext.setJobDescription(f"{name} rep{r}")
+            spark.catalog.clearCache()  # mirror bench.py's repeat hygiene
             if name in EAGER_CONSTRUCT:
                 t0 = time.time()
                 df = reg[name].spark_fn(spark, sf_dir)
