@@ -36,8 +36,35 @@ def int_vectors(
     )
 
 
+def _sql_bigint_array(vals) -> str:
+    """A literal array<bigint> as ONE SQL fragment.  The per-element
+    ``F.array(*[F.lit(v).cast('long') ...])`` form costs one py4j
+    round-trip per element — for a k x dim centroid model that is
+    thousands of driver->JVM calls and dominated plan construction
+    (measured 1.9 s vs 2 ms for k=8, dim=64; the ``_planes_sql``
+    lesson from operators/similarity.py).  Values are identical."""
+    return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+
+def _sql_double_array(vals) -> str:
+    """A literal array<double> as ONE SQL fragment; ``repr(float)`` is the
+    shortest exact decimal representation, and Spark's D-suffixed literal
+    parses it back to the bit-identical double (same convention as
+    ``_planes_sql``)."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
+
+
+def _dist2_sql(qv_sql: str, centroid: list[int]) -> str:
+    """Exact squared distance of `qv_sql` to a centroid literal, as SQL."""
+    return (
+        f"aggregate(zip_with({qv_sql}, {_sql_bigint_array(centroid)}, "
+        "(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), "
+        "(acc, x) -> acc + x)"
+    )
+
+
 def _dist2(qv: Column, centroid: list[int]) -> Column:
-    c = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    c = F.expr(_sql_bigint_array(centroid))
     return F.aggregate(
         F.zip_with(qv, c, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
@@ -46,16 +73,28 @@ def _dist2(qv: Column, centroid: list[int]) -> Column:
 
 
 def _argmin_exprs(
-    qv: Column, centroids: list[tuple[int, list[int]]]
+    qv_col: str, centroids: list[tuple[int, list[int]]]
 ) -> tuple[Column, Column]:
     """(cluster, dist_sq) expressions: argmin exact squared distance over
     the centroid list, ties to the SMALLEST cluster id (centroids must be
-    sorted by id; array_position returns the first minimum)."""
+    sorted by id; array_position returns the first minimum).
+
+    Built as TWO parsed SQL expressions regardless of k*dim: the
+    per-literal Column form paid ~2 s of py4j round-trips per
+    construction at k=8 x dim=64 (every bench repeat of every
+    kmeans-family query), the parsed form ~2 ms — values bit-identical
+    (verified by exceptAll both ways on the full assignment)."""
     cents = sorted(centroids)
-    dists = F.array(*[_dist2(qv, c) for _, c in cents])
-    pos = F.array_position(dists, F.array_min(dists)).cast("int")
-    cl_arr = F.array(*[F.lit(int(cl)) for cl, _ in cents])
-    return F.element_at(cl_arr, pos), F.array_min(dists)
+    qv_sql = f"`{qv_col}`"
+    dists_sql = (
+        "array(" + ",".join(_dist2_sql(qv_sql, c) for _, c in cents) + ")"
+    )
+    cl_sql = "array(" + ",".join(str(int(cl)) for cl, _ in cents) + ")"
+    cluster = F.expr(
+        f"element_at({cl_sql}, CAST(array_position({dists_sql}, "
+        f"array_min({dists_sql})) AS INT))"
+    )
+    return cluster, F.expr(f"array_min({dists_sql})")
 
 
 # Above this many scalar literals (k * dim) the model no longer rides
@@ -97,7 +136,7 @@ def assign_clusters(
     # first makes the two strategies interchangeable on that edge
     base = df.drop("cluster", "dist_sq")
     if strategy == "literal":
-        cluster, dist_sq = _argmin_exprs(F.col(qv_col), centroids)
+        cluster, dist_sq = _argmin_exprs(qv_col, centroids)
         return base.withColumn("dist_sq", dist_sq).withColumn(
             "cluster", cluster
         )
@@ -924,7 +963,7 @@ def ivf_probe_topk(
         )
         probes = [int(r["list_id"]) for r in ranked[:nprobe]]
     else:
-        qlit = F.array(*[F.lit(float(x)) for x in query_vec]).cast(
+        qlit = F.expr(_sql_double_array(query_vec)).cast(
             "array<double>"
         )
         probes = [
@@ -949,7 +988,7 @@ def ivf_probe_topk(
         lists = lists.filter(predicate)
     if exclude_id is not None:
         lists = lists.filter(F.col("vec_id") != exclude_id)
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    qv = F.expr(_sql_double_array(query_vec))
     scored = lists.select(
         "vec_id",
         F.col("list_id").cast("int").alias("label"),
@@ -1017,21 +1056,34 @@ def ivf_probe_batch(
                 spark.read.parquet(f"{path}/centroids").collect(),
                 key=lambda r: int(r["list_id"]),
             )
+        # The whole per-centroid scoring array parses as ONE SQL
+        # expression: the per-literal Column form cost one py4j
+        # round-trip per vector element (~5.6 s of pure driver time per
+        # construction at 45 lists x 64 dims vs 8 ms parsed; values
+        # bit-identical — repr() round-trips doubles exactly).  Same
+        # math, same struct sort, same ties as before.
+        qd = f"CAST(`{qvec_col}` AS ARRAY<DOUBLE>)"
+
+        def _dot(a: str, b: str) -> str:
+            return (
+                f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+
         entries = []
         for r in cents:
-            cv = F.array(*[F.lit(float(x)) for x in r["centroid"]]).cast(
-                "array<double>"
-            )
-            cs = F.round(
-                cosine(F.col(qvec_col).cast("array<double>"), cv), 6
+            cv = _sql_double_array(r["centroid"])
+            cos_sql = (
+                f"({_dot(qd, cv)} / "
+                f"(sqrt({_dot(qd, qd)}) * sqrt({_dot(cv, cv)})))"
             )
             entries.append(
-                F.struct(
-                    (-cs).alias("neg_cos"),
-                    F.lit(int(r["list_id"])).cast("int").alias("list_id"),
-                )
+                f"struct(-round({cos_sql}, 6) AS neg_cos, "
+                f"CAST({int(r['list_id'])} AS INT) AS list_id)"
             )
-        probe_arr = F.slice(F.sort_array(F.array(*entries)), 1, nprobe)
+        probe_arr = F.expr(
+            f"slice(sort_array(array({','.join(entries)})), 1, {int(nprobe)})"
+        )
         return queries.withColumn(
             "list_id", F.explode(probe_arr.getField("list_id"))
         )
@@ -1147,7 +1199,7 @@ def ivf_probe_topk_filtered(
     lists = read_ivf_lists(spark, path).filter(predicate)
     if exclude_id is not None:
         lists = lists.filter(F.col("vec_id") != exclude_id)
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    qv = F.expr(_sql_double_array(query_vec))
     scored = lists.select(
         "vec_id",
         F.col("list_id").cast("int").alias("label"),
