@@ -415,22 +415,28 @@ def connected_components_star(
     adversarial/long-chain graphs; min-propagation stays the simpler
     choice for the star/clique graphs near-dup dedup produces.
     """
-    edges = (
+    # ONE checkpoint materializes the (possibly very expensive) pair
+    # pipeline; nodes and the self-pair-free edge set both derive from
+    # it.  The previous shape checkpointed edges AND nodes directly off
+    # `pairs`, which — with no subtree reuse across branches — executed
+    # the full upstream pair pipeline twice (measured: 6.3s + 2.1s on
+    # near_dup_components_star's LSH chain at sf0.1).  Self-pairs
+    # survive into edges0 so node coverage is unchanged.
+    edges0 = (
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
             F.least(F.col(id_a), F.col(id_b)).alias("v"),
         )
-        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    edges = edges0.filter(F.col("u") != F.col("v"))
     # the output must cover every id in `pairs` (self-pairs included),
     # even once star rounds rewrite the edge set
     nodes = (
-        pairs.select(F.col(id_a).alias("id"))
-        .union(pairs.select(F.col(id_b).alias("id")))
+        edges0.select(F.col("u").alias("id"))
+        .union(edges0.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iters):
@@ -499,11 +505,23 @@ def corpus_keeplist(
     Returns (doc_id, canonical_id, keep 'T'|'F'); keep is 'T' exactly
     when doc_id == canonical_id (one survivor per transitive group).
     """
+    from pyspark.sql.window import Window as W
+    from pyspark.storagelevel import StorageLevel
+
     fps = docs.select(
         F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp")
     )
-    canon = fps.groupBy("fp").agg(F.min(id_col).alias("exact_canon"))
-    m = fps.join(canon, "fp").select(id_col, "exact_canon")
+    # exact_canon = min(doc_id) over the fingerprint group, as ONE window
+    # over ONE fps pass.  The previous groupBy+self-join shape put the
+    # fps subtree on both join sides (and again in the final resolution
+    # join below) — with no subtree reuse that re-ran the full-corpus
+    # normalize+md5 pass ~4x per keep-list.  m is persisted because it
+    # is consumed twice (survivor filter + final resolution); it is two
+    # bigint-ish columns per doc, spill-safe.
+    m = fps.select(
+        F.col(id_col),
+        F.min(id_col).over(W.partitionBy("fp")).alias("exact_canon"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     exact_kept = docs.join(
         m.filter(F.col(id_col) == F.col("exact_canon")).select(id_col),
         id_col,
