@@ -342,6 +342,16 @@ EAGER_CONSTRUCT = {
     # CONSTRUCTION under AQE (toRdd finalizes and runs the stages), so
     # execute-only timing missed roughly half the query's real work
     "p29_annotate_chunked",
+    # r13 measurement fix (same lazy-localCheckpoint-runs-at-construction
+    # mechanism, found by a construction-time census): these three
+    # checkpoint a multi-consumer join/group frame mid-query, so their
+    # upstream executed untimed at construction.  Warm construct/execute
+    # split measured at sf0.1: j4 2.7/1.5 s, merge 0.5/1.9 s,
+    # edit_distance 1.5/1.2 s — the old execute-only numbers undercounted
+    # by the construct share
+    "j4_dedup_upsert_ids",
+    "merge_full_upsert",
+    "edit_distance_dup_pairs",
     "near_dup_components",
     "near_dup_components_star",
     "corpus_dedup_keeplist",
