@@ -14,6 +14,18 @@ sum of medians), so single-run noise (~±30% observed round-over-round)
 can't masquerade as a regression.  The plan is rebuilt from scratch every
 repeat — re-executing one DataFrame instance would skip already-computed
 shuffle map stages and time only the tail.
+
+r14 measurement fixes (declared; VERDICT r13 "Next round" #2/#5):
+* repeats are INTERLEAVED (round-robin across the group's queries, not
+  R back-to-back runs of each) so a multi-second host slow-phase lands
+  on at most one repeat of each query instead of all repeats of one —
+  the per-query median then rejects it.  Same protocol otherwise (fresh
+  plan + clearCache per repeat, noop sink, median of R).
+* the FULL record — including per-query MIN maps, which the one-line
+  print omits to stay inside the round driver's stdout-tail window —
+  is also written to BENCH.json in the repo root, so the next round's
+  drift bridge (and PERF comparison) has a parsable prev even if the
+  driver's captured stdout tail truncates (BENCH_r12 was lost that way).
 """
 
 from __future__ import annotations
@@ -520,6 +532,7 @@ def _drift_bridge(
 
     out: dict = {"drift_vs_prev": None, "drift_probes_matched": 0}
     here = os.path.dirname(os.path.abspath(__file__))
+    cur_sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # keep only names the sort key can parse — a stray BENCH_rerun.json
     # must degrade to "no prior record", never crash the emission
     matched = [
@@ -527,27 +540,64 @@ def _drift_bridge(
         for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
         if (m := re.search(r"BENCH_r0*(\d+)\.json$", p))
     ]
-    if not matched:
-        return out
-    files = [p for _, p in sorted(matched)]
-    try:
-        rec = json.load(open(files[-1]))
-        tail = rec.get("tail") or ""
-    except (json.JSONDecodeError, OSError):
-        return out
-    # same-SF guard: a prev record at a different scale factor would
-    # "bridge" the SF difference as host drift — refuse, don't mislead
-    sm = re.search(r'"sf":\s*([0-9.]+)', tail)
-    cur_sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    if sm and cur_sf.replace(".", "").isdigit():
-        if float(sm.group(1)) != float(cur_sf):
-            return out
-    m = re.search(r'"drift_probe":\s*(\{(?:[^{}]|\{[^{}]*\})*\})', tail)
-    if not m:
-        return out
-    try:
-        prev_probe = json.loads(m.group(1))
-    except json.JSONDecodeError:
+    prev_probe = None
+    tail = ""
+    if matched:
+        files = [p for _, p in sorted(matched)]
+        try:
+            rec = json.load(open(files[-1]))
+            tail = rec.get("tail") or ""
+        except (json.JSONDecodeError, OSError):
+            tail = ""
+    if tail:
+        # same-SF guard: a prev record at a different scale factor would
+        # "bridge" the SF difference as host drift — refuse, don't mislead
+        sm = re.search(r'"sf":\s*([0-9.]+)', tail)
+        if sm and cur_sf.replace(".", "").isdigit():
+            if float(sm.group(1)) != float(cur_sf):
+                tail = ""
+    if tail:
+        m = re.search(r'"drift_probe":\s*(\{(?:[^{}]|\{[^{}]*\})*\})', tail)
+        if m:
+            try:
+                prev_probe = json.loads(m.group(1))
+            except json.JSONDecodeError:
+                prev_probe = None
+        if prev_probe is None:
+            # tolerant fallback (r14): the r13 tail was front-truncated
+            # INSIDE the drift_probe map, losing its key but keeping the
+            # entries — {"sec", "md5"} objects appear nowhere else in the
+            # record, so scavenging them by shape recovers the bridge
+            ent = re.findall(
+                r'"(\w+)":\s*\{"sec":\s*([0-9.]+),\s*"md5":\s*"([0-9a-f]+)"\}',
+                tail,
+            )
+            if ent:
+                prev_probe = {
+                    n: {"sec": float(s), "md5": h} for n, s, h in ent
+                }
+    prev_full = None
+    if prev_probe is None:
+        # fallback: the committed full-record sidecar from the previous
+        # round's final bench run (BENCH_r12's stdout tail was captured
+        # truncated and its whole record was lost — this path is the
+        # insurance against a repeat).  NOTE: a BENCH.json overwritten by
+        # an earlier run of the SAME round would bridge within-round, so
+        # the driver-recorded per-round tail stays the primary source.
+        try:
+            full = json.load(
+                open(os.path.join(here, "BENCH.json"))
+            )
+            if (
+                isinstance(full.get("drift_probe"), dict)
+                and cur_sf.replace(".", "").isdigit()
+                and float(full.get("sf", -1)) == float(cur_sf)
+            ):
+                prev_probe = full["drift_probe"]
+                prev_full = full
+        except (json.JSONDecodeError, OSError, TypeError, ValueError):
+            prev_probe = None
+    if prev_probe is None:
         return out
     ratios = []
     fam_ratios: dict[str, list[float]] = {}
@@ -596,11 +646,18 @@ def _drift_bridge(
     out["drift_spread"] = [round(min(ratios), 3), round(max(ratios), 3)]
     for key, cur_total in cur_totals.items():
         # anchored match: "value": or "value_vN": exactly (never _norm)
-        pm = re.search(rf'"{key}":\s*([0-9.]+)', tail)
-        if pm:
-            prev_total = float(pm.group(1))
+        prev_total = None
+        if prev_full is not None:
+            v = prev_full.get(key)
+            if isinstance(v, (int, float)):
+                prev_total = float(v)
+        else:
+            pm = re.search(rf'"{key}":\s*([0-9.]+)', tail)
+            if pm:
+                prev_total = float(pm.group(1))
+        if prev_total:
             d = fam_drift.get(key, drift)  # family first, global fallback
-            if prev_total and d:
+            if d:
                 out[f"{key}_bridged"] = round(
                     (cur_total / prev_total) / d, 3
                 )
@@ -662,13 +719,20 @@ def main() -> None:
             runs.append(time.time() - t0)
         return round(statistics.median(runs), 3)
 
-    def run_group(names: list[str]) -> dict[str, float]:
-        timings: dict[str, float] = {}
-        for name in names:
-            if name not in reg:
-                continue
-            runs = []
-            for _ in range(repeats):
+    group_mins: dict[str, dict[str, float]] = {}
+
+    def run_group(
+        names: list[str], min_key: str | None = None
+    ) -> dict[str, float]:
+        present = [n for n in names if n in reg]
+        runs_by: dict[str, list[float]] = {n: [] for n in present}
+        # r14: repeats interleave round-robin across the group — a host
+        # slow-phase (this VM swings 1.5s <-> 60s on identical work)
+        # then hits at most ONE repeat of each query, which the median
+        # rejects, instead of all R repeats of whichever query was
+        # unlucky enough to run inside it
+        for _ in range(repeats):
+            for name in present:
                 # fresh plan per repeat: same-instance re-execution would
                 # skip completed shuffle map stages and under-time the query.
                 # r13: ALSO drop the CacheManager state — operators that
@@ -684,20 +748,25 @@ def main() -> None:
                     df = reg[name].spark_fn(spark, SF_DIR)
                     t0 = time.time()
                 materialize(df)
-                runs.append(time.time() - t0)
-            timings[name] = round(statistics.median(runs), 3)
-        return timings
+                runs_by[name].append(time.time() - t0)
+        if min_key is not None:
+            group_mins[min_key] = {
+                n: round(min(rs), 3) for n, rs in runs_by.items()
+            }
+        return {
+            n: round(statistics.median(rs), 3) for n, rs in runs_by.items()
+        }
 
     calib = calibration()
-    timings = run_group(HEADLINE)
-    timings_v2 = run_group(HEADLINE_V2)
-    timings_v3 = run_group(HEADLINE_V3)
-    timings_v4 = run_group(HEADLINE_V4)
-    timings_v5 = run_group(HEADLINE_V5)
-    timings_v6 = run_group(HEADLINE_V6)
-    timings_v7 = run_group(HEADLINE_V7)
-    timings_v8 = run_group(HEADLINE_V8)
-    timings_v9 = run_group(HEADLINE_V9)
+    timings = run_group(HEADLINE, "queries")
+    timings_v2 = run_group(HEADLINE_V2, "queries_v2")
+    timings_v3 = run_group(HEADLINE_V3, "queries_v3")
+    timings_v4 = run_group(HEADLINE_V4, "queries_v4")
+    timings_v5 = run_group(HEADLINE_V5, "queries_v5")
+    timings_v6 = run_group(HEADLINE_V6, "queries_v6")
+    timings_v7 = run_group(HEADLINE_V7, "queries_v7")
+    timings_v8 = run_group(HEADLINE_V8, "queries_v8")
+    timings_v9 = run_group(HEADLINE_V9, "queries_v9")
 
     groups = {
         "value": timings,
@@ -759,53 +828,75 @@ def main() -> None:
     # longer than that.  The big maps go FIRST and every scalar the driver
     # needs (metric/value/value_v2/sf) goes LAST so truncation from the
     # front can never eat the totals (BENCH_r05 lost `value` this way).
-    print(
-        json.dumps(
-            {
-                "queries": timings,
-                "queries_v2": timings_v2,
-                "queries_v3": timings_v3,
-                "queries_v4": timings_v4,
-                "queries_v5": timings_v5,
-                "queries_v6": timings_v6,
-                "queries_v7": timings_v7,
-                "queries_v8": timings_v8,
-                "queries_v9": timings_v9,
-                "timing_note": "eager-construct queries "
-                + ",".join(sorted(EAGER_CONSTRUCT))
-                + " timed construct+execute; rest execute-only",
-                # prose notes sit BEFORE drift_probe: the tail budget is
-                # spent on the probe block (next round's bridge input)
-                # and the scalars, never on static text.  Per-group norm
-                # keys were dropped in round 12 to keep the probe block
-                # + scalars inside the driver's 2000-char tail window —
-                # the family bridges supersede them (calib_note caveat).
-                "calib_note": "calib = median sec of a fixed synthetic "
-                "no-IO workload (host-speed ruler); value_norm = "
-                "value / calib.  CAVEAT (measured r8->r9): the no-IO "
-                "ruler over-responds to host load vs IO/shuffle-mixed "
-                "queries — prefer the drift/family bridges",
-                "bridge_note": "drift_vs_prev = median sec ratio over "
-                "drift probes whose source md5 matches the previous "
-                "round's BENCH record (byte-identical code => host "
-                "drift); fam_drift = {vN: the same over group N's OWN "
-                "probes} (drift is workload-dependent on this host); "
-                "value*_bridged = (cur/prev)/family-drift per group, "
-                "global-median fallback — the drift-corrected "
-                "round-over-round ratio (1.0 flat, <1 real win)",
-                "metric": "headline_queries_total_runtime",
-                "unit": "sec",
-                "repeats": repeats,
-                "aggregation": "median",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "drift_probe": drift_probe,
-                **bridge,
-                **cur_totals,
-                "calib": calib,
-                "value_norm": norm(total),
-            }
-        )
-    )
+    record = {
+        "queries": timings,
+        "queries_v2": timings_v2,
+        "queries_v3": timings_v3,
+        "queries_v4": timings_v4,
+        "queries_v5": timings_v5,
+        "queries_v6": timings_v6,
+        "queries_v7": timings_v7,
+        "queries_v8": timings_v8,
+        "queries_v9": timings_v9,
+        "timing_note": "eager-construct queries "
+        + ",".join(sorted(EAGER_CONSTRUCT))
+        + " timed construct+execute; rest execute-only; repeats "
+        "interleaved round-robin per group (r14)",
+        # prose notes sit BEFORE drift_probe: the tail budget is
+        # spent on the probe block (next round's bridge input)
+        # and the scalars, never on static text.  Per-group norm
+        # keys were dropped in round 12 to keep the probe block
+        # + scalars inside the driver's 2000-char tail window —
+        # the family bridges supersede them (calib_note caveat).
+        "calib_note": "calib = median sec of a fixed synthetic "
+        "no-IO workload (host-speed ruler); value_norm = "
+        "value / calib.  CAVEAT (measured r8->r9): the no-IO "
+        "ruler over-responds to host load vs IO/shuffle-mixed "
+        "queries — prefer the drift/family bridges",
+        "bridge_note": "drift_vs_prev = median sec ratio over "
+        "drift probes whose source md5 matches the previous "
+        "round's BENCH record (byte-identical code => host "
+        "drift); fam_drift = {vN: the same over group N's OWN "
+        "probes} (drift is workload-dependent on this host); "
+        "value*_bridged = (cur/prev)/family-drift per group, "
+        "global-median fallback — the drift-corrected "
+        "round-over-round ratio (1.0 flat, <1 real win)",
+        "metric": "headline_queries_total_runtime",
+        "unit": "sec",
+        "repeats": repeats,
+        "aggregation": "median",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "drift_probe": drift_probe,
+        **bridge,
+        **cur_totals,
+        "calib": calib,
+        "value_norm": norm(total),
+    }
+    # Full-fidelity sidecar: everything the one-line print carries PLUS
+    # the per-query MIN maps (min is the better point estimate on a host
+    # with one-sided multi-second slow-phases; median stays the headline
+    # aggregation for cross-round comparability).  A stable on-disk copy
+    # also survives stdout-tail truncation at the round driver.
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
+            ),
+            "w",
+        ) as fh:
+            json.dump(
+                {
+                    **record,
+                    "mins": group_mins,
+                    "mins_note": "per-query MIN of the same interleaved "
+                    "repeats the median maps aggregate",
+                },
+                fh,
+                indent=1,
+            )
+    except OSError:
+        pass
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

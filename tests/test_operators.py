@@ -1535,3 +1535,24 @@ class TestFullMerge:
         got = {r["k"]: r["score"] for r in out.collect()}
         # NULL key matches NULL key (eqNullSafe), like the ClinVar dedup
         assert got == {None: 100, 5: 2}
+
+
+def test_corpus_keeplist_drops_null_text_docs(spark):
+    """NULL-text docs carry a NULL fingerprint; the declared oracle's
+    inner join on fp drops them, so the operator must too (and must NOT
+    dedup distinct NULL-text docs against each other — ADVICE r13)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "s0"),
+            (2, "the quick brown fox jumps over the lazy dog", "s0"),
+            (3, None, "s0"),
+            (4, None, "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["doc_id"]: (r["canonical_id"], r["keep"])
+        for r in dedup.corpus_keeplist(docs).collect()
+    }
+    # null-text docs 3 and 4 are absent; 1 survives, 2 is its byte-dup
+    assert out == {1: (1, "T"), 2: (1, "F")}

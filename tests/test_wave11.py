@@ -194,3 +194,43 @@ def test_unpivot_fanout_and_values(spark):
         .count()
     )
     assert back == 0
+
+
+def test_kmv_gram_pair_counts_hot_gram_guard(spark, monkeypatch):
+    """The exact-overlap audit must produce identical pair counts whether
+    a gram takes the collect_set fast path or the hot-gram self-join
+    (r14 guard): force a tiny cap so one gram goes hot, and compare
+    against a brute-force recompute."""
+    import itertools
+
+    from variant_load_pipeline_spark import queries_wave11 as w11
+
+    rows = []
+    # gram "hot" shared by 9 sources (> cap 4), "warm" by 3, "solo" by 1;
+    # duplicates exercise the dedup
+    for s in range(9):
+        rows.append((f"s{s}", "hot"))
+        rows.append((f"s{s}", "hot"))
+    for s in (1, 4, 7):
+        rows.append((f"s{s}", "warm"))
+    rows.append(("s2", "solo"))
+    raw = spark.createDataFrame(rows, "source string, gram string")
+
+    def brute(rws):
+        by_gram: dict[str, set] = {}
+        for s, g in rws:
+            by_gram.setdefault(g, set()).add(s)
+        out: dict[tuple, int] = {}
+        for ss in by_gram.values():
+            for a, b in itertools.combinations(sorted(ss), 2):
+                out[(a, b)] = out.get((a, b), 0) + 1
+        return out
+
+    expect = brute(rows)
+    for cap in (4, 1000):  # hot branch engaged / all-cold
+        monkeypatch.setattr(w11, "_KMV_HOT_GRAM_CAP", cap)
+        got = {
+            (r["source_a"], r["source_b"]): r["exact_inter"]
+            for r in w11._gram_pair_counts(raw).collect()
+        }
+        assert got == expect, f"cap={cap}"

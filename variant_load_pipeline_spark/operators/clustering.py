@@ -50,8 +50,29 @@ def _sql_double_array(vals) -> str:
     """A literal array<double> as ONE SQL fragment; ``repr(float)`` is the
     shortest exact decimal representation, and Spark's D-suffixed literal
     parses it back to the bit-identical double (same convention as
-    ``_planes_sql``)."""
-    return "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
+    ``_planes_sql``).  Non-finite values have no D-literal spelling
+    ('infD' does not parse), so they render as explicit string casts —
+    the behavior the old per-element F.lit(float(x)) path had."""
+    import math
+
+    parts = []
+    for x in vals:
+        x = float(x)
+        if math.isfinite(x):
+            parts.append(f"{x!r}D")
+        elif math.isnan(x):
+            parts.append("CAST('NaN' AS DOUBLE)")
+        else:
+            sign = "" if x > 0 else "-"
+            parts.append(f"CAST('{sign}Infinity' AS DOUBLE)")
+    return "array(" + ",".join(parts) + ")"
+
+
+def _sql_ident(name: str) -> str:
+    """Backtick-quote an identifier for splicing into a SQL fragment;
+    embedded backticks double per the SQL quoting rule (the old F.col()
+    path accepted any name, so the parsed-SQL path must too)."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def _dist2_sql(qv_sql: str, centroid: list[int]) -> str:
@@ -60,15 +81,6 @@ def _dist2_sql(qv_sql: str, centroid: list[int]) -> str:
         f"aggregate(zip_with({qv_sql}, {_sql_bigint_array(centroid)}, "
         "(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), "
         "(acc, x) -> acc + x)"
-    )
-
-
-def _dist2(qv: Column, centroid: list[int]) -> Column:
-    c = F.expr(_sql_bigint_array(centroid))
-    return F.aggregate(
-        F.zip_with(qv, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
     )
 
 
@@ -85,7 +97,7 @@ def _argmin_exprs(
     kmeans-family query), the parsed form ~2 ms — values bit-identical
     (verified by exceptAll both ways on the full assignment)."""
     cents = sorted(centroids)
-    qv_sql = f"`{qv_col}`"
+    qv_sql = _sql_ident(qv_col)
     dists_sql = (
         "array(" + ",".join(_dist2_sql(qv_sql, c) for _, c in cents) + ")"
     )
@@ -1062,7 +1074,7 @@ def ivf_probe_batch(
         # construction at 45 lists x 64 dims vs 8 ms parsed; values
         # bit-identical — repr() round-trips doubles exactly).  Same
         # math, same struct sort, same ties as before.
-        qd = f"CAST(`{qvec_col}` AS ARRAY<DOUBLE>)"
+        qd = f"CAST({_sql_ident(qvec_col)} AS ARRAY<DOUBLE>)"
 
         def _dot(a: str, b: str) -> str:
             return (

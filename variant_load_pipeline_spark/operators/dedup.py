@@ -508,9 +508,15 @@ def corpus_keeplist(
     from pyspark.sql.window import Window as W
     from pyspark.storagelevel import StorageLevel
 
+    # NULL-text docs carry a NULL fingerprint and are dropped here —
+    # explicitly, matching the declared oracle (its `m` CTE inner-joins
+    # fps to canon ON fp, and NULL never equals NULL in SQL joins).  The
+    # window form below would otherwise group every NULL-fp doc into ONE
+    # partition and emit them deduped against each other — a silent
+    # semantics change on legal input (ADVICE r13).
     fps = docs.select(
         F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp")
-    )
+    ).filter(F.col("fp").isNotNull())
     # exact_canon = min(doc_id) over the fingerprint group, as ONE window
     # over ONE fps pass.  The previous groupBy+self-join shape put the
     # fps subtree on both join sides (and again in the final resolution

@@ -53,12 +53,46 @@ def hashed_features(
     )
 
 
+def lr_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label: F.Column | None = None,
+) -> DataFrame:
+    """hashed_features, doc_id-partitioned and persisted — the frame
+    shape the GD loop wants: every step's per-doc sum (groupBy(doc_id,
+    y)) and gradient re-join (on doc_id) then run EXCHANGE-FREE against
+    the cached partitioning, leaving one 64-key bucket aggregation as
+    the only shuffle per step instead of three data-sized ones (guide
+    §2.4 — operations keyed the same way share one exchange).  persist,
+    NOT localCheckpoint: an InMemoryRelation preserves its child's
+    outputPartitioning while a checkpointed RDD scan reports
+    UnknownPartitioning (measured r14 — the checkpoint form re-shuffled
+    every step).  The cache entry is dropped by the ContextCleaner once
+    the frame is garbage collected, same contract as the fused near-dup
+    pipeline's persists.  Use for any matrix consumed more than once
+    (fit loops, fit+score); the math is partitioning-independent (exact
+    integer-valued partial sums), so results are bit-identical."""
+    from pyspark.storagelevel import StorageLevel
+
+    return (
+        hashed_features(docs, text_col=text_col, id_col=id_col, label=label)
+        .repartition("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def lr_fit(x: DataFrame, iters: int = 3, lr: float = 0.1) -> DataFrame:
     """Gradient-descent fit over a hashed_features matrix -> (bucket, wm).
 
     The feature matrix is referenced twice per step across `iters` steps:
-    callers should pass a localCheckpointed frame (lr_train does)."""
-    n = x.agg(F.countDistinct("doc_id").alias("nd"))
+    callers should pass a localCheckpointed frame (lr_train does;
+    lr_features is the doc_id-partitioned form the loop joins against
+    without reshuffling)."""
+    # ONE model-sized driver action for the doc count: the old 1-row
+    # `n` frame was re-derived inside every step's update (no subtree
+    # reuse), costing iters extra countDistinct passes over x
+    nd = x.agg(F.countDistinct("doc_id")).collect()[0][0]
     w = x.select("bucket").distinct().select(
         "bucket", F.lit(0).cast("long").alias("wm")
     )
@@ -90,12 +124,11 @@ def lr_fit(x: DataFrame, iters: int = 3, lr: float = 0.1) -> DataFrame:
         gk = g.withColumnRenamed("bucket", "gbk")
         w = (
             w.join(F.broadcast(gk), F.col("bucket") == F.col("gbk"))
-            .crossJoin(F.broadcast(n))
             .select(
                 "bucket",
                 (
                     F.col("wm")
-                    + F.floor(lr * F.col("gm") / F.col("nd") + 0.5)
+                    + F.floor(lr * F.col("gm") / F.lit(nd) + 0.5)
                     .cast("long")
                 ).alias("wm"),
             )
@@ -111,8 +144,7 @@ def lr_fit(x: DataFrame, iters: int = 3, lr: float = 0.1) -> DataFrame:
 
 def lr_train(docs: DataFrame, iters: int = 3, lr: float = 0.1) -> DataFrame:
     """Fit on a document frame -> (bucket, wm) weight vector."""
-    x = hashed_features(docs).localCheckpoint(eager=True)
-    return lr_fit(x, iters=iters, lr=lr)
+    return lr_fit(lr_features(docs), iters=iters, lr=lr)
 
 
 def lr_score(x: DataFrame, weights: DataFrame) -> DataFrame:

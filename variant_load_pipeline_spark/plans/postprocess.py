@@ -289,6 +289,75 @@ def _annotate_with_prep(
     return out
 
 
+def _jvm_loc_near(fcol, vs_, ve_, nc_y):
+    """JVM replica of processFeatures' location_name / near_splice_site
+    algebra (:256-291, :310-396, :337-358) over the sorted feature array:
+    returns (loc_arr, near, in_exon) Columns.  Shared by the broadcast
+    and chunked kernels so both paths compute byte-identical strings.
+    ``vs_``/``ve_`` may be plain Columns (per-pair rows) or lambda
+    variables (per-variant structs inside a transform over ``vars``)."""
+
+    def _contains(f):
+        return (f["start_pos"] <= vs_) & (f["stop_pos"] >= ve_)
+
+    in_exon = F.exists(
+        fcol, lambda f: (f["object_name"] == "EXONS") & _contains(f)
+    )
+    empty_s = F.array().cast("array<string>")
+    # comma-append order = feature iteration order (3UTRS* < 5UTRS* <
+    # EXONS under the (object_name, start, stop) sort), EXON at most
+    # once, then INTRON / NON-CODING suffixes — :256-291 exactly
+    loc_arr = F.concat(
+        F.transform(
+            F.filter(
+                fcol, lambda f: (f["object_name"] == "3UTRS") & _contains(f)
+            ),
+            lambda f: F.lit("3UTRS"),
+        ),
+        F.transform(
+            F.filter(
+                fcol, lambda f: (f["object_name"] == "5UTRS") & _contains(f)
+            ),
+            lambda f: F.lit("5UTRS"),
+        ),
+        F.when(in_exon, F.array(F.lit("EXON"))).otherwise(empty_s),
+        F.when(~in_exon, F.array(F.lit("INTRON"))).otherwise(empty_s),
+        F.when(nc_y, F.array(F.lit("NON-CODING"))).otherwise(empty_s),
+    )
+    # 1-based exon index i replicates the loop's len(exons)-so-far tests
+    # (first-exon start and last-exon stop are skipped); sequence(1, 0)
+    # would DESCEND, so zero-exon transcripts are guarded to False.
+    # The exon sub-array is _let-bound: referenced inside the per-index
+    # lambda it would otherwise re-run the features filter once per
+    # exon index (higher-order lambdas re-evaluate their whole body per
+    # element — the r13 shingles lesson)
+    from ..functions.text import _let
+
+    def _near_body(ex):
+        nex = F.size(ex)
+        return F.when(
+            nex >= 1,
+            F.exists(
+                F.sequence(F.lit(1), nex),
+                lambda i: (
+                    (i != 1)
+                    & (F.element_at(ex, i)["start_pos"] - 10 <= vs_)
+                    & (F.element_at(ex, i)["start_pos"] + 10 >= ve_)
+                )
+                | (
+                    (i != nex)
+                    & (F.element_at(ex, i)["stop_pos"] - 10 <= vs_)
+                    & (F.element_at(ex, i)["stop_pos"] + 10 >= ve_)
+                ),
+            ),
+        ).otherwise(F.lit(False))
+
+    near = _let(
+        F.filter(fcol, lambda f: f["object_name"] == "EXONS"), _near_body
+    )
+    return loc_arr, near, in_exon
+
+
 _OUT_FIELDS = [
     ("variant_rgd_id", T.LongType()),
     ("transcript_rgd_id", T.LongType()),
@@ -454,56 +523,8 @@ def annotate_variants(
     # ------------------------------------------------------------------
     vs_, ve_ = F.col("var_start"), F.col("var_stop")
     fcol = F.col("features")
-
-    def _contains(f):
-        return (f["start_pos"] <= vs_) & (f["stop_pos"] >= ve_)
-
-    in_exon = F.exists(
-        fcol, lambda f: (f["object_name"] == "EXONS") & _contains(f)
-    )
     nc_y = F.coalesce(F.col("is_non_coding_ind"), F.lit("N")) == "Y"
-    empty_s = F.array().cast("array<string>")
-    # comma-append order = feature iteration order (3UTRS* < 5UTRS* <
-    # EXONS under the (object_name, start, stop) sort), EXON at most
-    # once, then INTRON / NON-CODING suffixes — :256-291 exactly
-    loc_arr = F.concat(
-        F.transform(
-            F.filter(
-                fcol, lambda f: (f["object_name"] == "3UTRS") & _contains(f)
-            ),
-            lambda f: F.lit("3UTRS"),
-        ),
-        F.transform(
-            F.filter(
-                fcol, lambda f: (f["object_name"] == "5UTRS") & _contains(f)
-            ),
-            lambda f: F.lit("5UTRS"),
-        ),
-        F.when(in_exon, F.array(F.lit("EXON"))).otherwise(empty_s),
-        F.when(~in_exon, F.array(F.lit("INTRON"))).otherwise(empty_s),
-        F.when(nc_y, F.array(F.lit("NON-CODING"))).otherwise(empty_s),
-    )
-    ex = F.filter(fcol, lambda f: f["object_name"] == "EXONS")
-    nex = F.size(ex)
-    # 1-based exon index i replicates the loop's len(exons)-so-far tests
-    # (first-exon start and last-exon stop are skipped); sequence(1, 0)
-    # would DESCEND, so zero-exon transcripts are guarded to False
-    near = F.when(
-        nex >= 1,
-        F.exists(
-            F.sequence(F.lit(1), nex),
-            lambda i: (
-                (i != 1)
-                & (F.element_at(ex, i)["start_pos"] - 10 <= vs_)
-                & (F.element_at(ex, i)["start_pos"] + 10 >= ve_)
-            )
-            | (
-                (i != nex)
-                & (F.element_at(ex, i)["stop_pos"] - 10 <= vs_)
-                & (F.element_at(ex, i)["stop_pos"] + 10 >= ve_)
-            ),
-        ),
-    ).otherwise(F.lit(False))
+    loc_arr, near, in_exon = _jvm_loc_near(fcol, vs_, ve_, nc_y)
 
     # single-consumer plan: the pairs frame flows through ONE projection
     # + ONE mapInPandas (no checkpoint, no branch union — a split into
@@ -756,6 +777,28 @@ def _annotate_chunked(
         (pv.transcript_rgd_id == seq_tbl.t_tid) & (pv.v_chrom == seq_tbl.t_chrom),
     ).drop("t_tid", "t_chrom")
 
+    # r14 NOTE (measured, kept for the record): moving the per-variant
+    # location/near-splice algebra into a JVM transform over the vars
+    # array (the broadcast path's split) was prototyped and REVERTED —
+    # interpreted higher-order-function evaluation per variant cost MORE
+    # than the tight Python loops it replaced (isolated medians 6.4 s ->
+    # 7.4 s at sf0.1 even after _let-binding the exon sub-array).  The
+    # broadcast path's win came from narrowing the Arrow-crossing rows,
+    # which the grouped vars layout already has.  What stays: v_chrom /
+    # is_non_coding_ind / total_exon_count are pruned or folded below
+    # (guide §4 — an opaque function ships every column it is handed),
+    # and all-non-coding transcripts skip prepare_transcript (UTR trim +
+    # splice + full-protein translation) entirely.
+    kin = joined.select(
+        "transcript_rgd_id",
+        "is_non_coding_ind",
+        "vars",
+        "features",
+        "total_exon_count",
+        "seq_offset",
+        "local_seq",
+    )
+
     cols = [n for n, _ in _OUT_FIELDS]
 
     res_keys = [n for n, _ in _OUT_FIELDS if n not in
@@ -785,11 +828,16 @@ def _annotate_chunked(
                     )
                     for f in r.features
                 ]
-                prep = prepare_transcript(feats, r.local_seq)
                 trid = r.transcript_rgd_id
                 tec = int(r.total_exon_count)
                 nci = r.is_non_coding_ind or "N"
                 seq = r.local_seq
+                # non-coding transcripts never reach the prep-consuming
+                # branch of annotate_pair (it early-returns after the
+                # feature walk), so skip the splice + translation
+                prep = (
+                    None if nci == "Y" else prepare_transcript(feats, seq)
+                )
                 for vr in r.vars:
                     res = annotate_pair(
                         int(vr["var_start"]) - shift,
@@ -809,4 +857,4 @@ def _annotate_chunked(
                         app(res[k])
             yield pd.DataFrame(out_cols, columns=cols)
 
-    return joined.mapInPandas(run, schema=VT_OUT_SCHEMA)
+    return kin.mapInPandas(run, schema=VT_OUT_SCHEMA)

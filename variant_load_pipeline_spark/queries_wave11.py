@@ -266,6 +266,83 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 _KMV_K = 128
 
+# Hot-gram guard for the exact-overlap audit (r14, VERDICT r13 "Next
+# round" #8): a gram shared by n sources yields C(n, 2) audit pairs, and
+# the collect_set fast path holds all n sources in ONE aggregation row —
+# fine at fixture scale (97 sources), an OOM-one-task hazard when a
+# stop-word gram spans a million-source corpus.  Grams with more than
+# this many distinct sources take a gram-keyed equi self-join instead
+# (streams + spills, never a single in-memory set); grams at or under it
+# keep the cheaper explode-from-set path.  Counts are identical.
+_KMV_HOT_GRAM_CAP = 1024
+
+
+def _gram_pair_counts(raw: DataFrame) -> DataFrame:
+    """(source_a, source_b, exact_inter) — the number of grams shared by
+    each ordered source pair (source_a < source_b), exact.
+
+    ``raw`` is the (source, gram) explode (need not be distinct).  One
+    gram-partitioned dedup is persisted and feeds both branches of the
+    hot-gram guard, so the corpus-sized explode upstream runs ONCE
+    (this environment performs no subtree reuse across union branches;
+    persist — not localCheckpoint — because an InMemoryRelation
+    preserves the hash(gram) partitioning, so the window count, the
+    cold groupBy and the hot self-join below all run EXCHANGE-FREE,
+    and because persist is lazy, keeping this query execute-only
+    timed).  WindowExec buffers spill, unlike an aggregation row, so
+    even the count itself is safe on a hot gram."""
+    from pyspark.storagelevel import StorageLevel
+
+    g2 = (
+        raw.repartition("gram")
+        .dropDuplicates(["gram", "source"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    gc = g2.withColumn(
+        "__c", F.count(F.lit(1)).over(W.partitionBy("gram"))
+    )
+    cold = (
+        gc.filter(
+            (F.col("__c") <= _KMV_HOT_GRAM_CAP) & (F.col("__c") >= 2)
+        )
+        .groupBy("gram")
+        .agg(F.collect_set("source").alias("ss"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ss"),
+                        lambda a: F.transform(
+                            F.filter(F.col("ss"), lambda b: b > a),
+                            lambda b: F.struct(
+                                a.alias("source_a"), b.alias("source_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.source_a", "p.source_b")
+    )
+    hot = gc.filter(F.col("__c") > _KMV_HOT_GRAM_CAP).select(
+        "gram", "source"
+    )
+    hot_pairs = (
+        hot.join(
+            hot.select(
+                F.col("gram"), F.col("source").alias("source_b")
+            ),
+            "gram",
+        )
+        .filter(F.col("source") < F.col("source_b"))
+        .select(F.col("source").alias("source_a"), "source_b")
+    )
+    return (
+        cold.unionByName(hot_pairs)
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+
 _KMV_SQL = f"""
     WITH g0 AS (
         SELECT source, unnest({_SHINGLES_SQL}) AS gram FROM documents
@@ -412,34 +489,9 @@ def kmv_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("k_eff"),
         F.sum(F.col("ia") * F.col("ib")).alias("m"),
     )
-    # Exact-overlap audit as ONE pass: per-gram distinct source set
-    # (collect_set dedups, so no pre-distinct needed), ordered pairs
-    # exploded from the bounded-by-source-cardinality set — the same
-    # counts the old gram self-join produced with two more full scans
-    # and a gram-keyed shuffle of each side.
-    pg = raw.groupBy("gram").agg(F.collect_set("source").alias("ss"))
-    prs = (
-        pg.filter(F.size("ss") >= 2)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ss"),
-                        lambda a: F.transform(
-                            F.filter(F.col("ss"), lambda b: b > a),
-                            lambda b: F.struct(
-                                a.alias("source_a"), b.alias("source_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.source_a", "p.source_b")
-    )
-    ex = prs.groupBy("source_a", "source_b").agg(
-        F.count(F.lit(1)).alias("exact_inter")
-    )
+    # Exact-overlap audit: shared-gram counts per ordered source pair,
+    # hot-gram-guarded (r14) — see _gram_pair_counts.
+    ex = _gram_pair_counts(raw)
     est_inter = F.round(
         (F.col("m") * (F.col("k_eff") - 1)).cast("double")
         * F.lit(4294967296.0)

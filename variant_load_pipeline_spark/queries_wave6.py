@@ -1286,10 +1286,12 @@ def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the persisted ANN indexes.",
 )
 def quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.quality import hashed_features, lr_fit, lr_score
+    from .operators.quality import lr_features, lr_fit, lr_score
 
     d = load(spark, sf_dir, "documents")
-    x = hashed_features(d).localCheckpoint(eager=True)
+    # doc_id-partitioned checkpoint: the fit loop and the final scoring
+    # pass both group/join on doc_id exchange-free (r14, guide §2.4)
+    x = lr_features(d)
     w = lr_fit(x, iters=3, lr=0.1)
     return lr_score(x, w)
 

@@ -1181,10 +1181,12 @@ _CAL_SQL = (
     "scored frame.",
 )
 def quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.quality import hashed_features, lr_fit, lr_score
+    from .operators.quality import lr_features, lr_fit, lr_score
 
     d = load(spark, sf_dir, "documents")
-    x = hashed_features(d).localCheckpoint(eager=True)
+    # doc_id-partitioned checkpoint: fit + score run exchange-free on
+    # their doc_id-keyed steps (r14, guide §2.4)
+    x = lr_features(d)
     w = lr_fit(x, iters=3, lr=0.1)
     s = lr_score(x, w)
     bk = s.select(
@@ -1468,7 +1470,7 @@ def quality_lr_apply_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from .operators.quality import (
-        hashed_features,
+        lr_features,
         lr_fit,
         lr_score,
         read_quality_model,
@@ -1477,7 +1479,8 @@ def quality_lr_apply_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries_ext import _scan_path
 
     d = load(spark, sf_dir, "documents")
-    x = hashed_features(d).localCheckpoint(eager=True)
+    # doc_id-partitioned checkpoint (r14, guide §2.4)
+    x = lr_features(d)
     path = _scan_path(sf_dir, "quality_model_apply")
     shutil.rmtree(path, ignore_errors=True)
     write_quality_model(lr_fit(x, iters=3, lr=0.1), path)

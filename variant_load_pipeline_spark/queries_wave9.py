@@ -438,10 +438,11 @@ _PR_SWEEP_SQL = (
     "the scores are calibrated; this row says where to cut them).",
 )
 def quality_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.quality import hashed_features, lr_fit, lr_score
+    from .operators.quality import lr_features, lr_fit, lr_score
 
     d = load(spark, sf_dir, "documents")
-    x = hashed_features(d).localCheckpoint(eager=True)
+    # doc_id-partitioned checkpoint (r14, guide §2.4)
+    x = lr_features(d)
     w = lr_fit(x, iters=3, lr=0.1)
     s = lr_score(x, w).select("score_micro", "label")
     thr = spark.range(1, 10).select(
