@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 import gzip
 import glob
 
@@ -99,6 +100,7 @@ chr1\t40\t.\tA\tC\t99\tPASS\t.\tGT:AD:DP\t1/1:0,9:9
 """
 
 
+@pytest.mark.slow
 def test_cli_full_pipeline_convert_load_annotate(spark, tmp_path):
     """The reference's 3-stage workflow driven purely through the CLI:
     VcfConverter2 -> VariantLoad3 -> VariantPostProcessing."""
@@ -396,6 +398,7 @@ def test_cli_zygosity_perc_read_fixup(spark, tmp_path):
     assert r["num_allele_fixed"] == 1
 
 
+@pytest.mark.slow
 def test_cli_module_subprocess(tmp_path):
     """`python -m variant_load_pipeline_spark --tool ...` works end to end
     as a real OS process (own SparkSession, parquet out)."""
@@ -812,6 +815,7 @@ def test_corpus_classify_tool(spark, tmp_path):
     assert 0 < len(w) <= 64
 
 
+@pytest.mark.slow
 def test_corpus_index_and_search_tools(spark, tmp_path):
     """CorpusIndex/CorpusSearch: build -> search matches the operator
     chain; build-on-seed + append-batch -> search matches the oracle-
@@ -902,6 +906,7 @@ def test_corpus_index_and_search_tools(spark, tmp_path):
     assert got_ids[: len(want_prefix)] == want_prefix
 
 
+@pytest.mark.slow
 def test_corpus_lexical_tools(spark, tmp_path):
     """CorpusLexIndex/CorpusLexSearch: seed build + batch append ->
     search matches the operator chain over the union exactly."""
@@ -1091,6 +1096,7 @@ def test_corpus_compact_tool(spark, tmp_path):
     ) == [11]
 
 
+@pytest.mark.slow
 def test_cli_corpus_ingest_end_to_end(spark, tmp_path):
     """CorpusIngest drives the composed ingest door (decontam -> quality
     -> LSH dedup) through a REAL availableNow stream: artifacts built by

@@ -75,6 +75,7 @@ def test_resize_images_batch_contract(spark):
     assert len(out[2]["payload"]) == 0 or len(out[2]["payload"]) == 4 * 4 * 3
 
 
+@pytest.mark.slow
 def test_extract_features_feeds_similarity(spark):
     from pyspark.sql import functions as F
 

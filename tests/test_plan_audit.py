@@ -259,6 +259,7 @@ def test_order_sensitive_queries_partitioning_invariant(spark, name):
     assert a == b
 
 
+@pytest.mark.slow
 def test_no_registered_query_has_partitionless_window(spark):
     """Registry-wide invariant: NO query's returned plan carries a Window
     with an empty partition spec (the round-1 audit's scale-killer
@@ -618,6 +619,7 @@ _ALLOWED_UNBOUNDED_JOINS = {
 }
 
 
+@pytest.mark.slow
 def test_registry_wide_no_unbounded_joins(spark):
     """Registry-wide scale invariant: no query plans a CartesianProduct or
     BroadcastNestedLoopJoin unless it is on the documented allowlist of

@@ -143,6 +143,7 @@ def _spark():
 )
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_binned_interval_join_equals_broadcast(_spark, intervals, points):
     """The binned equi-join strategy returns EXACTLY the pairs the plain
     broadcast range join returns, for random interval/point sets spanning
@@ -185,6 +186,7 @@ def test_binned_interval_join_equals_broadcast(_spark, intervals, points):
 )
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_bucketed_row_number_equals_global(_spark, rows):
     """bucketed_row_number ranks == global row_number over (bucket, keys)."""
     from pyspark.sql.window import Window as W2
@@ -266,6 +268,7 @@ def test_consume_first_match_equals_greedy_reference(_spark, lrows, rrows):
     assert got == sorted(exp)
 
 
+@pytest.mark.slow
 def test_new_query_results_are_partitioning_invariant(spark):
     """Determinism contract: results must not depend on the shuffle
     partition count (catches accidental first()/limit-without-order/
@@ -356,6 +359,7 @@ def _python_waterfill(caps, budget):
 )
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_unimax_closed_form_equals_waterfill(_spark, sizes, budget):
     """The rank/prefix-sum closed form in unimax_allocation must equal the
     sequential waterfill for random group sizes and budgets (caps = 2x
@@ -421,6 +425,7 @@ def test_unimax_closed_form_equals_waterfill(_spark, sizes, budget):
        st.integers(0, 39))
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_cdc_resynchronizes_after_insertion(_spark, ws, at):
     """Content-defined chunking's defining property: inserting one word
     changes only the chunks overlapping the insertion point — the chunk

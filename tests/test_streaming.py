@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -165,6 +166,7 @@ def _write_batches(tmp_path, name, *frames):
     return src
 
 
+@pytest.mark.slow
 def test_dedup_stream_drops_late_duplicates_within_watermark(
     spark, tmp_path
 ):
@@ -203,6 +205,7 @@ def test_dedup_stream_drops_late_duplicates_within_watermark(
     q.stop()
 
 
+@pytest.mark.slow
 def test_dedup_stream_reemits_after_watermark_horizon(spark, tmp_path):
     """The honest boundary of dropDuplicatesWithinWatermark: key state is
     PRUNED once the watermark passes ts + delay, so a duplicate arriving
@@ -244,6 +247,7 @@ def test_dedup_stream_reemits_after_watermark_horizon(spark, tmp_path):
     q.stop()
 
 
+@pytest.mark.slow
 def test_moving_avg_stateful_matches_batch_window(spark, tmp_path):
     """The sliding-frame moving average (events_moving_avg query) and its
     streaming twin (applyInPandasWithState, state = trailing k-1 values)
@@ -382,6 +386,7 @@ def _mk_asof_events(spark):
     return spark.createDataFrame(rows, SCHEMA)
 
 
+@pytest.mark.slow
 def test_asof_stateful_matches_batch_sweep(spark, tmp_path):
     """The streaming as-of twin (state = latest right row per key) must
     match the batch union+window sweep row-for-row when micro-batches
@@ -439,6 +444,7 @@ def test_asof_stateful_matches_batch_sweep(spark, tmp_path):
     q.stop()
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     """Stream-stream interval join (watermark-bounded state) must produce
     the same pair set as the batch range join on the same events —
@@ -777,6 +783,7 @@ def test_drift_counts_stream_equals_batch_psi(spark, tmp_path):
     assert got == expected and got
 
 
+@pytest.mark.slow
 def test_lsh_index_compaction_preserves_matching(spark, tmp_path):
     """Folding batch partitions into the seed generation must not change
     any accept/reject decision, and must shrink the partition count."""
@@ -854,6 +861,7 @@ def test_compact_lsh_index_single_generation_is_noop(spark, tmp_path):
     assert os.listdir(f"{idx}/bands") == ["ingest_batch=-1"]
 
 
+@pytest.mark.slow
 def test_compact_lsh_index_mid_crash_leftovers_harmless(spark, tmp_path):
     """Crash simulation for the recoverable swap order: the new seed
     generation has been renamed into place but the folded source
@@ -958,6 +966,7 @@ def test_compact_lsh_index_lone_batch_folds(spark, tmp_path):
     assert got == {11}
 
 
+@pytest.mark.slow
 def test_compact_kept_folds_corpus_partitions(spark, tmp_path):
     """compact_kept folds the accepted-corpus batch partitions into one
     generation without changing the doc set, keeps accepting afterwards,
@@ -1321,6 +1330,7 @@ def _bench_and_contaminated():
     return bench, contaminated, near_contaminated
 
 
+@pytest.mark.slow
 def test_corpus_ingest_composed_gate_order_and_index_isolation(
     spark, tmp_path
 ):
@@ -1378,6 +1388,7 @@ def test_corpus_ingest_composed_gate_order_and_index_isolation(
     } == {11, 21, 22}
 
 
+@pytest.mark.slow
 def test_corpus_ingest_stream_equals_composed_batch_chain(spark, tmp_path):
     """stream==batch for the composition: pushing real documents through
     corpus_ingest_sink in micro-batches keeps EXACTLY what the composed
@@ -1446,6 +1457,7 @@ def test_corpus_ingest_stream_equals_composed_batch_chain(spark, tmp_path):
     assert len(got) < train.count()
 
 
+@pytest.mark.slow
 def test_corpus_ingest_redelivery_is_exactly_once(spark, tmp_path):
     """Replaying a batch through the composed sink leaves every store
     unchanged: same kept set, one generation of index rows per doc."""
@@ -1556,6 +1568,7 @@ def test_quality_counts_stream_equals_batch_pr_sweep(spark, tmp_path):
     assert again == got
 
 
+@pytest.mark.slow
 def test_corpus_ingest_chains_epoch_manifest(spark, tmp_path):
     """The fourth sink chained into the composed door: survivors'
     manifest rows emit in the SAME batch, and the accumulated manifest
@@ -1727,6 +1740,7 @@ def test_kept_tier_fold_o_delta_and_full_collapse(spark, tmp_path):
     ) == [11, 21, 31]
 
 
+@pytest.mark.slow
 def test_rho_gate_composes_in_corpus_ingest_sink(spark, tmp_path):
     """corpus_ingest_sink with rho_model_path: a pool-memorized doc is
     dropped by the RHO gate (negative excess at threshold 0), a
@@ -1865,6 +1879,7 @@ def test_read_kept_asof_time_travels_the_tier_store(spark, tmp_path):
         ing.read_kept_asof(spark, kept, 0)
 
 
+@pytest.mark.slow
 def test_count_store_compaction_never_double_counts(spark, tmp_path):
     """Additive count stores fold WITHOUT double counting: rows carry
     their origin batch id, so (a) the folded sweep equals the pre-fold

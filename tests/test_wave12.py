@@ -5,6 +5,7 @@ boundary."""
 
 from __future__ import annotations
 
+import pytest
 import os
 import shutil
 
@@ -52,6 +53,7 @@ def _build_appended(spark, tmp_path, name="lex"):
     return d, path
 
 
+@pytest.mark.slow
 def test_bm25_fold_probe_identical_and_uncommitted_kept(spark, tmp_path):
     """append -> fold -> probe == rebuild -> probe, fold by fold; a
     delta batch above the commit watermark stays in place."""
@@ -77,6 +79,7 @@ def test_bm25_fold_probe_identical_and_uncommitted_kept(spark, tmp_path):
     assert lx.compact_bm25_index(spark, path, upto_batch_id=1) == 0
 
 
+@pytest.mark.slow
 def test_bm25_fold_untouched_buckets_byte_identical(spark, tmp_path):
     """O(delta) on disk, not just in promise: folding a tiny delta
     rewrites ONLY the term_bucket / doc_bucket partitions it touches —
@@ -131,6 +134,7 @@ def test_bm25_fold_untouched_buckets_byte_identical(spark, tmp_path):
     assert [r["doc_id"] for r in got] == [100001]
 
 
+@pytest.mark.slow
 def test_bm25_fold_mid_swap_recovery(spark, tmp_path):
     """Crash BETWEEN the swap renames (postings moved aside, new copy
     not in place): the next fold restores and completes."""
@@ -146,6 +150,7 @@ def test_bm25_fold_mid_swap_recovery(spark, tmp_path):
     assert _probe(spark, path) == want
 
 
+@pytest.mark.slow
 def test_bm25_fold_stale_old_copy_recovery(spark, tmp_path):
     """Crash AFTER the swap but before the old copy's delete: the next
     fold drops the stale copy and proceeds."""
@@ -162,6 +167,7 @@ def test_bm25_fold_stale_old_copy_recovery(spark, tmp_path):
     assert _probe(spark, path) == want
 
 
+@pytest.mark.slow
 def test_bm25_fold_delete_crash_reads_exactly_once(spark, tmp_path):
     """Crash DURING the delete phase (folded batch's partitions back on
     disk beside the folded seed): the stats watermark excludes the
@@ -183,6 +189,7 @@ def test_bm25_fold_delete_crash_reads_exactly_once(spark, tmp_path):
     assert _probe(spark, path) == want
 
 
+@pytest.mark.slow
 def test_bm25_append_after_fold_then_refold(spark, tmp_path):
     """The steady-state cycle: fold, keep appending, fold again —
     probes match the from-scratch build at every step."""
@@ -200,6 +207,7 @@ def test_bm25_append_after_fold_then_refold(spark, tmp_path):
     assert _probe(spark, path) == want
 
 
+@pytest.mark.slow
 def test_bm25_clean_append_probe_has_no_dedup(spark, tmp_path):
     """r13 optimization contract: on a CLEAN appended store (no fold in
     progress) the probe plans no Deduplicate — the defensive
@@ -221,6 +229,7 @@ def test_bm25_clean_append_probe_has_no_dedup(spark, tmp_path):
     ), plan
 
 
+@pytest.mark.slow
 def test_bm25_fold_swap_crash_window_marker_dedups(spark, tmp_path):
     """The swap-crash window (buckets swapped, folded deltas NOT yet
     deleted, watermark NOT yet advanced): folded rows exist in both the
@@ -267,6 +276,7 @@ def test_bm25_append_rejects_negative_batch_id(spark):
         lx.append_bm25_batch(d, "/tmp/never", -1)
 
 
+@pytest.mark.slow
 def test_bm25_idf_drift_monitor_resets_after_fold(spark, tmp_path):
     """The drift report scores exactly the delta vocabulary, df_cur =
     df_seed + delta df for shared terms, and the report empties after
@@ -301,6 +311,7 @@ def test_bm25_idf_drift_monitor_resets_after_fold(spark, tmp_path):
     assert lx.bm25_idf_drift(spark, path).count() == 0
 
 
+@pytest.mark.slow
 def test_bm25_bucket_skew_dense_spine_and_shares(spark, tmp_path):
     d, path = _build_appended(spark, tmp_path)
     rows = lx.bm25_bucket_skew(spark, path).collect()
@@ -317,6 +328,7 @@ def test_bm25_bucket_skew_dense_spine_and_shares(spark, tmp_path):
     assert sum(r["total_rows"] for r in rows2) == total
 
 
+@pytest.mark.slow
 def test_cli_corpus_lex_index_compact_and_usage(spark, tmp_path):
     import pytest
 
@@ -412,6 +424,7 @@ def test_kmv_delta_only_store_bootstraps(spark, tmp_path):
     assert got2 == want
 
 
+@pytest.mark.slow
 def test_kmv_fold_is_estimate_invisible(spark, tmp_path):
     """compact_kmv_sketches: seed ∪ committed deltas re-bottom-k'd into
     one generation — pair estimates identical before/after, uncommitted
@@ -661,6 +674,7 @@ def _doc(spark, doc_id, text):
     )
 
 
+@pytest.mark.slow
 def test_ingest_door_lexical_stage(spark, tmp_path):
     """The fifth sink stage: FINAL survivors' postings append into the
     BM25 store in the same batch (delta-only bootstrap — no seed), a

@@ -96,6 +96,16 @@ EXPLAINED: dict[str, str] = {
     "containment pairs per variant; the binned equi join (rewritten "
     "from the 62.5x nested-loop form, same hash) is sub-linear per "
     "output pair at 24x runtime for ~100x pairs",
+    "p29_annotate_chunked": "fixture-density artifact, J1's case: 10x "
+    "genes pack into the SAME 200k-position space, so (variant, gene) "
+    "pairs grow ~135x (75k -> 10.1M measured at sf1) while runtime grew "
+    "8-17x — sub-linear per output pair.  The r13/r14 honest-timing "
+    "change also moved the interval join INTO the timed region (the "
+    "old 9.7x row timed execute-only, missing the join at "
+    "construction), so the recorded ratio rose without a code "
+    "regression.  Real 10x genomic data adds samples, not 10x genes "
+    "per genome; the sibling p29_annotate_pairs rides the same pair "
+    "fan-out at 11.6x",
     # p29_annotate_indel: formerly flagged at 69.9x.  Root cause was NOT
     # the pair fan-out: the generator's inline string-CASE allele
     # expressions poisoned the fused whole-stage-codegen join stage
