@@ -1556,3 +1556,23 @@ def test_corpus_keeplist_drops_null_text_docs(spark):
     }
     # null-text docs 3 and 4 are absent; 1 survives, 2 is its byte-dup
     assert out == {1: (1, "T"), 2: (1, "F")}
+
+
+def test_spread_is_scale_adaptive(spark):
+    """spread() must repartition a narrow scan up to defaultParallelism
+    (single-file local fixtures scan as 1 task) and be a NO-OP when the
+    input is already parallel enough -- at corpus scale the round-robin
+    Exchange (and its sortBeforeRepartition cost) must disappear."""
+    from variant_load_pipeline_spark.queries import spread
+
+    p = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 100, 1, numPartitions=1)
+    out = spread(narrow)
+    assert out.rdd.getNumPartitions() == p
+    assert sorted(r["id"] for r in out.collect()) == list(range(100))
+
+    wide = spark.range(0, 100, 1, numPartitions=p)
+    same = spread(wide)
+    assert same is wide  # identical frame, no Exchange added
+    wider = spark.range(0, 100, 1, numPartitions=p + 3)
+    assert spread(wider) is wider

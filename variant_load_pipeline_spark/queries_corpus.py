@@ -20,6 +20,7 @@ from .queries import (
     _NORM_SQL,
     load,
     register,
+    spread,
 )
 from .functions.text import GOPHER_LIMITS, GOPHER_STOPWORDS
 
@@ -211,9 +212,7 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import word_blocks
     from .operators.dedup import paragraph_dedup
 
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load(spark, sf_dir, "documents").transform(spread)
     return paragraph_dedup(d, word_blocks(F.col("text"), _PARA_K)).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_paras").cast("int").alias("n_paras"),
@@ -280,9 +279,7 @@ _SPAN_H64_SQL = """CAST(
 def dup_span_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import dup_spans
 
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load(spark, sf_dir, "documents").transform(spread)
     return dup_spans(d, k=_SPAN_K).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "n_spans",
@@ -531,9 +528,7 @@ def _km_chain_sql() -> str:
 def kmeans_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.clustering import kmeans_fit_assign
 
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load(spark, sf_dir, "embeddings").transform(spread)
     out = kmeans_fit_assign(
         e, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE
     )
@@ -589,9 +584,7 @@ _SEMDEDUP_T = 0.3
 def semdedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.clustering import kmeans_fit_assign, semdedup_pairs
 
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load(spark, sf_dir, "embeddings").transform(spread)
     assigned = kmeans_fit_assign(
         e, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE
     )
@@ -1011,9 +1004,7 @@ def _pq_chain_sql() -> str:
 def ann_pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.clustering import pq_adc_topk, pq_fit_encode
 
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load(spark, sf_dir, "embeddings").transform(spread)
     encoded, codebooks = pq_fit_encode(
         e, m=_PQ_M, ksub=_PQ_K, iters=_PQ_ITERS, scale=_KM_SCALE
     )
@@ -1065,9 +1056,7 @@ def _leakage_split_sql() -> str:
 def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import connected_components_star, near_dup_pairs
 
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load(spark, sf_dir, "documents").transform(spread)
     pairs = near_dup_pairs(d, n_hashes=16, bands=4, threshold=0.6)
     comp = connected_components_star(pairs).select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
@@ -1206,9 +1195,7 @@ def ann_pq_persisted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .queries_ext import _scan_path
 
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load(spark, sf_dir, "embeddings").transform(spread)
     encoded, codebooks = pq_fit_encode(
         e, m=_PQ_M, ksub=_PQ_K, iters=_PQ_ITERS, scale=_KM_SCALE
     )
@@ -1840,9 +1827,7 @@ def _mmr_cos_micro(a: str, b: str) -> str:
 def mmr_diverse_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import dot, mmr_select
 
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load(spark, sf_dir, "embeddings").transform(spread)
     nrm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     corpus = e.select(
         F.col("vec_id").alias("nid"),
@@ -2592,7 +2577,7 @@ def mm_image_dhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         payloads.append((mid, bytearray(encode_png(img))))
     media = spark.createDataFrame(
         payloads, "media_id long, payload binary"
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ).transform(spread)
     hashes = image_dhash(media)
     a = hashes.select(
         F.col("media_id").alias("id_a"), F.col("dhash").alias("ha")
@@ -2709,7 +2694,7 @@ def mm_audio_ahash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         payloads.append((mid, bytearray(encode_wav(s, 16000))))
     media = spark.createDataFrame(
         payloads, "media_id long, payload binary"
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ).transform(spread)
     hashes = audio_energy_hash(media, n_frames=_AH_FRAMES)
     a = hashes.select(
         F.col("media_id").alias("id_a"), F.col("ahash").alias("ha")
@@ -3392,9 +3377,7 @@ _KNN_K = 5
 def knn_label_predict_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import dot
 
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load(spark, sf_dir, "embeddings").transform(spread)
     nrm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     q = e.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("qid"),
@@ -3931,7 +3914,7 @@ def jl_projection_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", int_vectors(F.col("embedding"), 1000).alias("qv")
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ).transform(spread)
 
     def sign(k: int, i) -> F.Column:
         from .functions.text import shingle_hash

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from .functions import text as T
-from .queries import load, register
+from .queries import load, register, spread
 
 
 # ===========================================================================
@@ -313,9 +313,7 @@ def colloc_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import dot
 
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load(spark, sf_dir, "embeddings").transform(spread)
     nrm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     q = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("qid"),
@@ -695,9 +693,7 @@ def _cluster_stats_sql() -> str:
 def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import connected_components, near_dup_pairs
 
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load(spark, sf_dir, "documents").transform(spread)
     pairs = near_dup_pairs(d, n_hashes=16, bands=4, threshold=0.6)
     comp = connected_components(pairs)
     sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
@@ -755,9 +751,7 @@ def _cross_source_sql() -> str:
 def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import near_dup_pairs
 
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load(spark, sf_dir, "documents").transform(spread)
     pairs = near_dup_pairs(d, n_hashes=16, bands=4, threshold=0.6)
     src = d.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
@@ -890,9 +884,7 @@ def _keeplist_subquery(src: str) -> str:
 def keeplist_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import corpus_keeplist
 
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load(spark, sf_dir, "documents").transform(spread)
     old = corpus_keeplist(d.filter(F.col("doc_id") < 250), threshold=0.8)
     new = corpus_keeplist(d, threshold=0.8)
     o = old.select(
@@ -951,9 +943,7 @@ def keeplist_delta_incremental(
     )
     from .queries_ext import _scan_path
 
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load(spark, sf_dir, "documents").transform(spread)
     path = _scan_path(sf_dir, "keeplist")
     shutil.rmtree(path, ignore_errors=True)
     # snapshot time: yesterday's chain runs once and persists
@@ -1025,9 +1015,7 @@ def keeplist_delta_refresh_only(
     )
     from .queries_ext import _scan_path
 
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load(spark, sf_dir, "documents").transform(spread)
     # the path is salted with the md5 of the keep-list chain's SOURCE,
     # the snapshot parameters, AND a data fingerprint (file size/mtime
     # digest of the documents parquet): any code, parameter, or in-place
@@ -2693,9 +2681,7 @@ def _threshold_sweep_sql() -> str:
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import near_dup_pairs
 
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load(spark, sf_dir, "documents").transform(spread)
     pairs = near_dup_pairs(d, n_hashes=16, bands=4, threshold=0.5).select(
         "id_a", "id_b",
         F.floor(F.col("jaccard") * 1e6 + 0.5).cast("long").alias("jm"),

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .queries import load, register
+from .queries import load, register, spread
 from .queries_wave6 import _BUCKET_SQL, _lr_chain_sql
 
 
@@ -243,9 +243,7 @@ _COS6 = (
 def ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine
 
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load(spark, sf_dir, "embeddings").transform(spread)
     base = e.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -371,9 +369,7 @@ def ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine
 
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load(spark, sf_dir, "embeddings").transform(spread)
     ed = F.col("embedding").cast("array<double>")
     q = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("qid"),
@@ -970,9 +966,7 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine
 
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load(spark, sf_dir, "embeddings").transform(spread)
     base = e.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -1367,9 +1361,7 @@ def _span_removal_sql() -> str:
 def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import normalize_text, shingle_hash64
 
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load(spark, sf_dir, "documents").transform(spread)
     t = d.select(
         "doc_id",
         F.split(

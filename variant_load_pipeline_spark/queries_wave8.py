@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .queries import load, register
+from .queries import load, register, spread
 from .queries_wave7 import _COS6
 
 # ===========================================================================
@@ -913,9 +913,7 @@ def cluster_balanced_sample(
     from .functions.text import shingle_hash
     from .operators.clustering import kmeans_fit_assign
 
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load(spark, sf_dir, "embeddings").transform(spread)
     asg = kmeans_fit_assign(
         e, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE
     ).select(
