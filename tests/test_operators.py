@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from variant_load_pipeline_spark.operators import dedup, similarity, upsert, windows
@@ -441,6 +443,7 @@ def test_near_dup_cold_buckets_stay_exhaustive(spark):
     assert pairs == {(1, 2), (1, 3), (2, 3)}
 
 
+@pytest.mark.slow
 def test_simhash64_high_slices_carry_entropy_and_find_planted_pair(spark):
     """The 64-bit scale path must be real: with shingle_hash64 the HIGH
     16-bit slices of a 64-bit simhash are non-constant across a 20k-doc
@@ -534,6 +537,7 @@ def test_connected_components_chain_star_cliques(spark):
     assert len(comp) == 17
 
 
+@pytest.mark.slow
 def test_connected_components_star_matches_and_converges_log_rounds(spark):
     """The alternating large-star/small-star variant must (a) produce the
     identical (id, min-reachable-id) labeling as min-propagation on mixed
@@ -643,6 +647,7 @@ def test_stratified_sample_caps_each_stratum(spark):
     }
 
 
+@pytest.mark.slow
 def test_quantize_embeddings_roundtrip_and_recall(spark):
     """q8 values stay in [-127, 127], max-magnitude component hits 127
     exactly, and quantized cosine stays within 1e-2 of exact cosine."""

@@ -7,6 +7,7 @@ steady-state reruns reuse the persisted index."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from variant_load_pipeline_spark import queries as Q
@@ -105,6 +106,7 @@ def test_maxsim_scores_bounded_by_query_tokens(spark):
         assert sc == sorted(sc, reverse=True), qd
 
 
+@pytest.mark.slow
 def test_maxsim_rerank_candidates_come_from_probed_lists(spark):
     """The two-stage row's results are a subset of the probed lists'
     documents, scores agree with the exact row on shared (qdoc, ddoc)
@@ -129,6 +131,7 @@ def test_maxsim_rerank_candidates_come_from_probed_lists(spark):
     assert sorted(map(tuple, two_stage)) == sorted(map(tuple, again))
 
 
+@pytest.mark.slow
 def test_bm25_index_append_matches_rebuild(spark, tmp_path):
     """The lexical-index lifecycle: build on a seed, append a batch
     WITHOUT a rebuild, and the probe (seed + delta postings, summed
